@@ -1,0 +1,74 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation of
+every output column, no write/collect overhead) — the honest measure of
+plan cost, not just of the count-pruned subtree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from music_streaming_services_etl_pipeline_with_airflow_spark.session import get_spark
+from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+# Headline set: the two full pipelines, the heaviest standalone operators,
+# the SQL surface, and (as they land) the scale-path extension operators.
+HEADLINE = [
+    "genre_kpis_daily",
+    "hourly_kpis",
+    "a1_group_multi_agg",
+    "a2_argmax_per_group",
+    "a3_hourly_distinct_counts",
+    "o2_top1_per_group",
+    "j1_broadcast_left_join",
+    "q1_total_listens_per_genre",
+    "q7_avg_diversity_per_hour",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_scores",
+    "similarity_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in specs:
+            continue
+        df = specs[name].fn(spark, sf_dir)
+        # warm the input file listing/footer cache out of the measurement? No:
+        # cold single-shot timing, matching how the driver sees us.
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

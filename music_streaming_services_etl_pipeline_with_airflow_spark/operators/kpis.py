@@ -1,0 +1,145 @@
+"""The analytical core: the reference's two KPI tables, Spark-first.
+
+Reference: `transform_and_compute_kpis`,
+dags/music_streaming_services_dag.py:140-244. Semantics preserved per
+SURVEY §8 (null group keys, join fan-out, tie-breaks), implementation
+re-designed for Spark:
+
+- J1 streams⋈songs is a **broadcast hash join** (songs is a dimension,
+  ~114k rows in the reference) — no shuffle of the 100 TB fact side.
+- A2/O2 "most popular per group" use window ``row_number`` with an explicit
+  deterministic tie-break instead of the reference's sort-whole-table +
+  head(1) (reference :218-220) — avoids a global sort and makes results
+  partition-order independent.
+- A1/A3/A4 are single-pass hash aggregates with map-side partials;
+  ``countDistinct`` is the exact two-phase expansion (the 100-TB variant
+  ``approx_unique_listeners`` is provided alongside).
+
+All functions are pure DataFrame→DataFrame and lazy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.datetime import event_date, event_hour, lenient_timestamp
+
+# Columns of the songs dimension actually consumed downstream. The reference
+# carries all 21 through the join (dags/music_streaming_services_dag.py:159);
+# Catalyst prunes automatically, but selecting early keeps the broadcast
+# build side small by construction.
+_SONG_COLS = ("track_id", "track_name", "artists", "track_genre", "duration_ms", "popularity")
+
+
+def enrich_streams(streams_raw: DataFrame, songs: DataFrame) -> DataFrame:
+    """P3/P4 parse + J1 left broadcast join + P5/P6 date/hour derivation.
+
+    Reference: dags/music_streaming_services_dag.py:155-163 (parse/derive),
+    :159 (merge how='left' on track_id). Songs may repeat track_id across
+    genres — the fan-out is load-bearing (SURVEY §8.5): do NOT dedup songs.
+    """
+    parsed = streams_raw.withColumn("listen_time", lenient_timestamp("listen_time"))
+    dim = songs.select(*[c for c in _SONG_COLS if c in songs.columns])
+    return (
+        parsed.join(F.broadcast(dim), "track_id", "left")
+        .withColumn("date", event_date("listen_time"))
+        .withColumn("hour", event_hour("listen_time"))
+    )
+
+
+def genre_kpis(enriched: DataFrame) -> DataFrame:
+    """Daily genre KPIs (A1 + A2 + J2 + P2).
+
+    Reference: dags/music_streaming_services_dag.py:166-190. pandas groupby
+    drops null keys — malformed timestamps and join-misses vanish from the
+    genre table (SURVEY §8.2); we encode that as an explicit filter.
+    """
+    base = enriched.filter(F.col("date").isNotNull() & F.col("track_genre").isNotNull())
+
+    agg = base.groupBy("date", "track_genre").agg(
+        F.count("track_id").alias("listen_count"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+        F.avg("popularity").alias("popularity_index"),
+    )
+
+    # A2 — argmax(popularity) per (date, genre). Reference idxmax takes the
+    # first row in input order (nondeterministic under parallel input);
+    # we pin the tie-break: higher popularity, then track_name asc,
+    # then track_id asc.
+    w = Window.partitionBy("date", "track_genre").orderBy(
+        F.desc("popularity"), F.asc("track_name"), F.asc("track_id")
+    )
+    top = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "date",
+            "track_genre",
+            F.col("track_name").alias("most_popular_track"),
+            F.col("popularity").cast("double").alias("most_popular_track_popularity"),
+        )
+    )
+
+    return agg.join(top, ["date", "track_genre"], "left").select(
+        "date",
+        "track_genre",
+        "listen_count",
+        "avg_duration_ms",
+        "popularity_index",
+        "most_popular_track",
+        "most_popular_track_popularity",
+    )
+
+
+def hourly_kpis(enriched: DataFrame, approx: bool = False) -> DataFrame:
+    """Hourly KPIs (A3 + P7 + A4 + O2-as-window + J3 + P1).
+
+    Reference: dags/music_streaming_services_dag.py:204-233. Unmatched
+    streams (null artists) stay in the totals but are excluded from the
+    per-artist counts (SURVEY §8.2). ``approx=True`` swaps exact
+    countDistinct for HLL ``approx_count_distinct`` — the 100 TB variant
+    where exact distinct's two-phase expansion dominates the stage.
+    """
+    base = enriched.filter(F.col("date").isNotNull())
+    d_users = (
+        F.approx_count_distinct("user_id") if approx else F.countDistinct("user_id")
+    )
+    d_tracks = (
+        F.approx_count_distinct("track_id") if approx else F.countDistinct("track_id")
+    )
+
+    hourly = base.groupBy("date", "hour").agg(
+        d_users.alias("unique_listeners"),
+        F.count("track_id").alias("total_plays"),
+        d_tracks.alias("unique_tracks"),
+    ).withColumn(
+        "track_diversity_index",
+        (F.col("unique_tracks") / F.col("total_plays")).cast("double"),
+    )
+
+    # A4 + O1/O2 — top artist per (date, hour): count plays per artist,
+    # take the top-1 by play_count desc with the reference's effective
+    # tie-break (artists asc — pandas stable sort over groupby-sorted keys,
+    # SURVEY §8.3).
+    plays = (
+        base.filter(F.col("artists").isNotNull())
+        .groupBy("date", "hour", "artists")
+        .agg(F.count("track_id").alias("play_count"))
+    )
+    w = Window.partitionBy("date", "hour").orderBy(F.desc("play_count"), F.asc("artists"))
+    top_artists = (
+        plays.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("date", "hour", F.col("artists").alias("top_artist"))
+    )
+
+    return hourly.join(top_artists, ["date", "hour"], "left").select(
+        "date", "hour", "unique_listeners", "top_artist", "track_diversity_index"
+    )
+
+
+def compute_kpis(streams_raw: DataFrame, songs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full transform parity: (genre_kpis, hourly_kpis) from raw inputs."""
+    enriched = enrich_streams(streams_raw, songs)
+    return genre_kpis(enriched), hourly_kpis(enriched)

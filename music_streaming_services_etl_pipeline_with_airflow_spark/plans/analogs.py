@@ -1,0 +1,587 @@
+"""Reference-operator queries on the driver testdata, each with a DuckDB
+oracle.
+
+The reference domain (streams/users/songs — SURVEY §1.2) maps onto the
+driver's TPC-H-ish tables (FIXTURES.md §mapping):
+
+Genre-KPI domain (fact ⋈ dimension):
+    streams := lineitem  (user_id := l_suppkey, track_id := l_partkey,
+                          listen_time := l_shipdate)
+    songs   := part      (track_name := p_name, artists := p_brand,
+                          track_genre := p_type,
+                          duration_ms := p_size*1000  [integer → exact sums],
+                          popularity  := floor(p_retailprice) [integer])
+
+Hourly-KPI domain (event stream ⋈ user dimension):
+    streams := events    (listen_time := ts, track_id := event_type)
+    artists := customer.c_mktsegment via user_id = c_custkey
+
+Integer-valued measures are chosen deliberately: double sums over integers
+are exact, so Spark's partial aggregation order cannot diverge from DuckDB's
+sequential sum — the order-insensitive value hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import kpis, validate
+from ..sources import load_table, read_csv_dir
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Shared frame builders (Spark side)
+# --------------------------------------------------------------------------
+
+
+def streams_songs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """lineitem/part reshaped into the reference's streams/songs schemas."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    streams = li.select(
+        F.col("l_suppkey").alias("user_id"),
+        F.col("l_partkey").cast("string").alias("track_id"),
+        F.col("l_shipdate").cast("string").alias("listen_time"),  # P3: arrives as string
+    )
+    songs = part.select(
+        F.col("p_partkey").cast("string").alias("track_id"),
+        F.col("p_name").alias("track_name"),
+        F.col("p_brand").alias("artists"),
+        F.col("p_type").alias("track_genre"),
+        (F.col("p_size") * 1000).cast("long").alias("duration_ms"),
+        F.floor("p_retailprice").cast("long").alias("popularity"),
+    )
+    return streams, songs
+
+
+def enriched_genre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    streams, songs = streams_songs(spark, sf_dir)
+    return kpis.enrich_streams(streams, songs)
+
+
+def enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ customer with the hourly-KPI column contract."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("artists"))
+    return (
+        ev.select("user_id", F.col("event_type").alias("track_id"), F.col("ts").alias("listen_time"))
+        .join(F.broadcast(dim), "user_id", "left")
+        .withColumn("date", F.to_date("listen_time"))
+        .withColumn("hour", F.hour("listen_time").cast("long"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared CTEs (DuckDB side) — mirror the builders above expression-for-
+# expression so both engines compute the same values.
+# --------------------------------------------------------------------------
+
+ENRICHED_GENRE_CTE = """
+enriched AS (
+    SELECT CAST(l_shipdate AS DATE)         AS date,
+           l_suppkey                        AS user_id,
+           CAST(l_partkey AS VARCHAR)       AS track_id,
+           p_name                           AS track_name,
+           p_brand                          AS artists,
+           p_type                           AS track_genre,
+           CAST(p_size * 1000 AS BIGINT)    AS duration_ms,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS popularity
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+)"""
+
+ENRICHED_HOURLY_CTE = """
+enriched AS (
+    SELECT e.user_id                        AS user_id,
+           e.event_type                     AS track_id,
+           c.c_mktsegment                   AS artists,
+           CAST(e.ts AS DATE)               AS date,
+           CAST(EXTRACT(HOUR FROM e.ts) AS BIGINT) AS hour
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+)"""
+
+GENRE_KPIS_SQL = f"""
+WITH {ENRICHED_GENRE_CTE},
+base AS (SELECT * FROM enriched WHERE date IS NOT NULL AND track_genre IS NOT NULL),
+agg AS (
+    SELECT date, track_genre,
+           COUNT(track_id)  AS listen_count,
+           AVG(duration_ms) AS avg_duration_ms,
+           AVG(popularity)  AS popularity_index
+    FROM base GROUP BY date, track_genre
+),
+ranked AS (
+    SELECT date, track_genre, track_name, popularity,
+           ROW_NUMBER() OVER (PARTITION BY date, track_genre
+                              ORDER BY popularity DESC, track_name ASC, track_id ASC) AS rn
+    FROM base
+),
+top AS (
+    SELECT date, track_genre,
+           track_name AS most_popular_track,
+           CAST(popularity AS DOUBLE) AS most_popular_track_popularity
+    FROM ranked WHERE rn = 1
+)
+SELECT agg.date, agg.track_genre, listen_count, avg_duration_ms, popularity_index,
+       most_popular_track, most_popular_track_popularity
+FROM agg LEFT JOIN top ON agg.date = top.date AND agg.track_genre = top.track_genre
+"""
+
+HOURLY_KPIS_SQL = f"""
+WITH {ENRICHED_HOURLY_CTE},
+base AS (SELECT * FROM enriched WHERE date IS NOT NULL),
+hourly AS (
+    SELECT date, hour,
+           COUNT(DISTINCT user_id)  AS unique_listeners,
+           COUNT(track_id)          AS total_plays,
+           COUNT(DISTINCT track_id) AS unique_tracks
+    FROM base GROUP BY date, hour
+),
+plays AS (
+    SELECT date, hour, artists, COUNT(track_id) AS play_count
+    FROM base WHERE artists IS NOT NULL GROUP BY date, hour, artists
+),
+top AS (
+    SELECT date, hour, artists AS top_artist
+    FROM (SELECT date, hour, artists,
+                 ROW_NUMBER() OVER (PARTITION BY date, hour
+                                    ORDER BY play_count DESC, artists ASC) AS rn
+          FROM plays) WHERE rn = 1
+)
+SELECT h.date, h.hour, h.unique_listeners, t.top_artist,
+       CAST(h.unique_tracks AS DOUBLE) / h.total_plays AS track_diversity_index
+FROM hourly h LEFT JOIN top t ON h.date = t.date AND h.hour = t.hour
+"""
+
+
+# --------------------------------------------------------------------------
+# Full-pipeline queries (the flagship + its hourly sibling)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "genre_kpis_daily",
+    GENRE_KPIS_SQL,
+    doc="Full genre-KPI pipeline analog: J1 broadcast join + A1 multi-agg + "
+    "A2 window argmax + J2 composite join (reference "
+    "dags/music_streaming_services_dag.py:159-190).",
+)
+def q_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpis.genre_kpis(enriched_genre(spark, sf_dir))
+
+
+@register(
+    "hourly_kpis",
+    HOURLY_KPIS_SQL,
+    doc="Full hourly-KPI pipeline analog: A3 distinct counts + P7 ratio + "
+    "A4 + O1/O2 top-artist window + J3 composite join + P1 projection "
+    "(reference dags/music_streaming_services_dag.py:204-233).",
+)
+def q_hourly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpis.hourly_kpis(enriched_hourly(spark, sf_dir))
+
+
+@register(
+    "a3_hourly_distinct_approx",
+    None,  # HLL estimates are engine-specific → rows-only check
+    doc="100-TB variant of A3: approx_count_distinct (HLL) instead of exact "
+    "two-phase distinct. No SQL oracle (estimator-specific values).",
+)
+def q_hourly_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpis.hourly_kpis(enriched_hourly(spark, sf_dir), approx=True)
+
+
+# --------------------------------------------------------------------------
+# Operator micro-queries: scans / control flow
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s1_input_presence_probe",
+    "SELECT COUNT(*) > 0 AS has_data, COUNT(*) AS n_objects FROM events",
+    doc="S1/C1 — existence probe that gates the pipeline (reference "
+    "dags/music_streaming_services_dag.py:15-23): empty input short-circuits.",
+)
+def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    return spark.createDataFrame([(n > 0, n)], "has_data boolean, n_objects long")
+
+
+@register(
+    "s2_multifile_csv_union",
+    "SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids, "
+    "CAST(SUM(event_id) AS BIGINT) AS id_sum FROM events GROUP BY event_type",
+    doc="S2/S4/U1 — multi-file CSV ingest: events is written as several CSV "
+    "part files, read back as one relation via the multi-path CSV source "
+    "(per-file header strip — fixes the reference's header-pollution bug, "
+    "SURVEY §8.1), then aggregated to prove lossless union.",
+)
+def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tmp = f"/tmp/spark_engine_csv/{tag}/events"
+    marker = os.path.join(tmp, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", F.col("event_type")
+        )
+        ev.repartition(4).write.mode("overwrite").option("header", True).csv(tmp)
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("event_type", StringType())]
+    )
+    df = read_csv_dir(spark, tmp, schema)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Projections / filters / scalar ops (P1-P12)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "p1_p2_p3_project_rename_cast",
+    "SELECT CAST(p_partkey AS VARCHAR) AS track_id, p_name AS track_name, "
+    "p_brand AS artist, CAST(p_size AS BIGINT) AS size_big FROM part",
+    doc="P1 projection + P2 rename + P3 cast (reference "
+    "dags/music_streaming_services_dag.py:175,187-190,155).",
+)
+def q_p123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("track_id"),
+        F.col("p_name").alias("track_name"),
+        F.col("p_brand").alias("artist"),
+        F.col("p_size").cast("long").alias("size_big"),
+    )
+
+
+@register(
+    "p4_lenient_timestamp_parse",
+    "SELECT event_id, TRY_CAST(props AS TIMESTAMP) AS bad_parse, "
+    "CAST(TRY_CAST(CAST(ts AS VARCHAR) AS TIMESTAMP) AS DATE) AS good_parse_date "
+    "FROM events",
+    doc="P4 — errors='coerce' semantics (reference "
+    "dags/music_streaming_services_dag.py:156): malformed strings parse to "
+    "null, valid ones round-trip.",
+)
+def q_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_to_timestamp("props").alias("bad_parse"),
+        F.to_date(F.try_to_timestamp(F.col("ts").cast("string"))).alias("good_parse_date"),
+    )
+
+
+@register(
+    "p5_p6_date_hour_extract",
+    "SELECT event_id, CAST(ts AS DATE) AS date, "
+    "CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour FROM events",
+    doc="P5/P6 — date and hour-of-day derivation (reference "
+    "dags/music_streaming_services_dag.py:162-163); hour is a clean INT "
+    "(fixes SURVEY §8.4 float leak).",
+)
+def q_p56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_date("ts").alias("date"),
+        F.hour("ts").cast("long").alias("hour"),
+    )
+
+
+@register(
+    "p7_derived_ratio",
+    "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS DOUBLE) / COUNT(*) AS "
+    "user_density FROM events GROUP BY event_type",
+    doc="P7 — arithmetic derived column (diversity-style ratio, reference "
+    "dags/music_streaming_services_dag.py:211).",
+)
+def q_p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        (F.countDistinct("user_id").cast("double") / F.count("*")).alias("user_density")
+    )
+
+
+def _part_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part with synthetic nulls (the testdata has none) to exercise the
+    null operators; NULLIF is deterministic and SQL-mirrorable."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.nullif(F.col("p_brand"), F.lit("Brand#13")).alias("p_brand"),
+        F.nullif(F.col("p_type"), F.lit("SMALL PLATED COPPER")).alias("p_type"),
+        "p_size",
+    )
+
+
+_NULLED_PART_CTE = """
+nulled AS (
+    SELECT p_partkey,
+           NULLIF(p_brand, 'Brand#13') AS p_brand,
+           NULLIF(p_type, 'SMALL PLATED COPPER') AS p_type,
+           p_size
+    FROM part
+)"""
+
+
+@register(
+    "p9_null_profile",
+    f"WITH {_NULLED_PART_CTE} SELECT "
+    "COUNT(CASE WHEN p_partkey IS NULL THEN 1 END) AS p_partkey, "
+    "COUNT(CASE WHEN p_brand IS NULL THEN 1 END) AS p_brand, "
+    "COUNT(CASE WHEN p_type IS NULL THEN 1 END) AS p_type, "
+    "COUNT(CASE WHEN p_size IS NULL THEN 1 END) AS p_size FROM nulled",
+    doc="P9 — per-column null-count profile (songs_to_rds.py:21,33) as a "
+    "single-pass aggregate, not an iterrows loop.",
+)
+def q_p9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate.null_profile(_part_with_nulls(spark, sf_dir))
+
+
+@register(
+    "p10_rows_with_any_null",
+    f"WITH {_NULLED_PART_CTE} SELECT * FROM nulled "
+    "WHERE p_partkey IS NULL OR p_brand IS NULL OR p_type IS NULL OR p_size IS NULL",
+    doc="P10 — row-wise any-null filter (songs_to_rds.py:25-29) as a "
+    "distributed predicate.",
+)
+def q_p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate.rows_with_any_null(_part_with_nulls(spark, sf_dir))
+
+
+@register(
+    "p11_null_imputation",
+    f"WITH {_NULLED_PART_CTE} SELECT p_partkey, "
+    "COALESCE(p_brand, 'Unknown') AS p_brand, "
+    "COALESCE(p_type, 'Unknown') AS p_type, p_size FROM nulled",
+    doc="P11 — typed constant imputation (songs_to_rds.py:31 fillna; typo "
+    "'Unkown' fixed, string columns only — SURVEY §8.7).",
+)
+def q_p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate.fill_nulls(_part_with_nulls(spark, sf_dir))
+
+
+@register(
+    "p12_row_count",
+    "SELECT COUNT(*) AS n_rows FROM lineitem",
+    doc="P12 — row count (dags/music_streaming_services_dag.py:134-136).",
+)
+def q_p12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "p8_required_columns_check",
+    "SELECT 'lineitem' AS table_name, TRUE AS valid, 0 AS n_missing",
+    doc="P8/C2 — required-column contract check (reference "
+    "dags/music_streaming_services_dag.py:106-137). Runs the validator on "
+    "the real table against its contract and reports the verdict.",
+)
+def q_p8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    required = {"l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"}
+    miss = validate.missing_columns(li, required)
+    return spark.createDataFrame(
+        [("lineitem", len(miss) == 0, len(miss))],
+        "table_name string, valid boolean, n_missing long",
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J1) — row-level proof; J2/J3 are inside the pipeline queries
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j1_broadcast_left_join",
+    f"WITH {ENRICHED_GENRE_CTE} SELECT date, user_id, track_id, track_name, "
+    "artists, track_genre, duration_ms, popularity FROM enriched",
+    doc="J1 — streams⋈songs left equi-join, broadcast-hash (reference "
+    "dags/music_streaming_services_dag.py:159). Row-level output proves the "
+    "join itself, not just downstream aggregates.",
+)
+def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enriched_genre(spark, sf_dir).select(
+        "date", "user_id", "track_id", "track_name", "artists",
+        "track_genre", "duration_ms", "popularity",
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A4) standalone
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a1_group_multi_agg",
+    f"""WITH {ENRICHED_GENRE_CTE}
+    SELECT date, track_genre, COUNT(track_id) AS listen_count,
+           AVG(duration_ms) AS avg_duration_ms, AVG(popularity) AS popularity_index
+    FROM enriched WHERE date IS NOT NULL AND track_genre IS NOT NULL
+    GROUP BY date, track_genre""",
+    doc="A1 — hash group-by with multiple aggregates (reference "
+    "dags/music_streaming_services_dag.py:166-170); single-pass, map-side partials.",
+)
+def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = enriched_genre(spark, sf_dir).filter(
+        F.col("date").isNotNull() & F.col("track_genre").isNotNull()
+    )
+    return base.groupBy("date", "track_genre").agg(
+        F.count("track_id").alias("listen_count"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+        F.avg("popularity").alias("popularity_index"),
+    )
+
+
+@register(
+    "a2_argmax_per_group",
+    f"""WITH {ENRICHED_GENRE_CTE}
+    SELECT date, track_genre, track_name AS most_popular_track,
+           CAST(popularity AS DOUBLE) AS most_popular_track_popularity
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY date, track_genre
+            ORDER BY popularity DESC, track_name ASC, track_id ASC) AS rn
+          FROM enriched WHERE date IS NOT NULL AND track_genre IS NOT NULL)
+    WHERE rn = 1""",
+    doc="A2 — per-group argmax via window row_number with pinned tie-break "
+    "(reference idxmax, dags/music_streaming_services_dag.py:172-176; "
+    "SURVEY §8.3).",
+)
+def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = enriched_genre(spark, sf_dir).filter(
+        F.col("date").isNotNull() & F.col("track_genre").isNotNull()
+    )
+    w = Window.partitionBy("date", "track_genre").orderBy(
+        F.desc("popularity"), F.asc("track_name"), F.asc("track_id")
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "date",
+            "track_genre",
+            F.col("track_name").alias("most_popular_track"),
+            F.col("popularity").cast("double").alias("most_popular_track_popularity"),
+        )
+    )
+
+
+@register(
+    "a3_hourly_distinct_counts",
+    f"""WITH {ENRICHED_HOURLY_CTE}
+    SELECT date, hour, COUNT(DISTINCT user_id) AS unique_listeners,
+           COUNT(track_id) AS total_plays, COUNT(DISTINCT track_id) AS unique_tracks
+    FROM enriched WHERE date IS NOT NULL GROUP BY date, hour""",
+    doc="A3 — group-by with exact distinct counts (reference "
+    "dags/music_streaming_services_dag.py:204-208); two-phase expansion in "
+    "Spark, approx variant provided separately for 100 TB.",
+)
+def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = enriched_hourly(spark, sf_dir).filter(F.col("date").isNotNull())
+    return base.groupBy("date", "hour").agg(
+        F.countDistinct("user_id").alias("unique_listeners"),
+        F.count("track_id").alias("total_plays"),
+        F.countDistinct("track_id").alias("unique_tracks"),
+    )
+
+
+@register(
+    "a4_plays_per_artist_hour",
+    f"""WITH {ENRICHED_HOURLY_CTE}
+    SELECT date, hour, artists, COUNT(track_id) AS play_count
+    FROM enriched WHERE date IS NOT NULL AND artists IS NOT NULL
+    GROUP BY date, hour, artists""",
+    doc="A4 — count per (date, hour, artist) (reference "
+    "dags/music_streaming_services_dag.py:214-217); null artists excluded "
+    "(SURVEY §8.2).",
+)
+def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = enriched_hourly(spark, sf_dir).filter(
+        F.col("date").isNotNull() & F.col("artists").isNotNull()
+    )
+    return base.groupBy("date", "hour", "artists").agg(
+        F.count("track_id").alias("play_count")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k (O1, O2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "o1_multikey_sort",
+    f"""WITH {ENRICHED_HOURLY_CTE}
+    SELECT date, hour, artists, COUNT(track_id) AS play_count
+    FROM enriched WHERE date IS NOT NULL AND artists IS NOT NULL
+    GROUP BY date, hour, artists
+    ORDER BY date ASC, hour ASC, play_count DESC, artists ASC""",
+    doc="O1 — multi-key mixed-direction sort (reference "
+    "dags/music_streaming_services_dag.py:218) with a total-order tie-break.",
+)
+def q_o1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q_a4(spark, sf_dir).orderBy(
+        F.asc("date"), F.asc("hour"), F.desc("play_count"), F.asc("artists")
+    )
+
+
+@register(
+    "o2_top1_per_group",
+    f"""WITH {ENRICHED_HOURLY_CTE},
+    plays AS (
+        SELECT date, hour, artists, COUNT(track_id) AS play_count
+        FROM enriched WHERE date IS NOT NULL AND artists IS NOT NULL
+        GROUP BY date, hour, artists)
+    SELECT date, hour, artists AS top_artist, play_count AS top_artist_plays
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY date, hour
+            ORDER BY play_count DESC, artists ASC) AS rn FROM plays)
+    WHERE rn = 1""",
+    doc="O2 — top-1 per group as a window instead of the reference's global "
+    "sort + head(1) (dags/music_streaming_services_dag.py:218-220): no "
+    "global sort, partition-local top-k, deterministic ties (SURVEY §8.3).",
+)
+def q_o2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plays = q_a4(spark, sf_dir)
+    w = Window.partitionBy("date", "hour").orderBy(F.desc("play_count"), F.asc("artists"))
+    return (
+        plays.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "date",
+            "hour",
+            F.col("artists").alias("top_artist"),
+            F.col("play_count").alias("top_artist_plays"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops (U1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_all",
+    """SELECT event_type, COUNT(*) AS n FROM (
+        SELECT event_type FROM events WHERE event_type IN ('click', 'view')
+        UNION ALL
+        SELECT event_type FROM events WHERE event_type NOT IN ('click', 'view')
+    ) GROUP BY event_type""",
+    doc="U1 — UNION ALL of homogeneous relations (the reference's multi-file "
+    "concat, dags/music_streaming_services_dag.py:31-39) via unionByName.",
+)
+def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type").isin("click", "view")).select("event_type")
+    b = ev.filter(~F.col("event_type").isin("click", "view")).select("event_type")
+    return a.unionByName(b).groupBy("event_type").agg(F.count("*").alias("n"))

@@ -1,0 +1,53 @@
+"""Parquet testdata source (S4-equivalent for the driver tables).
+
+Normalizes the one physical quirk of the driver data — ``events.ts`` is
+written as parquet TIMESTAMP(NANOS), which Spark's vectorized reader will
+only surface as a nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``)
+— into a proper TimestampType at the source boundary, so every operator
+downstream sees clean types.
+
+Scale note: these are plain ``spark.read.parquet`` scans — column pruning
+and predicate pushdown reach the parquet reader (verify with
+``.explain``: ReadSchema / PushedFilters). No ``.cache()`` here; callers
+decide on persistence.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table; fix up nano-timestamp columns."""
+    _ensure_nanos_conf(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanos -> microsecond timestamp (truncation is exact for
+        # our data and irrelevant at second/hour granularity).
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:
+    """Register every driver table as a temp view → the spark.sql surface
+    (SURVEY §2.9 / §3.3)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from music_streaming_services_etl_pipeline_with_airflow_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    os.environ.setdefault("SPARK_SHUFFLE_PARTITIONS", "4")
+    s = get_spark("pytest")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
