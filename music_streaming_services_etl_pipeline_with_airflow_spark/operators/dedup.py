@@ -1,1 +1,357 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Deduplication operators over the ``documents`` table — the
+training-data-pipeline extension family (BASELINE.json north star; no
+reference-repo counterpart, so semantics follow the standard literature:
+Broder resemblance / MinHash-LSH banding, Charikar SimHash).
+
+Five methods, all oracle-checked:
+
+- exact          — hash-groupBy on md5(text) (shuffle md5 keys, not 100 KB
+                   texts — the 100 TB version of ``dropDuplicates``)
+- minhash_lsh    — shingle → 8 seeded-md5 minhashes → 4 bands × 2 rows →
+                   bucket self-join → exact-Jaccard verify ≥ 0.5
+- ngram_jaccard  — exact all-pair Jaccard via shingle-key equi-join
+                   (candidate pairs share ≥1 shingle; the exact baseline
+                   LSH approximates)
+- simhash        — 32-bit Charikar fingerprint + Hamming-≤6 pairs
+- embedding near-dup — cosine ≥ threshold pairs on the embeddings table
+
+Scale design: every method is shuffle-on-small-keys. MinHash-LSH is the
+canonical 100 TB near-dup path: cost is O(docs × shingles) map-side +
+a band-bucket shuffle whose fan-in AQE handles; the exact verify touches
+only candidate pairs. The brute-force pair scans (ngram_jaccard without
+banding, simhash all-pairs, embedding all-pairs) are correctness baselines;
+their scale path is the banded/bucketed variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import vectors as V
+from ..plans.registry import register
+from ..sources import load_table
+
+N_SHINGLE = 3
+N_HASHES = 8
+N_BANDS = 4  # r = 2 rows/band → LSH threshold ≈ (1/4)^(1/2) = 0.5
+JACCARD_THRESHOLD = 0.5
+HAMMING_MAX = 6
+COSINE_DUP_THRESHOLD = 0.45
+
+
+# --------------------------------------------------------------------------
+# Shared shingle-set builders
+# --------------------------------------------------------------------------
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct n-word shingles per document."""
+    toks = docs.select("doc_id", H.tokens("text").alias("toks"))
+    return toks.select(
+        "doc_id", F.explode(H.word_shingles("toks", N_SHINGLE)).alias("s")
+    )
+
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shingles AS (
+    SELECT doc_id, unnest({H.shingles_sql(N_SHINGLE, 't')}) AS s FROM toks
+),
+scounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+
+def _pair_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (da, db) pairs from their shingle sets."""
+    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingles.select(F.col("doc_id").alias("da"), "s")
+    sb = shingles.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        pairs.join(sa, "da")
+        .join(sb, ["db", "s"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(counts.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na")), "da")
+        .join(counts.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb")), "db")
+        .select(
+            "da",
+            "db",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. Exact dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """SELECT md5(text) AS text_hash,
+              CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+              COUNT(*) AS n_copies
+       FROM documents GROUP BY md5(text)""",
+    doc="Exact dedup as hash-groupBy on md5(text): at 100 TB the shuffle "
+    "carries 32-byte keys instead of document bodies; min(doc_id) is the "
+    "deterministic survivor.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. MinHash + LSH banding
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — k seeded-md5 lexicographic-min signatures."""
+    aggs = [
+        F.min(H.seeded_md5(j, F.col("s"))).alias(f"h{j}") for j in range(N_HASHES)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Docs sharing ≥1 band bucket. Band value = concat of r minhashes,
+    md5-compressed so the shuffle key is fixed-width."""
+    r = N_HASHES // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])
+                        ).alias("bval"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+    a = bands.select(F.col("doc_id").alias("da"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("db"), "band", "bval")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    r = N_HASHES // N_BANDS
+    minhash_aggs = ", ".join(
+        f"MIN({H.seeded_md5_sql(j, 's')}) AS h{j}" for j in range(N_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ".join(f"h{b * r + i}" for i in range(r))
+        + ") AS bval FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id, {minhash_aggs} FROM shingles GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+    WHERE a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.da, c.db, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.da
+    JOIN shingles sb ON sb.doc_id = c.db AND sb.s = sa.s
+    GROUP BY c.da, c.db
+)
+SELECT i.da, i.db,
+       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN scounts ca ON ca.doc_id = i.da
+JOIN scounts cb ON cb.doc_id = i.db
+WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_sql(),
+    doc=f"MinHash({N_HASHES} seeded-md5 lex-min hashes) + LSH banding "
+    f"({N_BANDS} bands × {N_HASHES // N_BANDS}) → candidate buckets → exact-"
+    f"Jaccard verify ≥ {JACCARD_THRESHOLD}. The distributed near-dup path: "
+    "only band-bucket collisions are verified.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    jac = _pair_jaccard(sh, cand)
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# 3. Exact n-gram Jaccard (the baseline LSH approximates)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLES_CTE},
+inter AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+    FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.da, i.db,
+       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN scounts ca ON ca.doc_id = i.da
+JOIN scounts cb ON cb.doc_id = i.db
+WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
+""",
+    doc="Exact n-gram Jaccard ≥ 0.5 over all pairs sharing ≥1 shingle — "
+    "the exhaustive baseline; the shingle equi-join prunes the quadratic "
+    "pair space to colliding keys.",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("n_inter"))
+        .select("da", "db")
+    )
+    return _pair_jaccard(sh, pairs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# 4. SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — Charikar fingerprint over distinct tokens.
+
+    Token hash = first 8 md5 hex chars as int; bit b of the fingerprint is
+    the sign of Σ_tokens (±1 by token-hash bit b). All integer math — no
+    float order sensitivity.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(H.tokens("text"))).alias("tok")
+    )
+    th = toks.select("doc_id", H.hex8_to_long(F.md5(F.col("tok"))).alias("th"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"pmod(shiftright(th, {b}), 2)") == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = th.groupBy("doc_id").agg(*bit_aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def _simhash_cte(bits: int = 32) -> str:
+    th = H.hex8_to_long_sql("md5(tok)")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (th >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""
+dtoks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents),
+thash AS (SELECT doc_id, {th} AS th FROM dtoks),
+bitsums AS (SELECT doc_id, {bit_sums} FROM thash GROUP BY doc_id),
+simhashes AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bitsums)
+"""
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM simhashes",
+    doc="32-bit SimHash fingerprint per document (Charikar): integer-only "
+    "math from md5 token hashes, reproducible across engines.",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""WITH {_simhash_cte()}
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}""",
+    doc=f"SimHash near-dup pairs: Hamming distance ≤ {HAMMING_MAX} over the "
+    "32-bit fingerprints. All-pairs here (correctness baseline); the scale "
+    "path buckets on fingerprint prefixes like LSH bands.",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = simhash(load_table(spark, sf_dir, "documents"))
+    a = fps.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    b = fps.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("da") < F.col("db"))
+        .select(
+            "da",
+            "db",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""SELECT a.vec_id AS va, b.vec_id AS vb,
+       {V.cosine_sql('a.embedding', 'b.embedding')} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {V.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}""",
+    doc=f"Embedding near-dup: cosine ≥ {COSINE_DUP_THRESHOLD} pairs, "
+    "all-pairs baseline (double-exact fold, bit-identical to the oracle); "
+    "scale path = IVF/LSH bucketing in operators.similarity.",
+)
+def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select("va", "vb", V.cosine(F.col("veca"), F.col("vecb")).alias("cos"))
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )

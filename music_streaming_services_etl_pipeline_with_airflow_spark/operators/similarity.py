@@ -1,1 +1,151 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- ``similarity_topk_bruteforce`` — exact top-k cosine neighbors for a query
+  set: broadcast the queries, scan the corpus once, window-rank. The
+  correctness baseline and the right plan when the query set is small: at
+  100 TB the corpus scan parallelizes perfectly and nothing shuffles except
+  the tiny per-query top-k heaps.
+- ``similarity_ivf_topk`` — IVF-style approximate search: deterministic
+  "centroids" (a fixed, shareable choice: the first n_list vectors), assign
+  every corpus vector to its nearest centroid (one broadcast pass), then
+  search only the query's probe cluster. The scale path: turns a full scan
+  into a 1/n_list partition-pruned scan, the classic recall/latency trade.
+
+All cosine math is the double-exact sequential fold from functions.vectors
+(bit-identical to the DuckDB oracle — see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..plans.registry import register
+from ..sources import load_table
+
+N_QUERIES = 20  # query set: vec_id < 20
+TOP_K = 5
+N_LIST = 8  # IVF clusters: centroids = vec_id < 8
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("v")
+    )
+
+
+@register(
+    "similarity_topk_bruteforce",
+    f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+queries AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.qid, c.vec_id AS neighbor_id,
+           {V.cosine_sql('q.qv', 'c.embedding')} AS cos
+    FROM queries q JOIN corpus c ON c.vec_id <> q.qid
+)
+SELECT qid, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}""",
+    doc=f"Exact brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors: "
+    "broadcast queries × one corpus scan + per-query window top-k "
+    "(no global sort).",
+)
+def q_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_IVF_ASSIGN_CTE = f"""
+centroids AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {N_LIST}),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {V.cosine_sql('e.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+    ) WHERE rn = 1
+)"""
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+WITH {_IVF_ASSIGN_CTE},
+queries AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+qassign AS (SELECT a.vec_id AS qid, a.cid FROM assign a WHERE a.vec_id < {N_QUERIES}),
+scored AS (
+    SELECT q.qid, e.vec_id AS neighbor_id,
+           {V.cosine_sql('q.qv', 'e.embedding')} AS cos
+    FROM queries q
+    JOIN qassign qa ON qa.qid = q.qid
+    JOIN assign a ON a.cid = qa.cid AND a.vec_id <> q.qid
+    JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT qid, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}""",
+    doc=f"IVF-style ANN: {N_LIST} deterministic centroids, nearest-centroid "
+    "assignment (broadcast pass), search restricted to the query's cluster "
+    f"→ top-{TOP_K}. Approximate by construction; the partition-pruned "
+    "scale path for corpus-sized query loads.",
+)
+def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    centroids = corpus.filter(F.col("vec_id") < N_LIST).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # nearest-centroid assignment: corpus × broadcast(centroids) → argmax
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cid")
+    )
+    assign = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cos_c")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    queries = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("cid").alias("qcid")
+    )
+    scored = (
+        assign.join(
+            F.broadcast(queries),
+            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )

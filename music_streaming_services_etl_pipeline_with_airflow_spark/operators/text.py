@@ -1,1 +1,183 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Text-analysis operators over ``documents`` — the LLM-training-data
+extension family: token statistics, quality scoring, language-ID heuristic,
+and document fingerprinting. All Catalyst built-ins (split / regexp /
+array ops); integer-ratio math keeps every oracle bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# language marker sets for the n-gram/stopword heuristic (deterministic,
+# vocabulary-based — an honest lang-ID over opaque text, scored per doc)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "es": ("el", "los", "de", "y", "una"),
+    "de": ("der", "die", "und", "ein", "ist"),
+}
+
+
+@register(
+    "text_token_stats",
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_computed,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+       FROM documents""",
+    doc="Token counting: whitespace tokens, distinct tokens, regex word "
+    "tokens (BPE-ish pre-tokenization), chars-per-token — single projection "
+    "pass, no shuffle.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").alias(
+            "n_word_tokens"
+        ),
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_scores",
+    f"""WITH t AS (
+    SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+   CAST(len(toks) AS BIGINT) AS n_tokens,
+   CAST(len(list_filter(toks, x -> list_contains({_STOP_LIST_SQL}, x))) AS DOUBLE)
+       / len(toks) AS stopword_ratio,
+   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+   CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+   (len(toks) >= 10 AND
+    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3) AS quality_pass
+FROM t""",
+    doc="Quality scoring: stopword ratio, lexical diversity (distinct/total), "
+    "whitespace count, and a boolean quality gate — the pre-training filter "
+    "shape (length + repetition heuristics), all integer-ratio exact.",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("long")
+        .alias("n_spaces"),
+        ((n_tok >= 10) & (distinct_ratio >= 0.3)).alias("quality_pass"),
+    )
+
+
+def _langid_sql() -> str:
+    scores = ", ".join(
+        "CAST(len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + f"], x))) AS BIGINT) AS score_{lang}"
+        for lang in LANG_MARKERS
+    )
+    langs = list(LANG_MARKERS)
+    # argmax with tie-break by fixed lang order; all-zero → 'und'
+    best = "CASE "
+    for lang in langs:
+        others = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in langs if o != lang
+        )
+        best += f"WHEN score_{lang} > 0 AND {others} THEN '{lang}' "
+    best += "ELSE 'und' END"
+    return f"""WITH t AS (
+    SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS toks FROM documents
+), s AS (SELECT doc_id, labeled_lang, {scores} FROM t)
+SELECT doc_id, labeled_lang, score_en, score_fr, score_es, score_de,
+       {best} AS predicted_lang FROM s"""
+
+
+@register(
+    "text_lang_id",
+    _langid_sql(),
+    doc="Language-ID heuristic: marker-word (stopword n-gram) hit counts per "
+    "candidate language, argmax with fixed-order tie-break, 'und' when no "
+    "evidence. Deterministic vocabulary method — emits scores alongside the "
+    "dataset's label for evaluation.",
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def score_col(lang: str):
+        arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        return (
+            F.expr(
+                f"size(filter(split(text, ' '), x -> array_contains(array({arr}), x)))"
+            )
+            .cast("long")
+            .alias(f"score_{lang}")
+        )
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[score_col(lang) for lang in LANG_MARKERS],
+    )
+    langs = list(LANG_MARKERS)
+    # reversed loop builds the same first-match-wins CASE as the SQL twin
+    first_match = F.lit("und")
+    for lang in reversed(langs):
+        cond = (F.col(f"score_{lang}") > 0)
+        for o in langs:
+            if o != lang:
+                cond = cond & (F.col(f"score_{lang}") >= F.col(f"score_{o}"))
+        first_match = F.when(cond, F.lit(lang)).otherwise(first_match)
+    return scored.select(
+        "doc_id", "labeled_lang", "score_en", "score_fr", "score_es", "score_de",
+        first_match.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    """WITH fp AS (
+    SELECT doc_id,
+           md5(list_aggr(list_sort(list_distinct(string_split(text, ' '))),
+                         'string_agg', ' ')) AS fingerprint
+    FROM documents
+)
+SELECT fingerprint, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       COUNT(*) AS n_docs
+FROM fp GROUP BY fingerprint""",
+    doc="Document fingerprinting: md5 over the sorted distinct token set "
+    "(bag-of-words canonical form) — collapses token-order permutations; "
+    "grouped like exact dedup (shuffle 32-byte keys only).",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " ")
+    )
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+    )

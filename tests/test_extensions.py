@@ -1,0 +1,92 @@
+"""Extension-operator semantics: dedup, similarity, text, multimodal,
+streaming — the non-oracle-checkable assertions (recall vs exact baseline,
+streaming/batch parity, stub determinism)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates must recover every exact-Jaccard pair ≥ threshold
+    (at 0.98+ planted similarity, banding recall should be 100%)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        q_dedup_minhash,
+        q_dedup_ngram,
+    )
+
+    exact = {(r.da, r.db) for r in q_dedup_ngram(spark, SF).collect()}
+    lsh = {(r.da, r.db) for r in q_dedup_minhash(spark, SF).collect()}
+    assert exact, "testdata should contain planted near-dups"
+    assert lsh == exact  # banding found all ≥0.5 pairs, verify removed FPs
+
+
+def test_ivf_is_subset_quality(spark):
+    """IVF top-k: every result must also appear in the brute-force top-k
+    OR be from the query's own cluster (approximation contract)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.similarity import (
+        q_topk_brute,
+        q_topk_ivf,
+    )
+
+    brute = q_topk_brute(spark, SF)
+    ivf = q_topk_ivf(spark, SF)
+    assert ivf.count() > 0
+    # rank-1 self-cluster sanity: IVF cos can never exceed brute-force cos
+    b1 = {r.qid: r.cos for r in brute.filter("rank = 1").collect()}
+    i1 = {r.qid: r.cos for r in ivf.filter("rank = 1").collect()}
+    for qid, cos in i1.items():
+        assert cos <= b1[qid] + 1e-12
+
+
+def test_streaming_matches_batch(spark):
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.hourly_stream import (
+        hourly_event_counts_stream,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    stream = {
+        (r.date, r.hour): r.n_events
+        for r in hourly_event_counts_stream(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    batch = {
+        (r.date, r.hour): r.n_events
+        for r in ev.groupBy(
+            F.to_date("ts").alias("date"), F.hour("ts").cast("long").alias("hour")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert stream == batch
+
+
+def test_multimodal_stub_deterministic(spark):
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        q_multimodal_decode,
+    )
+
+    a = sorted(q_multimodal_decode(spark, SF).collect())
+    b = sorted(q_multimodal_decode(spark, SF).collect())
+    assert a == b
+    r = a[0]
+    assert r.n_bytes > 0 and 0 <= r.width <= 255 and r.channels in (1, 2, 3)
+
+
+def test_simhash_pairs_align_with_jaccard(spark):
+    """SimHash is an approximation over token *sets* (vs shingle Jaccard):
+    demand high recall of true near-dups, not exactness — highly-similar
+    pairs (Jaccard ≥ 0.95) must land within the Hamming threshold."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        q_dedup_ngram,
+        q_simhash_pairs,
+    )
+
+    near = {(r.da, r.db): r.jaccard for r in q_dedup_ngram(spark, SF).collect()}
+    ham = {(r.da, r.db) for r in q_simhash_pairs(spark, SF).collect()}
+    strong = {k for k, j in near.items() if j >= 0.95}
+    assert strong and strong <= ham
+    recall = len(set(near) & ham) / len(near)
+    assert recall >= 0.9
