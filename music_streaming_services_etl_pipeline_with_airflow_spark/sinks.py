@@ -1,0 +1,74 @@
+"""Sinks (SURVEY §2.2, K1-K5).
+
+The reference's persistence chain is /tmp CSV → S3 upload → Redshift COPY
+(append-only — re-runs duplicate rows, SURVEY §8.6). Spark collapses the
+chain: DataFrames write straight to the warehouse path/table, and the
+append-only bug becomes **idempotent partition overwrite** (the upsert the
+problem statement asked for but the reference never built — SURVEY §7.3).
+
+Scale notes:
+- KPI outputs are partitioned by ``date``: daily reruns replace exactly one
+  partition (dynamic partition overwrite), and date-filtered reads prune.
+- CSV single-file parity (the reference's to_csv) is available via
+  ``single_file=True`` (coalesce(1)) but the default is parallel part files.
+- JDBC writes go through options only — connectivity is environment-bound
+  (Redshift/MySQL/Postgres are not reachable here), so the builder is unit-
+  tested and the execution path is behind ``save()`` at the call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """K1/K2 — header CSV; write directly to the destination (s3a://... in
+    production — no separate upload step)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_warehouse(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("date",),
+    mode: str = "overwrite_partitions",
+) -> None:
+    """K3/K4 — partitioned parquet warehouse write.
+
+    mode='overwrite_partitions' (default) is the idempotent upsert: only the
+    partitions present in ``df`` are replaced (dynamic partition overwrite),
+    so a daily rerun rewrites that day, never duplicating it. mode='append'
+    reproduces the reference's (buggy) COPY behavior; mode='overwrite'
+    replaces the whole table.
+    """
+    writer = df.write.format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if mode == "overwrite_partitions":
+        writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    else:
+        writer = writer.mode(mode)
+    writer.save(path)
+
+
+def create_table_if_not_exists(spark: SparkSession, name: str, ddl_cols: str, path: str) -> None:
+    """K3 — DDL surface (reference dags/music_streaming_services_dag.py:247-285)
+    against the Spark catalog (external parquet table)."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({ddl_cols}) USING parquet LOCATION '{path}'"
+    )
+
+
+def jdbc_writer(df: DataFrame, url: str, table: str, batchsize: int = 5000, mode: str = "append"):
+    """K5 — batched JDBC insert (reference executemany chunks of 5000/1000,
+    songs_to_rds.py:77-92 / users_to_rds.py:45-60). Returns the configured
+    writer; caller invokes .save() where a database is reachable."""
+    return (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", "READ_COMMITTED")
+        .mode(mode)
+    )

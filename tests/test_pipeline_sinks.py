@@ -1,0 +1,79 @@
+"""End-to-end pipeline control flow + sink idempotency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from music_streaming_services_etl_pipeline_with_airflow_spark import sinks
+from music_streaming_services_etl_pipeline_with_airflow_spark.plans.pipeline import run_pipeline
+from music_streaming_services_etl_pipeline_with_airflow_spark.schemas import SONGS, STREAMS_RAW
+
+from test_kpis_semantics import _songs, _streams
+
+
+def test_pipeline_happy_path(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    res = run_pipeline(spark, _streams(spark), _songs(spark), warehouse_dir=wh)
+    assert res.status == "ok"
+    back = spark.read.parquet(f"{wh}/genre_kpis")
+    assert back.count() == res.genre_kpis.count()
+    # partition layout: date=... directories exist → partition pruning works
+    import os
+
+    assert any(d.startswith("date=") for d in os.listdir(f"{wh}/genre_kpis"))
+
+
+def test_pipeline_no_input_branch(spark):
+    empty = spark.createDataFrame([], STREAMS_RAW)
+    res = run_pipeline(spark, empty, _songs(spark))
+    assert res.status == "no_input"  # C1: end_dag_if_no_streams_exists_in_s3
+
+
+def test_pipeline_invalid_columns_branch(spark):
+    bad = spark.createDataFrame([(1,)], "user_id long")
+    res = run_pipeline(spark, bad, _songs(spark))
+    assert res.status == "invalid_columns" and "streams" in res.missing  # C2
+
+
+def test_partition_overwrite_is_idempotent(spark, tmp_path):
+    """The fix for SURVEY §8.6: re-running a day must not duplicate it,
+    and must not touch other days' partitions."""
+    wh = str(tmp_path / "wh")
+    d1 = spark.createDataFrame([("2024-01-01", "rock", 5)], "date string, g string, n int")
+    d1 = d1.withColumn("date", F.to_date("date"))
+    d2 = spark.createDataFrame([("2024-01-02", "pop", 7)], "date string, g string, n int")
+    d2 = d2.withColumn("date", F.to_date("date"))
+
+    sinks.write_warehouse(d1, wh)
+    sinks.write_warehouse(d2, wh)
+    assert spark.read.parquet(wh).count() == 2  # append-like across partitions
+
+    d1_rerun = spark.createDataFrame(
+        [("2024-01-01", "rock", 9)], "date string, g string, n int"
+    ).withColumn("date", F.to_date("date"))
+    sinks.write_warehouse(d1_rerun, wh)
+    rows = {(str(r.date), r.n) for r in spark.read.parquet(wh).collect()}
+    assert rows == {("2024-01-01", 9), ("2024-01-02", 7)}  # replaced, not appended
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "csv_out")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    sinks.write_csv(df, p, single_file=True)
+    back = spark.read.option("header", True).schema("id long, s string").csv(p)
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_jdbc_writer_builds(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    w = sinks.jdbc_writer(df, "jdbc:postgresql://host/db", "users", batchsize=1000)
+    assert w is not None  # connectivity is environment-bound; options only
+
+
+def test_create_table_ddl(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    df.write.parquet(p)
+    sinks.create_table_if_not_exists(spark, "ddl_test_tbl", "id BIGINT, s STRING", p)
+    assert spark.sql("SELECT COUNT(*) c FROM ddl_test_tbl").collect()[0].c == 1
+    spark.sql("DROP TABLE ddl_test_tbl")
