@@ -28,10 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     tune_existing(spark)
     from music_streaming_services_etl_pipeline_with_airflow_spark.plans.analogs import (
-        q_genre_kpis,
+        q_genre_kpis_onepass,
     )
 
-    return q_genre_kpis(spark, "/root/testdata/sf0.001")
+    return q_genre_kpis_onepass(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -92,6 +92,32 @@ def genre_kpis(enriched: DataFrame) -> DataFrame:
     )
 
 
+def genre_kpis_onepass(enriched: DataFrame) -> DataFrame:
+    """Single-aggregation formulation of genre_kpis — the plan you want at
+    100 TB.
+
+    The window+join formulation (``genre_kpis``) scans the joined fact table
+    twice and shuffles three times (agg, window, join). ``min_by`` over an
+    ordering struct computes the argmax *inside the same hash aggregate*:
+    one scan, ONE shuffle, no join. The ordering struct
+    (-popularity, track_name, track_id) reproduces the exact tie-break of
+    the window version, so both return identical rows (same DuckDB oracle).
+    """
+    base = enriched.filter(F.col("date").isNotNull() & F.col("track_genre").isNotNull())
+    order = F.struct(
+        (-F.col("popularity")).alias("neg_pop"),
+        F.col("track_name"),
+        F.col("track_id"),
+    )
+    return base.groupBy("date", "track_genre").agg(
+        F.count("track_id").alias("listen_count"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+        F.avg("popularity").alias("popularity_index"),
+        F.min_by("track_name", order).alias("most_popular_track"),
+        F.max("popularity").cast("double").alias("most_popular_track_popularity"),
+    )
+
+
 def hourly_kpis(enriched: DataFrame, approx: bool = False) -> DataFrame:
     """Hourly KPIs (A3 + P7 + A4 + O2-as-window + J3 + P1).
 

@@ -185,6 +185,45 @@ def q_hourly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "genre_kpis_daily_onepass",
+    GENRE_KPIS_SQL,  # identical semantics — same oracle as the window form
+    doc="Single-shuffle formulation of the genre KPIs: argmax folded into "
+    "the hash aggregate via min_by over an ordering struct — one scan, one "
+    "shuffle, no window, no self-join. The 100 TB plan; oracle-equal to "
+    "the window+join formulation.",
+)
+def q_genre_kpis_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpis.genre_kpis_onepass(enriched_genre(spark, sf_dir))
+
+
+@register(
+    "f1_pushdown_filtered_scan",
+    """SELECT l_orderkey, l_partkey, CAST(l_shipdate AS DATE) AS ship_date,
+              CAST(l_quantity AS BIGINT) AS qty
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         AND l_quantity > 45""",
+    doc="Filtered projection whose predicates reach the parquet reader "
+    "(PushedFilters on l_shipdate range + l_quantity, ReadSchema pruned to "
+    "4 columns) — the pattern that makes a 100 TB scan read only what it "
+    "must. Verified via .explain in tests.",
+)
+def q_f1_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+
+
+@register(
     "a3_hourly_distinct_approx",
     None,  # HLL estimates are engine-specific → rows-only check
     doc="100-TB variant of A3: approx_count_distinct (HLL) instead of exact "

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .analogs import GENRE_KPIS_SQL, HOURLY_KPIS_SQL, q_genre_kpis, q_hourly_kpis
+from .analogs import (
+    GENRE_KPIS_SQL,
+    HOURLY_KPIS_SQL,
+    q_genre_kpis_onepass,
+    q_hourly_kpis,
+)
 from .registry import register
 
 # Spark-SQL text (runs over temp views created from the engine's KPI
@@ -71,7 +76,8 @@ _Q_BODIES = {
 def _make_query(name: str, body: str, which: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         if which == "genre":
-            q_genre_kpis(spark, sf_dir).createOrReplaceTempView("genre_kpis")
+            # one-pass formulation: identical rows, one shuffle (see analogs)
+            q_genre_kpis_onepass(spark, sf_dir).createOrReplaceTempView("genre_kpis")
         else:
             q_hourly_kpis(spark, sf_dir).createOrReplaceTempView("hourly_kpis")
         return spark.sql(body)

@@ -34,3 +34,24 @@ def test_multifile_csv_strips_headers(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 3
     assert {r["track_id"] for r in rows} == {"t1", "t2", "t3"}
+
+
+def test_jdbc_reader_builder(spark):
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources.jdbc import (
+        jdbc_reader,
+    )
+
+    r = jdbc_reader(
+        spark,
+        "jdbc:postgresql://host/db",
+        "users",
+        partition_column="user_id",
+        lower_bound=1,
+        upper_bound=100000,
+        num_partitions=16,
+    )
+    assert r is not None
+    import pytest
+
+    with pytest.raises(ValueError):
+        jdbc_reader(spark, "jdbc:postgresql://host/db", "users", partition_column="user_id")
