@@ -604,6 +604,42 @@ def q_o2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j4_multiway_dim_rollup",
+    """SELECT r_name, n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+              COUNT(*) AS n_items,
+              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation   ON c_nationkey = n_nationkey
+       JOIN region   ON n_regionkey = r_regionkey
+       GROUP BY r_name, n_name, order_year""",
+    doc="Multi-way star join: fact ⋈ orders ⋈ 3 broadcast dims → rollup. "
+    "Exercises Catalyst join planning — every dimension side broadcasts, "
+    "the fact table shuffles once (orders join) then aggregates.",
+)
+def q_j4_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name", "n_name", F.year("o_orderdate").cast("long").alias("order_year")
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Set ops (U1)
 # --------------------------------------------------------------------------

@@ -36,9 +36,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 nanos -> microsecond timestamp (truncation is exact for
-        # our data and irrelevant at second/hour granularity).
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # int64 nanos -> microsecond timestamp. Integer division (`div`),
+        # NOT `/1000`: float division routes an ~1.7e18 int64 through a
+        # double (2^53 mantissa) and lands ±1µs off.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -63,7 +63,7 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(_EVENTS_PHYSICAL)
         .format("parquet")
         .load(stream_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     windowed = (
         src.withWatermark("ts", "1 hour")

