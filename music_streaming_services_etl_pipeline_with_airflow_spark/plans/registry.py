@@ -42,7 +42,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def all_specs() -> dict[str, QuerySpec]:
     # Import registrants lazily to avoid import cycles.
     from . import analogs, sql_surface  # noqa: F401
-    from ..operators import dedup, sessions, similarity, text, multimodal  # noqa: F401
+    from ..operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        pandas_ops,
+        sessions,
+        similarity,
+        text,
+    )
     from ..streaming import hourly_stream  # noqa: F401
     from ..streaming import sessions as streaming_sessions  # noqa: F401
 
