@@ -155,7 +155,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """The full MinHash-LSH pipeline as a CTE list (no leading WITH), ending
+    with `minhash_pairs` = verified near-dup pairs — composable by other
+    oracles (e.g. connected components)."""
     r = N_HASHES // N_BANDS
     minhash_aggs = ", ".join(
         f"MIN({H.seeded_md5_sql(j, 's')}) AS h{j}" for j in range(N_HASHES)
@@ -166,8 +169,7 @@ def _minhash_sql() -> str:
         + ") AS bval FROM sigs"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
 sigs AS (SELECT doc_id, {minhash_aggs} FROM shingles GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
@@ -181,14 +183,20 @@ inter AS (
     JOIN shingles sa ON sa.doc_id = c.da
     JOIN shingles sb ON sb.doc_id = c.db AND sb.s = sa.s
     GROUP BY c.da, c.db
-)
-SELECT i.da, i.db,
-       CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
-FROM inter i
-JOIN scounts ca ON ca.doc_id = i.da
-JOIN scounts cb ON cb.doc_id = i.db
-WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
-"""
+),
+minhash_pairs AS (
+    SELECT i.da, i.db,
+           CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN scounts ca ON ca.doc_id = i.da
+    JOIN scounts cb ON cb.doc_id = i.db
+    WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter)
+          >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"WITH {_minhash_ctes()} SELECT da, db, jaccard FROM minhash_pairs"
 
 
 @register(

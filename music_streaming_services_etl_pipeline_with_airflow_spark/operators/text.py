@@ -156,6 +156,63 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_TERMS = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(FLOOR(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000)
+                AS BIGINT) AS tfidf_milli
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf_milli, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY tfidf_milli DESC, term ASC) AS rank
+    FROM scored
+) WHERE rank <= {TOP_TERMS}""",
+    doc=f"TF-IDF: term frequency × ln(N/df), top-{TOP_TERMS} terms per doc. "
+    "Corpus stats via two hash aggregates + a broadcast of the tiny df/N "
+    "side; tfidf floored to milli-units so the cross-engine ln() ulp "
+    "cannot flip ranks (ranking happens on the floored integer).",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.floor(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000
+        )
+        .cast("long")
+        .alias("tfidf_milli"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_milli"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "tfidf_milli", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 @register(
     "text_fingerprint",
     """WITH fp AS (

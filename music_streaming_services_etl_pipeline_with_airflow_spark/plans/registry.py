@@ -43,6 +43,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # Import registrants lazily to avoid import cycles.
     from . import analogs, sql_surface  # noqa: F401
     from ..operators import (  # noqa: F401
+        components,
         dedup,
         multimodal,
         pandas_ops,

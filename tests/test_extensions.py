@@ -90,3 +90,41 @@ def test_simhash_pairs_align_with_jaccard(spark):
     assert strong and strong <= ham
     recall = len(set(near) & ham) / len(near)
     assert recall >= 0.9
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be a pure physical rewrite: same rows as the plain join,
+    hot key spread over n reducers."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.functions.skew import (
+        salted_join,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id")
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = ev.join(dim, "user_id").select("event_id", "c_mktsegment")
+    salted = salted_join(ev, dim, "user_id", n_salts=4, salt_from="event_id").select(
+        "event_id", "c_mktsegment"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_components_cluster_the_near_dups(spark):
+    """Every verified near-dup pair must land in the same component, and
+    component ids are the min doc_id of the cluster."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.components import (
+        connected_components,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        q_dedup_minhash,
+    )
+
+    pairs = q_dedup_minhash(spark, SF)
+    comp = {r.node: r.component_id for r in connected_components(pairs).collect()}
+    for r in pairs.collect():
+        assert comp[r.da] == comp[r.db]
+    for node, cid in comp.items():
+        assert cid <= node
