@@ -34,9 +34,12 @@ HEADLINE = [
     "j1_broadcast_left_join",
     "q1_total_listens_per_genre",
     "q7_avg_diversity_per_hour",
+    "j4_multiway_dim_rollup",
+    "sessionize_events",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality_scores",
+    "text_tfidf_top_terms",
     "similarity_topk_bruteforce",
 ]
 

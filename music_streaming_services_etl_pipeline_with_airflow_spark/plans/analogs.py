@@ -662,6 +662,55 @@ def q_j4_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a5_rollup_hierarchy",
+    """SELECT r_name, n_name, COUNT(*) AS n_cust,
+              CAST(SUM(CAST(FLOOR(c_acctbal) AS BIGINT)) AS BIGINT) AS bal_floor_sum
+       FROM customer
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)""",
+    doc="ROLLUP hierarchy totals (region → nation → grand total) — the OLAP "
+    "subtotal shape; one pass, grouping-set expansion inside the aggregate.",
+)
+def q_a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.floor("c_acctbal").cast("long")).alias("bal_floor_sum"),
+        )
+    )
+
+
+@register(
+    "a6_pivot_event_matrix",
+    """SELECT CAST(ts AS DATE) AS date,
+              COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+              COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+              COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+              COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+              COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+       FROM events GROUP BY CAST(ts AS DATE)""",
+    doc="Pivot: event-type count matrix per day (wide KPI table). Spark "
+    "pivot with an explicit value list = single-pass conditional "
+    "aggregation, no second job to discover pivot values.",
+)
+def q_a6_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("date"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
 # --------------------------------------------------------------------------
 # Set ops (U1)
 # --------------------------------------------------------------------------
