@@ -473,7 +473,7 @@ def q_p8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join itself, not just downstream aggregates.",
 )
 def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return enriched_genre(spark, sf_dir).select(
+    return enriched_genre_direct(spark, sf_dir).select(
         "date", "user_id", "track_id", "track_name", "artists",
         "track_genre", "duration_ms", "popularity",
     )
@@ -495,7 +495,7 @@ def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dags/music_streaming_services_dag.py:166-170); single-pass, map-side partials.",
 )
 def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = enriched_genre(spark, sf_dir).filter(
+    base = enriched_genre_direct(spark, sf_dir).filter(
         F.col("date").isNotNull() & F.col("track_genre").isNotNull()
     )
     return base.groupBy("date", "track_genre").agg(
@@ -519,7 +519,7 @@ def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SURVEY §8.3).",
 )
 def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = enriched_genre(spark, sf_dir).filter(
+    base = enriched_genre_direct(spark, sf_dir).filter(
         F.col("date").isNotNull() & F.col("track_genre").isNotNull()
     )
     w = Window.partitionBy("date", "track_genre").orderBy(
