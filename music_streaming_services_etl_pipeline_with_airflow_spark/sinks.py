@@ -60,6 +60,26 @@ def create_table_if_not_exists(spark: SparkSession, name: str, ddl_cols: str, pa
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: pre-shuffles data into ``n_buckets`` hash
+    buckets on ``bucket_col`` at write time, so later joins/aggregations on
+    that key read co-located buckets and skip the shuffle entirely — the
+    100 TB answer to repeatedly joining the same big tables on the same key
+    (pay the shuffle once at load, never at query time). Optional per-bucket
+    sort enables sort-merge without a sort step."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def jdbc_writer(df: DataFrame, url: str, table: str, batchsize: int = 5000, mode: str = "append"):
     """K5 — batched JDBC insert (reference executemany chunks of 5000/1000,
     songs_to_rds.py:77-92 / users_to_rds.py:45-60). Returns the configured

@@ -77,3 +77,38 @@ def test_create_table_ddl(spark, tmp_path):
     sinks.create_table_if_not_exists(spark, "ddl_test_tbl", "id BIGINT, s STRING", p)
     assert spark.sql("SELECT COUNT(*) c FROM ddl_test_tbl").collect()[0].c == 1
     spark.sql("DROP TABLE ddl_test_tbl")
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    """Two tables bucketed on the join key must join with NO exchange on
+    either side (the pay-once co-location contract)."""
+    import contextlib
+    import io
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark import sinks
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    sinks.write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+    sinks.write_bucketed(orders, "b_orders", "o_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain(mode="simple")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # buckets already co-located
+        # and the result is right
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
