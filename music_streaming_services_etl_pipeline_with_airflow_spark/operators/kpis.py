@@ -171,6 +171,44 @@ def hourly_kpis(enriched: DataFrame, approx: bool = False) -> DataFrame:
     )
 
 
+def hourly_kpis_fast(enriched: DataFrame, approx: bool = False) -> DataFrame:
+    """hourly_kpis with the top-artist window replaced by a second-level
+    ``min_by`` aggregate: the (date, hour, artists) play counts fold into
+    (date, hour) with the argmax inside the aggregate — no per-partition
+    sort, and the second shuffle carries only one row per artist-hour.
+    Same rows, same oracle."""
+    base = enriched.filter(F.col("date").isNotNull())
+    d_users = (
+        F.approx_count_distinct("user_id") if approx else F.countDistinct("user_id")
+    )
+    d_tracks = (
+        F.approx_count_distinct("track_id") if approx else F.countDistinct("track_id")
+    )
+    hourly = base.groupBy("date", "hour").agg(
+        d_users.alias("unique_listeners"),
+        F.count("track_id").alias("total_plays"),
+        d_tracks.alias("unique_tracks"),
+    ).withColumn(
+        "track_diversity_index",
+        (F.col("unique_tracks") / F.col("total_plays")).cast("double"),
+    )
+    top_artists = (
+        base.filter(F.col("artists").isNotNull())
+        .groupBy("date", "hour", "artists")
+        .agg(F.count("track_id").alias("play_count"))
+        .groupBy("date", "hour")
+        .agg(
+            F.min_by(
+                "artists",
+                F.struct((-F.col("play_count")).alias("neg_plays"), F.col("artists")),
+            ).alias("top_artist")
+        )
+    )
+    return hourly.join(top_artists, ["date", "hour"], "left").select(
+        "date", "hour", "unique_listeners", "top_artist", "track_diversity_index"
+    )
+
+
 def compute_kpis(streams_raw: DataFrame, songs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Full transform parity: (genre_kpis, hourly_kpis) from raw inputs."""
     enriched = enrich_streams(streams_raw, songs)

@@ -1,0 +1,106 @@
+"""Deterministic sampling / splitting operators — the training-data-prep
+family.
+
+Everything here uses **content-hash bucketing** (md5 → integer → modulo),
+not RNG: the same row lands in the same bucket on every run, every engine,
+every cluster size — reproducible experiment splits, no seed plumbing, and
+fully oracle-checkable (seeded-RNG sampling like ``df.sample`` is
+engine-specific by construction; a rows-only ``sample_bernoulli_rng`` entry
+covers that API surface).
+
+Scale: hash-bucket predicates push down as cheap scans (no shuffle at all
+for the filter forms); the class-balanced cap is one window shuffle on the
+class key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..plans.registry import register
+from ..sources import load_table
+
+
+def hash_bucket(col, n_buckets: int = 100):
+    """Stable bucket 0..n-1 from the md5 of a key column."""
+    return F.pmod(H.hex8_to_long(F.md5(col.cast("string"))), F.lit(n_buckets))
+
+
+def _bucket_sql(col: str, n: int = 100) -> str:
+    return f"({H.hex8_to_long_sql(f'md5(CAST({col} AS VARCHAR))')} % {n})"
+
+
+@register(
+    "sample_hash_bucket",
+    f"""SELECT doc_id, lang FROM documents
+        WHERE {_bucket_sql('doc_id')} < 10""",
+    doc="Deterministic ~10% sample: md5-hash bucket of the key < 10/100. "
+    "Reproducible across runs/engines/cluster sizes (vs RNG sampling); the "
+    "predicate is a pure scan filter — no shuffle.",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(hash_bucket(F.col("doc_id")) < 10).select("doc_id", "lang")
+
+
+@register(
+    "sample_train_val_test_split",
+    f"""SELECT CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                    WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1""",
+    doc="Stable 80/10/10 train/val/test split by hash bucket — the "
+    "reproducible-experiment split; counts per split prove assignment.",
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return docs.groupBy(split).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "sample_class_balanced",
+    f"""SELECT label, CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM (
+            SELECT label,
+                   ROW_NUMBER() OVER (PARTITION BY label
+                       ORDER BY {_bucket_sql('vec_id', 1000000)}, vec_id) AS rn
+            FROM embeddings
+        ) WHERE rn <= 30 GROUP BY label""",
+    doc="Class-balanced downsampling: keep ≤30 rows per label, chosen by "
+    "hash order (stable pseudo-random without RNG) — the imbalance-fix "
+    "operator; one window shuffle on the class key.",
+)
+def q_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        hash_bucket(F.col("vec_id"), 1000000), F.col("vec_id")
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@register(
+    "sample_bernoulli_rng",
+    None,  # engine-specific RNG → rows-only (the API-parity entry; the
+    # reproducible path is sample_hash_bucket)
+    doc="df.sample(fraction=0.1, seed=7): Spark's seeded Bernoulli sampler — "
+    "kept for API parity; engine-specific RNG so no cross-engine oracle.",
+)
+def q_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.sample(fraction=0.1, seed=7).select("doc_id", "lang")

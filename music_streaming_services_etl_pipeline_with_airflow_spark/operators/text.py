@@ -213,6 +213,45 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+
+
+@register(
+    "text_chunk_fixed",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(LEAST({CHUNK_TOKENS}, len(toks) - chunk_idx * {CHUNK_TOKENS})
+            AS BIGINT) AS n_tokens,
+       array_to_string(toks[chunk_idx * {CHUNK_TOKENS} + 1 :
+                            chunk_idx * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ')
+           AS chunk_text
+FROM t, unnest(generate_series(0, (len(toks) - 1) // {CHUNK_TOKENS})) AS u(chunk_idx)""",
+    doc=f"Context chunking for LLM training: split each document's token "
+    f"stream into fixed {CHUNK_TOKENS}-token chunks (doc_id, chunk_idx, "
+    "chunk_text) — the explode shape that turns a corpus into training "
+    "sequences; pure array arithmetic, partition-parallel.",
+)
+def q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = ((F.size(toks) - 1) / CHUNK_TOKENS).cast("long")  # floor for >=0
+    exploded = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_TOKENS
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("toks") - start)
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(F.slice("toks", start + 1, CHUNK_TOKENS), " ").alias("chunk_text"),
+    )
+
+
 @register(
     "text_fingerprint",
     """WITH fp AS (

@@ -246,6 +246,17 @@ def q_f1_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hourly_kpis_fast",
+    HOURLY_KPIS_SQL,  # identical semantics — same oracle
+    doc="hourly_kpis with the top-artist window folded into a second-level "
+    "min_by aggregate (no per-partition sort; smaller second shuffle). "
+    "Oracle-equal to the window formulation.",
+)
+def q_hourly_kpis_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpis.hourly_kpis_fast(enriched_hourly(spark, sf_dir))
+
+
+@register(
     "a3_hourly_distinct_approx",
     None,  # HLL estimates are engine-specific → rows-only check
     doc="100-TB variant of A3: approx_count_distinct (HLL) instead of exact "

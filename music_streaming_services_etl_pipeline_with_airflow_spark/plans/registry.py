@@ -47,6 +47,7 @@ def all_specs() -> dict[str, QuerySpec]:
         dedup,
         multimodal,
         pandas_ops,
+        sampling,
         sessions,
         similarity,
         text,
