@@ -46,6 +46,7 @@ def all_specs() -> dict[str, QuerySpec]:
         components,
         dedup,
         multimodal,
+        packing,
         pandas_ops,
         sampling,
         sessions,

@@ -55,3 +55,40 @@ def test_jdbc_reader_builder(spark):
 
     with pytest.raises(ValueError):
         jdbc_reader(spark, "jdbc:postgresql://host/db", "users", partition_column="user_id")
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources.csv import (
+        read_csv_with_quarantine,
+    )
+
+    d = str(tmp_path / "q")
+    os.makedirs(d)
+    with open(f"{d}/data.csv", "w") as f:
+        f.write("id,age\n1,30\n2,notanumber\n3,41\n")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("age", IntegerType())]
+    )
+    good, bad = read_csv_with_quarantine(spark, d, schema)
+    assert {r.id for r in good.collect()} == {1, 3}
+    bad_rows = [r._corrupt_record for r in bad.collect()]
+    assert bad_rows == ["2,notanumber"]
+
+
+def test_observe_metrics_without_extra_scan(spark):
+    """df.observe: pipeline emits row-count/null-count metrics as a side
+    effect of the normal action — no second scan for data-quality counters."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    obs = Observation("quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_users"),
+    )
+    n = observed.count()
+    assert obs.get["n_rows"] == n and obs.get["null_users"] == 0
