@@ -140,6 +140,60 @@ def q_p14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j6_asof_join_latest_order",
+    """SELECT e.event_id, e.user_id,
+              CAST(e.ts AS DATE) AS event_date,
+              CAST(MAX(o.o_orderdate) AS DATE) AS last_order_date
+       FROM events e
+       LEFT JOIN orders o
+         ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+       GROUP BY e.event_id, e.user_id, CAST(e.ts AS DATE)""",
+    doc="As-of join: for each event, the latest order of the same customer "
+    "at or before the event time — the point-in-time-correct enrichment "
+    "(feature-store lookup shape). Composition: key equi-join + time "
+    "predicate + per-event max; at scale this is a partition-by-key "
+    "sort-merge within buckets, never a global range scan.",
+)
+def q_j6_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    return (
+        ev.join(
+            F.broadcast(orders),
+            (ev.user_id == orders.user_id) & (orders.o_orderdate <= ev.ts),
+            "left",
+        )
+        .drop(orders.user_id)
+        .groupBy("event_id", "user_id", F.to_date("ts").alias("event_date"))
+        .agg(F.to_date(F.max("o_orderdate")).alias("last_order_date"))
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """SELECT label, CAST(g.i - 1 AS BIGINT) AS dim,
+              MIN(embedding[g.i]) AS dim_min,
+              MAX(embedding[g.i]) AS dim_max,
+              COUNT(*) AS n_vecs
+       FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+       GROUP BY label, g.i""",
+    doc="Per-dimension embedding statistics per label (min/max envelope + "
+    "counts) via posexplode — the feature-drift / normalization-bounds "
+    "profile. Min/max are order-independent, so floats stay oracle-exact.",
+)
+def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return ex.groupBy("label", F.col("dim").cast("long").alias("dim")).agg(
+        F.min("v").alias("dim_min"),
+        F.max("v").alias("dim_max"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+@register(
     "a7_exact_percentiles",
     """SELECT event_type,
               quantile_cont(value_cents, 0.5) AS p50_cents,
