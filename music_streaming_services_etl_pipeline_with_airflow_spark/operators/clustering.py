@@ -1,0 +1,98 @@
+"""Distributed k-means (Lloyd's algorithm) over the embeddings table —
+the iterative-ML pattern in pure DataFrame ops (no MLlib dependency, no
+RDDs): assignment = broadcast-centroids cross join + argmin window;
+update = per-dimension mean via posexplode + rebuild.
+
+Determinism: init = first k vectors by vec_id, ties in assignment break by
+centroid id. Float means make exact cross-engine oracles impossible
+(addition order), so the registry entry is rows-only; convergence is
+pytest-pinned instead: inertia must decrease monotonically per iteration —
+the property that defines Lloyd's.
+
+Scale: per iteration, one broadcast (k×d centroids — tiny), one shuffle
+(dim-wise mean). Lineage is cut per iteration with localCheckpoint, the
+same hygiene as the connected-components loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..plans.registry import register
+from ..sources import load_table
+
+K = 8
+ITERATIONS = 4
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, v, cluster, sq_dist) — nearest centroid, ties by cid."""
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        points.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("d2")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cluster"), F.col("d2").alias("sq_dist"))
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids = per-dimension means, rebuilt into arrays."""
+    dims = assigned.select(
+        "cluster", F.posexplode("v").alias("dim", "x")
+    ).groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+    return (
+        dims.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+        .select(F.col("cluster").alias("cid"), "cv")
+    )
+
+
+def kmeans(
+    points: DataFrame, k: int = K, iterations: int = ITERATIONS
+) -> tuple[DataFrame, list[float]]:
+    """Returns (assignment DataFrame, inertia per iteration)."""
+    centroids = points.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    inertias: list[float] = []
+    assigned = None
+    for _ in range(iterations):
+        assigned = _assign(points, centroids).localCheckpoint(eager=True)
+        inertias.append(assigned.agg(F.sum("sq_dist")).first()[0])
+        centroids = _update(assigned)
+    return assigned.select("vec_id", "cluster", "sq_dist"), inertias
+
+
+@register(
+    "kmeans_embeddings",
+    None,  # float means are addition-order dependent → rows-only; the
+    # Lloyd's contract (monotone inertia) is pytest-pinned instead.
+    doc=f"Distributed k-means (k={K}, {ITERATIONS} Lloyd iterations) on the "
+    "embedding vectors: broadcast-centroid assignment + posexplode dim-mean "
+    "update, localCheckpoint per round. Rows-only check; monotonic inertia "
+    "asserted in tests.",
+)
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    points = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("v")
+    )
+    assignment, _ = kmeans(points)
+    return assignment

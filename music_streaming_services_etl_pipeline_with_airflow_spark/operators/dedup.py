@@ -345,6 +345,62 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SIMHASH_BANDS = 8  # 32 bits / 8 bands = 4-bit bands; any pair with
+# Hamming ≤ 7 shares ≥1 untouched band (pigeonhole), so banding is EXACT
+# for our ≤6 threshold — same output as all-pairs, scalable plan.
+
+
+@register(
+    "dedup_simhash_banded",
+    # identical result to the all-pairs query (banding is lossless at this
+    # threshold) — the oracle stays the simple quadratic formulation.
+    f"""WITH {_simhash_cte()}
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}""",
+    doc=f"SimHash near-dup pairs via {N_SIMHASH_BANDS}-band bucketing "
+    "(4-bit bands): candidates share ≥1 band bucket, then Hamming-verify. "
+    f"Pigeonhole guarantees every Hamming-≤{HAMMING_MAX} pair collides in "
+    "some band, so the result equals the all-pairs scan at a fraction of "
+    "the cost — the 100 TB simhash plan.",
+)
+def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = simhash(load_table(spark, sf_dir, "documents"))
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"pmod(shiftright(simhash, {4 * b}), 16)").alias("bval"),
+                    )
+                    for b in range(N_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.bval")
+    a = bands.select(
+        F.col("doc_id").alias("da"), F.col("simhash").alias("ha"), "band", "bval"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"), F.col("simhash").alias("hb"), "band", "bval"
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "da",
+        "db",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= HAMMING_MAX)
+
+
 # --------------------------------------------------------------------------
 # 5. Embedding-cosine near-dup
 # --------------------------------------------------------------------------

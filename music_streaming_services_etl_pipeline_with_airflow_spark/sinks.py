@@ -19,6 +19,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
@@ -78,6 +79,38 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: tuple[str, ...],
+    partition_col: str = "date",
+) -> None:
+    """Key-level MERGE (upsert) onto a partitioned parquet table without a
+    table format: rewrite ONLY the partitions the updates touch, replacing
+    matched keys and appending unmatched ones — `WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT` semantics.
+
+    Partition-pruned read + dynamic partition overwrite keeps the rewrite
+    proportional to touched partitions, not table size (the parquet-native
+    stand-in for Delta/Iceberg MERGE INTO; swapping in a table format later
+    changes only this function).
+    """
+    import os
+
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not os.path.exists(target_path):
+        write_warehouse(updates, target_path, (partition_col,))
+        return
+    current = spark.read.parquet(target_path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    key_cols = list(keys)
+    survivors = current.join(updates.select(*key_cols), key_cols, "left_anti")
+    merged = survivors.unionByName(updates)
+    write_warehouse(merged, target_path, (partition_col,), mode="overwrite_partitions")
 
 
 def jdbc_writer(df: DataFrame, url: str, table: str, batchsize: int = 5000, mode: str = "append"):

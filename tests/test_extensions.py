@@ -128,3 +128,23 @@ def test_components_cluster_the_near_dups(spark):
         assert comp[r.da] == comp[r.db]
     for node, cid in comp.items():
         assert cid <= node
+
+
+def test_kmeans_inertia_monotone(spark):
+    from music_streaming_services_etl_pipeline_with_airflow_spark.functions import (
+        vectors as V,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.clustering import (
+        kmeans,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    points = load_table(spark, SF, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("v")
+    )
+    assignment, inertias = kmeans(points, k=8, iterations=3)
+    assert all(b <= a + 1e-6 for a, b in zip(inertias, inertias[1:])), inertias
+    n_clusters = assignment.select("cluster").distinct().count()
+    assert 1 < n_clusters <= 8
+    assert assignment.count() == points.count()

@@ -112,3 +112,33 @@ def test_bucketed_join_skips_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_merge_upsert_key_level(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, unmatched inserted, untouched
+    partitions byte-identical."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark import sinks
+
+    wh = str(tmp_path / "wh")
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "date string, k string, v int"
+        ).withColumn("date", F.to_date("date"))
+
+    sinks.merge_upsert(
+        spark, wh, df([("2024-01-01", "a", 1), ("2024-01-01", "b", 2),
+                       ("2024-01-02", "c", 3)]), keys=("date", "k"))
+    # update a, insert d (both day 1); day 2 untouched
+    sinks.merge_upsert(
+        spark, wh, df([("2024-01-01", "a", 10), ("2024-01-01", "d", 4)]),
+        keys=("date", "k"))
+    rows = {(str(r.date), r.k): r.v for r in spark.read.parquet(wh).collect()}
+    assert rows == {
+        ("2024-01-01", "a"): 10,  # WHEN MATCHED UPDATE
+        ("2024-01-01", "b"): 2,   # untouched key survives
+        ("2024-01-01", "d"): 4,   # WHEN NOT MATCHED INSERT
+        ("2024-01-02", "c"): 3,   # untouched partition survives
+    }

@@ -1,0 +1,57 @@
+"""Streaming dedup (exactly-once) + stream-stream interval join vs batch."""
+
+from __future__ import annotations
+
+import datetime
+
+from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.dedup_join import (
+    dedup_stream,
+    interval_join_streams,
+)
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    src = str(tmp_path / "src")
+    rows = [
+        (1, _ts(10, 0), "a"),
+        (2, _ts(10, 5), "b"),
+        (1, _ts(10, 0), "a"),  # replay of event 1 (at-least-once source)
+        (3, _ts(10, 10), "c"),
+        (2, _ts(10, 5), "b"),  # replay
+    ]
+    spark.createDataFrame(rows, "event_id long, ts timestamp, payload string").coalesce(
+        1
+    ).write.parquet(src)
+    out = dedup_stream(spark, src, "event_id long, ts timestamp, payload string")
+    got = sorted((r.event_id, r.payload) for r in out.collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    limp, rclk = str(tmp_path / "imp"), str(tmp_path / "clk")
+    imps = [
+        (100, 1, _ts(9, 0)),
+        (101, 1, _ts(11, 0)),
+        (102, 2, _ts(9, 30)),
+    ]
+    clks = [
+        (200, 1, _ts(9, 10)),   # joins imp 100 (within 30 min)
+        (201, 1, _ts(11, 45)),  # outside 30 min of imp 101 → no join
+        (202, 2, _ts(9, 31)),   # joins imp 102
+        (203, 3, _ts(9, 0)),    # no impression for user 3
+    ]
+    spark.createDataFrame(imps, "imp_id long, imp_user long, imp_ts timestamp").coalesce(1).write.parquet(limp)
+    spark.createDataFrame(clks, "clk_id long, clk_user long, clk_ts timestamp").coalesce(1).write.parquet(rclk)
+    out = interval_join_streams(
+        spark,
+        limp,
+        rclk,
+        "imp_id long, imp_user long, imp_ts timestamp",
+        "clk_id long, clk_user long, clk_ts timestamp",
+    )
+    got = sorted((r.imp_id, r.clk_id) for r in out.collect())
+    assert got == [(100, 200), (102, 202)]
