@@ -112,36 +112,75 @@ SELECT qid, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
     "scale path for corpus-sized query loads.",
 )
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_search(spark, sf_dir, nprobe=1)
+
+
+N_PROBE = 2
+
+
+@register(
+    "similarity_ivf_multiprobe",
+    f"""
+WITH {_IVF_ASSIGN_CTE},
+queries AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+qprobe AS (
+    SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {V.cosine_sql('q.qv', 'c.cv')} DESC, c.cid ASC) AS rn
+        FROM queries q CROSS JOIN centroids c
+    ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+    SELECT DISTINCT q.qid, a.vec_id AS neighbor_id,
+           {V.cosine_sql('q.qv', 'e.embedding')} AS cos
+    FROM queries q
+    JOIN qprobe p ON p.qid = q.qid
+    JOIN assign a ON a.cid = p.cid AND a.vec_id <> q.qid
+    JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT qid, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}""",
+    doc=f"Multi-probe IVF: search the query's {N_PROBE} nearest clusters "
+    f"instead of 1 — the standard recall lever (recall→1 as nprobe→n_list "
+    "while cost stays nprobe/n_list of a full scan).",
+)
+def q_topk_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_search(spark, sf_dir, nprobe=N_PROBE)
+
+
+def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     centroids = corpus.filter(F.col("vec_id") < N_LIST).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     # nearest-centroid assignment: corpus × broadcast(centroids) → argmax
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("cid")
-    )
-    assign = (
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    ranked = (
         corpus.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id", "v", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cos_c")
-        )
+        .select("vec_id", "v", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
     )
-    queries = assign.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("cid").alias("qcid")
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+    # probe set: the query's nprobe nearest centroids (same ordering)
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= nprobe))
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cid")
     )
     scored = (
         assign.join(
-            F.broadcast(queries),
-            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("qid")),
+            F.broadcast(probes),
+            (assign.cid == probes.cid) & (F.col("vec_id") != F.col("qid")),
         )
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
             V.cosine(F.col("qv"), F.col("v")).alias("cos"),
         )
+        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

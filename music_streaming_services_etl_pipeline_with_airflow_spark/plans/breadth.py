@@ -194,6 +194,78 @@ def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j7_range_join_value_bands",
+    """WITH bands AS (
+        SELECT CAST(i AS BIGINT) AS band_id,
+               i * 5.0 AS lo, (i + 1) * 5.0 AS hi
+        FROM unnest(generate_series(0, 3)) AS t(i)
+    )
+    SELECT b.band_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id""",
+    doc="Range join: events banded into [lo, hi) value intervals via an "
+    "inequality join against a broadcast band table — the classic "
+    "range-join shape (telemetry → SLA buckets). The band side is tiny and "
+    "broadcasts, so the fact side never shuffles; for two large sides the "
+    "play is binning both to equi-join keys first.",
+)
+def q_j7_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(i, i * 5.0, (i + 1) * 5.0) for i in range(4)],
+        "band_id long, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "a8_hypertable_rollup",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+              CASE WHEN GROUPING(EXTRACT(HOUR FROM ts)) = 0
+                   THEN CAST(EXTRACT(HOUR FROM ts) AS BIGINT) END AS hour,
+              COUNT(*) AS n_events,
+              COUNT(DISTINCT user_id) AS n_users,
+              CAST(GROUPING(EXTRACT(HOUR FROM ts)) AS BIGINT) AS is_day_total
+       FROM events
+       GROUP BY GROUPING SETS (
+           (date_trunc('day', ts), EXTRACT(HOUR FROM ts)),
+           (date_trunc('day', ts)))""",
+    doc="Hypertable-style continuous aggregate: hourly buckets AND daily "
+    "totals in ONE pass via grouping sets on time_bucket expressions — the "
+    "multi-granularity rollup a timeseries store materializes, with "
+    "GROUPING() disambiguating total rows from null-hour rows.",
+)
+def q_a8_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark SQL supports the identical GROUPING SETS text — same body as the
+    # oracle, executed by Catalyst over the events temp view (Expand node,
+    # one scan for both granularities).
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                  CASE WHEN GROUPING(EXTRACT(HOUR FROM ts)) = 0
+                       THEN CAST(EXTRACT(HOUR FROM ts) AS BIGINT) END AS hour,
+                  COUNT(*) AS n_events,
+                  COUNT(DISTINCT user_id) AS n_users,
+                  CAST(GROUPING(EXTRACT(HOUR FROM ts)) AS BIGINT) AS is_day_total
+           FROM events
+           GROUP BY GROUPING SETS (
+               (date_trunc('day', ts), EXTRACT(HOUR FROM ts)),
+               (date_trunc('day', ts)))"""
+    )
+
+
+@register(
     "a7_exact_percentiles",
     """SELECT event_type,
               quantile_cont(value_cents, 0.5) AS p50_cents,
