@@ -148,3 +148,49 @@ def test_kmeans_inertia_monotone(spark):
     n_clusters = assignment.select("cluster").distinct().count()
     assert 1 < n_clusters <= 8
     assert assignment.count() == points.count()
+
+
+def test_chunking_properties_hypothesis(spark):
+    """Property: chunks partition the token stream — counts sum to n_tokens,
+    every chunk except the last is full, chunk_text round-trips."""
+    from hypothesis import given, settings, strategies as st
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        CHUNK_TOKENS,
+    )
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=5 * CHUNK_TOKENS), min_size=1, max_size=6))
+    def prop(token_counts):
+        rows = [
+            (i, " ".join(f"w{i}_{j}" for j in range(n)), "en", "s", n)
+            for i, n in enumerate(token_counts)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        toks = F.split(F.col("text"), " ")
+        n_chunks = ((F.size(toks) - 1) / CHUNK_TOKENS).cast("long")
+        ex = docs.select(
+            "doc_id", toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_idx"),
+        )
+        start = F.col("chunk_idx") * CHUNK_TOKENS
+        chunks = ex.select(
+            "doc_id", "chunk_idx",
+            F.least(F.lit(CHUNK_TOKENS), F.size("toks") - start).alias("n_tokens"),
+            F.array_join(F.slice("toks", start + 1, CHUNK_TOKENS), " ").alias("txt"),
+        ).collect()
+        per_doc = {}
+        for r in chunks:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, n in enumerate(token_counts):
+            rs = sorted(per_doc[doc_id], key=lambda r: r.chunk_idx)
+            assert sum(r.n_tokens for r in rs) == n
+            assert all(r.n_tokens == CHUNK_TOKENS for r in rs[:-1])
+            assert " ".join(r.txt for r in rs).split(" ") == [
+                f"w{doc_id}_{j}" for j in range(n)
+            ]
+
+    prop()

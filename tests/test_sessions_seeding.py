@@ -97,3 +97,26 @@ def test_foreachbatch_upsert_sink(spark, tmp_path):
     run_once()  # fresh checkpoint → full re-delivery of the same batch
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2 == 2
+
+
+def test_session_gap_exact_boundary_merges(spark):
+    """Events exactly GAP apart stay in ONE session (session_window's
+    boundary is inclusive; the oracle's `> INTERVAL` matches — pinned here
+    so neither side drifts)."""
+    import datetime
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.sessions import (
+        sessionize,
+    )
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 10, 0, 0), "a", 100),
+        (1, datetime.datetime(2024, 1, 1, 10, 30, 0), "b", 101),
+        (1, datetime.datetime(2024, 1, 1, 11, 0, 0), "c", 102),
+        (1, datetime.datetime(2024, 1, 1, 11, 30, 0, 1), "d", 103),  # 30min+1µs → NEW
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = sorted((str(r.session_start), r.n_events) for r in sessionize(ev).collect())
+    assert got == [("2024-01-01 10:00:00", 3), ("2024-01-01 11:30:00.000001", 1)]
