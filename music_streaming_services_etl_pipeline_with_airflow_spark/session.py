@@ -51,6 +51,13 @@ def tune_existing(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # foreign sessions default to 200 shuffle partitions — size to the
+        # local core count (AQE coalesces upward workloads anyway)
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus),
+        )
     except Exception:
         pass  # static confs on a live session: best-effort
     return spark

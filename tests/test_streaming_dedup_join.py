@@ -55,3 +55,56 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     got = sorted((r.imp_id, r.clk_id) for r in out.collect())
     assert got == [(100, 200), (102, 202)]
+
+
+def test_streaming_incremental_merge_into_warehouse(spark, tmp_path):
+    """Production loop glued end-to-end: stream → windowed agg → foreachBatch
+    merge_upsert into the partitioned warehouse; a second batch updates an
+    existing hour's row (key-level MERGE) instead of duplicating it."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark import sinks
+
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    ck = str(tmp_path / "ck")
+
+    def feed(rows):
+        spark.createDataFrame(rows, "event_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("event_id long, ts timestamp").parquet(src)
+        hourly = (
+            stream.groupBy(
+                F.to_date("ts").alias("date"), F.hour("ts").alias("hour")
+            ).agg(F.count("*").alias("n_events"))
+        )
+
+        def upsert(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                sinks.merge_upsert(spark, wh, batch_df, keys=("date", "hour"))
+
+        q = (
+            hourly.writeStream.foreachBatch(upsert)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    feed([(1, _ts(10, 0)), (2, _ts(10, 30)), (3, _ts(11, 0))])
+    run()
+    first = {(str(r.date), r.hour): r.n_events for r in spark.read.parquet(wh).collect()}
+    assert first == {("2024-01-01", 10): 2, ("2024-01-01", 11): 1}
+
+    feed([(4, _ts(10, 45)), (5, _ts(12, 0))])
+    run()
+    second = {(str(r.date), r.hour): r.n_events for r in spark.read.parquet(wh).collect()}
+    assert second == {
+        ("2024-01-01", 10): 3,  # updated in place, not duplicated
+        ("2024-01-01", 11): 1,
+        ("2024-01-01", 12): 1,  # inserted
+    }
