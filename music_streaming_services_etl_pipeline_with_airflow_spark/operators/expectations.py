@@ -1,0 +1,78 @@
+"""Declarative data-quality expectations — the dbt-test / Great-Expectations
+shape as a single-pass Spark aggregate.
+
+An expectation is (name, violation predicate); the checker evaluates ALL of
+them in ONE scan via conditional counts (no per-check jobs, no collect) and
+returns a tidy (check_name, n_violations, passed) relation — the gate a 100 TB
+ingest runs before publishing a partition, upgrading the reference's
+membership-only column check (dags/music_streaming_services_dag.py:106-137)
+to value-level contracts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources import load_table
+
+
+def check_expectations(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """checks: name → *violation* predicate (true = bad row). One scan."""
+    agg = df.agg(
+        *[
+            F.count(F.when(pred, 1)).alias(name) for name, pred in checks.items()
+        ]
+    )
+    # unpivot to the tidy (check_name, n_violations, passed) shape
+    names = list(checks)
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return agg.selectExpr(
+        f"stack({len(names)}, {stack}) as (check_name, n_violations)"
+    ).select(
+        "check_name",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+@register(
+    "dq_expectations_lineitem",
+    """SELECT check_name, n_violations, n_violations = 0 AS passed FROM (
+        SELECT 'quantity_in_range' AS check_name,
+               COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'orderkey_not_null',
+               COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) FROM lineitem
+        UNION ALL
+        SELECT 'discount_unit_interval',
+               COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) FROM lineitem
+        UNION ALL
+        SELECT 'shipdate_in_era',
+               COUNT(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01 00:00:00'
+                          OR l_shipdate >= TIMESTAMP '2030-01-01 00:00:00' THEN 1 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'returnflag_domain',
+               COUNT(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END)
+        FROM lineitem)""",
+    doc="Declarative value-level data-quality gate: 5 expectations (range, "
+    "non-null, unit interval, date era, categorical domain) evaluated in "
+    "ONE scan via conditional counts — the pre-publish contract check.",
+)
+def q_dq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return check_expectations(
+        li,
+        {
+            "quantity_in_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+            "orderkey_not_null": F.col("l_orderkey").isNull(),
+            "discount_unit_interval": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1),
+            "shipdate_in_era": (F.col("l_shipdate") < "1990-01-01")
+            | (F.col("l_shipdate") >= "2030-01-01"),
+            "returnflag_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )

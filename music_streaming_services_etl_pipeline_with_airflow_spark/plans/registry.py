@@ -45,6 +45,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from ..operators import (  # noqa: F401
         components,
         dedup,
+        expectations,
         clustering,
         multimodal,
         packing,

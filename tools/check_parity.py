@@ -6,6 +6,9 @@ with EXACT equality — stricter than any plausible driver hash, so green
 here should mean green in CORRECTNESS_r{N}.json.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+       PLAIN=1 python tools/check_parity.py ...   # driver simulation: vanilla
+       SparkSession (ANSI on, 200 shuffle partitions) + __spark_entry__
+       wrappers, exactly as the driver invokes us
 """
 
 from __future__ import annotations
@@ -58,7 +61,15 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("parity-check")
+    import os
+
+    plain = os.environ.get("PLAIN") == "1"
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("parity-plain").getOrCreate()
+    else:
+        spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
@@ -66,6 +77,12 @@ def main() -> int:
         )
 
     specs = all_specs()
+    if plain:
+        import __spark_entry__ as entry_mod
+
+        wrapped = entry_mod.queries()
+        for name in specs:
+            specs[name].fn = wrapped[name]
     failures = []
     for name, spec in sorted(specs.items()):
         if only and name not in only:
