@@ -142,3 +142,40 @@ def test_merge_upsert_key_level(spark, tmp_path):
         ("2024-01-01", "d"): 4,   # WHEN NOT MATCHED INSERT
         ("2024-01-02", "c"): 3,   # untouched partition survives
     }
+
+
+def test_run_daily_end_to_end(spark, tmp_path):
+    """Orchestration entry: CSV drops → run_daily → warehouse, then rerun
+    for idempotency (the daily schedule's contract)."""
+    import os
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.orchestration import (
+        run_daily,
+    )
+    from test_golden_pipeline import SONG_COLS, _song
+
+    streams = str(tmp_path / "streams")
+    songs = str(tmp_path / "songs")
+    os.makedirs(streams)
+    os.makedirs(songs)
+    with open(f"{streams}/b0.csv", "w") as f:
+        f.write("user_id,track_id,listen_time\n1,t1,2024-03-01 10:00:00\n")
+    with open(f"{songs}/songs.csv", "w") as f:
+        f.write(SONG_COLS + "\n" + _song(1, "t1", "ArtA", "S1", 10, 1000, "rock") + "\n")
+    wh = str(tmp_path / "wh")
+    assert run_daily(spark, streams, songs, wh).status == "ok"
+    n1 = spark.read.parquet(f"{wh}/genre_kpis").count()
+    assert run_daily(spark, streams, songs, wh).status == "ok"
+    assert spark.read.parquet(f"{wh}/genre_kpis").count() == n1
+
+
+def test_airflow_dag_factory_gates_cleanly():
+    import pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.orchestration import (
+        airflow_dag,
+    )
+
+    if not airflow_dag.HAS_AIRFLOW:
+        with pytest.raises(ImportError):
+            airflow_dag.build_dag("s", "g", "w")
