@@ -58,7 +58,11 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = f"{stream_dir}/events.parquet"
     if not os.path.exists(staged):
         os.makedirs(stream_dir, exist_ok=True)
-        shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", staged)
+        # copy-then-rename: an interrupted copy must not leave a partial
+        # file that later runs mistake for the staged input
+        tmp_outside = stream_dir + ".partial"  # outside the globbed dir
+        shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", tmp_outside)
+        os.replace(tmp_outside, staged)
     src = (
         spark.readStream.schema(_EVENTS_PHYSICAL)
         .format("parquet")
