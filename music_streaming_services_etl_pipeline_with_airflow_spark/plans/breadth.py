@@ -268,21 +268,25 @@ def q_a8_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "p15_array_collect_transform",
     """SELECT event_type,
-              list_sort(list(DISTINCT user_id)) AS users,
+              array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
               len(list(DISTINCT user_id)) AS n_users,
-              list_sort(list_transform(list(DISTINCT user_id), x -> x * 2)) AS doubled
+              array_to_string(list_sort(list_transform(list(DISTINCT user_id),
+                                                       x -> x * 2)), ',') AS doubled
        FROM events WHERE user_id < 25 GROUP BY event_type""",
     doc="Array aggregation + transformation: collect_set → sort (the only "
     "deterministic collect), higher-order transform over the result — the "
-    "nested-type API family (arrays as first-class values).",
+    "nested-type API family. Output arrays serialize to CSV strings so the "
+    "cross-engine hash sees one canonical representation.",
 )
 def q_p15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 25)
     users = F.array_sort(F.collect_set("user_id"))
     return ev.groupBy("event_type").agg(
-        users.alias("users"),
+        F.array_join(users, ",").alias("users"),
         F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
-        F.array_sort(F.transform(users, lambda x: x * 2)).alias("doubled"),
+        F.array_join(F.array_sort(F.transform(users, lambda x: x * 2)), ",").alias(
+            "doubled"
+        ),
     )
 
 

@@ -47,6 +47,10 @@ def _canon(v):
         if math.isnan(v):
             return "NULL"
         return repr(v)  # full precision — exact comparison
+    if hasattr(v, "tolist") and not hasattr(v, "strip"):  # numpy array/scalar
+        v = v.tolist()
+        if not isinstance(v, list):
+            return _canon(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     try:
