@@ -408,22 +408,39 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    f"""SELECT a.vec_id AS va, b.vec_id AS vb,
-       {V.cosine_sql('a.embedding', 'b.embedding')} AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {V.cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}""",
-    doc=f"Embedding near-dup: cosine ≥ {COSINE_DUP_THRESHOLD} pairs, "
-    "all-pairs baseline (double-exact fold, bit-identical to the oracle); "
-    "scale path = IVF/LSH bucketing in operators.similarity.",
+    # normalize once per vector, then cosine = one dot per pair (3× fewer
+    # folds than dot/(norm·norm) per pair). Same sequential double ops on
+    # both engines → still bit-exact.
+    f"""WITH nrm AS (
+    SELECT vec_id, embedding, {V.norm_sql('embedding')} AS n FROM embeddings
+),
+nv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS v
+    FROM nrm
+)
+SELECT a.vec_id AS va, b.vec_id AS vb, {V.dot_sql('a.v', 'b.v')} AS cos
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE {V.dot_sql('a.v', 'b.v')} >= {COSINE_DUP_THRESHOLD}""",
+    doc=f"Embedding near-dup: cosine ≥ {COSINE_DUP_THRESHOLD} pairs over "
+    "pre-normalized vectors (normalize O(n), one dot per pair — the right "
+    "all-pairs kernel); scale path = IVF/LSH bucketing in "
+    "operators.similarity.",
 )
 def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", V.to_double_array("embedding").alias("v")
+        "vec_id", V.to_double_array("embedding").alias("dv")
     )
-    a = emb.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
-    b = emb.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
+    # stage the norm as a concrete column so the lambda reads an attribute
+    # (computed once per row), not a re-evaluated subexpression per element
+    nv = emb.withColumn("nrm", V.norm(F.col("dv"))).select(
+        "vec_id",
+        F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
+    )
+    a = nv.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
+    b = nv.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
     return (
         a.join(b, F.col("va") < F.col("vb"))
-        .select("va", "vb", V.cosine(F.col("veca"), F.col("vecb")).alias("cos"))
+        .select("va", "vb", V.dot(F.col("veca"), F.col("vecb")).alias("cos"))
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
     )
