@@ -291,6 +291,50 @@ def q_p15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s3_scalar_subquery_having",
+    """SELECT p_type, COUNT(*) AS n_parts,
+              CAST(SUM(p_size) AS BIGINT) AS total_size
+       FROM part GROUP BY p_type
+       HAVING COUNT(*) > (SELECT COUNT(*) FROM part) / (SELECT COUNT(DISTINCT p_type) FROM part)""",
+    doc="Scalar subqueries + HAVING: types more numerous than the mean "
+    "type-count. Catalyst evaluates the uncorrelated scalars once "
+    "(broadcast literals), no per-group re-execution.",
+)
+def q_s3_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """SELECT p_type, COUNT(*) AS n_parts,
+                  CAST(SUM(p_size) AS BIGINT) AS total_size
+           FROM part GROUP BY p_type
+           HAVING COUNT(*) > (SELECT COUNT(*) FROM part) / (SELECT COUNT(DISTINCT p_type) FROM part)"""
+    )
+
+
+@register(
+    "s4_correlated_not_exists",
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+       FROM customer c
+       WHERE c_custkey < 500 AND NOT EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment""",
+    doc="Correlated NOT EXISTS (customers with no urgent orders) — Catalyst "
+    "decorrelates to a left-anti join; no per-row subquery execution.",
+)
+def q_s4_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT c_mktsegment, COUNT(*) AS n_customers
+           FROM customer c
+           WHERE c_custkey < 500 AND NOT EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+           GROUP BY c_mktsegment"""
+    )
+
+
+@register(
     "a7_exact_percentiles",
     """SELECT event_type,
               quantile_cont(value_cents, 0.5) AS p50_cents,
