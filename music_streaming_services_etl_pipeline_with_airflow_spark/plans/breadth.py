@@ -96,6 +96,69 @@ def q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w2_moving_average_7d",
+    """WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT day, n,
+           CAST(SUM(n) OVER w AS BIGINT) AS n_7d_sum,
+           AVG(n) OVER w AS n_7d_avg
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    doc="Window frames: 7-day trailing sum/average of daily event counts "
+    "(ROWS BETWEEN) — the smoothing/trend shape; integer frame sums keep "
+    "the average exact across engines.",
+)
+def q_w2_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("n"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).cast("long").alias("n_7d_sum"),
+        F.avg("n").over(w).alias("n_7d_avg"),
+    )
+
+
+@register(
+    "text_top_bigrams",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bigrams AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, n FROM (
+        SELECT bigram, COUNT(*) AS n,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram ASC) AS rnk
+        FROM bigrams GROUP BY bigram
+    ) WHERE rnk <= 20""",
+    doc="Corpus-wide top-20 bigram counts — the n-gram LM / collocation "
+    "profile: explode adjacent token pairs, hash-aggregate, global top-k "
+    "with total-order tie-break.",
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.col("text"), " ").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("bigram", "n")
+    )
+
+
+@register(
     "p13_string_functions",
     """SELECT doc_id,
               upper(substr(text, 1, 10)) AS head_upper,
