@@ -54,13 +54,17 @@ def doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-_SHINGLES_CTE = f"""
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _shingles_cte(src: str = "documents") -> str:
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
 shingles AS (
     SELECT doc_id, unnest({H.shingles_sql(N_SHINGLE, 't')}) AS s FROM toks
 ),
 scounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id)
 """
+
+
+_SHINGLES_CTE = _shingles_cte()
 
 
 def _pair_jaccard(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -155,10 +159,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(src: str = "documents") -> str:
     """The full MinHash-LSH pipeline as a CTE list (no leading WITH), ending
     with `minhash_pairs` = verified near-dup pairs — composable by other
-    oracles (e.g. connected components)."""
+    oracles (connected components, corpus curation) over any doc relation."""
     r = N_HASHES // N_BANDS
     minhash_aggs = ", ".join(
         f"MIN({H.seeded_md5_sql(j, 's')}) AS h{j}" for j in range(N_HASHES)
@@ -169,7 +173,7 @@ def _minhash_ctes() -> str:
         + ") AS bval FROM sigs"
         for b in range(N_BANDS)
     )
-    return f"""{_SHINGLES_CTE},
+    return f"""{_shingles_cte(src)},
 sigs AS (SELECT doc_id, {minhash_aggs} FROM shingles GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (

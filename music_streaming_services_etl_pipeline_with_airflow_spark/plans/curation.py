@@ -1,0 +1,121 @@
+"""The LLM training-corpus curation pipeline — the extension-operator
+families composed end-to-end into one artifact:
+
+    quality gate → exact dedup → MinHash-LSH near-dup clustering →
+    survivor selection → stable train/val/test split
+
+One Spark job, one DuckDB oracle (the same stages as CTEs), fully
+deterministic. This is the "would a data engineer actually run this at
+100 TB" showcase: every stage is the scale-path variant (hash-key dedup,
+banded LSH, hash-bucket split), no all-pairs scans anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.components import connected_components
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    _minhash_ctes,
+    _pair_jaccard,
+    doc_shingles,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from ..operators.sampling import hash_bucket
+from ..sources import load_table
+from .registry import register
+
+MIN_TOKENS = 10
+MIN_DISTINCT_RATIO = 0.3
+
+
+def curate_corpus(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, split, n_tokens) for the curated survivors."""
+    from pyspark import StorageLevel
+
+    toks = F.split(F.col("text"), " ")
+    quality = docs.filter(
+        (F.size(toks) >= MIN_TOKENS)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= MIN_DISTINCT_RATIO)
+    )
+    # exact dedup: survivor = min doc_id per md5(text)
+    exact = (
+        quality.select("doc_id", "text", F.md5("text").alias("h"))
+        .withColumn(
+            "keep",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h")),
+        )
+        .filter("keep")
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # near-dup clustering on the exact-deduped corpus
+    sh = doc_shingles(exact).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    pairs = _pair_jaccard(sh, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    comps = connected_components(pairs)
+    # survivors: docs not in any near-dup pair, plus each cluster's min id
+    survivors = exact.join(comps, exact.doc_id == comps.node, "left").filter(
+        F.col("component_id").isNull() | (F.col("component_id") == F.col("doc_id"))
+    )
+    return survivors.select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id")) < 80, "train")
+        .when(hash_bucket(F.col("doc_id")) < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+def _curation_sql() -> str:
+    from ..operators.sampling import _bucket_sql
+
+    return f"""
+WITH RECURSIVE quality AS (
+    SELECT doc_id, text FROM documents
+    WHERE len(string_split(text, ' ')) >= {MIN_TOKENS}
+      AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+          / len(string_split(text, ' ')) >= {MIN_DISTINCT_RATIO}
+),
+exact AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM quality
+    ) WHERE doc_id = keep_id
+),
+{_minhash_ctes(src='exact')},
+edges AS (SELECT da AS src, db AS dst FROM minhash_pairs
+          UNION ALL SELECT db, da FROM minhash_pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+    SELECT node, node AS lab FROM nodes
+    UNION
+    SELECT e.src AS node, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+),
+comps AS (SELECT node, MIN(lab) AS component_id FROM reach GROUP BY node)
+SELECT e.doc_id,
+       CASE WHEN {_bucket_sql('e.doc_id')} < 80 THEN 'train'
+            WHEN {_bucket_sql('e.doc_id')} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(len(string_split(e.text, ' ')) AS BIGINT) AS n_tokens
+FROM exact e LEFT JOIN comps c ON c.node = e.doc_id
+WHERE c.component_id IS NULL OR c.component_id = e.doc_id
+"""
+
+
+@register(
+    "curate_training_corpus",
+    _curation_sql(),
+    doc="End-to-end corpus curation: quality gate → exact dedup (md5 keys) → "
+    "MinHash-LSH near-dup clustering (banded, verified, connected-"
+    "components survivor pick) → stable hash-bucket train/val/test split. "
+    "The extension families composed into the one pipeline a training-data "
+    "team actually runs; every stage is the scale-path variant.",
+)
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_corpus(load_table(spark, sf_dir, "documents"))

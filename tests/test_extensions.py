@@ -194,3 +194,28 @@ def test_chunking_properties_hypothesis(spark):
             ]
 
     prop()
+
+
+def test_curation_pipeline_invariants(spark):
+    """Curated corpus: unique doc_ids, splits ~80/10/10, no surviving exact
+    duplicates, near-dup cluster representatives only."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.curation import (
+        curate_corpus,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        q_dedup_minhash,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = curate_corpus(docs)
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)) > 0
+    splits = {r.doc_id: r.split for r in rows}
+    frac_train = sum(1 for s in splits.values() if s == "train") / len(splits)
+    assert 0.6 < frac_train < 0.95
+    # no near-dup pair survives intact
+    survivors = set(ids)
+    for p in q_dedup_minhash(spark, SF).collect():
+        assert not (p.da in survivors and p.db in survivors)
