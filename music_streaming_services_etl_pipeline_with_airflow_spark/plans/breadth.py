@@ -398,6 +398,49 @@ def q_s4_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a9_exact_correlation",
+    """WITH s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(p_size) AS BIGINT) AS sx,
+               CAST(SUM(CAST(FLOOR(p_retailprice) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(p_size * CAST(FLOOR(p_retailprice) AS BIGINT)) AS BIGINT) AS sxy,
+               CAST(SUM(p_size * p_size) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(FLOOR(p_retailprice) AS BIGINT)
+                        * CAST(FLOOR(p_retailprice) AS BIGINT)) AS BIGINT) AS syy
+        FROM part
+    )
+    SELECT n, sx, sy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS pearson_r
+    FROM s""",
+    doc="Numerically exact distributed Pearson correlation: integer "
+    "sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² — exact, order-"
+    "independent partial aggregation) combined in one closed-form float "
+    "expression — vs corr()'s streaming-float accumulators, which are "
+    "partition-order dependent.",
+)
+def q_a9_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    x = F.col("p_size").cast("long")
+    y = F.floor("p_retailprice").cast("long")
+    s = part.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    r = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select("n", "sx", "sy", r.alias("pearson_r"))
+
+
+@register(
     "a7_exact_percentiles",
     """SELECT event_type,
               quantile_cont(value_cents, 0.5) AS p50_cents,
