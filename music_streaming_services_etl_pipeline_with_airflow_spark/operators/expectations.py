@@ -76,3 +76,59 @@ def q_dq_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returnflag_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
         },
     )
+
+
+@register(
+    "dq_referential_integrity",
+    """SELECT fk, n_orphans, n_orphans = 0 AS passed FROM (
+        SELECT 'lineitem.partkey->part' AS fk,
+               CAST(COUNT(*) AS BIGINT) AS n_orphans
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        UNION ALL
+        SELECT 'lineitem.suppkey->supplier',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        UNION ALL
+        SELECT 'orders.custkey->customer',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'events.user_id->customer',
+               CAST(COUNT(*) AS BIGINT)
+        FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))""",
+    doc="Cross-table referential-integrity gate: orphan foreign keys counted "
+    "via left-anti joins against broadcast dimension key sets — the "
+    "fact-to-dim contract a warehouse checks before publishing. Anti joins "
+    "never materialize dim columns; each check is one scan of its fact.",
+)
+def q_dq_refint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ev = load_table(spark, sf_dir, "events")
+
+    def orphans(fk: str, fact: DataFrame, key: str, dim: DataFrame, dim_key: str):
+        n = fact.join(
+            F.broadcast(dim), fact[key] == dim[dim_key], "left_anti"
+        ).agg(F.count("*").cast("long").alias("n_orphans"))
+        return n.select(F.lit(fk).alias("fk"), "n_orphans")
+
+    out = (
+        orphans("lineitem.partkey->part", li, "l_partkey", part, "p_partkey")
+        .unionByName(
+            orphans("lineitem.suppkey->supplier", li, "l_suppkey", supp, "s_suppkey")
+        )
+        .unionByName(
+            orphans("orders.custkey->customer", orders, "o_custkey", cust, "c_custkey")
+        )
+        .unionByName(
+            orphans("events.user_id->customer", ev, "user_id", cust, "c_custkey")
+        )
+    )
+    return out.select("fk", "n_orphans", (F.col("n_orphans") == 0).alias("passed"))

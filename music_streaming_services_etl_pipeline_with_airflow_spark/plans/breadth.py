@@ -463,3 +463,161 @@ def q_a7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value_cents", 0.9).alias("p90_cents"),
         F.percentile("value_cents", 0.99).alias("p99_cents"),
     )
+
+
+@register(
+    "j8_bloom_prefilter_join",
+    """SELECT p.p_brand,
+              CAST(COUNT(*) AS BIGINT) AS n_items,
+              CAST(SUM(CAST(FLOOR(l.l_extendedprice) AS BIGINT)) AS BIGINT)
+                  AS revenue_floor
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE p.p_size >= 48
+       GROUP BY p.p_brand""",
+    doc="Bloom-filter semi-join reduction (runtime-filter pattern): the "
+    "build side's keys are summarized as k seeded-xxhash64 bit positions, "
+    "the probe (fact) side is prefiltered map-side by an InSet conjunction "
+    "before the join, and the join itself eliminates false positives — so "
+    "the result is bit-identical to the plain join. The 100 TB pattern for "
+    "joins where the build side's exact key set is too large to broadcast "
+    "but a ~10x-bits bloom still fits (functions/bloom.py).",
+)
+def q_j8_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bloom import bloom_bit_positions, bloom_prefilter
+
+    part_f = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
+    li = load_table(spark, sf_dir, "lineitem")
+    bits = bloom_bit_positions(part_f.select("p_partkey"), "p_partkey", num_bits=4096)
+    li_f = bloom_prefilter(li, "l_partkey", bits, num_bits=4096)
+    return (
+        li_f.join(part_f, li_f.l_partkey == part_f.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.floor("l_extendedprice").cast("long")).alias("revenue_floor"),
+        )
+    )
+
+
+@register(
+    "j9_fuzzy_name_pairs",
+    """WITH names AS (SELECT DISTINCT p_name FROM part)
+       SELECT a.p_name AS name1, b.p_name AS name2,
+              CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance
+       FROM names a JOIN names b
+         ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        AND a.p_name < b.p_name
+       WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+    doc="Fuzzy string-similarity self-join with blocking: candidate pairs "
+    "share a blocking key (first token) — an equi-join, so it shuffles and "
+    "scales — then exact Levenshtein filters within blocks. Runs on the "
+    "DISTINCT name relation (the entity-resolution shape: dedup candidates, "
+    "not row pairs). At 100 TB: salt hot blocks (functions/skew) and tighten "
+    "blocks with (token, length-band) keys.",
+)
+def q_j9_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name1"),
+            F.col("b.p_name").alias("name2"),
+            dist.cast("int").alias("edit_distance"),
+        )
+    )
+
+
+@register(
+    "p16_unpivot_melt",
+    """SELECT l_orderkey, l_linenumber, metric, v
+       FROM (SELECT l_orderkey, l_linenumber,
+                    CAST(FLOOR(l_quantity * 1000) AS BIGINT) AS quantity_milli,
+                    CAST(FLOOR(l_discount * 1000) AS BIGINT) AS discount_milli,
+                    CAST(FLOOR(l_tax * 1000) AS BIGINT) AS tax_milli
+             FROM lineitem)
+       UNPIVOT (v FOR metric IN (quantity_milli, discount_milli, tax_milli))""",
+    doc="UNPIVOT/melt wide-to-long reshape: three measure columns become "
+    "(metric, value) rows — the feature-table-to-EAV shape. Narrow "
+    "projection first so the row explosion carries only key + value; "
+    "integer milli-units keep the hash exact.",
+)
+def q_p16_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") * 1000).cast("long").alias("quantity_milli"),
+        F.floor(F.col("l_discount") * 1000).cast("long").alias("discount_milli"),
+        F.floor(F.col("l_tax") * 1000).cast("long").alias("tax_milli"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity_milli", "discount_milli", "tax_milli"],
+        "metric",
+        "v",
+    )
+
+
+@register(
+    "a10_cube_returnflag_status",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty_floor
+       FROM lineitem
+       GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    doc="CUBE: all 2^k grouping-set combinations (here (flag,status), "
+    "(flag), (status), ()) in one pass — Spark expands to a single "
+    "shuffle with grouping-id, not k separate scans.",
+)
+def q_a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor("l_quantity").cast("long")).alias("qty_floor"),
+    )
+
+
+@register(
+    "a11_median_mode",
+    """WITH c AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+                  FROM lineitem GROUP BY 1, 2),
+         m AS (SELECT l_returnflag, l_linestatus,
+                      ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                         ORDER BY cnt DESC, l_linestatus) AS rn
+               FROM c)
+       SELECT med.l_returnflag,
+              med.median_qty,
+              m.l_linestatus AS mode_status
+       FROM (SELECT l_returnflag, median(l_quantity) AS median_qty
+             FROM lineitem GROUP BY 1) med
+       JOIN m ON m.l_returnflag = med.l_returnflag AND m.rn = 1""",
+    doc="Exact median (selection, not summation — order-independent and "
+    "engine-exact even on doubles) and deterministic mode (count argmax "
+    "with a pinned tie-break: highest count, then smallest value — Spark's "
+    "mode() leaves ties undefined, so the mode is computed as min_by over "
+    "(-count, value), which is total-ordered).",
+)
+def q_a11_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("median_qty"))
+    mode = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "min_by(l_linestatus, named_struct('nc', -cnt, 'v', l_linestatus))"
+            ).alias("mode_status")
+        )
+    )
+    return med.join(mode, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_status"
+    )

@@ -82,3 +82,42 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "evt_transition_matrix",
+    """WITH seq AS (
+        SELECT user_id, event_type AS curr,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    c AS (SELECT prev, curr, COUNT(*) AS cnt FROM seq
+          WHERE prev IS NOT NULL GROUP BY prev, curr)
+    SELECT prev, curr, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE)
+           / CAST(SUM(cnt) OVER (PARTITION BY prev) AS DOUBLE) AS p
+    FROM c""",
+    doc="First-order Markov transition matrix over per-user event sequences: "
+    "lag within (user, time) order, then a tiny (k x k event types) count "
+    "regroup with row-normalized probabilities. One shuffle on user_id + "
+    "one on the k^2 pairs; p is a single int/int IEEE division, so it is "
+    "engine-exact.",
+)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("curr"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    c = seq.groupBy("prev", "curr").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy("prev"))
+    return c.select(
+        "prev",
+        "curr",
+        F.col("cnt").cast("long").alias("cnt"),
+        (F.col("cnt").cast("double") / total.cast("double")).alias("p"),
+    )

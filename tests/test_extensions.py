@@ -219,3 +219,34 @@ def test_curation_pipeline_invariants(spark):
     survivors = set(ids)
     for p in q_dedup_minhash(spark, SF).collect():
         assert not (p.da in survivors and p.db in survivors)
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark):
+    """Bloom semi-join reduction: drops probe rows, never drops a row whose
+    key exists on the build side — so join-after-prefilter == plain join."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.functions.bloom import (
+        bloom_bit_positions,
+        bloom_prefilter,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    part_f = load_table(spark, SF, "part").filter(F.col("p_size") >= 48)
+    li = load_table(spark, SF, "lineitem")
+    bits = bloom_bit_positions(part_f.select("p_partkey"), "p_partkey", num_bits=2048)
+    li_f = bloom_prefilter(li, "l_partkey", bits, num_bits=2048)
+    n_all, n_kept = li.count(), li_f.count()
+    assert n_kept < n_all  # the filter actually prunes
+    # no false negatives: every truly-joining row survives the prefilter
+    true_matches = li.join(part_f, li.l_partkey == part_f.p_partkey, "left_semi")
+    kept_matches = li_f.join(part_f, li_f.l_partkey == part_f.p_partkey, "left_semi")
+    assert kept_matches.count() == true_matches.count()
+
+
+def test_fuzzy_pairs_is_equi_join_on_block(spark):
+    """Blocked fuzzy join must plan as an equi-join (hash/sort-merge on the
+    blocking key), never a nested-loop cartesian within the whole relation."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    df = all_specs()["j9_fuzzy_name_pairs"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
