@@ -90,3 +90,107 @@ SELECT source, doc_id, n_tokens, pack_id, pack_used FROM packed""",
 )
 def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(load_table(spark, sf_dir, "documents"))
+
+
+SUPER_BUDGET = 512
+
+_SUPER_SCHEMA = (
+    "source string, pack_id long, pack_tokens long, superpack_id long, super_used long"
+)
+
+
+def _pack_superpacks(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["source", "pack_id"]).reset_index(drop=True)
+    sid, used = 0, 0
+    ids, useds = [], []
+    for n in pdf["pack_tokens"]:
+        n = int(n)
+        if used > 0 and used + n > SUPER_BUDGET:
+            sid += 1
+            used = 0
+        used += n
+        ids.append(sid)
+        useds.append(used)
+    return pd.DataFrame(
+        {
+            "source": pdf["source"],
+            "pack_id": pdf["pack_id"],
+            "pack_tokens": pdf["pack_tokens"],
+            "superpack_id": ids,
+            "super_used": useds,
+        }
+    )
+
+
+def pack_hierarchical(docs: DataFrame) -> DataFrame:
+    """Two-level global packing: per-shard greedy packs (parallel, level 1),
+    then the pack *summaries* — a relation ~budget x smaller than the corpus
+    — greedily packed into global superpacks in (source, pack_id) order
+    (level 2). The sequential level-2 pass is the reduce side of the
+    hierarchy: its input has already been shrunk by level 1, the same way a
+    global sort merges pre-sorted runs."""
+    packs = (
+        pack_documents(docs)
+        .groupBy("source", "pack_id")
+        .agg(F.sum("n_tokens").cast("long").alias("pack_tokens"))
+    )
+    return (
+        packs.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(
+            lambda pdf: _pack_superpacks(pdf.drop(columns=["_g"])), schema=_SUPER_SCHEMA
+        )
+    )
+
+
+@register(
+    "pack_sequences_hierarchical",
+    f"""
+WITH RECURSIVE sized AS (
+    SELECT source, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+),
+packed AS (
+    SELECT source, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_used
+    FROM sized WHERE rn = 1
+    UNION ALL
+    SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+           CASE WHEN p.pack_used + d.n_tokens > {PACK_BUDGET}
+                THEN p.pack_id + 1 ELSE p.pack_id END,
+           CASE WHEN p.pack_used + d.n_tokens > {PACK_BUDGET}
+                THEN d.n_tokens ELSE p.pack_used + d.n_tokens END
+    FROM packed p JOIN sized d ON d.source = p.source AND d.rn = p.rn + 1
+),
+packs AS MATERIALIZED (
+    -- MATERIALIZED: the super recursion below references packs once per
+    -- iteration; inlining would replay the level-1 recursion each time
+    -- (measured 51s -> 0.4s at sf0.01)
+    SELECT source, pack_id, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           ROW_NUMBER() OVER (ORDER BY source, pack_id) AS srn
+    FROM packed GROUP BY source, pack_id
+),
+super AS (
+    SELECT source, pack_id, pack_tokens, srn,
+           CAST(0 AS BIGINT) AS superpack_id, pack_tokens AS super_used
+    FROM packs WHERE srn = 1
+    UNION ALL
+    SELECT p.source, p.pack_id, p.pack_tokens, p.srn,
+           CASE WHEN s.super_used + p.pack_tokens > {SUPER_BUDGET}
+                THEN s.superpack_id + 1 ELSE s.superpack_id END,
+           CASE WHEN s.super_used + p.pack_tokens > {SUPER_BUDGET}
+                THEN p.pack_tokens ELSE s.super_used + p.pack_tokens END
+    FROM super s JOIN packs p ON p.srn = s.srn + 1
+)
+SELECT source, pack_id, pack_tokens, superpack_id, super_used FROM super""",
+    doc=f"Hierarchical (two-level) global packing: level 1 packs documents "
+    f"per shard in parallel ({PACK_BUDGET}-token packs); level 2 packs the "
+    f"pack summaries — a relation ~budget x smaller — into global "
+    f"{SUPER_BUDGET}-token superpacks. Both greedy recurrences are replayed "
+    "by recursive CTEs, so the distributed two-phase algorithm is SQL-proved "
+    "end-to-end.",
+)
+def q_pack_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_hierarchical(load_table(spark, sf_dir, "documents"))

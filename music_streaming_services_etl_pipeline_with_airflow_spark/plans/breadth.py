@@ -621,3 +621,44 @@ def q_a11_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mode, "l_returnflag").select(
         "l_returnflag", "median_qty", "mode_status"
     )
+
+
+@register(
+    "w3_gapfill_daily_by_type",
+    """WITH f AS (SELECT event_type, CAST(ts AS DATE) AS day
+                  FROM events WHERE value > 0.97),
+       daily AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM f GROUP BY 1, 2),
+       bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM f),
+       cal AS (SELECT CAST(UNNEST(generate_series(CAST(lo AS TIMESTAMP),
+                                                  CAST(hi AS TIMESTAMP),
+                                                  INTERVAL 1 DAY)) AS DATE) AS day
+               FROM bounds),
+       types AS (SELECT DISTINCT event_type FROM f)
+       SELECT t.event_type, c.day, COALESCE(d.n, 0) AS n
+       FROM cal c CROSS JOIN types t
+       LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = c.day""",
+    doc="Time-series gap filling: a dense (event_type x day) calendar "
+    "generated with sequence()+explode from the observed bounds, left-"
+    "joined to sparse daily counts with zero-fill — the dashboard/forecast "
+    "input shape. The calendar side is tiny (days x types) and broadcast; "
+    "the fact side is aggregated before the join, so the gap fill costs "
+    "one extra broadcast join regardless of scale.",
+)
+def q_w3_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0.97)
+        .select("event_type", F.to_date("ts").alias("day"))
+    )
+    daily = f.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    bounds = f.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    types = f.select("event_type").distinct()
+    # the dense calendar keeps every row (left side of the left join), so the
+    # broadcastable side is the pre-aggregated sparse counts
+    return (
+        cal.crossJoin(types)
+        .join(F.broadcast(daily), ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+    )
