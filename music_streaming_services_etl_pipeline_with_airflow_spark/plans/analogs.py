@@ -742,3 +742,83 @@ def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type").isin("click", "view")).select("event_type")
     b = ev.filter(~F.col("event_type").isin("click", "view")).select("event_type")
     return a.unionByName(b).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register(
+    "src_json_roundtrip",
+    "SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum, "
+    "MIN(ts) AS ts_min, MAX(ts) AS ts_max, "
+    "CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS val_milli_sum "
+    "FROM events GROUP BY event_type",
+    doc="JSON-lines source fidelity: events written as JSONL (explicit "
+    "microsecond timestampFormat — the default truncates to millis) and "
+    "read back with an explicit schema (no inference pass), then aggregated; "
+    "the oracle aggregates the original parquet, so any loss in the text "
+    "round-trip (timestamp precision, double shortest-repr, nulls) breaks "
+    "the hash.",
+)
+def q_src_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    ts_fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tmp = f"/tmp/spark_engine_json/{tag}/events"
+    marker = os.path.join(tmp, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        ev.repartition(4).write.mode("overwrite").option(
+            "timestampFormat", ts_fmt
+        ).json(tmp)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    df = spark.read.schema(schema).option("timestampFormat", ts_fmt).json(tmp)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("val_milli_sum"),
+    )
+
+
+@register(
+    "src_orc_roundtrip",
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS price_floor_sum, "
+    "MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order "
+    "FROM orders GROUP BY o_orderpriority",
+    doc="ORC source fidelity: orders written to ORC (native vectorized "
+    "reader/writer) and read back, then aggregated; the oracle aggregates "
+    "the original parquet, proving the columnar round-trip is lossless "
+    "across formats.",
+)
+def q_src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tmp = f"/tmp/spark_engine_orc/{tag}/orders"
+    marker = os.path.join(tmp, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "orders").repartition(4).write.mode(
+            "overwrite"
+        ).orc(tmp)
+    df = spark.read.orc(tmp)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor("o_totalprice").cast("long")).alias("price_floor_sum"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )

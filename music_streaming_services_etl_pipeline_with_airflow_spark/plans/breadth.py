@@ -662,3 +662,61 @@ def q_w3_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(daily), ["event_type", "day"], "left")
         .select("event_type", "day", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
     )
+
+
+@register(
+    "o3_global_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 25""",
+    doc="Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject — "
+    "each partition keeps a k-row heap and the driver merges k*partitions "
+    "rows, so there is NO global sort and NO full shuffle; cost is one scan "
+    "regardless of table size. Tie-break on the key makes it deterministic.",
+)
+def q_o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "j10_basket_part_pairs",
+    """WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       SELECT a.l_partkey AS part1, b.l_partkey AS part2,
+              CAST(COUNT(*) AS BIGINT) AS n_orders
+       FROM lines a JOIN lines b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2
+       HAVING COUNT(*) >= 2""",
+    doc="Market-basket co-occurrence: part pairs appearing in the same order "
+    "at least twice — DISTINCT first (dedup repeated lines), then an "
+    "equi-self-join on the basket key with a < predicate to emit each "
+    "unordered pair once. Scales as sum(basket_size^2), not rows^2, because "
+    "the join key is the basket id; huge baskets are the skew risk "
+    "(cap basket size or salt at 100 TB).",
+)
+def q_j10_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lines.alias("a")
+    b = lines.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part1"), F.col("b.l_partkey").alias("part2")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -53,6 +53,7 @@ def all_specs() -> dict[str, QuerySpec]:
         sampling,
         sessions,
         similarity,
+        sketches,
         text,
     )
     from ..streaming import hourly_stream  # noqa: F401

@@ -250,3 +250,27 @@ def test_fuzzy_pairs_is_equi_join_on_block(spark):
     df = all_specs()["j9_fuzzy_name_pairs"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_daily_rollup_accuracy(spark):
+    """Sketch-union rollup must track exact countDistinct within HLL error
+    (default lgConfigK=12 -> ~2.3% worst-case; assert 5%), per day and
+    for the merged all-time estimate."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.sketches import (
+        daily_user_sketches,
+        rollup_uniques,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events")
+    est = {r.day: r.est_uniques for r in rollup_uniques(daily_user_sketches(ev)).collect()}
+    exact_days = {
+        str(r.day): r.n
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_days["ALL"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact_days)
+    for day, n in exact_days.items():
+        assert abs(est[day] - n) <= max(2, 0.05 * n), (day, est[day], n)
