@@ -720,3 +720,69 @@ def q_j10_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+_ANCESTOR_SQL = """WITH RECURSIVE anc AS (
+    SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+    FROM customer WHERE c_custkey <= 200
+    UNION ALL
+    SELECT start_key, CAST(FLOOR(cur / 2.0) AS BIGINT) AS cur, depth + 1
+    FROM anc WHERE cur > 1
+)
+SELECT start_key,
+       CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+       CAST(SUM(cur) AS BIGINT) AS chain_key_sum
+FROM anc GROUP BY start_key"""
+
+
+@register(
+    "s5_recursive_cte_ancestors",
+    _ANCESTOR_SQL,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure over a "
+    "derived parent edge (parent = key/2, a binary-tree hierarchy), walking "
+    "each start key's ancestor chain to the root and aggregating depth and "
+    "chain checksum. The identical SQL text runs on both engines — "
+    "FLOOR(x/2.0) not integer '/', because DuckDB casts by rounding while "
+    "ANSI Spark truncates. Each iteration is a distributed self-join; "
+    "iteration count is bounded by hierarchy depth (log2 here), the same "
+    "frontier pattern as dedup_components' label propagation.",
+)
+def q_s5_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_ANCESTOR_SQL)
+
+
+@register(
+    "w4_ntile_rank_quartiles",
+    """WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS spend_floor
+        FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, spend_floor,
+           CAST(NTILE(4) OVER (ORDER BY spend_floor DESC, o_custkey) AS INTEGER)
+               AS quartile,
+           CAST(RANK() OVER (ORDER BY spend_floor DESC) AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER (ORDER BY spend_floor DESC) AS BIGINT) AS drnk
+    FROM spend""",
+    doc="Ranking window functions: ntile(4) customer-spend quartiles (total "
+    "order: spend desc, key), rank with gaps, dense_rank without — the "
+    "segmentation/leaderboard shape. Rank ties are deterministic because "
+    "equal spend yields equal rank; ntile is pinned by the key tie-break. "
+    "An unpartitioned window funnels into one task — correct here because "
+    "the input is the already-aggregated per-customer relation; at 100 TB "
+    "assign quartiles by joining against approx_percentile cutoffs instead.",
+)
+def q_w4_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor("o_totalprice").cast("long")).alias("spend_floor")
+    )
+    w_total = Window.orderBy(F.desc("spend_floor"), F.asc("o_custkey"))
+    w_rank = Window.orderBy(F.desc("spend_floor"))
+    return spend.select(
+        "o_custkey",
+        "spend_floor",
+        F.ntile(4).over(w_total).cast("int").alias("quartile"),
+        F.rank().over(w_rank).cast("long").alias("rnk"),
+        F.dense_rank().over(w_rank).cast("long").alias("drnk"),
+    )
