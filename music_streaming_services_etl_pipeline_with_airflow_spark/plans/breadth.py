@@ -487,8 +487,11 @@ def q_j8_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part_f = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 48)
     li = load_table(spark, sf_dir, "lineitem")
-    bits = bloom_bit_positions(part_f.select("p_partkey"), "p_partkey", num_bits=4096)
-    li_f = bloom_prefilter(li, "l_partkey", bits, num_bits=4096)
+    # size the bitset ~16x the build-side key count (next power of two) so the
+    # false-positive rate stays at a few percent at any scale factor
+    num_bits = max(4096, 1 << int(part_f.count() * 16).bit_length())
+    bits = bloom_bit_positions(part_f.select("p_partkey"), "p_partkey", num_bits=num_bits)
+    li_f = bloom_prefilter(li, "l_partkey", bits, num_bits=num_bits)
     return (
         li_f.join(part_f, li_f.l_partkey == part_f.p_partkey)
         .groupBy("p_brand")

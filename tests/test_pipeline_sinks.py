@@ -179,3 +179,19 @@ def test_airflow_dag_factory_gates_cleanly():
     if not airflow_dag.HAS_AIRFLOW:
         with pytest.raises(ImportError):
             airflow_dag.build_dag("s", "g", "w")
+
+
+def test_warehouse_read_prunes_partitions(spark, tmp_path):
+    """A date-filtered read of the partitioned warehouse must prune at the
+    file-listing level (PartitionFilters in the scan), not scan-then-filter —
+    the property that makes daily queries O(1 day), not O(history)."""
+    wh = str(tmp_path / "wh_prune")
+    df = spark.createDataFrame(
+        [("2024-01-01", "rock", 5), ("2024-01-02", "jazz", 7), ("2024-01-03", "pop", 9)],
+        "date string, track_genre string, listen_count long",
+    )
+    sinks.write_warehouse(df, wh)
+    q = spark.read.parquet(wh).filter(F.col("date") == "2024-01-02")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "date" in plan.split("PartitionFilters")[1][:200]
+    assert q.count() == 1
