@@ -789,3 +789,76 @@ def q_w4_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w_rank).cast("long").alias("rnk"),
         F.dense_rank().over(w_rank).cast("long").alias("drnk"),
     )
+
+
+@register(
+    "p17_map_pivot_lookup",
+    """SELECT CAST(ts AS DATE) AS day,
+              CAST(COALESCE(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+                   AS BIGINT) AS n_purchase,
+              CAST(COALESCE(COUNT(CASE WHEN event_type = 'error' THEN 1 END), 0)
+                   AS BIGINT) AS n_error,
+              CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+       FROM events GROUP BY 1""",
+    doc="Map-type operators: per-day counts collected into a "
+    "map<event_type, n> (map_from_entries over collect_list(struct)), then "
+    "read back via element_at lookups and map size — the keyed-metrics "
+    "container shape. Output is flattened so the relational oracle checks "
+    "the map path end-to-end without needing map equality semantics.",
+)
+def q_p17_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    m = per_type.groupBy("day").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("counts")
+    )
+    return m.select(
+        "day",
+        F.coalesce(F.element_at("counts", "purchase"), F.lit(0))
+        .cast("long")
+        .alias("n_purchase"),
+        F.coalesce(F.element_at("counts", "error"), F.lit(0))
+        .cast("long")
+        .alias("n_error"),
+        F.size("counts").cast("long").alias("n_types"),
+    )
+
+
+@register(
+    "p18_array_set_ops",
+    """WITH x AS (SELECT user_id, event_type,
+                         CAST(ts AS DATE) <= DATE '2024-01-15' AS h1
+                  FROM events)
+       SELECT user_id,
+              CAST(COUNT(DISTINCT CASE WHEN h1 THEN event_type END) AS INTEGER) AS n_h1,
+              CAST(COUNT(DISTINCT CASE WHEN NOT h1 THEN event_type END) AS INTEGER) AS n_h2,
+              CAST(COUNT(DISTINCT CASE WHEN h1 THEN event_type END)
+                   + COUNT(DISTINCT CASE WHEN NOT h1 THEN event_type END)
+                   - COUNT(DISTINCT event_type) AS INTEGER) AS n_intersect,
+              CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_union
+       FROM x GROUP BY user_id""",
+    doc="Array set algebra: per-user distinct event-type sets for the first "
+    "vs second half of the month (conditional collect_set), compared with "
+    "array_intersect / array_union / size — the behavioral-overlap shape. "
+    "The oracle derives the same sizes by inclusion-exclusion over "
+    "conditional distinct counts, cross-proving Spark's array set ops "
+    "against pure relational algebra.",
+)
+def q_p18_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h1 = F.to_date("ts") <= F.lit("2024-01-15").cast("date")
+    sets = ev.groupBy("user_id").agg(
+        F.collect_set(F.when(h1, F.col("event_type"))).alias("s1"),
+        F.collect_set(F.when(~h1, F.col("event_type"))).alias("s2"),
+    )
+    return sets.select(
+        "user_id",
+        F.size("s1").cast("int").alias("n_h1"),
+        F.size("s2").cast("int").alias("n_h2"),
+        F.size(F.array_intersect("s1", "s2")).cast("int").alias("n_intersect"),
+        F.size(F.array_union("s1", "s2")).cast("int").alias("n_union"),
+    )
