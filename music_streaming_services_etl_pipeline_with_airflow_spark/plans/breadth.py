@@ -862,3 +862,112 @@ def q_p18_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("s1", "s2")).cast("int").alias("n_intersect"),
         F.size(F.array_union("s1", "s2")).cast("int").alias("n_union"),
     )
+
+
+_LATERAL_SQL = """SELECT n.n_name, l.s_name, l.s_acctbal_floor
+FROM nation n JOIN LATERAL (
+    SELECT s_name, CAST(FLOOR(s_acctbal) AS BIGINT) AS s_acctbal_floor
+    FROM supplier s
+    WHERE s.s_nationkey = n.n_nationkey
+    ORDER BY s_acctbal DESC, s_suppkey
+    LIMIT 2
+) l"""
+
+
+@register(
+    "j11_lateral_topn",
+    _LATERAL_SQL.replace("JOIN LATERAL", ", LATERAL"),
+    doc="LATERAL join: per-nation top-2 suppliers via a correlated subquery "
+    "with ORDER BY + LIMIT — the SQL-standard spelling of top-n-per-group. "
+    "Catalyst decorrelates it to the same window/aggregate plan as the "
+    "row_number() form (o2), so the lateral syntax costs nothing extra.",
+)
+def q_j11_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "w5_first_last_per_user",
+    """SELECT DISTINCT user_id,
+              first_value(event_type) OVER w AS first_type,
+              last_value(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS last_type
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    doc="First/last event type per user. Spark side is ONE-PASS min_by/"
+    "max_by over a (ts, event_id) struct ordering key — a single partial-"
+    "aggregable shuffle, no window sort at all; the oracle spells the same "
+    "semantics as first_value/last_value windows, cross-proving the "
+    "aggregate rewrite that makes this shape scale.",
+)
+def q_w5_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+    )
+
+
+@register(
+    "a12_pivot_multi_agg",
+    """SELECT CAST(ts AS DATE) AS day,
+              CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+                  AS purchase_n,
+              CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(FLOOR(value * 1000) AS BIGINT) END), 0) AS BIGINT)
+                  AS purchase_vmilli,
+              CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+                  AS error_n,
+              CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                   THEN CAST(FLOOR(value * 1000) AS BIGINT) END), 0) AS BIGINT)
+                  AS error_vmilli
+       FROM events GROUP BY 1""",
+    doc="Pivot with MULTIPLE aggregates per pivot value (count + milli-sum "
+    "per event type) — one shuffle produces the whole wide matrix; column "
+    "names pinned as {value}_{agg} on both sides. Explicit pivot values "
+    "keep the plan static (no distinct-scan planning pass).",
+)
+def q_a12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["purchase", "error"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.floor(F.col("value") * 1000).cast("long")), F.lit(0)
+            ).alias("vmilli"),
+        )
+    )
+    return wide.select(
+        "day",
+        F.col("purchase_n").cast("long"),
+        F.col("purchase_vmilli").cast("long"),
+        F.col("error_n").cast("long"),
+        F.col("error_vmilli").cast("long"),
+    )
+
+
+@register(
+    "a13_approx_percentiles",
+    None,  # sketch-based (Greenwald-Khanna); tolerance pinned by pytest
+    doc="approx_percentile (Greenwald-Khanna sketch, accuracy parameter "
+    "10000): the 100 TB variant of a7's exact sort-based percentiles — "
+    "mergeable partial sketches, one pass, no global sort. Deterministic "
+    "for a given input; closeness to exact percentiles is pinned by "
+    "tests/test_extensions.py::test_approx_percentiles_tolerance.",
+)
+def q_a13_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value_cents", 0.5, 10000).alias("p50_cents"),
+        F.percentile_approx("value_cents", 0.9, 10000).alias("p90_cents"),
+        F.percentile_approx("value_cents", 0.99, 10000).alias("p99_cents"),
+    )

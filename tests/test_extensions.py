@@ -274,3 +274,36 @@ def test_hll_daily_rollup_accuracy(spark):
     assert set(est) == set(exact_days)
     for day, n in exact_days.items():
         assert abs(est[day] - n) <= max(2, 0.05 * n), (day, est[day], n)
+
+
+def test_approx_percentiles_tolerance(spark):
+    """Greenwald-Khanna guarantees RANK error <= eps*N (not value error —
+    exact percentiles interpolate, GK returns a data value). Assert each
+    approx value's rank is within 2% of the target rank per group."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    approx = {
+        r.event_type: (r.p50_cents, r.p90_cents, r.p99_cents)
+        for r in all_specs()["a13_approx_percentiles"].fn(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    groups = {
+        r.event_type: sorted(r.vals)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_list("c").alias("vals"))
+        .collect()
+    }
+    assert set(approx) == set(groups)
+    for et, vals in groups.items():
+        n = len(vals)
+        tol = max(3, 0.02 * n)
+        for q, a in zip((0.5, 0.9, 0.99), approx[et]):
+            assert a in vals  # GK returns an actual data value
+            n_le = sum(1 for v in vals if v <= a)
+            n_lt = sum(1 for v in vals if v < a)
+            target = q * n
+            # target rank must fall within the value's rank span +/- tol
+            assert n_lt - tol <= target <= n_le + tol, (et, q, a, n_lt, n_le, target)
