@@ -50,6 +50,7 @@ def all_specs() -> dict[str, QuerySpec]:
         multimodal,
         packing,
         pandas_ops,
+        python_udfs,
         sampling,
         sessions,
         similarity,
