@@ -448,3 +448,87 @@ def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("va", "vb", V.dot(F.col("veca"), F.col("vecb")).alias("cos"))
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH for embedding near-dup — the scale path for
+# dedup_embedding_cosine's all-pairs baseline
+#
+# Recall math (sign-bit agreement p(s) = 1 - arccos(s)/pi for cosine s;
+# band of r bits matches with p^r; any of L bands: 1-(1-p^r)^L):
+#   tau=0.45 (this registry's threshold): p=.649 -> r=4,L=16 gives .956
+#   tau=0.80 (realistic corpus dedup):    p=.795 -> r=8,L=12 gives .985
+# r/L are tuned to the registry threshold; the low tau forces short bands
+# (16 buckets/band), so pruning here is modest — at production thresholds
+# the same operator prunes ~2^r-way per band. Candidate verification is
+# exact cosine, so precision is always 1.0 and only recall is probabilistic.
+# ---------------------------------------------------------------------------
+
+LSH_BANDS = 16
+LSH_BITS_PER_BAND = 4
+_EMB_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded), LSH_BANDS*LSH_BITS_PER_BAND
+    of them — part of the operator definition, not data-dependent."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((LSH_BANDS * LSH_BITS_PER_BAND, _EMB_DIM)).tolist()
+
+
+@register(
+    "dedup_embedding_lsh",
+    None,  # sub-1.0 recall by design — rows-only; precision/recall pinned in
+    # tests/test_extensions.py::test_embedding_lsh_precision_recall
+    doc=f"Embedding near-dup via random-hyperplane LSH: {LSH_BANDS} bands x "
+    f"{LSH_BITS_PER_BAND} sign bits (seeded hyperplanes), candidates = pairs "
+    "sharing any band code (equi-join on (band, code)), then exact-cosine "
+    "verification, so precision is 1.0 and only recall is probabilistic "
+    f"(analytic recall at tau={COSINE_DUP_THRESHOLD}: 0.956/pair). Replaces "
+    "the all-pairs O(n^2) kernel with O(sum bucket^2): the 100 TB dedup "
+    "path. The exploded signature relation carries only (vec_id, band, "
+    "code) — vectors are re-joined by id AFTER candidate-pair dedup, so the "
+    "band shuffle moves ids, not 64-dim arrays. All JVM-side: sign bits via "
+    "aggregate-fold dots, codes via bit arithmetic.",
+)
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("dv")
+    )
+    nv = emb.withColumn("nrm", V.norm(F.col("dv"))).select(
+        "vec_id",
+        F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
+    )
+    planes = _hyperplanes()
+    bits = [
+        V.dot(F.col("v"), F.array(*[F.lit(x) for x in p])) >= 0 for p in planes
+    ]
+    codes = []
+    for b in range(LSH_BANDS):
+        code = F.lit(0)
+        for j in range(LSH_BITS_PER_BAND):
+            code = code + bits[b * LSH_BITS_PER_BAND + j].cast("int") * (1 << j)
+        codes.append(F.struct(F.lit(b).alias("band"), code.alias("code")))
+    # (vec_id, band, code) only — ids shuffle through the band join, the
+    # 64-dim vectors do not (they are fetched back by id after pair dedup)
+    sig = nv.select("vec_id", F.explode(F.array(*codes)).alias("bc")).select(
+        "vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code")
+    )
+    a = sig.select("band", "code", F.col("vec_id").alias("va"))
+    b_ = sig.select("band", "code", F.col("vec_id").alias("vb"))
+    cand = (
+        a.join(b_, ["band", "code"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .dropDuplicates(["va", "vb"])
+    )
+    va_vec = nv.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
+    vb_vec = nv.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
+    return (
+        cand.join(va_vec, "va")
+        .join(vb_vec, "vb")
+        .select("va", "vb", V.dot(F.col("veca"), F.col("vecb")).alias("cos"))
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )

@@ -23,6 +23,23 @@ def test_minhash_recall_vs_exact(spark):
     assert lsh == exact  # banding found all ≥0.5 pairs, verify removed FPs
 
 
+def test_embedding_lsh_precision_recall(spark):
+    """Hyperplane-LSH near-dup: exact verification makes precision exactly
+    1.0 (result ⊆ all-pairs result); with seeded hyperplanes and fixed
+    testdata, recall is deterministic — the 16x4 banding (analytic per-pair
+    recall .956 at tau=0.45) recovers every planted pair here."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        q_embedding_dup,
+        q_embedding_lsh,
+    )
+
+    exact = {(r.va, r.vb) for r in q_embedding_dup(spark, SF).collect()}
+    lsh = {(r.va, r.vb) for r in q_embedding_lsh(spark, SF).collect()}
+    assert exact, "testdata should contain planted embedding near-dups"
+    assert lsh <= exact  # exact-cosine verify => precision 1.0
+    assert lsh == exact  # deterministic: seeded planes recover all 7 pairs
+
+
 def test_ivf_is_subset_quality(spark):
     """IVF top-k: every result must also appear in the brute-force top-k
     OR be from the query's own cluster (approximation contract)."""
