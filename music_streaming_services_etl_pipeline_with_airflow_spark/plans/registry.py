@@ -41,7 +41,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 def all_specs() -> dict[str, QuerySpec]:
     # Import registrants lazily to avoid import cycles.
-    from . import analogs, breadth, curation, product_analytics, sql_surface  # noqa: F401
+    from . import analogs, breadth, curation, product_analytics, sql_surface, warehouse  # noqa: F401
     from ..operators import (  # noqa: F401
         components,
         dedup,

@@ -1,0 +1,167 @@
+"""Warehouse-maintenance operators — MERGE INTO (upsert) and SCD Type-2
+dimension history, as oracle-checked *relational* queries.
+
+The reference's warehouse load is append-only Redshift COPY
+(dags/music_streaming_services_dag.py:317-353), which duplicates rows on
+re-run (SURVEY §8.6). A maintained dimension needs two missing shapes:
+
+- **MERGE**: `WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT / keep the
+  rest`. Spark SQL's MERGE INTO statement needs a v2 table format
+  (Delta/Iceberg); over raw parquet the same semantics are a full-outer
+  join on the key — which is also exactly the physical plan a format-native
+  MERGE runs. The sink-level twin (``sinks.merge_upsert``) does the
+  partition-pruned rewrite; this query is the verified semantics.
+- **SCD Type-2**: attribute-change history with ``valid_from`` /
+  ``valid_to`` / ``is_current`` — the standard dimension-versioning
+  pattern, built from a change stream with lag + running change-count
+  (no self-join; one window shuffle per step, both windows share the
+  same partitioning key so Catalyst runs them in one exchange).
+
+At 100 TB: both shapes shuffle on the dimension key once; MERGE's
+full-outer join broadcasts nothing (both sides are large) but AQE handles
+skewed keys; SCD2's windows co-partition on custkey so the sort is local
+after a single exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import register
+
+
+@register(
+    "merge_upsert_relational",
+    """WITH delta AS (
+         SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS order_cnt
+         FROM orders GROUP BY o_custkey
+         UNION ALL
+         SELECT o_custkey + 100000 AS k, CAST(COUNT(*) AS BIGINT) AS order_cnt
+         FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+       )
+       SELECT COALESCE(c.c_custkey, d.k) AS c_custkey,
+              COALESCE(c.c_name, 'NEW#' || CAST(d.k AS VARCHAR)) AS c_name,
+              COALESCE(c.c_nationkey, -1) AS c_nationkey,
+              CASE WHEN c.c_custkey IS NULL THEN 0.0 ELSE c.c_acctbal END AS c_acctbal,
+              CASE WHEN c.c_custkey IS NULL THEN 'NEW'
+                   WHEN d.k IS NULL THEN c.c_mktsegment
+                   ELSE 'ACTIVE' END AS c_mktsegment,
+              COALESCE(d.order_cnt, CAST(0 AS BIGINT)) AS order_cnt
+       FROM customer c FULL JOIN delta d ON c.c_custkey = d.k""",
+    doc="MERGE INTO semantics over parquet: customer dim upserted from an "
+    "order-activity delta. The delta's shifted keys (custkey+100000 for "
+    "open orders) exercise the NOT-MATCHED-INSERT branch; matched keys "
+    "UPDATE (segment->ACTIVE, order_cnt); untouched target rows pass "
+    "through. Full-outer join on the key == the physical plan of a "
+    "format-native MERGE; sinks.merge_upsert is the partition-pruned "
+    "physical twin.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    matched = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("order_cnt")
+    )
+    inserts = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy((F.col("o_custkey") + 100000).alias("k"))
+        .agg(F.count("*").alias("order_cnt"))
+    )
+    delta = matched.unionByName(inserts)
+    j = cust.join(delta, cust.c_custkey == delta.k, "full_outer")
+    return j.select(
+        F.coalesce(cust.c_custkey, delta.k).alias("c_custkey"),
+        F.coalesce(
+            cust.c_name, F.concat(F.lit("NEW#"), delta.k.cast("string"))
+        ).alias("c_name"),
+        F.coalesce(cust.c_nationkey, F.lit(-1)).alias("c_nationkey"),
+        F.when(cust.c_custkey.isNull(), F.lit(0.0))
+        .otherwise(cust.c_acctbal)
+        .alias("c_acctbal"),
+        F.when(cust.c_custkey.isNull(), F.lit("NEW"))
+        .when(delta.k.isNull(), cust.c_mktsegment)
+        .otherwise(F.lit("ACTIVE"))
+        .alias("c_mktsegment"),
+        F.coalesce(delta.order_cnt, F.lit(0).cast("long")).alias("order_cnt"),
+    )
+
+
+@register(
+    "scd2_priority_history",
+    """WITH ordered AS (
+         SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                LAG(o_orderpriority) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                  AS prev_p
+         FROM orders
+       ),
+       versioned AS (
+         SELECT *,
+                CAST(SUM(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                              THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+         FROM ordered
+       ),
+       v AS (
+         SELECT o_custkey AS custkey, version,
+                o_orderpriority AS priority,
+                MIN(o_orderdate) AS valid_from,
+                CAST(COUNT(*) AS BIGINT) AS n_orders
+         FROM versioned GROUP BY o_custkey, version, o_orderpriority
+       )
+       SELECT custkey, version, priority, valid_from,
+              LEAD(valid_from) OVER
+                (PARTITION BY custkey ORDER BY version) AS valid_to,
+              CASE WHEN LEAD(valid_from) OVER
+                     (PARTITION BY custkey ORDER BY version) IS NULL
+                   THEN 1 ELSE 0 END AS is_current,
+              n_orders
+       FROM v""",
+    doc="SCD Type-2 dimension history: per-customer order-priority "
+    "versions with valid_from/valid_to/is_current. Change detection via "
+    "LAG over (o_orderdate, o_orderkey) total order, version id via "
+    "running SUM of change flags, interval close via LEAD — no self-join. "
+    "Both window steps partition on custkey, so the whole history builds "
+    "in one shuffle.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = orders.withColumn("prev_p", F.lag("o_orderpriority").over(w))
+    chg = (
+        F.when(
+            F.col("prev_p").isNull()
+            | (F.col("prev_p") != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+    )
+    versioned = ordered.withColumn(
+        "version",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    v = versioned.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        "version",
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    wv = Window.partitionBy("custkey").orderBy("version")
+    return v.select(
+        "custkey",
+        "version",
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.when(F.lead("valid_from").over(wv).isNull(), 1)
+        .otherwise(0)
+        .alias("is_current"),
+        "n_orders",
+    )
