@@ -277,3 +277,138 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Curation filters: decontamination, repetition, entity masking
+# --------------------------------------------------------------------------
+
+N_DECONTAM = 5  # word n-gram order for exact-match decontamination
+
+
+from ..functions.hashing import shingles_sql as _shingles_sql
+
+
+@register(
+    "decontam_ngram_overlap",
+    f"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shingles AS (
+    SELECT doc_id, unnest({_shingles_sql(N_DECONTAM, 't')}) AS s FROM toks
+),
+eval_sh AS (SELECT DISTINCT s FROM shingles WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, s FROM shingles WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM train GROUP BY doc_id),
+hits AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         FROM train t JOIN eval_sh e USING (s) GROUP BY t.doc_id)
+SELECT t.doc_id, t.n_sh,
+       COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_sh AS overlap_ratio,
+       CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id""",
+    doc=f"Benchmark decontamination: flag training docs sharing any exact "
+    f"{N_DECONTAM}-gram with the held-out eval set (doc_id % 97 == 0 — "
+    "the standard eval-overlap filter, cf. GPT-3/PaLM appendix method). "
+    "The eval shingle set is tiny vs the corpus, so it BROADCASTS: the "
+    "overlap probe is map-side against every training shard, and the only "
+    "shuffle is the per-doc rollup. Exact-match n-grams, no false "
+    "positives.",
+)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import hashing as H
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", H.tokens("text").alias("toks")
+    ).select("doc_id", F.explode(H.word_shingles("toks", N_DECONTAM)).alias("s"))
+    eval_sh = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_sh",
+        F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+        (
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_sh")
+        ).alias("overlap_ratio"),
+        F.when(F.coalesce(F.col("n_hit"), F.lit(0)) > 0, 1)
+        .otherwise(0)
+        .alias("contaminated"),
+    )
+
+
+@register(
+    "gopher_repetition",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_words,
+       CAST(list_max(list_transform(list_distinct(t),
+                     w -> len(list_filter(t, x -> x = w)))) AS BIGINT)
+         AS max_word_count,
+       CAST(list_max(list_transform(list_distinct(t),
+                     w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)
+         / len(t) AS top_word_ratio,
+       CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
+       CAST(len(t) - 1
+            - len(list_distinct(list_transform(
+                  generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])))
+            AS DOUBLE) / (len(t) - 1) AS dup_bigram_ratio
+FROM toks WHERE len(t) >= 2""",
+    doc="Gopher-style repetition signals per doc: top-word frequency ratio "
+    "and duplicate-bigram fraction (Rae et al. 2021 quality filters). "
+    "Entirely map-side array expressions — ZERO shuffles; the per-row "
+    "mode computation is O(distinct x words), the right trade below ~10k "
+    "words/doc (explode+groupBy is the variant for book-length docs).",
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    max_c = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("t")),
+            lambda w: F.size(F.filter(F.col("t"), lambda x: x == w)),
+        )
+    )
+    bigrams = F.expr(
+        "array_distinct(transform(sequence(0, size(t) - 2),"
+        " i -> concat_ws(' ', t[i], t[i+1])))"
+    )
+    n_bg = F.size("t") - 1
+    return d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_words"),
+        max_c.cast("long").alias("max_word_count"),
+        (max_c.cast("double") / F.size("t")).alias("top_word_ratio"),
+        n_bg.cast("long").alias("n_bigrams"),
+        ((n_bg - F.size(bigrams)).cast("double") / n_bg).alias(
+            "dup_bigram_ratio"
+        ),
+    )
+
+
+@register(
+    "entity_mask",
+    r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT)
+         AS n_masked,
+       md5(regexp_replace(text, '\bcustomer\b', '<ENT>', 'g')) AS masked_md5
+FROM documents""",
+    doc="Entity masking (PII-scrub shape): global regexp_replace of an "
+    "entity pattern with a mask token plus per-doc replacement count — "
+    "pure map-side regex, no shuffle; the masked text is hashed so the "
+    "oracle checks the FULL redacted body, not just counts. Swap the "
+    "pattern for email/phone/SSN regexes in a real PII pass.",
+)
+def q_entity_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"\bcustomer\b"
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).cast("long").alias("n_masked"),
+        F.md5(F.regexp_replace("text", pat, "<ENT>")).alias("masked_md5"),
+    )
