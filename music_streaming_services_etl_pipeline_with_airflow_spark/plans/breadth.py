@@ -971,3 +971,130 @@ def q_a13_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value_cents", 0.9, 10000).alias("p90_cents"),
         F.percentile_approx("value_cents", 0.99, 10000).alias("p99_cents"),
     )
+
+
+RANGE_JOIN_BIN_S = 1800  # bin width == window half-width -> <=3 bins/interval
+
+
+@register(
+    "j7_range_join_binned",
+    """SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+              CAST(floor(epoch(e.ts)) AS BIGINT)
+                - CAST(floor(epoch(p.ts)) AS BIGINT) AS delta_s
+       FROM events p JOIN events e
+         ON p.user_id = e.user_id
+        AND p.event_type = 'purchase' AND e.event_type = 'error'
+        AND e.ts >= p.ts - INTERVAL 30 MINUTE
+        AND e.ts <= p.ts + INTERVAL 30 MINUTE""",
+    doc="Keyed range join (errors within ±30min of a same-user purchase) "
+    "executed as a BINNED EQUI-JOIN: intervals explode into the ≤3 "
+    "half-width time bins they cover, probes map to their single bin, and "
+    "the join runs hash-partitioned on (user_id, bin) with an exact "
+    "BETWEEN refine. A raw inequality join is BroadcastNestedLoop (O(n·m), "
+    "the classic Spark range-join trap); binning restores shuffle-hash "
+    "parallelism — each probe lands in exactly one bin, so no pair dedup "
+    "is needed. The oracle states the declarative inequality form.",
+)
+def q_j7_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    half = F.expr("INTERVAL 30 MINUTES")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        (F.col("ts") - half).alias("lo"),
+        (F.col("ts") + half).alias("hi"),
+    )
+    pb = purch.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.unix_timestamp("lo") - F.unix_timestamp("lo") % RANGE_JOIN_BIN_S,
+                F.unix_timestamp("hi") - F.unix_timestamp("hi") % RANGE_JOIN_BIN_S,
+                F.lit(RANGE_JOIN_BIN_S),
+            )
+        ),
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("ets"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("ts") % RANGE_JOIN_BIN_S
+        ).alias("bin"),
+    )
+    return (
+        pb.join(err, ["user_id", "bin"])
+        .filter(F.col("ets").between(F.col("lo"), F.col("hi")))
+        .select(
+            "purchase_id",
+            "error_id",
+            (F.unix_timestamp("ets") - F.unix_timestamp("pts")).alias("delta_s"),
+        )
+    )
+
+
+@register(
+    "w6_percent_rank_cume_dist",
+    """SELECT c_custkey, c_mktsegment,
+              CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+              ROUND(PERCENT_RANK() OVER
+                (PARTITION BY c_mktsegment
+                 ORDER BY floor(c_acctbal * 100), c_custkey), 6) AS pct_rank,
+              ROUND(CUME_DIST() OVER
+                (PARTITION BY c_mktsegment
+                 ORDER BY floor(c_acctbal * 100), c_custkey), 6) AS cume,
+              NTILE(10) OVER
+                (PARTITION BY c_mktsegment
+                 ORDER BY floor(c_acctbal * 100), c_custkey) AS decile
+       FROM customer""",
+    doc="Relative-rank window family: percent_rank / cume_dist / ntile "
+    "over balance-within-segment, total-ordered by (cents, custkey) so "
+    "every rank is deterministic. ROUND(...,6) pins the two rank ratios "
+    "(rational numbers — one IEEE division each) against representation "
+    "noise. One shuffle on the partition key.",
+)
+def q_w6_relative_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100)
+    w = Window.partitionBy("c_mktsegment").orderBy(cents, "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        cents.cast("long").alias("bal_cents"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@register(
+    "u4_bag_set_ops",
+    """SELECT 'except_all' AS op, user_id FROM (
+         SELECT user_id FROM events WHERE event_type = 'click'
+         EXCEPT ALL
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+       )
+       UNION ALL
+       SELECT 'intersect_all' AS op, user_id FROM (
+         SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT ALL
+         SELECT user_id FROM events WHERE event_type = 'purchase'
+       )""",
+    doc="Bag (multiset) set-ops — EXCEPT ALL / INTERSECT ALL keep "
+    "multiplicities (count-difference semantics), unlike the distinct "
+    "variants in u2/u3. Spark plans these as aggregate-on-key with "
+    "replicated rows (one shuffle); identical SQL text runs on both "
+    "engines.",
+)
+def q_u4_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    ex = clicks.exceptAll(buys).select(F.lit("except_all").alias("op"), "user_id")
+    inter = clicks.intersectAll(buys).select(
+        F.lit("intersect_all").alias("op"), "user_id"
+    )
+    return ex.unionByName(inter)
