@@ -57,3 +57,51 @@ def rollup_uniques(daily: DataFrame) -> DataFrame:
 def q_sketch_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return rollup_uniques(daily_user_sketches(ev))
+
+
+KLL_K = 200  # sketch size parameter: ~1.7% max rank error
+
+
+@register(
+    "sketch_daily_quantiles_rollup",
+    None,  # DataSketches KLL has no DuckDB twin; rank error pinned by pytest
+    doc="Mergeable KLL quantile sketches (Spark 4 kll_sketch_agg_bigint / "
+    "kll_sketch_merge_bigint / kll_sketch_get_quantile_bigint): one "
+    "sketch of value-millis per day, then per-day p50/p90/p99 AND the "
+    "all-time quantiles answered by MERGING the stored sketches — the "
+    "quantile analog of the HLL uniques rollup. Exact percentiles cannot "
+    "roll up (a p99 of p99s is meaningless); KLL merges losslessly "
+    "within its rank-error bound (~1.7% at k=200, pinned by tests/"
+    "test_extensions.py::test_kll_daily_rollup_accuracy). A few KB per "
+    "day regardless of fact volume: the 100 TB incremental-percentile "
+    "pattern.",
+)
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.expr(f"kll_sketch_agg_bigint(v_milli, {KLL_K})").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    probe = [
+        F.expr(f"kll_sketch_get_quantile_bigint(sk, {q})").alias(name)
+        for q, name in [(0.5, "p50_milli"), (0.9, "p90_milli"), (0.99, "p99_milli")]
+    ]
+    per_day = daily.select(F.col("day").cast("string").alias("day"), *probe)
+    # kll_sketch_merge_bigint is a binary two-sketch merge (not an agg):
+    # union the stored sketches by folding it over the collected list —
+    # associative, so any merge tree gives the same sketch
+    overall = (
+        daily.agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.lit("ALL").alias("day"),
+            F.expr(
+                "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+                " (acc, x) -> kll_sketch_merge_bigint(acc, x))"
+            ).alias("sk"),
+        )
+        .select("day", *probe)
+    )
+    return per_day.unionByName(overall)

@@ -1098,3 +1098,56 @@ def q_u4_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("intersect_all").alias("op"), "user_id"
     )
     return ex.unionByName(inter)
+
+
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "w7_ewma_per_user",
+    """WITH g AS (
+         SELECT user_id,
+                list(CAST(floor(value * 1000) AS BIGINT)
+                     ORDER BY ts, event_id) AS xs
+         FROM events GROUP BY user_id
+       )
+       SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+              ROUND(list_reduce(list_transform(xs, x -> CAST(x AS DOUBLE)),
+                    (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma_milli
+       FROM g""",
+    doc="Per-user exponentially-weighted moving average of event value "
+    "(alpha=0.3, seeded at the first observation) — the recursive "
+    "time-series smoother SQL windows cannot express (each output depends "
+    "on the full prefix). Computed as an ordered in-group fold: "
+    "collect_list sorted by (ts, event_id) total order, then a sequential "
+    "aggregate() lambda. Both engines run the IDENTICAL double-op "
+    "sequence, so the result is bit-exact cross-engine (ROUND 6 is belt "
+    "and braces). State per group is one double — at 100 TB the shuffle "
+    "is one row per (user, event), same as any groupBy; per-user history "
+    "must fit in a task (true of any per-entity sequence op).",
+)
+def q_w7_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "ts",
+                    "event_id",
+                    F.floor(F.col("value") * 1000).cast("long").alias("v"),
+                )
+            )
+        ).alias("sx")
+    ).select(
+        "user_id", F.expr("transform(sx, s -> CAST(s.v AS DOUBLE))").alias("xs")
+    )
+    fold = F.aggregate(
+        F.expr("slice(xs, 2, size(xs) - 1)"),
+        F.element_at("xs", 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return g.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        F.round(fold, 6).alias("ewma_milli"),
+    )

@@ -324,3 +324,34 @@ def test_approx_percentiles_tolerance(spark):
             target = q * n
             # target rank must fall within the value's rank span +/- tol
             assert n_lt - tol <= target <= n_le + tol, (et, q, a, n_lt, n_le, target)
+
+
+def test_kll_daily_rollup_accuracy(spark):
+    """KLL quantile probes must land within the k=200 rank-error bound
+    (~1.7%, checked at 3%) of the true rank, per day and for the merged
+    all-time rollup."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.sketches import (
+        q_kll_quantiles,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    est = {r.day: r for r in q_kll_quantiles(spark, SF).collect()}
+    ev = load_table(spark, SF, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    vals = {}
+    for r in ev.collect():
+        vals.setdefault(r.day, []).append(r.v)
+    vals["ALL"] = [v for d in vals.values() for v in d]
+
+    for day, row in est.items():
+        xs = sorted(vals[day])
+        n = len(xs)
+        for q, name in [(0.5, "p50_milli"), (0.9, "p90_milli"), (0.99, "p99_milli")]:
+            v = getattr(row, name)
+            true_rank = sum(1 for x in xs if x <= v) / n
+            # 3% sketch bound + one-element rank discretization at small n
+            assert abs(true_rank - q) <= 0.03 + 1.5 / n, (day, name, v, true_rank)

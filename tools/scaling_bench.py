@@ -32,13 +32,32 @@ QUERIES = [
     "text_tfidf_top_terms",
     "sessionize_events",
     "j4_multiway_dim_rollup",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "decontam_ngram_overlap",
 ]
 
 
 def build(spark) -> None:
-    if os.path.exists(f"{OUT}/lineitem.parquet/_SUCCESS"):
-        return
+    done = os.path.exists(f"{OUT}/lineitem.parquet/_SUCCESS")
     reps = spark.range(REP).select(F.col("id").alias("rep"))
+
+    if done:
+        # older builds copied embeddings unreplicated — upgrade in place
+        n = spark.read.parquet(f"{OUT}/embeddings.parquet").count()
+        n_src = spark.read.parquet(f"{SRC}/embeddings.parquet").count()
+        if n < n_src * REP:
+            df = spark.read.parquet(f"{SRC}/embeddings.parquet")
+            big = (
+                df.crossJoin(reps)
+                .withColumn("vec_id", F.col("vec_id") + F.col("rep") * SHIFT)
+                .drop("rep")
+            )
+            big.repartition(8).write.mode("overwrite").parquet("/tmp/sf1_emb_tmp")
+            import shutil
+            shutil.rmtree(f"{OUT}/embeddings.parquet")
+            shutil.move("/tmp/sf1_emb_tmp", f"{OUT}/embeddings.parquet")
+        return
 
     def replicate(table: str, key: str, parts: int) -> None:
         df = spark.read.parquet(f"{SRC}/{table}.parquet")
@@ -52,7 +71,8 @@ def build(spark) -> None:
     replicate("lineitem", "l_orderkey", 32)
     replicate("documents", "doc_id", 16)
     replicate("events", "event_id", 16)
-    for t in ["part", "orders", "customer", "nation", "region", "supplier", "embeddings"]:
+    replicate("embeddings", "vec_id", 8)
+    for t in ["part", "orders", "customer", "nation", "region", "supplier"]:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{OUT}/{t}.parquet"
         )
