@@ -57,8 +57,10 @@ def all_specs() -> dict[str, QuerySpec]:
         sketches,
         text,
     )
+    from ..streaming import dedup_join as streaming_dedup_join  # noqa: F401
     from ..streaming import hourly_stream  # noqa: F401
     from ..streaming import sessions as streaming_sessions  # noqa: F401
+    from ..streaming import sliding as streaming_sliding  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -77,3 +77,113 @@ def interval_join_streams(
         ),
     ).select("imp_user", "imp_id", "clk_id", "imp_ts", "clk_ts")
     return _run_to_memory(joined)
+
+
+# ---------------------------------------------------------------------------
+# Registry entries — stage driver testdata as streaming drop-folders
+# ---------------------------------------------------------------------------
+
+from ..plans.registry import register  # noqa: E402
+
+_EVENTS_PHYSICAL = (
+    "event_id long, ts long, user_id long, event_type string, value double,"
+    " props string"
+)
+
+
+def _stage(sf_dir: str, name: str, n_copies: int = 1) -> str:
+    """Copy {sf_dir}/events.parquet into a stream dir (n_copies simulates
+    at-least-once redelivery). Copy-then-rename keeps partial files out of
+    the globbed folder."""
+    import os
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = f"/tmp/spark_engine_stream/{tag}/{name}"
+    os.makedirs(stream_dir, exist_ok=True)
+    for i in range(n_copies):
+        staged = f"{stream_dir}/copy{i}.parquet"
+        if not os.path.exists(staged):
+            tmp = f"{stream_dir}.partial{i}"
+            shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", tmp)
+            os.replace(tmp, staged)
+    return stream_dir
+
+
+@register(
+    "streaming_dedup_watermark",
+    None,  # streaming — rows-only; batch-count parity pinned in pytest
+    doc="Exactly-once from at-least-once: the events feed staged TWICE "
+    "(simulated redelivery) through dropDuplicatesWithinWatermark on "
+    "event_id — output cardinality equals the batch-distinct count, and "
+    "state holds only ids inside the 1h watermark horizon (bounded, "
+    "unlike naive dropDuplicates whose state grows forever). "
+    "availableNow trigger.",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    d = _stage(sf_dir, "events_replayed", n_copies=2)
+    src = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_memory(deduped)
+
+
+@register(
+    "streaming_interval_join",
+    None,  # streaming — rows-only; batch-equivalence pinned in pytest
+    doc="Stream-stream interval join: purchase stream x error stream of "
+    "the same user with error_ts in [purchase_ts, purchase_ts + 30min]. "
+    "Watermarks on both sides let Spark expire join state older than the "
+    "interval bound — without them, stream-stream join state grows "
+    "unboundedly. The one-sided streaming twin of the batch "
+    "j7_range_join_binned.",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    d = _stage(sf_dir, "events_join")
+    base = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    imp = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("imp_user"),
+            F.col("event_id").alias("imp_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+        .withWatermark("imp_ts", "2 hours")
+    )
+    clk = (
+        base.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("clk_user"),
+            F.col("event_id").alias("clk_id"),
+            F.col("ts").alias("clk_ts"),
+        )
+        .withWatermark("clk_ts", "2 hours")
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            """imp_user = clk_user AND
+               clk_ts >= imp_ts AND
+               clk_ts <= imp_ts + interval 30 minutes"""
+        ),
+    ).select("imp_user", "imp_id", "clk_id")
+    return _run_to_memory(joined)

@@ -64,3 +64,41 @@ def run_sliding_stream(
     q.awaitTermination()
     out = spark.table(query_name)
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+from ..plans.registry import register  # noqa: E402
+from .dedup_join import _EVENTS_PHYSICAL, _run_to_memory, _stage  # noqa: E402
+
+
+@register(
+    "streaming_sliding_window",
+    None,  # streaming — rows-only; window arithmetic pinned in pytest
+    doc="Sliding event-time windows on a stream: 1-hour windows sliding "
+    "every 15 minutes (each event in 4 windows) with a 2h watermark, "
+    "APPEND mode — only windows the watermark has closed emit, so the "
+    "result is replay-stable; the final horizon stays in state. "
+    "availableNow trigger; batch-equivalence for the closed set pinned "
+    "by tests/test_streaming_sliding.py.",
+)
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    d = _stage(sf_dir, "events_sliding")
+    src = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg)

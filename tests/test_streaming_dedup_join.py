@@ -108,3 +108,46 @@ def test_streaming_incremental_merge_into_warehouse(spark, tmp_path):
         ("2024-01-01", 11): 1,
         ("2024-01-01", 12): 1,  # inserted
     }
+
+
+def test_registered_streaming_dedup_equals_batch_distinct(spark):
+    """The registry entry replays events twice; output must equal the
+    batch-distinct set of event_ids exactly."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.dedup_join import (
+        q_streaming_dedup,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = {r.event_id for r in q_streaming_dedup(spark, SF).collect()}
+    want = {r.event_id for r in load_table(spark, SF, "events").collect()}
+    assert got == want
+
+
+def test_registered_streaming_interval_join_equals_batch(spark):
+    """Stream-stream interval join must emit exactly the batch inequality
+    join's pairs (availableNow processes everything, watermarks only bound
+    state)."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.dedup_join import (
+        q_streaming_interval_join,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = {(r.imp_id, r.clk_id) for r in q_streaming_interval_join(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    e = ev.filter("event_type = 'error'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("eid"), F.col("ts").alias("ets")
+    )
+    want = {
+        (r.pid, r.eid)
+        for r in p.join(e, "u")
+        .filter("ets >= pts AND ets <= pts + interval 30 minutes")
+        .collect()
+    }
+    assert got == want
