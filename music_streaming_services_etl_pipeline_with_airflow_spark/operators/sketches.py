@@ -105,3 +105,62 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", *probe)
     )
     return per_day.unionByName(overall)
+
+
+@register(
+    "sketch_heavy_hitters_topk",
+    None,  # frequent-items sketch has no DuckDB twin; pinned by pytest
+    doc="Heavy hitters via approx_top_k (DataSketches frequent-items): "
+    "top-20 l_partkey of lineitem from one mergeable sketch pass — no "
+    "full groupBy materialization of the key universe. Guarantees: every "
+    "true heavy hitter above the sketch's error floor appears; counts "
+    "bounded by [exact - eps*N, exact]. Pinned against the exact top-k by "
+    "tests/test_extensions.py::test_topk_sketch_contains_exact_heavies. "
+    "The 100 TB pattern for 'most frequent' over high-cardinality keys: "
+    "sketch partials merge associatively, shuffle is a few KB.",
+)
+def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.agg(F.expr("approx_top_k(l_partkey, 20, 4096)").alias("tk"))
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("l_partkey"),
+        F.col("e.count").alias("est_cnt"),
+    )
+
+
+@register(
+    "sketch_theta_user_overlap",
+    None,  # theta sketches have no DuckDB twin; pinned by pytest
+    doc="Theta sketches with SET OPERATIONS: distinct-user sketches per "
+    "event_type, then |click ∩ purchase|, |click ∪ purchase| and "
+    "|click \\ purchase| estimated purely from the sketches — the "
+    "audience-overlap computation that exact countDistinct cannot answer "
+    "from per-segment aggregates (distincts don't intersect). Accuracy "
+    "vs the exact set ops pinned by tests/test_extensions.py::"
+    "test_theta_overlap_accuracy. At 100 TB: one sketch per segment, "
+    "KBs each; any boolean audience combination answered without "
+    "rescanning facts.",
+)
+def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sks = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    wide = sks.groupBy().pivot("event_type", ["click", "purchase"]).agg(
+        F.first("sk")
+    )
+    return wide.select(
+        F.expr("theta_sketch_estimate(click)").cast("long").alias("est_click"),
+        F.expr("theta_sketch_estimate(purchase)").cast("long").alias("est_purchase"),
+        F.expr("theta_sketch_estimate(theta_intersection(click, purchase))")
+        .cast("long")
+        .alias("est_both"),
+        F.expr("theta_sketch_estimate(theta_union(click, purchase))")
+        .cast("long")
+        .alias("est_either"),
+        F.expr("theta_sketch_estimate(theta_difference(click, purchase))")
+        .cast("long")
+        .alias("est_click_only"),
+    )

@@ -355,3 +355,50 @@ def test_kll_daily_rollup_accuracy(spark):
             true_rank = sum(1 for x in xs if x <= v) / n
             # 3% sketch bound + one-element rank discretization at small n
             assert abs(true_rank - q) <= 0.03 + 1.5 / n, (day, name, v, true_rank)
+
+
+def test_topk_sketch_contains_exact_heavies(spark):
+    """approx_top_k must contain every exact top-5 key, and estimated
+    counts must never exceed exact (frequent-items over-subtracts, never
+    over-counts) and sit within eps*N below."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.sketches import (
+        q_topk_sketch,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    est = {r.l_partkey: r.est_cnt for r in q_topk_sketch(spark, SF).collect()}
+    li = load_table(spark, SF, "lineitem")
+    exact = {
+        r.l_partkey: r.cnt
+        for r in li.groupBy("l_partkey").agg(F.count("*").alias("cnt")).collect()
+    }
+    n = sum(exact.values())
+    top5 = sorted(exact, key=lambda k: (-exact[k], k))[:5]
+    for k in top5:
+        assert k in est, f"exact heavy hitter {k} missing from sketch top-k"
+    for k, e in est.items():
+        assert e <= exact[k]
+        assert e >= exact[k] - max(1, n // 1000)
+
+
+def test_theta_overlap_accuracy(spark):
+    """Theta set-op estimates must track the exact audience overlap within
+    the sketch's relative-error bound (generous 5% + small-n slack)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.sketches import (
+        q_theta_overlap,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    row = q_theta_overlap(spark, SF).collect()[0]
+    ev = load_table(spark, SF, "events")
+    click = {r.user_id for r in ev.filter("event_type = 'click'").collect()}
+    buy = {r.user_id for r in ev.filter("event_type = 'purchase'").collect()}
+    checks = [
+        (row.est_click, len(click)),
+        (row.est_purchase, len(buy)),
+        (row.est_both, len(click & buy)),
+        (row.est_either, len(click | buy)),
+        (row.est_click_only, len(click - buy)),
+    ]
+    for est, exact in checks:
+        assert abs(est - exact) <= max(2, int(0.05 * exact)), (est, exact)
