@@ -119,3 +119,108 @@ WHERE c.component_id IS NULL OR c.component_id = e.doc_id
 )
 def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture sampling + vocabulary build
+# ---------------------------------------------------------------------------
+
+# per-source sampling weights (sums < 1 leave headroom; unlisted sources
+# fall back to DEFAULT_MIX) — the "data recipe" of a training run
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.6, "src2": 0.6, "src3": 0.2}
+DEFAULT_MIX = 0.4
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE {whens} ELSE {DEFAULT_MIX} END"
+
+
+@register(
+    "corpus_mixture_sample",
+    f"""WITH quota AS (
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(floor(COUNT(*) * ({_mix_case_sql()})) AS BIGINT) AS take
+         FROM documents GROUP BY source
+       ),
+       ranked AS (
+         SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id) AS rk
+         FROM documents
+       )
+       SELECT r.doc_id, r.source FROM ranked r
+       JOIN quota q ON r.source = q.source
+       WHERE r.rk <= q.take""",
+    doc="Weighted corpus mixture ('data recipe'): per-source sampling "
+    "quotas = floor(weight x source size), filled deterministically by "
+    "md5(doc_id) hash order — a seedless, engine-independent shuffle, so "
+    "the drawn subset is reproducible anywhere and refreshing the corpus "
+    "only shifts the hash frontier. One window shuffle on source + a "
+    "broadcast quota join; no RNG state at 100 TB.",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_expr = F.lit(DEFAULT_MIX)
+    for s, w in sorted(MIX_WEIGHTS.items()):
+        w_expr = F.when(F.col("source") == s, F.lit(w)).otherwise(w_expr)
+    quota = docs.groupBy("source").agg(
+        F.floor(F.count("*") * F.first(w_expr)).alias("take")
+    )
+    wnd = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(wnd).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("take"))
+        .select("doc_id", "source")
+    )
+
+
+VOCAB_MIN_COUNT = 3
+
+
+@register(
+    "build_vocab",
+    f"""WITH words AS (
+         SELECT unnest(string_split(text, ' ')) AS token FROM documents
+       ),
+       counts AS (
+         SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         FROM words GROUP BY token
+         HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+       )
+       SELECT token, freq,
+              CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+                AS token_id
+       FROM counts""",
+    doc=f"Vocabulary build (tokenizer prep): corpus-wide token frequencies "
+    f"with a min-count floor ({VOCAB_MIN_COUNT}), ids assigned by (freq "
+    "DESC, token) total order — the id table a BPE/WordPiece trainer "
+    "starts from. Explode + two-level hash agg (partial map-side combine "
+    "first, so the shuffle carries one row per distinct token per "
+    "partition, not per occurrence); the final rank is a single-partition "
+    "window over the SMALL distinct-token relation only.",
+)
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= VOCAB_MIN_COUNT)
+    )
+    wnd = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return counts.select(
+        "token", "freq", F.row_number().over(wnd).cast("long").alias("token_id")
+    )
