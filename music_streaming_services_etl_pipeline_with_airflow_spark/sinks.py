@@ -125,3 +125,28 @@ def jdbc_writer(df: DataFrame, url: str, table: str, batchsize: int = 5000, mode
         .option("isolationLevel", "READ_COMMITTED")
         .mode(mode)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 64,
+) -> None:
+    """Write `df` Z-ORDERED on (col_a, col_b): Morton-code total order,
+    range-partitioned into ~equal files, sorted within each — so every
+    file's parquet min/max stats cover a small rectangle of the key space
+    and range predicates on EITHER column skip most files/row-groups.
+    The parquet-native stand-in for Delta OPTIMIZE ZORDER BY; see
+    functions/zorder.py and the SCALING.md measurement."""
+    from .functions.zorder import with_zorder
+
+    z = with_zorder(df, col_a, col_b)
+    (
+        z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -195,3 +195,57 @@ def test_warehouse_read_prunes_partitions(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "date" in plan.split("PartitionFilters")[1][:200]
     assert q.count() == 1
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Parquet footer min/max stats must show: single-column sort prunes
+    only its own column; the Z-ORDER layout prunes BOTH join/filter
+    dimensions (each file covers a small rectangle of the key space)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark import sinks
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    n = 16
+    sorted_p = str(tmp_path / "sorted")
+    zorder_p = str(tmp_path / "zorder")
+    li.repartitionByRange(n, "l_partkey").sortWithinPartitions(
+        "l_partkey"
+    ).write.mode("overwrite").parquet(sorted_p)
+    sinks.write_zordered(li, zorder_p, "l_partkey", "l_suppkey", n_files=n)
+
+    def overlap(path, col, lo, hi):
+        hit, total = 0, 0
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for c in range(md.num_columns):
+                    cc = md.row_group(rg).column(c)
+                    if cc.path_in_schema == col and cc.statistics is not None:
+                        s = cc.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            total += 1
+            if fmin is None or (hi >= fmin and lo <= fmax):
+                hit += 1
+        return hit, total
+
+    pk_hi = li.agg({"l_partkey": "max"}).collect()[0][0]
+    sk_hi = li.agg({"l_suppkey": "max"}).collect()[0][0]
+    pk = (0, int(pk_hi * 0.05))
+    sk = (0, int(sk_hi * 0.05))
+
+    s_own, n_s = overlap(sorted_p, "l_partkey", *pk)
+    s_other, _ = overlap(sorted_p, "l_suppkey", *sk)
+    z_a, n_z = overlap(zorder_p, "l_partkey", *pk)
+    z_b, _ = overlap(zorder_p, "l_suppkey", *sk)
+
+    assert s_own <= n_s // 4          # sort: strong pruning on its column
+    assert s_other >= n_s - 1         # sort: no pruning on the other
+    assert z_a <= n_z // 2            # z-order: real pruning on BOTH
+    assert z_b <= n_z // 2
