@@ -1151,3 +1151,29 @@ def q_w7_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").cast("long").alias("n_events"),
         F.round(fold, 6).alias("ewma_milli"),
     )
+
+
+@register(
+    "j12_salted_skew_join",
+    """SELECT e.event_id, c.c_mktsegment
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+    doc="Skew-mitigated equi-join: the fact side is salted with a "
+    "deterministic hash in [0,8), the dim side exploded 8x, and the join "
+    "runs on (key, salt) — one hot key spreads over 8 reducers. A pure "
+    "PHYSICAL rewrite, so the oracle is the plain join itself (the "
+    "relational semantics are unchanged — that is the point). events' "
+    "user_id space is 15 keys over 10k rows: exactly the pathological "
+    "shape that stalls one reducer unsalted. AQE skew-split is the "
+    "runtime alternative; manual salting is the deterministic one (and "
+    "the only one inside streaming foreachBatch).",
+)
+def q_j12_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(ev, dim, "user_id", n_salts=8, salt_from="event_id").select(
+        "event_id", "c_mktsegment"
+    )
