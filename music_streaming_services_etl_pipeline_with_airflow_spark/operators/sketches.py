@@ -164,3 +164,31 @@ def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_click_only"),
     )
+
+
+@register(
+    "sketch_topk_monthly_rollup",
+    None,  # sketch-state rollup has no DuckDB twin; exactness pinned by pytest
+    doc="Incremental top-k: per-month approx_top_k_accumulate partial "
+    "states over orders' customers, then approx_top_k_combine merges the "
+    "stored states and approx_top_k_estimate answers the all-time top-10 "
+    "— WITHOUT rescanning the raw orders. Completes the mergeable-sketch "
+    "trio (HLL uniques, KLL quantiles, frequent-items top-k). Capacity "
+    "(4096) exceeds the customer cardinality here, so the states are "
+    "exact and the rollup provably equals the exact top-k (pinned by "
+    "tests/test_extensions.py::test_topk_monthly_rollup_exact); at true "
+    "100 TB cardinalities the same plan degrades gracefully to the "
+    "guaranteed-heavy-hitter subset.",
+)
+def q_topk_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.expr("approx_top_k_accumulate(o_custkey, 4096)").alias("st"))
+    combined = monthly.agg(
+        F.expr("approx_top_k_combine(st, 4096)").alias("cst")
+    ).select(F.explode(F.expr("approx_top_k_estimate(cst, 10)")).alias("e"))
+    return combined.select(
+        F.col("e.item").alias("o_custkey"),
+        F.col("e.count").alias("est_cnt"),
+    )

@@ -1177,3 +1177,36 @@ def q_j12_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(ev, dim, "user_id", n_salts=8, salt_from="event_id").select(
         "event_id", "c_mktsegment"
     )
+
+
+@register(
+    "w8_range_interval_frame",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_90d,
+              CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER w
+                   AS BIGINT) AS spend_cents_90d
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                    RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)""",
+    doc="Time-based RANGE window frame: per customer, rolling 90-DAY order "
+    "count and spend ending at each order — the frame is defined by the "
+    "ORDER BY *value* (an interval on o_orderdate), not a row count, so "
+    "irregular order spacing is handled correctly where w2's ROWS frame "
+    "is not. RANGE frames include ALL peers of the current timestamp, "
+    "which keeps the result total-order-free and deterministic even with "
+    "same-day orders. Integer cents keep the sum exact. One shuffle on "
+    "the partition key.",
+)
+def q_w8_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT o_custkey, o_orderkey, o_orderdate,
+                  CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_90d,
+                  SUM(CAST(floor(o_totalprice * 100) AS BIGINT) ) OVER w
+                    AS spend_cents_90d
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                        RANGE BETWEEN INTERVAL 90 DAY PRECEDING
+                              AND CURRENT ROW)"""
+    )

@@ -402,3 +402,27 @@ def test_theta_overlap_accuracy(spark):
     ]
     for est, exact in checks:
         assert abs(est - exact) <= max(2, int(0.05 * exact)), (est, exact)
+
+
+def test_topk_monthly_rollup_exact(spark):
+    """With sketch capacity above the key cardinality, the monthly
+    accumulate->combine->estimate rollup must equal the exact top-k:
+    every returned count exact, and every key strictly above the 10th
+    count present."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.sketches import (
+        q_topk_monthly_rollup,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    est = {r.o_custkey: r.est_cnt for r in q_topk_monthly_rollup(spark, SF).collect()}
+    orders = load_table(spark, SF, "orders")
+    exact = {
+        r.o_custkey: r.cnt
+        for r in orders.groupBy("o_custkey").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(est) == 10
+    for k, c in est.items():
+        assert exact[k] == c, (k, c, exact[k])
+    cutoff = sorted(est.values())[0]
+    must_have = {k for k, c in exact.items() if c > cutoff}
+    assert must_have <= set(est)
