@@ -150,3 +150,42 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_col: str | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet table into
+    ceil(bytes / target_file_mb) files (per partition if partition_col).
+    Streaming micro-batches and per-task writers fragment tables into
+    thousands of KB-sized files; at 100 TB the fix is a periodic rewrite
+    sized by DATA VOLUME, not task count. Returns the file count written.
+    Atomic via staging-dir rename (no readers see a half-compacted table)."""
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "._compacting"
+    writer = df.repartition(n_files) if partition_col is None else df.repartition(
+        n_files, partition_col
+    )
+    w = writer.write.mode("overwrite")
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(staging)
+    backup = path.rstrip("/") + "._precompact"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_files

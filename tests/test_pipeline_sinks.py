@@ -249,3 +249,41 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert s_other >= n_s - 1         # sort: no pruning on the other
     assert z_a <= n_z // 2            # z-order: real pruning on BOTH
     assert z_b <= n_z // 2
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Compaction must be content-neutral (same rows) and actually shrink
+    the file count of a fragmented table."""
+    import glob
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark import sinks
+
+    p = str(tmp_path / "frag")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.repartition(40).write.parquet(p)  # simulate micro-batch fragmentation
+    before_files = len(glob.glob(f"{p}/*.parquet"))
+    before = li.count()
+    n = sinks.compact(spark, p, target_file_mb=128)
+    after_files = len(glob.glob(f"{p}/*.parquet"))
+    assert before_files == 40
+    assert after_files == n < 40
+    assert spark.read.parquet(p).count() == before
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Old files without a column + new files with it must read as one
+    table under mergeSchema, old rows null-filled — the append-only
+    schema-evolution contract for a long-lived warehouse path."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("seg"))
+    v1.write.parquet(p)
+    v2 = spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("seg"), F.lit(1.5).alias("score")
+    )
+    v2.write.mode("append").parquet(p)
+    got = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(got.columns) == {"id", "seg", "score"}
+    assert got.count() == 8
+    assert got.filter("score IS NULL").count() == 5
