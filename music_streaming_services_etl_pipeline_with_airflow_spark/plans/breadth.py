@@ -1210,3 +1210,60 @@ def q_w8_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                         RANGE BETWEEN INTERVAL 90 DAY PRECEDING
                               AND CURRENT ROW)"""
     )
+
+
+@register(
+    "p19_ansi_safe_arith",
+    """SELECT event_id,
+              CAST(floor(value * 100) AS BIGINT)
+                / NULLIF(CAST(hour(ts) - 12 AS BIGINT), 0) AS per_offset,
+              CASE WHEN hour(ts) = 12 THEN 1 ELSE 0 END AS div_zero_row
+       FROM events""",
+    doc="ANSI-safe arithmetic: Spark 4 runs ANSI mode by DEFAULT, so a "
+    "plain division by zero THROWS mid-job — try_divide yields NULL "
+    "instead, turning a job-killing poison row into a null cell. The "
+    "oracle states the equivalent guard (NULLIF denominator). The "
+    "engine-level rule: every arithmetic on untrusted data goes through "
+    "try_* (try_divide/try_add/try_cast) or an explicit guard.",
+)
+def q_p19_ansi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_divide(
+            F.floor(F.col("value") * 100).cast("long"),
+            (F.hour("ts") - 12).cast("long"),
+        ).alias("per_offset"),
+        F.when(F.hour("ts") == 12, 1).otherwise(0).alias("div_zero_row"),
+    )
+
+
+@register(
+    "j13_nullsafe_join",
+    """WITH a AS (
+         SELECT doc_id, CASE WHEN lang = 'en' THEN NULL ELSE lang END AS k
+         FROM documents WHERE doc_id % 2 = 0
+       ),
+       b AS (
+         SELECT doc_id, CASE WHEN lang = 'en' THEN NULL ELSE lang END AS k
+         FROM documents WHERE doc_id % 2 = 1
+       )
+       SELECT a.doc_id AS da, b.doc_id AS db
+       FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""",
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of vanishing — the semantics needed when "
+    "NULL is a real category ('language unknown'), not absence. Planned "
+    "as a hash join on the null-safe key (nulls hash to one bucket: a "
+    "skew hazard at scale — salt or split the null partition when the "
+    "unknown class dominates).",
+)
+def q_j13_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.when(F.col("lang") == "en", F.lit(None)).otherwise(F.col("lang"))
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("da"), k.alias("ka")
+    )
+    b = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("db"), k.alias("kb")
+    )
+    return a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).select("da", "db")
