@@ -73,3 +73,56 @@ def test_whole_stage_codegen_covers_agg(spark):
 
     plan = _explain(q_a1(spark, SF), mode="codegen")
     assert "WholeStageCodegen" in plan  # JVM-side, no Python in the hot path
+
+
+def test_gopher_repetition_is_shuffle_free(spark):
+    """The repetition signals are pure map-side array expressions — the
+    physical plan must contain NO Exchange at all."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_gopher_repetition,
+    )
+
+    plan = _explain(q_gopher_repetition(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_entity_mask_is_shuffle_free(spark):
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_entity_mask,
+    )
+
+    plan = _explain(q_entity_mask(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_decontam_probe_is_broadcast(spark):
+    """The eval-shingle probe side must broadcast — the training shards
+    never shuffle for the overlap check."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_decontam,
+    )
+
+    plan = _explain(q_decontam(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_binned_is_hash_join(spark):
+    """Binning must rescue the interval join from BroadcastNestedLoop."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.breadth import (
+        q_j7_range_binned,
+    )
+
+    plan = _explain(q_j7_range_binned(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "HashJoin" in plan
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 windows and the version rollup must reuse ONE custkey
+    exchange."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.warehouse import (
+        q_scd2_history,
+    )
+
+    plan = _explain(q_scd2_history(spark, SF))
+    assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
