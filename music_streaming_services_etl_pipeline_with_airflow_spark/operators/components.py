@@ -92,3 +92,91 @@ FROM reach GROUP BY node
 def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_minhash(spark, sf_dir)
     return connected_components(pairs)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over a directed edge list — the canonical iterative
+    fixpoint in pure DataFrame ops: per round, every node's rank is
+    redistributed along its out-edges, damped, and summed at the sink.
+
+    Scale mechanics: the (src, dst) edge relation and the out-degree
+    relation stay partitioned on src across every round, so each
+    iteration is ONE shuffle (the sink-side sum); ``localCheckpoint``
+    every few rounds cuts the growing lineage that would otherwise make
+    round N replan rounds 1..N-1 (same discipline as
+    connected_components above). Dangling nodes keep the base rank."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+@register(
+    "graph_pagerank_parts",
+    None,  # iterative float fixpoint — rows-only; invariants pinned by
+    # tests/test_extensions.py::test_pagerank_invariants
+    doc="PageRank (10 rounds, d=0.85) over the part co-occurrence graph "
+    "(parts sharing an order, both directions — the j10 basket relation "
+    "as edges): 'central' catalog parts by recursive importance, the "
+    "iterative-fixpoint operator family done Spark-right — one shuffle "
+    "per round on a co-partitioned edge relation, localCheckpoint every "
+    "3 rounds to cut lineage. Returns top-50 by rank with a total-order "
+    "tie-break.",
+)
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lines.alias("a")
+    b = lines.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    ranks = pagerank(pairs, iterations=10)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(50)
+    )

@@ -426,3 +426,36 @@ def test_topk_monthly_rollup_exact(spark):
     cutoff = sorted(est.values())[0]
     must_have = {k for k, c in exact.items() if c > cutoff}
     assert must_have <= set(est)
+
+
+def test_pagerank_invariants(spark):
+    """PageRank sanity: total rank mass ≈ node count (rank-conservation on
+    a graph where co-occurrence edges are symmetric, so no dangling sinks),
+    all ranks positive, higher-degree parts rank above the minimum."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.components import (
+        q_pagerank_parts,
+        pagerank,
+    )
+
+    top = q_pagerank_parts(spark, SF).collect()
+    assert len(top) == 50
+    assert all(r.rank > 0 for r in top)
+    assert top[0].rank >= top[-1].rank
+
+    # conservation on the full rank vector (symmetric edges -> no leakage
+    # beyond the damping redistribution, which preserves total mass)
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    lines = (
+        load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = lines.alias("a"), lines.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    ranks = pagerank(pairs, iterations=5)
+    n = ranks.count()
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - n) / n < 0.01
