@@ -1267,3 +1267,75 @@ def q_j13_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("db"), k.alias("kb")
     )
     return a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).select("da", "db")
+
+
+@register(
+    "w9_running_distinct",
+    """WITH g AS (
+         SELECT user_id, event_id, ts,
+                list_distinct(list(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)) AS seen
+         FROM events
+       )
+       SELECT user_id, event_id,
+              CAST(len(seen) AS BIGINT) AS n_types_seen
+       FROM g""",
+    doc="Running DISTINCT count per user (event types seen so far): "
+    "COUNT(DISTINCT) is not valid inside a window frame in either engine, "
+    "so the technique is collect-then-dedup — Spark "
+    "size(array_distinct(collect_list() OVER)), DuckDB "
+    "len(list_distinct(list() OVER)). State per row is the distinct set "
+    "(bounded by the small category domain, NOT row count — do not use "
+    "this for high-cardinality values; use HLL sketches then). Total "
+    "order (ts, event_id) makes every prefix deterministic.",
+)
+def q_w9_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("long")
+        .alias("n_types_seen"),
+    )
+
+
+@register(
+    "a14_filtered_agg",
+    """SELECT user_id,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                AS n_purchases,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                AS n_errors,
+              CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                   FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                AS purchase_cents
+       FROM events GROUP BY user_id""",
+    doc="Conditional aggregation via the ANSI FILTER clause — identical "
+    "SQL text runs on both engines (Spark SQL supports FILTER natively); "
+    "one scan, one shuffle, N conditional measures. The idiomatic "
+    "replacement for N self-joins or CASE-WHEN pyramids.",
+)
+def q_a14_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        """SELECT user_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                    AS n_purchases,
+                  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+                    AS n_errors,
+                  SUM(CAST(floor(value * 100) AS BIGINT))
+                    FILTER (WHERE event_type = 'purchase') AS purchase_cents
+           FROM events GROUP BY user_id"""
+    )
