@@ -1339,3 +1339,50 @@ def q_a14_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FILTER (WHERE event_type = 'purchase') AS purchase_cents
            FROM events GROUP BY user_id"""
     )
+
+
+@register(
+    "a15_zscore_outliers",
+    """WITH stats AS (
+         SELECT event_type,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+                CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                         * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS s2
+         FROM events GROUP BY event_type
+       )
+       SELECT e.event_id, e.event_type,
+              CAST(floor(e.value * 100) AS BIGINT) AS cents,
+              ROUND((CAST(floor(e.value * 100) AS BIGINT) - CAST(s.s1 AS DOUBLE) / s.n)
+                    / sqrt((s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n)
+                           / (s.n - 1)), 6) AS z
+       FROM events e JOIN stats s ON e.event_type = s.event_type
+       WHERE abs((CAST(floor(e.value * 100) AS BIGINT) - CAST(s.s1 AS DOUBLE) / s.n)
+                 / sqrt((s.s2 - CAST(s.s1 AS DOUBLE) * s.s1 / s.n)
+                        / (s.n - 1))) > 3""",
+    doc="Per-group z-score outlier flagging via INTEGER sufficient "
+    "statistics (n, Σx, Σx² in exact bigints — the Pearson-correlation "
+    "trick): the float math happens once per row in an identical op "
+    "sequence on both engines, so even the 6-decimal z values match. "
+    "Two-pass shape: tiny per-group stats (broadcast) re-join the facts "
+    "— at 100 TB the stats relation is KBs and the outlier scan is "
+    "map-side.",
+)
+def q_a15_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    base = ev.select("event_id", "event_type", cents.alias("cents"))
+    stats = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    j = base.join(F.broadcast(stats), "event_type")
+    z = (F.col("cents") - F.col("s1").cast("double") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        j.filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "cents", F.round(z, 6).alias("z"))
+    )
