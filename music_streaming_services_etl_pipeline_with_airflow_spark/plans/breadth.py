@@ -1386,3 +1386,39 @@ def q_a15_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(F.abs(z) > 3)
         .select("event_id", "event_type", "cents", F.round(z, 6).alias("z"))
     )
+
+
+HIST_BIN_CENTS = 2000  # 20.00-wide value buckets
+
+
+@register(
+    "a16_value_histogram",
+    f"""SELECT event_type,
+               CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                          / {HIST_BIN_CENTS}) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS min_cents,
+               CAST(MAX(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS max_cents
+        FROM events GROUP BY event_type,
+             CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                        / {HIST_BIN_CENTS}) AS BIGINT)""",
+    doc="Equi-width histogram per event_type: floor-division bucketing on "
+    "integer cents — engine-neutral binning (no width_bucket dialect "
+    "differences), one scan + one shuffle on (type, bucket), map-side "
+    "partial counts. The distribution-profiling primitive behind data "
+    "validation and skew diagnosis; bucket spans carry min/max for "
+    "sub-bucket drill-down.",
+)
+def q_a16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    bucket = F.floor(cents / HIST_BIN_CENTS).cast("long")
+    return ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
