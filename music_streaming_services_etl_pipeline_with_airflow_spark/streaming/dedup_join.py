@@ -17,23 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_mem_counter = [0]
-
-
-def _run_to_memory(writer_df: DataFrame, output_mode: str = "append") -> DataFrame:
-    _mem_counter[0] += 1
-    name = f"sdj_mem_{_mem_counter[0]}"
-    spark = writer_df.sparkSession
-    q = (
-        writer_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
-    return spark.createDataFrame(out.collect(), out.schema)
+from .runner import run_stream_to_df, stage_events
 
 
 def dedup_stream(
@@ -45,7 +29,7 @@ def dedup_stream(
     deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    return _run_to_memory(deduped)
+    return run_stream_to_df(deduped)
 
 
 def interval_join_streams(
@@ -76,7 +60,7 @@ def interval_join_streams(
                 clk_ts <= imp_ts + interval {max_gap_minutes} minutes"""
         ),
     ).select("imp_user", "imp_id", "clk_id", "imp_ts", "clk_ts")
-    return _run_to_memory(joined)
+    return run_stream_to_df(joined)
 
 
 # ---------------------------------------------------------------------------
@@ -91,23 +75,7 @@ _EVENTS_PHYSICAL = (
 )
 
 
-def _stage(sf_dir: str, name: str, n_copies: int = 1) -> str:
-    """Copy {sf_dir}/events.parquet into a stream dir (n_copies simulates
-    at-least-once redelivery). Copy-then-rename keeps partial files out of
-    the globbed folder."""
-    import os
-    import shutil
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    stream_dir = f"/tmp/spark_engine_stream/{tag}/{name}"
-    os.makedirs(stream_dir, exist_ok=True)
-    for i in range(n_copies):
-        staged = f"{stream_dir}/copy{i}.parquet"
-        if not os.path.exists(staged):
-            tmp = f"{stream_dir}.partial{i}"
-            shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", tmp)
-            os.replace(tmp, staged)
-    return stream_dir
+_stage = stage_events
 
 
 @register(
@@ -136,7 +104,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    return _run_to_memory(deduped)
+    return run_stream_to_df(deduped)
 
 
 @register(
@@ -186,4 +154,4 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                clk_ts <= imp_ts + interval 30 minutes"""
         ),
     ).select("imp_user", "imp_id", "clk_id")
-    return _run_to_memory(joined)
+    return run_stream_to_df(joined)

@@ -38,9 +38,6 @@ _EVENTS_PHYSICAL = StructType(
     ]
 )
 
-_run_counter = [0]
-
-
 def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the windowed streaming aggregation over the events file source to
     completion (availableNow) and return the result as a DataFrame."""
@@ -50,19 +47,9 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     # the file source requires a *directory* (the production drop-folder);
     # stage the events file into one (testdata itself is read-only)
-    import os
-    import shutil
+    from .runner import run_stream_to_df, stage_events
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    stream_dir = f"/tmp/spark_engine_stream/{tag}/events"
-    staged = f"{stream_dir}/events.parquet"
-    if not os.path.exists(staged):
-        os.makedirs(stream_dir, exist_ok=True)
-        # copy-then-rename: an interrupted copy must not leave a partial
-        # file that later runs mistake for the staged input
-        tmp_outside = stream_dir + ".partial"  # outside the globbed dir
-        shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", tmp_outside)
-        os.replace(tmp_outside, staged)
+    stream_dir = stage_events(sf_dir, "events")
     src = (
         spark.readStream.schema(_EVENTS_PHYSICAL)
         .format("parquet")
@@ -77,24 +64,15 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id").alias("approx_users"),
         )
     )
-    _run_counter[0] += 1
-    name = f"hourly_stream_{_run_counter[0]}"
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name).select(
+    # complete-mode aggregation: the memory sink is the only complete-capable
+    # sink; each run gets a unique table name inside run_stream_to_df, so the
+    # lazy projection below stays valid with no driver round-trip here
+    return run_stream_to_df(windowed, output_mode="complete").select(
         F.to_date("w.start").alias("date"),
         F.hour("w.start").cast("long").alias("hour"),
         "n_events",
         "approx_users",
     )
-    # materialize before the memory sink table is replaced by a later run
-    return spark.createDataFrame(out.collect(), out.schema)
 
 
 from ..plans.registry import register  # noqa: E402

@@ -1,0 +1,90 @@
+"""Shared streaming→batch adapter and drop-folder staging.
+
+``run_stream_to_df`` runs an ``availableNow`` streaming query to completion
+and hands back a *distributed* batch DataFrame — never a driver-side
+``collect()``:
+
+- ``append`` mode → parquet file sink + checkpoint under a fresh temp dir,
+  read back lazily with the declared schema. The result lives in executor
+  storage exactly like any other table; at 100 TB this is the real shape
+  (sink to object storage, downstream reads the committed files).
+- ``complete`` mode → memory sink (the only sink supporting complete for
+  arbitrary aggregations), returned as the *lazy* ``spark.table`` over the
+  sink — each run gets a unique query name so the table is never clobbered,
+  and no extra driver round-trip happens beyond what the sink itself holds.
+
+``stage_events`` copies a testdata parquet file into a streaming drop-folder.
+Staleness-safe: the staged copy preserves the source mtime (``copy2``) and is
+re-copied whenever the source mtime diverges, so regenerated testdata can
+never be shadowed by a stale staged file.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_counter = [0]
+
+
+def run_stream_to_df(df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) and return the
+    emitted rows as a batch DataFrame with zero driver materialization on
+    the append path."""
+    spark = df.sparkSession
+    _counter[0] += 1
+    if output_mode == "complete":
+        name = f"stream_mem_{os.getpid()}_{_counter[0]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name)
+
+    out_dir = tempfile.mkdtemp(prefix="spark_engine_stream_out_")
+    data_dir = os.path.join(out_dir, "data")
+    ckpt_dir = os.path.join(out_dir, "ckpt")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # explicit schema: an empty result leaves only the sink metadata log
+    return spark.read.schema(df.schema).parquet(data_dir)
+
+
+def stage_events(sf_dir: str, name: str, n_copies: int = 1) -> str:
+    """Copy ``{sf_dir}/events.parquet`` into a stream drop-folder
+    (``n_copies`` > 1 simulates at-least-once redelivery). Copy-then-rename
+    keeps partial files out of the globbed folder; mtime comparison keeps
+    staged copies fresh if the source is regenerated in place."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stream_dir = f"/tmp/spark_engine_stream/{tag}/{name}"
+    os.makedirs(stream_dir, exist_ok=True)
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    src_mtime = os.stat(src).st_mtime_ns
+    # the file source globs the whole folder: anything other than the
+    # expected copies (stale layouts, older n_copies) must go
+    expected = {f"copy{i}.parquet" for i in range(n_copies)}
+    for leftover in os.listdir(stream_dir):
+        if leftover not in expected:
+            os.remove(os.path.join(stream_dir, leftover))
+    for i in range(n_copies):
+        staged = f"{stream_dir}/copy{i}.parquet"
+        if os.path.exists(staged) and os.stat(staged).st_mtime_ns == src_mtime:
+            continue
+        tmp = f"{stream_dir}.partial{i}"  # outside the globbed dir
+        shutil.copy2(src, tmp)
+        os.replace(tmp, staged)
+    return stream_dir

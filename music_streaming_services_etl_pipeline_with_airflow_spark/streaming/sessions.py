@@ -17,8 +17,6 @@ billions of keys.
 
 from __future__ import annotations
 
-import os
-import shutil
 from collections.abc import Iterable
 from typing import Any
 
@@ -29,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .hourly_stream import _EVENTS_PHYSICAL
+from .runner import run_stream_to_df, stage_events
 from ..operators.sessions import GAP_MINUTES
 
 _GAP_US = GAP_MINUTES * 60 * 1_000_000
@@ -76,9 +75,6 @@ def _sessionize_group(
         )
 
 
-_run_counter = [0]
-
-
 def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful streaming sessionizer to completion over the events
     drop-folder; returns the *closed* sessions (the trailing open session
@@ -87,14 +83,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    stream_dir = f"/tmp/spark_engine_stream/{tag}/events"
-    staged = f"{stream_dir}/events.parquet"
-    if not os.path.exists(staged):
-        os.makedirs(stream_dir, exist_ok=True)
-        tmp_outside = stream_dir + ".partial"  # outside the globbed dir
-        shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", tmp_outside)
-        os.replace(tmp_outside, staged)
+    stream_dir = stage_events(sf_dir, "events")
 
     src = (
         spark.readStream.schema(_EVENTS_PHYSICAL)
@@ -110,18 +99,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    _run_counter[0] += 1
-    name = f"sessions_stream_{_run_counter[0]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
-    return spark.createDataFrame(out.collect(), out.schema)
+    return run_stream_to_df(sessions)
 
 
 from ..plans.registry import register  # noqa: E402

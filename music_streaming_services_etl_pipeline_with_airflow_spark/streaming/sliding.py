@@ -54,20 +54,12 @@ def run_sliding_stream(
             "n_events",
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(query_name)
-    return spark.createDataFrame(out.collect(), out.schema)
+    return run_stream_to_df(agg)
 
 
 from ..plans.registry import register  # noqa: E402
-from .dedup_join import _EVENTS_PHYSICAL, _run_to_memory, _stage  # noqa: E402
+from .dedup_join import _EVENTS_PHYSICAL  # noqa: E402
+from .runner import run_stream_to_df, stage_events  # noqa: E402
 
 
 @register(
@@ -85,7 +77,7 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    d = _stage(sf_dir, "events_sliding")
+    d = stage_events(sf_dir, "events_sliding")
     src = (
         spark.readStream.schema(_EVENTS_PHYSICAL)
         .parquet(d)
@@ -101,4 +93,4 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg)
+    return run_stream_to_df(agg)
