@@ -1282,29 +1282,37 @@ def q_j13_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(len(seen) AS BIGINT) AS n_types_seen
        FROM g""",
     doc="Running DISTINCT count per user (event types seen so far): "
-    "COUNT(DISTINCT) is not valid inside a window frame in either engine, "
-    "so the technique is collect-then-dedup — Spark "
-    "size(array_distinct(collect_list() OVER)), DuckDB "
-    "len(list_distinct(list() OVER)). State per row is the distinct set "
-    "(bounded by the small category domain, NOT row count — do not use "
-    "this for high-cardinality values; use HLL sketches then). Total "
-    "order (ts, event_id) makes every prefix deterministic.",
+    "COUNT(DISTINCT) is not valid inside a window frame in either engine. "
+    "The oracle uses collect-then-dedup (DuckDB len(list_distinct(list() "
+    "OVER))); the Spark plan deliberately does NOT — materializing the "
+    "prefix per row is O(events-so-far) window state and out-of-memories "
+    "on hot keys at scale. Instead: first-seen flag per (user_id, "
+    "event_type) via row_number()==1, then a running SUM of int flags — "
+    "O(1) state per row, any cardinality. Total order (ts, event_id) "
+    "makes every prefix deterministic.",
 )
 def q_w9_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    w = (
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return ev.select(
+    flagged = ev.select(
         "user_id",
         "event_id",
-        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
-        .cast("long")
-        .alias("n_types_seen"),
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).cast("long").alias("n_types_seen"),
     )
 
 
