@@ -187,9 +187,12 @@ FROM hourly h LEFT JOIN top t ON h.date = t.date AND h.hour = t.hour
 @register(
     "genre_kpis_daily",
     GENRE_KPIS_SQL,
-    doc="Full genre-KPI pipeline analog: J1 broadcast join + A1 multi-agg + "
-    "A2 window argmax + J2 composite join (reference "
-    "dags/music_streaming_services_dag.py:159-190).",
+    doc="Full genre-KPI pipeline analog: P4 lenient parse + J1 broadcast "
+    "join + A1 multi-agg + A2 argmax (reference "
+    "dags/music_streaming_services_dag.py:159-190). Since round 2 the argmax "
+    "executes inside the hash aggregate (min_by) — single shuffle; the "
+    "reference's literal two-pass agg+window+join shape lives on as "
+    "kpis.genre_kpis_window_form, pinned row-identical in tests.",
 )
 def q_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kpis.genre_kpis(enriched_genre(spark, sf_dir))

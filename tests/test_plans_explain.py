@@ -51,19 +51,32 @@ def test_onepass_genre_kpis_single_shuffle(spark):
     # exactly one shuffle (the groupBy) — broadcast exchange excluded
     assert one.count("Exchange hashpartitioning") == 1
     assert "Window" not in one
-    multi = _explain(q_genre_kpis(spark, SF), mode="simple")
-    assert multi.count("Exchange hashpartitioning") > 1  # what we optimized away
+    # since round 2 the flagship genre_kpis query runs the same folded
+    # single-aggregate plan (the two-pass shape was 2x slower even cached)
+    flagship = _explain(q_genre_kpis(spark, SF), mode="simple")
+    assert flagship.count("Exchange hashpartitioning") == 1
+    assert "Window" not in flagship
 
 
 def test_onepass_equals_window_form(spark):
+    """The reference-shaped two-pass formulation (agg + window argmax + join)
+    is retained as an independent implementation and must stay row-identical
+    to the folded min_by plan."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.kpis import (
+        genre_kpis_window_form,
+    )
     from music_streaming_services_etl_pipeline_with_airflow_spark.plans.analogs import (
-        q_genre_kpis_onepass,
+        enriched_genre,
         q_genre_kpis,
     )
 
-    a = sorted(map(tuple, q_genre_kpis_onepass(spark, SF).collect()))
-    b = sorted(map(tuple, q_genre_kpis(spark, SF).collect()))
+    a = sorted(map(tuple, q_genre_kpis(spark, SF).collect()))
+    b = sorted(map(tuple, genre_kpis_window_form(enriched_genre(spark, SF)).collect()))
     assert a == b
+    # and the window form keeps the reference's literal plan shape
+    multi = _explain(genre_kpis_window_form(enriched_genre(spark, SF)), mode="simple")
+    assert multi.count("Exchange hashpartitioning") > 1
+    assert "Window" in multi
 
 
 def test_whole_stage_codegen_covers_agg(spark):
