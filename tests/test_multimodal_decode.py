@@ -1,0 +1,90 @@
+"""Real-format multimodal decode: handcrafted BMP / P6 / P5 payloads go
+through the same Arrow-batched mapInPandas kernel as the registry query and
+come back with their actual dimensions; non-image payloads take the
+deterministic stub."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    _decode_stub,
+    _parse_bmp,
+    _parse_pnm,
+    decode_image_batch,
+)
+
+
+def make_bmp(width: int, height: int, bpp: int = 24) -> bytes:
+    """Minimal valid uncompressed BMP (BITMAPINFOHEADER, bottom-up)."""
+    row_bytes = (width * (bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+    raster = row_bytes * height
+    offset = 14 + 40
+    file_size = offset + raster
+    header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0, raster, 2835, 2835, 0, 0)
+    return header + dib + bytes(raster)
+
+
+def make_pnm(magic: bytes, width: int, height: int, maxval: int = 255) -> bytes:
+    channels = 3 if magic == b"P6" else 1
+    bytes_per = 1 if maxval < 256 else 2
+    raster = width * height * channels * bytes_per
+    return magic + f"\n# comment\n{width} {height}\n{maxval}\n".encode() + bytes(raster)
+
+
+def test_bmp_header_parses_exact_dimensions():
+    assert _parse_bmp(make_bmp(7, 5)) == (7, 5, 3, "bmp")
+    assert _parse_bmp(make_bmp(640, 480, bpp=32)) == (640, 480, 4, "bmp")
+    # top-down BMP stores negative height
+    payload = bytearray(make_bmp(4, 6))
+    struct.pack_into("<i", payload, 22, -6)
+    assert _parse_bmp(bytes(payload)) == (4, 6, 3, "bmp")
+
+
+def test_pnm_header_parses_exact_dimensions():
+    assert _parse_pnm(make_pnm(b"P6", 3, 2)) == (3, 2, 3, "ppm")
+    assert _parse_pnm(make_pnm(b"P5", 9, 4)) == (9, 4, 1, "pgm")
+    assert _parse_pnm(make_pnm(b"P6", 2, 2, maxval=65535)) == (2, 2, 3, "ppm")
+
+
+@pytest.mark.parametrize(
+    "corrupt",
+    [
+        lambda b: b[:-1],  # truncated raster → size mismatch
+        lambda b: b"BM" + b[2:20],  # too short for a header
+        lambda b: b"BMW are great cars, truly the best ever made",  # text
+    ],
+)
+def test_invalid_bmp_rejected(corrupt):
+    assert _parse_bmp(corrupt(make_bmp(7, 5))) is None
+
+
+def test_pnm_strictness():
+    good = make_pnm(b"P6", 3, 2)
+    assert _parse_pnm(good + b"\x00") is None  # trailing garbage
+    assert _parse_pnm(b"P6 is my favourite chess opening, truly") is None
+    assert _parse_pnm(b"P4\n3 2\n255\n" + bytes(18)) is None  # bitmap PBM
+
+
+def test_decode_through_spark_plumbing(spark):
+    rows = [
+        (1, make_bmp(7, 5)),
+        (2, make_pnm(b"P6", 3, 2)),
+        (3, make_pnm(b"P5", 9, 4)),
+        (4, b"just some text payload"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in df.mapInPandas(decode_image_batch, schema=DECODED_SCHEMA).collect()
+    }
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"], out[1]["format"]) == (7, 5, 3, "bmp")
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"], out[2]["format"]) == (3, 2, 3, "ppm")
+    assert (out[3]["width"], out[3]["height"], out[3]["channels"], out[3]["format"]) == (9, 4, 1, "pgm")
+    stub = _decode_stub(rows[3][1])
+    assert (out[4]["width"], out[4]["height"], out[4]["channels"], out[4]["format"]) == stub
+    assert out[1]["n_bytes"] == len(rows[0][1])
