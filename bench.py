@@ -41,6 +41,14 @@ HEADLINE = [
     "text_quality_scores",
     "text_tfidf_top_terms",
     "similarity_topk_bruteforce",
+    # LLM-pipeline flagships (round 2) — regressions on the extension
+    # surface must show up round-over-round
+    "curate_training_corpus",
+    "merge_upsert_relational",
+    "scd2_priority_history",
+    "dedup_simhash_banded",
+    "dedup_embedding_lsh",
+    "graph_pagerank_parts",
 ]
 
 

@@ -97,11 +97,17 @@ def merge_upsert(
     proportional to touched partitions, not table size (the parquet-native
     stand-in for Delta/Iceberg MERGE INTO; swapping in a table format later
     changes only this function).
-    """
-    import os
 
+    The merged result is materialized (eager ``localCheckpoint``) BEFORE the
+    overwrite starts, so the write job never reads the files it is replacing.
+    The commit itself is the parquet committer's staging protocol —
+    atomic per partition directory but not across partitions; a crash
+    mid-commit can leave a subset of touched partitions replaced. True
+    multi-partition transactionality needs a table format (Delta/Iceberg)
+    — documented contract, not silently assumed.
+    """
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    if not os.path.exists(target_path):
+    if not _path_exists(spark, target_path):
         write_warehouse(updates, target_path, (partition_col,))
         return
     current = spark.read.parquet(target_path).filter(
@@ -109,8 +115,20 @@ def merge_upsert(
     )
     key_cols = list(keys)
     survivors = current.join(updates.select(*key_cols), key_cols, "left_anti")
-    merged = survivors.unionByName(updates)
+    # eager materialization: compute the merge while the target is still
+    # intact; the overwrite then writes from checkpointed blocks, not from
+    # a lazy plan over the very files being replaced
+    merged = survivors.unionByName(updates).localCheckpoint(eager=True)
     write_warehouse(merged, target_path, (partition_col,), mode="overwrite_partitions")
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — works for any
+    scheme Spark can read (file://, s3a://, hdfs://), unlike os.path."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
 
 
 def jdbc_writer(df: DataFrame, url: str, table: str, batchsize: int = 5000, mode: str = "append"):
@@ -163,7 +181,15 @@ def compact(
     Streaming micro-batches and per-task writers fragment tables into
     thousands of KB-sized files; at 100 TB the fix is a periodic rewrite
     sized by DATA VOLUME, not task count. Returns the file count written.
-    Atomic via staging-dir rename (no readers see a half-compacted table)."""
+
+    Swap protocol (LOCAL-FS ONLY — os.rename/shutil.rmtree do not speak
+    s3a/hdfs): the compacted copy is staged beside the table, then swapped
+    in with TWO renames (path→``._precompact`` backup, staging→path).
+    Readers never see a half-compacted table, but CAN hit a missing path in
+    the instant between the renames, and a crash in that window leaves the
+    table at ``<path>._precompact`` — recovery is renaming the backup dir
+    back. On a real cluster this job belongs behind a metastore location
+    swap or a table format's OPTIMIZE, which make the swap one metadata op."""
     import math
     import os
     import shutil
