@@ -11,9 +11,10 @@ Scale notes:
   partition (dynamic partition overwrite), and date-filtered reads prune.
 - CSV single-file parity (the reference's to_csv) is available via
   ``single_file=True`` (coalesce(1)) but the default is parallel part files.
-- JDBC writes go through options only — connectivity is environment-bound
-  (Redshift/MySQL/Postgres are not reachable here), so the builder is unit-
-  tested and the execution path is behind ``save()`` at the call site.
+- JDBC writes execute for real against embedded Derby (bundled with Spark)
+  in tests/test_jdbc_roundtrip.py — batched insert, overwrite and append
+  modes, read back via a partitioned scan. Networked engines
+  (Redshift/MySQL/Postgres) swap in via url/driver options only.
 """
 
 from __future__ import annotations

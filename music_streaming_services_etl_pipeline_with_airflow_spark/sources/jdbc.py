@@ -7,9 +7,10 @@ partitions the scan: ``partitionColumn/lowerBound/upperBound/numPartitions``
 splits the table into parallel range queries, and Catalyst pushes projected
 columns and filters into the generated SQL.
 
-No database is reachable in this container, so execution is exercised only
-through the options builder (unit-tested); the call site just adds
-``.load()``.
+Execution is exercised end-to-end against embedded Derby (bundled with
+Spark's jars) in tests/test_jdbc_roundtrip.py — write, then a 4-way
+partitioned parallel scan back. Networked engines (Postgres/MySQL/Redshift)
+swap in via url/driver options; none is reachable in this container.
 """
 
 from __future__ import annotations
