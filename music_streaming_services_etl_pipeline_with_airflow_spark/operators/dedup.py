@@ -124,19 +124,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """(doc_id, h0..h{k-1}) — k seeded-md5 lexicographic-min signatures."""
+    """(doc_id, h0..h{k-1}, n_sh) — k seeded-md5 lexicographic-min signatures
+    plus the shingle count (the size-blocking key for the band join)."""
     aggs = [
         F.min(H.seeded_md5(j, F.col("s"))).alias(f"h{j}") for j in range(N_HASHES)
-    ]
+    ] + [F.count("*").alias("n_sh")]
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Docs sharing ≥1 band bucket. Band value = concat of r minhashes,
-    md5-compressed so the shuffle key is fixed-width."""
+    md5-compressed so the shuffle key is fixed-width.
+
+    Size blocking (LOSSLESS at this threshold): Jaccard ≥ 0.5 forces
+    min(|A|,|B|)/max(|A|,|B|) ≥ 0.5 (intersection ≤ min, union ≥ max), so a
+    qualifying pair's ``floor(log2(n_sh))`` buckets differ by at most 1.
+    The probe side therefore emits each band row under its own bucket and
+    the next one, the build side under its own — every survivable pair still
+    collides, but band buckets fragment by document size, pruning
+    cross-size false candidates before the pair-dedup shuffle.
+    """
     r = N_HASHES // N_BANDS
+    g = F.floor(F.log2("n_sh")).cast("int")
     bands = sigs.select(
         "doc_id",
+        g.alias("g"),
         F.explode(
             F.array(
                 *[
@@ -150,11 +162,16 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
-    a = bands.select(F.col("doc_id").alias("da"), "band", "bval")
-    b = bands.select(F.col("doc_id").alias("db"), "band", "bval")
+    ).select("doc_id", "g", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+    a = bands.select(
+        F.col("doc_id").alias("da"),
+        "band",
+        "bval",
+        F.explode(F.array(F.col("g"), F.col("g") + 1)).alias("gk"),
+    )
+    b = bands.select(F.col("doc_id").alias("db"), "band", "bval", F.col("g").alias("gk"))
     return (
-        a.join(b, ["band", "bval"])
+        a.join(b, ["band", "bval", "gk"])
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
         .distinct()
@@ -209,22 +226,63 @@ def _minhash_sql() -> str:
     "dedup_minhash_lsh",
     _minhash_sql(),
     doc=f"MinHash({N_HASHES} seeded-md5 lex-min hashes) + LSH banding "
-    f"({N_BANDS} bands × {N_HASHES // N_BANDS}) → candidate buckets → exact-"
-    f"Jaccard verify ≥ {JACCARD_THRESHOLD}. The distributed near-dup path: "
-    "only band-bucket collisions are verified.",
+    f"({N_BANDS} bands × {N_HASHES // N_BANDS}) → size-blocked candidate "
+    f"buckets → exact-Jaccard verify ≥ {JACCARD_THRESHOLD}. Exact duplicates "
+    "are collapsed to one representative per distinct text BEFORE the "
+    "near-dup machinery (the standard production composition), so shingling, "
+    "banding and verification cost scale with distinct content, not corpus "
+    "size; member pairs are expanded back afterwards, provably identical "
+    "output (identical texts have identical shingle sets).",
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
-    # the shingle relation feeds the signature, candidate and verify branches
-    # — persist it once (spills to disk above memory) instead of re-scanning
-    # and re-shingling the corpus per branch: 2x at sf0.1, and at 100 TB the
-    # difference between one corpus pass and six.
-    sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # Stage 1 — exact-dup collapse: one representative doc per distinct text.
+    # A replicated corpus (the common 100 TB reality) pays near-dup cost on
+    # distinct texts only; 32-byte hashes shuffle, never bodies.
+    hashed = docs.select("doc_id", F.md5("text").alias("th"))
+    groups = hashed.groupBy("th").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n_members")
+    )
+    members = hashed.join(groups, "th").persist(StorageLevel.MEMORY_AND_DISK)
+    rep_docs = docs.join(
+        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    )
+    # Stage 2 — MinHash-LSH over representatives. The shingle relation feeds
+    # the signature, candidate and verify branches — persist it once instead
+    # of re-scanning and re-shingling per branch.
+    sh = doc_shingles(rep_docs).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(minhash_signatures(sh))
-    jac = _pair_jaccard(sh, cand)
-    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    rep_pairs = _pair_jaccard(sh, cand).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    # Stage 3 — expand back to member pairs (output-proportional joins).
+    # Cross-group: every member pair of two near-dup groups shares the
+    # representatives' jaccard (identical texts ⇒ identical shingle sets).
+    ma = members.select(F.col("rep").alias("da"), F.col("doc_id").alias("xa"))
+    mb = members.select(F.col("rep").alias("db"), F.col("doc_id").alias("xb"))
+    cross = (
+        rep_pairs.join(ma, "da")
+        .join(mb, "db")
+        .select(
+            F.least("xa", "xb").alias("da"),
+            F.greatest("xa", "xb").alias("db"),
+            "jaccard",
+        )
+    )
+    # Within-group: identical texts are jaccard-1.0 pairs — but only for docs
+    # that shingle at all (<N_SHINGLE-token docs have no signatures and are
+    # never emitted by the direct pipeline either).
+    shingled_reps = sh.select(F.col("doc_id").alias("rep")).distinct()
+    wm = members.join(shingled_reps, "rep").filter(F.col("n_members") >= 2)
+    within = (
+        wm.select("th", F.col("doc_id").alias("da"))
+        .join(wm.select("th", F.col("doc_id").alias("db")), "th")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------
