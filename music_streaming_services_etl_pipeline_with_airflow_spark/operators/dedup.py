@@ -306,7 +306,9 @@ JOIN scounts ca ON ca.doc_id = i.da
 JOIN scounts cb ON cb.doc_id = i.db
 WHERE CAST(i.n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_inter) >= {JACCARD_THRESHOLD}
 """,
-    doc="Exact n-gram Jaccard ≥ 0.5 over all pairs sharing ≥1 shingle — "
+    doc="[CORRECTNESS BASELINE — quadratic on colliding keys; use "
+    "dedup_minhash_lsh at scale] Exact n-gram Jaccard ≥ 0.5 over all pairs "
+    "sharing ≥1 shingle — "
     "the exhaustive baseline; the shingle equi-join prunes the quadratic "
     "pair space to colliding keys.",
 )
@@ -390,7 +392,8 @@ SELECT a.doc_id AS da, b.doc_id AS db,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}""",
-    doc=f"SimHash near-dup pairs: Hamming distance ≤ {HAMMING_MAX} over the "
+    doc="[CORRECTNESS BASELINE — all-pairs O(n²); use dedup_simhash_banded "
+    f"at scale] SimHash near-dup pairs: Hamming distance ≤ {HAMMING_MAX} over the "
     "32-bit fingerprints. All-pairs here (correctness baseline); the scale "
     "path buckets on fingerprint prefixes like LSH bands.",
 )
@@ -498,7 +501,8 @@ nv AS (
 SELECT a.vec_id AS va, b.vec_id AS vb, {V.dot_sql('a.v', 'b.v')} AS cos
 FROM nv a JOIN nv b ON a.vec_id < b.vec_id
 WHERE {V.dot_sql('a.v', 'b.v')} >= {COSINE_DUP_THRESHOLD}""",
-    doc=f"Embedding near-dup: cosine ≥ {COSINE_DUP_THRESHOLD} pairs over "
+    doc=f"[CORRECTNESS BASELINE — all-pairs O(n²); use dedup_embedding_lsh "
+    f"at scale] Embedding near-dup: cosine ≥ {COSINE_DUP_THRESHOLD} pairs over "
     "pre-normalized vectors (normalize O(n), one dot per pair — the right "
     "all-pairs kernel); scale path = IVF/LSH bucketing in "
     "operators.similarity.",

@@ -287,3 +287,26 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(got.columns) == {"id", "seg", "score"}
     assert got.count() == 8
     assert got.filter("score IS NULL").count() == 5
+
+
+def test_merge_upsert_uri_scheme_path(spark, tmp_path):
+    """Path probing goes through the Hadoop FileSystem API, so scheme-
+    qualified URIs (file://, and by extension s3a://, hdfs://) work where a
+    bare os.path probe would always say 'missing' and clobber the table."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark import sinks
+
+    wh = f"file://{tmp_path}/wh_uri"
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "date string, k string, v int"
+        ).withColumn("date", F.to_date("date"))
+
+    sinks.merge_upsert(spark, wh, df([("2024-01-01", "a", 1)]), keys=("date", "k"))
+    # second merge must detect the existing table through the URI and MERGE
+    # (not re-create): key b inserted, key a preserved
+    sinks.merge_upsert(spark, wh, df([("2024-01-01", "b", 2)]), keys=("date", "k"))
+    rows = {(str(r.date), r.k): r.v for r in spark.read.parquet(wh).collect()}
+    assert rows == {("2024-01-01", "a"): 1, ("2024-01-01", "b"): 2}
