@@ -165,3 +165,52 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_current"),
         "n_orders",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance — exact-aggregate partial/combine contract
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivm_incremental_daily_kpis",
+    """SELECT CAST(ts AS DATE) AS date, event_type,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                AS value_cents
+       FROM events GROUP BY 1, 2""",
+    doc="Incremental view maintenance for exact aggregates: the daily KPI "
+    "view is maintained as mergeable partials (count, integer cent sum) — "
+    "the fact stream is split into a base batch and a delta batch (even/odd "
+    "event_id, so every group receives rows from both), each aggregated "
+    "independently, then COMBINED by summing partials. The oracle is the "
+    "full recompute over the union, proving combine(partial(base), "
+    "partial(delta)) == recompute — the algebraic property that lets a "
+    "100 TB rollup absorb a daily delta without rescanning history. The "
+    "exact-aggregate sibling of the sketch accumulate/combine rollups "
+    "(operators/sketches.py); avg-style measures derive from the partials "
+    "(sum/count) at read time, never stored.",
+)
+def q_ivm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date("ts").alias("date"), "event_type"
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 2 == 0))
+    delta = partial(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        base.unionByName(delta)
+        .groupBy("date", "event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+    )
