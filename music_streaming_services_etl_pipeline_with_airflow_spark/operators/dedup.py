@@ -329,6 +329,68 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_jaccard(sh, pairs).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_containment",
+    f"""
+WITH {_SHINGLES_CTE},
+inter AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+    FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.da, i.db,
+       CAST(i.n_inter AS DOUBLE) / ca.n_sh AS cont_a_in_b,
+       CAST(i.n_inter AS DOUBLE) / cb.n_sh AS cont_b_in_a
+FROM inter i
+JOIN scounts ca ON ca.doc_id = i.da
+JOIN scounts cb ON cb.doc_id = i.db
+WHERE GREATEST(CAST(i.n_inter AS DOUBLE) / ca.n_sh,
+               CAST(i.n_inter AS DOUBLE) / cb.n_sh) >= {CONTAINMENT_THRESHOLD}
+""",
+    doc=f"Containment dedup (doc-in-doc): C(A,B) = |A∩B|/|A| over shingle "
+    f"sets, flagging pairs where either direction ≥ {CONTAINMENT_THRESHOLD} "
+    "— catches a short document copied inside a long one, which "
+    "Jaccard-based near-dup misses (a 100-shingle doc inside a 10k-shingle "
+    "doc has J≈0.01 but containment 1.0). Shingle equi-join prunes pairs "
+    "to colliding keys; the scale path replaces the exact intersection "
+    "with minhash-of-the-smaller-set (containment sketch), same shape as "
+    "dedup_minhash_lsh.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(ca, "da")
+        .join(cb, "db")
+        .select(
+            "da",
+            "db",
+            (F.col("n_inter").cast("double") / F.col("na")).alias("cont_a_in_b"),
+            (F.col("n_inter").cast("double") / F.col("nb")).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # 4. SimHash
 # --------------------------------------------------------------------------
