@@ -188,3 +188,110 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation — the
+# billion-vector ANN memory-compression path, expressed relationally
+# ---------------------------------------------------------------------------
+
+M_SUB = 8  # subspaces
+SUB_DIM = 8  # 64-dim vectors → 8 × 8-dim subvectors
+K_PQ = 16  # codewords per subspace (codebook = first K_PQ corpus vectors)
+RERANK_FACTOR = 10  # exact-rerank shortlist = RERANK_FACTOR × TOP_K
+
+
+@register(
+    "similarity_pq_topk",
+    None,  # approximate by construction — rows-only; recall pinned in pytest
+    doc=f"PQ-ADC top-{TOP_K}: vectors compress to {M_SUB} codebook ids "
+    f"({M_SUB}×log2({K_PQ}) = 32 bits vs 64×8 bytes raw — the memory lever "
+    "that fits billions of vectors in RAM). Encoding is a per-subspace "
+    "argmin (min_by over a broadcast codebook join); query scoring is "
+    "ASYMMETRIC distance: a tiny (qid, subspace, code) partial-IP lookup "
+    "table broadcasts, joins the code relation, and one hash aggregate "
+    "sums the approximate cosine — no per-pair vector math anywhere. An "
+    f"exact-cosine rerank of the top {RERANK_FACTOR}×{TOP_K} shortlist "
+    "restores ordering quality. Everything is joins + hash aggregates: "
+    "the plan Catalyst already knows how to scale.",
+)
+def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    nv = corpus.select(
+        "vec_id",
+        F.transform("v", lambda x: x / V.norm(F.col("v"))).alias("v"),
+    )
+    # (vec_id, sub, sv): 8-dim subvector per subspace — slice is 1-indexed
+    subs = nv.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("sub"),
+                        F.slice("v", m * SUB_DIM + 1, SUB_DIM).alias("sv"),
+                    )
+                    for m in range(M_SUB)
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv"))
+    codebook = subs.filter(F.col("vec_id") < K_PQ).select(
+        "sub", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
+    )
+    sq_dist = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # encode: nearest codeword per (vector, subspace) — ties to lowest code
+    enc = (
+        subs.join(F.broadcast(codebook), "sub")
+        .select("vec_id", "sub", "code", sq_dist.alias("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+    # ADC lookup table: partial inner product of each query subvector with
+    # each codeword — N_QUERIES × M_SUB × K_PQ rows, trivially broadcastable
+    table = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "sub",
+            "code",
+            V.dot(F.col("sv"), F.col("cw")).alias("part_ip"),
+        )
+    )
+    approx = (
+        enc.join(F.broadcast(table), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("part_ip").alias("approx_cos"))
+    )
+    w_approx = Window.partitionBy("qid").orderBy(
+        F.desc("approx_cos"), F.asc("vec_id")
+    )
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(w_approx))
+        .filter(F.col("rn") <= RERANK_FACTOR * TOP_K)
+        .select("qid", "vec_id")
+    )
+    # exact rerank of the shortlist only
+    qv = nv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    cv = nv.select("vec_id", F.col("v").alias("nvec"))
+    w_exact = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(cv, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            V.dot(F.col("qvec"), F.col("nvec")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )

@@ -459,3 +459,31 @@ def test_pagerank_invariants(spark):
     n = ranks.count()
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert abs(total - n) / n < 0.01
+
+
+def test_pq_topk_recall_and_exactness(spark):
+    """PQ-ADC: the shortlist is approximate but the returned cosines are
+    exact (rerank recomputes them), ranks are a valid per-query 1..k
+    permutation, and recall@5 vs brute force clears 0.7 on the seeded
+    fixture (deterministic codebook = first K_PQ vectors)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.similarity import (
+        TOP_K,
+        q_topk_brute,
+        q_topk_pq,
+    )
+
+    pq = q_topk_pq(spark, SF).collect()
+    brute = q_topk_brute(spark, SF).collect()
+    exact_cos = {(r.qid, r.neighbor_id): r.cos for r in brute}
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOP_K
+        for r in rows:
+            if (r.qid, r.neighbor_id) in exact_cos:
+                assert abs(r.cos - exact_cos[(r.qid, r.neighbor_id)]) < 1e-12
+    pq_set = {(r.qid, r.neighbor_id) for r in pq}
+    br_set = {(r.qid, r.neighbor_id) for r in brute}
+    assert len(pq_set & br_set) / len(br_set) >= 0.7
