@@ -36,3 +36,29 @@ t_plain = t(plain)
 t_salted = t(salted)
 print(f"RESULT plain_smj_15reducers={t_plain}s salted32={t_salted}s")
 spark.stop()
+
+# Scenario 3: AQE runtime skew-split on the same join — fresh session with
+# AQE on and skew thresholds sized to the data (the defaults trigger at
+# 256MB partitions; this fact's hot partitions are ~50MB, so a real
+# deployment tunes advisory/threshold to its shuffle sizes).
+spark = get_spark("skew-measure-aqe")
+spark.sparkContext.setLogLevel("ERROR")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+spark.conf.set("spark.sql.adaptive.enabled", "true")
+spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+fact = spark.range(N).select(
+    F.col("id").alias("event_id"),
+    F.pmod(F.xxhash64("id"), F.lit(15)).alias("user_id"),
+)
+dim = spark.range(15).select(
+    F.col("id").alias("user_id"),
+    F.concat(F.lit("seg"), F.col("id")).alias("seg"),
+)
+aqe_join = fact.join(dim, "user_id").select("event_id", "seg")
+t_aqe = t(aqe_join)
+print(f"RESULT aqe_skew_split={t_aqe}s")
+spark.stop()
