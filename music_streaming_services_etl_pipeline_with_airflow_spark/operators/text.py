@@ -92,7 +92,9 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_sql() -> str:
+def _langid_parts() -> tuple[str, str]:
+    """(CTE chain, argmax CASE expression) — shared by the per-doc lang-id
+    oracle and the confusion-matrix oracle."""
     scores = ", ".join(
         "CAST(len(list_filter(toks, x -> list_contains(["
         + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
@@ -108,9 +110,15 @@ def _langid_sql() -> str:
         )
         best += f"WHEN score_{lang} > 0 AND {others} THEN '{lang}' "
     best += "ELSE 'und' END"
-    return f"""WITH t AS (
+    ctes = f"""t AS (
     SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS toks FROM documents
-), s AS (SELECT doc_id, labeled_lang, {scores} FROM t)
+), s AS (SELECT doc_id, labeled_lang, {scores} FROM t)"""
+    return ctes, best
+
+
+def _langid_sql() -> str:
+    ctes, best = _langid_parts()
+    return f"""WITH {ctes}
 SELECT doc_id, labeled_lang, score_en, score_fr, score_es, score_de,
        {best} AS predicted_lang FROM s"""
 
@@ -411,4 +419,57 @@ def q_entity_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_count("text", F.lit(pat)).cast("long").alias("n_masked"),
         F.md5(F.regexp_replace("text", pat, "<ENT>")).alias("masked_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus composition reporting (round 2)
+# --------------------------------------------------------------------------
+
+
+def _confusion_sql() -> str:
+    ctes, best = _langid_parts()
+    return f"""WITH {ctes},
+pred AS (SELECT doc_id, labeled_lang, {best} AS predicted_lang FROM s)
+SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2"""
+
+
+@register(
+    "text_lang_confusion",
+    _confusion_sql(),
+    doc="Language-ID evaluation: confusion matrix of the dataset's declared "
+    "lang label vs the marker-word heuristic's prediction — the per-class "
+    "quality report a corpus pipeline publishes before trusting a filter. "
+    "Composes the text_lang_id relation with one hash aggregate; at scale "
+    "the matrix is |langs|² rows regardless of corpus size.",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_langid(spark, sf_dir)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "corpus_source_mix",
+    """SELECT source, lang,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+                AS n_tokens,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM documents GROUP BY 1, 2""",
+    doc="Corpus composition report: documents and whitespace-token / char "
+    "volumes per (source, lang) — the data-recipe table a training run is "
+    "audited against (cf. the mixture weights corpus_mixture_sample "
+    "consumes). One scan, one hash aggregate with map-side partials; "
+    "output is |sources|x|langs| rows regardless of corpus size.",
+)
+def q_corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
     )
