@@ -136,6 +136,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from ..streaming import hourly_stream  # noqa: F401
     from ..streaming import sessions as streaming_sessions  # noqa: F401
     from ..streaming import sliding as streaming_sliding  # noqa: F401
+    from ..streaming import upsert_sink as streaming_upsert_sink  # noqa: F401
 
     ordered: dict[str, QuerySpec] = {}
     for name in _PRIORITY:

@@ -24,3 +24,64 @@ def partition_overwrite_each_batch(path: str, partition_by: tuple[str, ...] = ("
         sinks.write_warehouse(batch_df, path, partition_by, mode="overwrite_partitions")
 
     return _write
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: the full streaming→warehouse production path as a query
+# ---------------------------------------------------------------------------
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    None,  # streaming + sink side effects — rows-only; idempotency is
+    # additionally pinned by test_foreachbatch_upsert_sink
+    doc="The production streaming→warehouse path end-to-end: events file "
+    "stream → per-(date, event_type) counts → foreachBatch dynamic "
+    "partition overwrite into a parquet warehouse → read the warehouse "
+    "back. Replayed micro-batches rewrite their partitions instead of "
+    "appending duplicates (the streaming end of the reference's §8.6 "
+    "COPY-append fix). availableNow trigger; complete-mode aggregate "
+    "restated per batch.",
+)
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .runner import stage_events
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    d = stage_events(sf_dir, "events_upsert")
+    wh = tempfile.mkdtemp(prefix="spark_engine_stream_wh_") + "/daily_counts"
+    ckpt = tempfile.mkdtemp(prefix="spark_engine_stream_ck_")
+    src = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = src.groupBy(
+        F.to_date("ts").alias("date"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    q = (
+        agg.writeStream.foreachBatch(
+            partition_overwrite_each_batch(wh, ("date",))
+        )
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(wh).select(
+        "date", "event_type", F.col("n_events").cast("long").alias("n_events")
+    )
