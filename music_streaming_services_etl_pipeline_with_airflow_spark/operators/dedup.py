@@ -673,16 +673,34 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double_array("embedding").alias("dv")
     )
-    nv = (
-        emb.withColumn("nrm", V.norm(F.col("dv")))
+    # Stage 1 — exact-vector collapse (mirrors dedup_minhash_lsh's exact-dup
+    # collapse): identical vectors band identically and verify identically,
+    # so LSH only needs one representative per distinct vector. A replicated
+    # corpus pays banding/verify on distinct content; 8-byte hashes shuffle,
+    # never 64-dim arrays.
+    wg = Window.partitionBy("vh")
+    members = (
+        emb.withColumn("vh", F.xxhash64("dv"))
         .select(
             "vec_id",
-            F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
+            "dv",
+            "vh",
+            F.min("vec_id").over(wg).alias("rep"),
+            F.count("*").over(wg).alias("n_members"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # (vec_id, band, code) only — ids shuffle through the band join, the
-    # 64-dim vectors do not (they are fetched back by id after pair dedup)
+    rep_vecs = members.filter(F.col("vec_id") == F.col("rep")).select("vec_id", "dv")
+    # narrow recompute over the cached members relation — deliberately NOT
+    # persisted: a cache boundary here hides size statistics from the
+    # planner and the verify joins degrade to sort-merge (measured 4-8x)
+    nv = rep_vecs.withColumn("nrm", V.norm(F.col("dv"))).select(
+        "vec_id",
+        F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
+    )
+    # Stage 2 — hyperplane LSH over representatives. (vec_id, band, code)
+    # only: ids shuffle through the band join, the 64-dim vectors do not
+    # (they are fetched back by id after pair dedup).
     sig = nv.select(
         "vec_id", F.posexplode(band_codes("v")).alias("band", "code")
     )
@@ -696,9 +714,36 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     va_vec = nv.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
     vb_vec = nv.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
-    return (
+    rep_pairs = (
         cand.join(va_vec, "va")
         .join(vb_vec, "vb")
         .select("va", "vb", pair_dot(F.col("veca"), F.col("vecb")).alias("cos"))
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
     )
+    # Stage 3 — expand to member pairs (output-proportional). Identical
+    # vectors share the representatives' cosine exactly.
+    ma = members.select(F.col("rep").alias("va"), F.col("vec_id").alias("xa"))
+    mb = members.select(F.col("rep").alias("vb"), F.col("vec_id").alias("xb"))
+    cross = (
+        rep_pairs.join(ma, "va")
+        .join(mb, "vb")
+        .select(
+            F.least("xa", "xb").alias("va"),
+            F.greatest("xa", "xb").alias("vb"),
+            "cos",
+        )
+    )
+    # within-group: duplicate vectors pair at their self-cosine (≈1.0;
+    # computed, not assumed, so degenerate zero vectors stay out)
+    self_cos = nv.select(
+        F.col("vec_id").alias("rep"), pair_dot(F.col("v"), F.col("v")).alias("cos")
+    ).filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    wm = members.filter(F.col("n_members") >= 2)
+    within = (
+        wm.select("vh", "rep", F.col("vec_id").alias("va"))
+        .join(wm.select("vh", F.col("vec_id").alias("vb")), "vh")
+        .filter(F.col("va") < F.col("vb"))
+        .join(self_cos, "rep")
+        .select("va", "vb", "cos")
+    )
+    return cross.unionByName(within)
