@@ -88,3 +88,41 @@ def test_decode_through_spark_plumbing(spark):
     stub = _decode_stub(rows[3][1])
     assert (out[4]["width"], out[4]["height"], out[4]["channels"], out[4]["format"]) == stub
     assert out[1]["n_bytes"] == len(rows[0][1])
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        w=st.integers(1, 512),
+        h=st.integers(1, 512),
+        bpp=st.sampled_from([8, 24, 32]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_bmp_parser_roundtrip_property(w, h, bpp):
+        assert _parse_bmp(make_bmp(w, h, bpp)) == (w, h, bpp // 8, "bmp")
+
+    @given(
+        magic=st.sampled_from([b"P5", b"P6"]),
+        w=st.integers(1, 256),
+        h=st.integers(1, 256),
+        maxval=st.sampled_from([1, 255, 256, 65535]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_pnm_parser_roundtrip_property(magic, w, h, maxval):
+        channels = 3 if magic == b"P6" else 1
+        fmt = "ppm" if channels == 3 else "pgm"
+        assert _parse_pnm(make_pnm(magic, w, h, maxval)) == (w, h, channels, fmt)
+
+    @given(payload=st.binary(max_size=200))
+    @settings(max_examples=120, deadline=None)
+    def test_parsers_never_crash_on_garbage(payload):
+        # strict validation: arbitrary bytes either parse to a plausible
+        # header or are rejected — never an exception
+        for parse in (_parse_bmp, _parse_pnm):
+            out = parse(payload)
+            assert out is None or (out[0] > 0 and out[1] > 0)
+
+except ImportError:  # pragma: no cover — hypothesis is available in CI image
+    pass
