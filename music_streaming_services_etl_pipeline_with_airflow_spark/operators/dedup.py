@@ -170,10 +170,14 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         F.explode(F.array(F.col("g"), F.col("g") + 1)).alias("gk"),
     )
     b = bands.select(F.col("doc_id").alias("db"), "band", "bval", F.col("g").alias("gk"))
+    # Orientation-normalize BEFORE filtering: the asymmetric explode means a
+    # cross-bucket pair collides only with the SMALLER doc on the probe (a)
+    # side, so `da < db` would drop it whenever the smaller doc has the larger
+    # doc_id. least/greatest makes survival independent of orientation.
     return (
         a.join(b, ["band", "bval", "gk"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
+        .filter(F.col("da") != F.col("db"))
+        .select(F.least("da", "db").alias("da"), F.greatest("da", "db").alias("db"))
         .distinct()
     )
 

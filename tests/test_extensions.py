@@ -487,3 +487,29 @@ def test_pq_topk_recall_and_exactness(spark):
     pq_set = {(r.qid, r.neighbor_id) for r in pq}
     br_set = {(r.qid, r.neighbor_id) for r in brute}
     assert len(pq_set & br_set) / len(br_set) >= 0.7
+
+
+def test_lsh_size_block_orientation_independent(spark):
+    """A candidate pair straddling a log2-size boundary must survive even
+    when the SMALLER document has the LARGER doc_id.
+
+    The size-blocked band join explodes gk in {g, g+1} on the probe (a)
+    side only, so a cross-bucket pair collides exclusively as
+    (da=smaller_doc, db=larger_doc); a raw `da < db` filter would drop it
+    whenever the smaller doc's id is numerically larger (round-2 ADVICE
+    high). Signatures are constructed directly so the band collision is
+    guaranteed and the pin is deterministic: identical h0..h7, n_sh 4 vs 8
+    (buckets floor(log2)=2 vs 3), smaller doc_id=9 > larger doc_id=1.
+    """
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        N_HASHES,
+        lsh_candidate_pairs,
+    )
+
+    rows = [
+        {"doc_id": 1, "n_sh": 8, **{f"h{j}": f"v{j}" for j in range(N_HASHES)}},
+        {"doc_id": 9, "n_sh": 4, **{f"h{j}": f"v{j}" for j in range(N_HASHES)}},
+    ]
+    sigs = spark.createDataFrame(rows)
+    got = {(r.da, r.db) for r in lsh_candidate_pairs(sigs).collect()}
+    assert got == {(1, 9)}
