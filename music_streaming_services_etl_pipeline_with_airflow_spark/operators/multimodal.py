@@ -3,9 +3,10 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs via
 ``mapInPandas``.
 
 The decode step is REAL for the dependency-free formats: uncompressed BMP
-(BITMAPINFOHEADER) and binary PNM (P6 PPM / P5 PGM) headers are parsed in
-pure Python with strict structural validation (magic + declared sizes must
-match the payload exactly), yielding actual width/height/channels. Payloads
+(BITMAPINFOHEADER), binary PNM (P6 PPM / P5 PGM), and PCM WAV (RIFF)
+headers are parsed in pure Python with strict structural validation
+(magic + declared sizes must match the payload exactly), yielding actual
+width/height/channels (for audio: sample_rate/n_frames/n_channels). Payloads
 that are not valid BMP/PNM fall back to a deterministic stub (header fields
 derived from the payload bytes), and compressed formats (JPEG/PNG) raise
 behind an import-try for PIL, which this container ships without. The
@@ -120,9 +121,65 @@ def _parse_pnm(payload: bytes) -> tuple[int, int, int, str] | None:
     return (width, height, channels, "ppm" if channels == 3 else "pgm")
 
 
+def _parse_wav(payload: bytes) -> tuple[int, int, int, str] | None:
+    """Pure-Python WAV (RIFF) header decode — the audio-container sibling of
+    the BMP/PNM image parsers, mapped onto the unified metadata schema as
+    (width=sample_rate, height=n_frames, channels=n_channels, "wav").
+
+    Strict: RIFF magic + declared RIFF size must equal the payload exactly,
+    the WAVE form type must follow, and the chunk walk must land exactly on
+    the payload end with a self-consistent PCM ``fmt `` chunk (block_align ==
+    channels * bytes_per_sample, byte_rate == rate * block_align) and a
+    ``data`` chunk whose size is a whole number of frames. Arbitrary bytes
+    that merely start with ``RIFF`` can never be misread as audio.
+    """
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    riff_size = struct.unpack_from("<I", payload, 4)[0]
+    if riff_size + 8 != len(payload):
+        return None
+    fmt = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        csize = struct.unpack_from("<I", payload, i + 4)[0]
+        body = i + 8
+        # chunks are word-aligned: odd sizes carry one pad byte
+        nxt = body + csize + (csize & 1)
+        if body + csize > len(payload):
+            return None
+        if cid == b"fmt ":
+            if csize < 16:
+                return None
+            audio_format, n_ch, rate = struct.unpack_from("<HHI", payload, body)
+            byte_rate, block_align, bits = struct.unpack_from("<IHH", payload, body + 8)
+            if audio_format != 1 or n_ch == 0 or rate == 0 or bits not in (8, 16, 24, 32):
+                return None  # PCM only — compressed WAV needs real codecs
+            if block_align != n_ch * (bits // 8) or byte_rate != rate * block_align:
+                return None
+            fmt = (n_ch, rate, block_align)
+        elif cid == b"data":
+            data_size = csize
+        i = nxt
+    if i != len(payload) or fmt is None or data_size is None:
+        return None
+    n_ch, rate, block_align = fmt
+    if data_size % block_align != 0:
+        return None
+    return (rate, data_size // block_align, n_ch, "wav")
+
+
 def _decode_auto(payload: bytes) -> tuple[int, int, int, str]:
     """Real decode for recognized formats, deterministic stub otherwise."""
-    return _parse_bmp(payload) or _parse_pnm(payload) or _decode_stub(payload)
+    return (
+        _parse_bmp(payload)
+        or _parse_pnm(payload)
+        or _parse_wav(payload)
+        or _decode_stub(payload)
+    )
 
 
 def decode_image_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -14,6 +14,7 @@ from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimod
     _decode_stub,
     _parse_bmp,
     _parse_pnm,
+    _parse_wav,
     decode_image_batch,
 )
 
@@ -34,6 +35,25 @@ def make_pnm(magic: bytes, width: int, height: int, maxval: int = 255) -> bytes:
     bytes_per = 1 if maxval < 256 else 2
     raster = width * height * channels * bytes_per
     return magic + f"\n# comment\n{width} {height}\n{maxval}\n".encode() + bytes(raster)
+
+
+def make_wav(
+    n_channels: int,
+    rate: int,
+    n_frames: int,
+    bits: int = 16,
+    extra_chunk: bytes = b"",
+) -> bytes:
+    """Minimal valid PCM WAV; `extra_chunk` (a fully-formed RIFF chunk, e.g.
+    a LIST) is inserted between fmt and data to exercise the chunk walk."""
+    block_align = n_channels * (bits // 8)
+    data = bytes(n_frames * block_align)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_channels, rate, rate * block_align, block_align, bits
+    )
+    data_chunk = b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    body = b"WAVE" + fmt + extra_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def test_bmp_header_parses_exact_dimensions():
@@ -70,12 +90,53 @@ def test_pnm_strictness():
     assert _parse_pnm(b"P4\n3 2\n255\n" + bytes(18)) is None  # bitmap PBM
 
 
+def test_wav_header_parses_exact_fields():
+    # (width=sample_rate, height=n_frames, channels=n_channels, "wav")
+    assert _parse_wav(make_wav(2, 44100, 100)) == (44100, 100, 2, "wav")
+    assert _parse_wav(make_wav(1, 8000, 7, bits=8)) == (8000, 7, 1, "wav")
+    # a LIST chunk between fmt and data must be walked over, not rejected
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    assert _parse_wav(make_wav(2, 22050, 3, extra_chunk=lst)) == (22050, 3, 2, "wav")
+    # odd-sized chunk bodies carry a pad byte (8-bit mono, odd frame count)
+    assert _parse_wav(make_wav(1, 8000, 5, bits=8)) == (8000, 5, 1, "wav")
+
+
+def test_wav_matches_stdlib_wave_writer():
+    """Cross-check against Python's own wave module as an independent
+    producer of the format."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(bytes(2 * 2 * 250))
+    assert _parse_wav(buf.getvalue()) == (16000, 250, 2, "wav")
+
+
+@pytest.mark.parametrize(
+    "corrupt",
+    [
+        lambda b: b[:-1],  # truncated → RIFF size mismatch
+        lambda b: b + b"\x00",  # trailing garbage → chunk walk overshoots
+        lambda b: b[:20] + struct.pack("<H", 85) + b[22:],  # non-PCM (mu-law)
+        lambda b: b"RIFF you a new one, said the carpenter",  # text
+        lambda b: b[:40],  # data chunk body cut off
+    ],
+)
+def test_invalid_wav_rejected(corrupt):
+    assert _parse_wav(corrupt(make_wav(2, 44100, 100))) is None
+
+
 def test_decode_through_spark_plumbing(spark):
     rows = [
         (1, make_bmp(7, 5)),
         (2, make_pnm(b"P6", 3, 2)),
         (3, make_pnm(b"P5", 9, 4)),
         (4, b"just some text payload"),
+        (5, make_wav(2, 44100, 10)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {
@@ -87,6 +148,7 @@ def test_decode_through_spark_plumbing(spark):
     assert (out[3]["width"], out[3]["height"], out[3]["channels"], out[3]["format"]) == (9, 4, 1, "pgm")
     stub = _decode_stub(rows[3][1])
     assert (out[4]["width"], out[4]["height"], out[4]["channels"], out[4]["format"]) == stub
+    assert (out[5]["width"], out[5]["height"], out[5]["channels"], out[5]["format"]) == (44100, 10, 2, "wav")
     assert out[1]["n_bytes"] == len(rows[0][1])
 
 
@@ -115,14 +177,29 @@ try:
         fmt = "ppm" if channels == 3 else "pgm"
         assert _parse_pnm(make_pnm(magic, w, h, maxval)) == (w, h, channels, fmt)
 
+    @given(
+        n_ch=st.integers(1, 8),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        n_frames=st.integers(0, 1000),
+        bits=st.sampled_from([8, 16, 24, 32]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_wav_parser_roundtrip_property(n_ch, rate, n_frames, bits):
+        assert _parse_wav(make_wav(n_ch, rate, n_frames, bits)) == (
+            rate,
+            n_frames,
+            n_ch,
+            "wav",
+        )
+
     @given(payload=st.binary(max_size=200))
     @settings(max_examples=120, deadline=None)
     def test_parsers_never_crash_on_garbage(payload):
         # strict validation: arbitrary bytes either parse to a plausible
         # header or are rejected — never an exception
-        for parse in (_parse_bmp, _parse_pnm):
+        for parse in (_parse_bmp, _parse_pnm, _parse_wav):
             out = parse(payload)
-            assert out is None or (out[0] > 0 and out[1] > 0)
+            assert out is None or (out[0] > 0 and out[1] >= 0)
 
 except ImportError:  # pragma: no cover — hypothesis is available in CI image
     pass
