@@ -32,14 +32,30 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table; fix up nano-timestamp columns."""
+    """Load one driver table; normalize ``events.ts`` to TimestampType.
+
+    The physical form of ``events.ts`` depends on the writer/reader pair:
+    - parquet TIMESTAMP(NANOS) + ``nanosAsLong`` → ``bigint`` nanoseconds
+      (PySpark ≤4.0 behavior this code was first written against);
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → ``timestamp_ntz``
+      (what PySpark 4.1.2 surfaces for the same testdata);
+    - already ``timestamp`` → pass through.
+    All three converge to TimestampType here, at the ONE source boundary,
+    so neither batch nor streaming code ever sees a physical unit again.
+    """
     _ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # int64 nanos -> microsecond timestamp. Integer division (`div`),
-        # NOT `/1000`: float division routes an ~1.7e18 int64 through a
-        # double (2^53 mantissa) and lands ±1µs off.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # int64 nanos -> microsecond timestamp. Integer division
+            # (`div`), NOT `/1000`: float division routes an ~1.7e18 int64
+            # through a double (2^53 mantissa) and lands ±1µs off.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            # NTZ wall-clock reinterpreted in the session tz (UTC in every
+            # entrypoint here) — same instant, canonical type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

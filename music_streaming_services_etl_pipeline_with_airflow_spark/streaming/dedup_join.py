@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .runner import run_stream_to_df, stage_events
+from .runner import EVENTS_SCHEMA, run_stream_to_df, stage_events
 
 
 def dedup_stream(
@@ -69,12 +69,6 @@ def interval_join_streams(
 
 from ..plans.registry import register  # noqa: E402
 
-_EVENTS_PHYSICAL = (
-    "event_id long, ts long, user_id long, event_type string, value double,"
-    " props string"
-)
-
-
 _stage = stage_events
 
 
@@ -89,16 +83,8 @@ _stage = stage_events
     "availableNow trigger.",
 )
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     d = _stage(sf_dir, "events_replayed", n_copies=2)
-    src = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
     deduped = (
         src.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -118,16 +104,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j7_range_join_binned.",
 )
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     d = _stage(sf_dir, "events_join")
-    base = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    base = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
     imp = (
         base.filter(F.col("event_type") == "purchase")
         .select(

@@ -18,43 +18,21 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-# events.parquet physical schema (ts = TIMESTAMP(NANOS) read as long)
-_EVENTS_PHYSICAL = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from .runner import EVENTS_SCHEMA
 
 def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the windowed streaming aggregation over the events file source to
     completion (availableNow) and return the result as a DataFrame."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     # the file source requires a *directory* (the production drop-folder);
     # stage the events file into one (testdata itself is read-only)
     from .runner import run_stream_to_df, stage_events
 
     stream_dir = stage_events(sf_dir, "events")
     src = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
+        spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .load(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     windowed = (
         src.withWatermark("ts", "1 hour")

@@ -13,21 +13,58 @@ and hands back a *distributed* batch DataFrame — never a driver-side
   sink — each run gets a unique query name so the table is never clobbered,
   and no extra driver round-trip happens beyond what the sink itself holds.
 
-``stage_events`` copies a testdata parquet file into a streaming drop-folder.
-Staleness-safe: the staged copy preserves the source mtime (``copy2``) and is
-re-copied whenever the source mtime diverges, so regenerated testdata can
-never be shadowed by a stale staged file.
+``stage_events`` stages a testdata parquet file into a streaming drop-folder
+with ``ts`` NORMALIZED to the one logical form (timestamp[us, UTC]) — the
+physical testdata may be TIMESTAMP(NANOS) or TIMESTAMP(MICROS, ntz)
+depending on writer/reader versions, and a ``readStream`` schema is fixed
+up-front, so the unit fix must happen at staging time, not per-consumer.
+Every streaming source therefore declares ``EVENTS_SCHEMA`` below and never
+touches physical units. Staleness-safe: the staged copy carries the source
+mtime (``os.utime``) and is re-staged whenever the source mtime diverges,
+so regenerated testdata can never be shadowed by a stale staged file.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
 
+# The ONE logical events schema every readStream declares (TimestampType,
+# matching sources/tables.py's batch normalization under the UTC session).
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
 _counter = [0]
+
+
+def _normalize_events_file(src: str, dst: str) -> None:
+    """Rewrite one events parquet file with ``ts`` as timestamp[us, UTC],
+    whatever physical form the source has (int64 nanos, timestamp[ns],
+    timestamp[us] ntz, or already tz-aware). Driver-side pyarrow is fine
+    here: staging a test fixture into a drop-folder is not a data-plane
+    operation — production streams read Kafka/object storage directly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(src)
+    idx = table.schema.get_field_index("ts")
+    col = table.column(idx)
+    t = table.schema.field(idx).type
+    if pa.types.is_integer(t):
+        # int64 nanoseconds since epoch (the nanosAsLong physical form)
+        col = col.cast(pa.timestamp("ns"))
+        t = col.type
+    if pa.types.is_timestamp(t):
+        # NTZ wall-clock == UTC instant for this data; truncate to micros
+        col = col.cast(pa.timestamp("us", tz=t.tz or "UTC"), safe=False)
+        if col.type.tz != "UTC":
+            col = col.cast(pa.timestamp("us", tz="UTC"))
+    table = table.set_column(idx, "ts", col)
+    pq.write_table(table, dst)
 
 
 def run_stream_to_df(df: DataFrame, output_mode: str = "append") -> DataFrame:
@@ -65,10 +102,11 @@ def run_stream_to_df(df: DataFrame, output_mode: str = "append") -> DataFrame:
 
 
 def stage_events(sf_dir: str, name: str, n_copies: int = 1) -> str:
-    """Copy ``{sf_dir}/events.parquet`` into a stream drop-folder
-    (``n_copies`` > 1 simulates at-least-once redelivery). Copy-then-rename
-    keeps partial files out of the globbed folder; mtime comparison keeps
-    staged copies fresh if the source is regenerated in place."""
+    """Stage ``{sf_dir}/events.parquet`` into a stream drop-folder with
+    ``ts`` normalized to the logical schema (``n_copies`` > 1 simulates
+    at-least-once redelivery). Write-then-rename keeps partial files out of
+    the globbed folder; mtime comparison keeps staged copies fresh if the
+    source is regenerated in place."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     stream_dir = f"/tmp/spark_engine_stream/{tag}/{name}"
     os.makedirs(stream_dir, exist_ok=True)
@@ -76,15 +114,17 @@ def stage_events(sf_dir: str, name: str, n_copies: int = 1) -> str:
     src_mtime = os.stat(src).st_mtime_ns
     # the file source globs the whole folder: anything other than the
     # expected copies (stale layouts, older n_copies) must go
-    expected = {f"copy{i}.parquet" for i in range(n_copies)}
+    # v2 = ts-normalized staging format; v1 raw copies are "leftover"
+    expected = {f"copy{i}.v2.parquet" for i in range(n_copies)}
     for leftover in os.listdir(stream_dir):
         if leftover not in expected:
             os.remove(os.path.join(stream_dir, leftover))
     for i in range(n_copies):
-        staged = f"{stream_dir}/copy{i}.parquet"
+        staged = f"{stream_dir}/copy{i}.v2.parquet"
         if os.path.exists(staged) and os.stat(staged).st_mtime_ns == src_mtime:
             continue
         tmp = f"{stream_dir}.partial{i}"  # outside the globbed dir
-        shutil.copy2(src, tmp)
+        _normalize_events_file(src, tmp)
+        os.utime(tmp, ns=(src_mtime, src_mtime))  # carry source mtime
         os.replace(tmp, staged)
     return stream_dir

@@ -23,11 +23,9 @@ from typing import Any
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .hourly_stream import _EVENTS_PHYSICAL
-from .runner import run_stream_to_df, stage_events
+from .runner import EVENTS_SCHEMA, run_stream_to_df, stage_events
 from ..operators.sessions import GAP_MINUTES
 
 _GAP_US = GAP_MINUTES * 60 * 1_000_000
@@ -79,17 +77,12 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful streaming sessionizer to completion over the events
     drop-folder; returns the *closed* sessions (the trailing open session
     per user stays in state, as it would in production)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     stream_dir = stage_events(sf_dir, "events")
 
     src = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
+        spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .load(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .select("user_id", "ts", "event_id")
     )
     sessions = src.groupBy("user_id").applyInPandasWithState(

@@ -58,8 +58,7 @@ def run_sliding_stream(
 
 
 from ..plans.registry import register  # noqa: E402
-from .dedup_join import _EVENTS_PHYSICAL  # noqa: E402
-from .runner import run_stream_to_df, stage_events  # noqa: E402
+from .runner import EVENTS_SCHEMA, run_stream_to_df, stage_events  # noqa: E402
 
 
 @register(
@@ -73,16 +72,8 @@ from .runner import run_stream_to_df, stage_events  # noqa: E402
     "by tests/test_streaming_sliding.py.",
 )
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     d = stage_events(sf_dir, "events_sliding")
-    src = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
     agg = (
         src.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))

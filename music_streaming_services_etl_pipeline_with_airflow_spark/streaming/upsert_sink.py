@@ -52,23 +52,12 @@ from ..plans.registry import register
     "restated per batch.",
 )
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .runner import stage_events
+    from .runner import EVENTS_SCHEMA, stage_events
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     d = stage_events(sf_dir, "events_upsert")
     wh = tempfile.mkdtemp(prefix="spark_engine_stream_wh_") + "/daily_counts"
     ckpt = tempfile.mkdtemp(prefix="spark_engine_stream_ck_")
-    src = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string,"
-            " value double, props string"
-        )
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
     agg = src.groupBy(
         F.to_date("ts").alias("date"), "event_type"
     ).agg(F.count("*").alias("n_events"))
