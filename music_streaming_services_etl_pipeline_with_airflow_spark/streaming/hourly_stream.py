@@ -58,12 +58,24 @@ from ..plans.registry import register  # noqa: E402
 
 @register(
     "streaming_hourly_window",
-    # approx_users is HLL (engine-specific) — oracle checks the exact fields.
-    None,
+    # Real oracle: with availableNow over a bounded staged folder, the
+    # complete-mode windowed aggregation equals the batch group-by exactly.
+    # approx_users (HLL, engine-specific) stays on the underlying function
+    # for the pytest parity check but is excluded from the oracle-compared
+    # projection.
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
     doc="Structured Streaming: file source → withWatermark(1h) → tumbling "
     "1-hour event-time window agg → availableNow trigger → memory sink. "
-    "Rows-only driver check; exact-field parity is asserted in pytest "
-    "against the batch path.",
+    "Oracle-checked on the exact fields (date, hour, n_events); the HLL "
+    "approx_users column is pytest-only.",
 )
 def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hourly_event_counts_stream(spark, sf_dir)
+    return hourly_event_counts_stream(spark, sf_dir).select(
+        "date", "hour", "n_events"
+    )

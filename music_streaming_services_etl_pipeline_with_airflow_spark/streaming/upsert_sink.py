@@ -41,8 +41,17 @@ from ..plans.registry import register
 
 @register(
     "streaming_foreachbatch_upsert",
-    None,  # streaming + sink side effects — rows-only; idempotency is
-    # additionally pinned by test_foreachbatch_upsert_sink
+    # Real oracle: availableNow over the bounded staged folder makes the
+    # warehouse read-back equal the plain per-(date, event_type) count.
+    # Idempotency under replay is additionally pinned by
+    # test_foreachbatch_upsert_sink.
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
     doc="The production streaming→warehouse path end-to-end: events file "
     "stream → per-(date, event_type) counts → foreachBatch dynamic "
     "partition overwrite into a parquet warehouse → read the warehouse "
