@@ -57,35 +57,49 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warm-up outside the measurement (standard benchmarking
     # practice; does not cache any query result)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     specs = all_specs()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in specs:
-            continue
-        # best-of-2: single-shot numbers on a shared machine carry ±25%
-        # scheduler noise; the minimum is the standard steady-state estimate
-        # (plans are re-built per run — nothing is result-cached).
-        best = None
-        for _ in range(2):
+    names = [n for n in HEADLINE if n in specs]
+    # n≥3 runs per query, ROUND-ROBIN (pass 1 over all queries, then pass 2,
+    # …) so a scheduler-noise burst lands on one pass of many queries, not
+    # on all runs of one query. Median is the reported number (robust to the
+    # one-slow-outlier pattern best-of-2 could not distinguish from drift);
+    # spread = (max-min)/median flags queries whose number is untrustworthy.
+    # Plans are re-built per run — nothing is result-cached.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_runs):
+        for name in names:
             df = specs[name].fn(spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            samples[name].append(time.time() - t0)
     spark.stop()
 
+    def median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        mid = len(ys) // 2
+        return ys[mid] if len(ys) % 2 else (ys[mid - 1] + ys[mid]) / 2
+
+    timings = {n: round(median(v), 3) for n, v in samples.items()}
+    spread = {
+        n: round((max(v) - min(v)) / median(v), 2) if median(v) > 0 else 0.0
+        for n, v in samples.items()
+    }
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "runs": n_runs,
+        "stat": "median",
+        "spread": spread,
     }
     print(json.dumps(out))
 

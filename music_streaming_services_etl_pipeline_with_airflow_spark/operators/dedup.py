@@ -335,10 +335,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAINMENT_THRESHOLD = 0.8
 
-
-@register(
-    "dedup_containment",
-    f"""
+_CONTAINMENT_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 inter AS (
     SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
@@ -353,7 +350,12 @@ JOIN scounts ca ON ca.doc_id = i.da
 JOIN scounts cb ON cb.doc_id = i.db
 WHERE GREATEST(CAST(i.n_inter AS DOUBLE) / ca.n_sh,
                CAST(i.n_inter AS DOUBLE) / cb.n_sh) >= {CONTAINMENT_THRESHOLD}
-""",
+"""
+
+
+@register(
+    "dedup_containment",
+    _CONTAINMENT_ORACLE,
     doc=f"Containment dedup (doc-in-doc): C(A,B) = |A∩B|/|A| over shingle "
     f"sets, flagging pairs where either direction ≥ {CONTAINMENT_THRESHOLD} "
     "— catches a short document copied inside a long one, which "
@@ -393,6 +395,132 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= CONTAINMENT_THRESHOLD
         )
     )
+
+
+@register(
+    "dedup_containment_banded",
+    # LOSSLESS candidate pruning ⇒ output identical to dedup_containment ⇒
+    # the exact-intersection SQL is a valid oracle for the banded plan too.
+    _CONTAINMENT_ORACLE,
+    doc=f"Containment dedup, scale path: prefix-filtered set-similarity "
+    f"join (PPJoin-family). Each doc probes the inverted shingle index "
+    f"with only its ⌊(1-τ)·n⌋+1 RAREST shingles (global-frequency order): "
+    f"if max-containment ≥ τ={CONTAINMENT_THRESHOLD}, the smaller set is "
+    "missing at most (1-τ)·n shingles from the larger, so at least one "
+    "prefix shingle must collide — lossless. Rare-first ordering makes "
+    "prefix keys low-fan-out, collapsing the quadratic hot-shingle blowup "
+    "of the exact equi-join; exact containment is then verified on "
+    "candidate pairs only. Output provably equals dedup_containment.",
+)
+def q_dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Stage 0 — exact-dup collapse (same composition as dedup_minhash_lsh):
+    # identical texts have identical shingle sets, so prefix-filtering only
+    # needs one representative per distinct text. On a replicated corpus
+    # this keeps the inverted-index fan-out proportional to distinct
+    # content (a 10x nested-copy corpus multiplies every shingle frequency
+    # by 10 and the probe x index fan-out by 100 without it).
+    hashed = docs.select("doc_id", F.md5("text").alias("th"))
+    groups = hashed.groupBy("th").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n_members")
+    )
+    members = hashed.join(groups, "th").persist(StorageLevel.MEMORY_AND_DISK)
+    rep_docs = docs.join(
+        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    )
+    sh = doc_shingles(rep_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Global shingle frequency → rank each doc's shingles rarest-first.
+    # (freq, s) is a total order, so prefixes are deterministic.
+    freq = sh.groupBy("s").agg(F.count("*").alias("s_freq"))
+    ranked = (
+        sh.join(freq, "s")
+        .join(counts, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("s_freq", "s")
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.floor((1 - CONTAINMENT_THRESHOLD) * F.col("n_sh")).cast("int") + 1
+    ).select("doc_id", "s")
+    # Probe (prefix) × index (full): any pair with max-containment ≥ τ
+    # collides on ≥1 prefix shingle of its smaller member.
+    cand = (
+        prefix.select(F.col("doc_id").alias("pa"), "s")
+        .join(sh.select(F.col("doc_id").alias("pb"), "s"), "s")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(F.least("pa", "pb").alias("da"), F.greatest("pa", "pb").alias("db"))
+        .distinct()
+    )
+    # Exact verify on candidates only.
+    sa = sh.select(F.col("doc_id").alias("da"), "s")
+    sb = sh.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        cand.join(sa, "da")
+        .join(sb, ["db", "s"])
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
+    rep_pairs = (
+        inter.join(ca, "da")
+        .join(cb, "db")
+        .select(
+            "da",
+            "db",
+            (F.col("n_inter").cast("double") / F.col("na")).alias("cont_a_in_b"),
+            (F.col("n_inter").cast("double") / F.col("nb")).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= CONTAINMENT_THRESHOLD
+        )
+    )
+    # Stage 3 — expand back to member pairs (output-proportional joins).
+    # Containment is DIRECTIONAL: when least/greatest flips the pair's
+    # orientation relative to its representatives, the two containment
+    # columns must swap with it.
+    ma = members.select(F.col("rep").alias("da"), F.col("doc_id").alias("xa"))
+    mb = members.select(F.col("rep").alias("db"), F.col("doc_id").alias("xb"))
+    flip = F.col("xa") > F.col("xb")
+    cross = (
+        rep_pairs.join(ma, "da")
+        .join(mb, "db")
+        .select(
+            F.least("xa", "xb").alias("da"),
+            F.greatest("xa", "xb").alias("db"),
+            F.when(flip, F.col("cont_b_in_a"))
+            .otherwise(F.col("cont_a_in_b"))
+            .alias("cont_a_in_b"),
+            F.when(flip, F.col("cont_a_in_b"))
+            .otherwise(F.col("cont_b_in_a"))
+            .alias("cont_b_in_a"),
+        )
+    )
+    # Within-group: identical texts are 1.0/1.0 containment pairs — but
+    # only for docs that shingle at all (<N_SHINGLE-token docs never enter
+    # the exact pipeline's shingle relation either).
+    shingled_reps = sh.select(F.col("doc_id").alias("rep")).distinct()
+    wm = members.join(shingled_reps, "rep").filter(F.col("n_members") >= 2)
+    within = (
+        wm.select("th", F.col("doc_id").alias("da"))
+        .join(wm.select("th", F.col("doc_id").alias("db")), "th")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "da",
+            "db",
+            F.lit(1.0).alias("cont_a_in_b"),
+            F.lit(1.0).alias("cont_b_in_a"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------
@@ -677,6 +805,43 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double_array("embedding").alias("dv")
     )
+    # Adaptive plan choice: the exact-vector collapse (+ the member-pair
+    # expansion it forces) only pays off when the corpus actually repeats
+    # vectors — on an ~all-distinct corpus it is a full window shuffle plus
+    # two expansion joins for nothing. Identical vectors band identically
+    # and verify at cos 1.0, so the direct plan emits the SAME pairs; which
+    # plan runs is purely a cost decision. One cheap aggregate probes the
+    # distinct ratio (single bounded row to the driver; rsd tightened so a
+    # sketch low-estimate can't misread all-distinct as replicated).
+    stats = emb.agg(
+        F.approx_count_distinct(F.xxhash64("dv"), rsd=0.01).alias("nd"),
+        F.count("*").alias("n"),
+    ).first()
+    collapse = stats["n"] > 0 and stats["nd"] < 0.95 * stats["n"]
+    if not collapse:
+        nv = emb.withColumn("nrm", V.norm(F.col("dv"))).select(
+            "vec_id",
+            F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
+        )
+        sig = nv.select(
+            "vec_id", F.posexplode(band_codes("v")).alias("band", "code")
+        )
+        a = sig.select("band", "code", F.col("vec_id").alias("va"))
+        b_ = sig.select("band", "code", F.col("vec_id").alias("vb"))
+        cand = (
+            a.join(b_, ["band", "code"])
+            .filter(F.col("va") < F.col("vb"))
+            .select("va", "vb")
+            .dropDuplicates(["va", "vb"])
+        )
+        va_vec = nv.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
+        vb_vec = nv.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
+        return (
+            cand.join(va_vec, "va")
+            .join(vb_vec, "vb")
+            .select("va", "vb", pair_dot(F.col("veca"), F.col("vecb")).alias("cos"))
+            .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        )
     # Stage 1 — exact-vector collapse (mirrors dedup_minhash_lsh's exact-dup
     # collapse): identical vectors band identically and verify identically,
     # so LSH only needs one representative per distinct vector. A replicated

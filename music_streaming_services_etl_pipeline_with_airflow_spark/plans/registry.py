@@ -41,67 +41,67 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 # The driver's per-round CORRECTNESS budget covers roughly the first 50
 # registry entries in iteration order, so the dict below is emitted
-# priority-first. Round-3 rotation (VERDICT r2 task 1): rounds 1-2 left 33
-# oracle-bearing queries without a driver row; they take the head so
-# cumulative driver coverage reaches 126/126. The remaining ~17 slots
-# re-check queries that CHANGED this round (LSH orientation fix, typed
-# flagship, containment-banded, streaming oracles, WAV decode) — twice-green
-# unchanged flagships and oracle-less entries (which burn a slot on a
-# forever-`no_oracle` row) are evicted from the head.
+# priority-first: entries that are new or changed this round lead (they have
+# no green row for their current behavior), then a rotation slice of
+# oracle-green queries whose most recent driver row is two-plus rounds old.
+# Every name below exists in _REGISTRY and every entry carries an oracle --
+# all_specs() asserts both so a phantom or oracle-less name fails loudly
+# instead of silently burning a driver slot.
 _PRIORITY: tuple[str, ...] = (
-    # -- the 33 never-driver-checked oracle queries (r1+r2 gap) --
-    "genre_kpis_daily_twopass",
-    "a10_cube_returnflag_status",
-    "a11_median_mode",
-    "a12_pivot_multi_agg",
-    "a14_filtered_agg",
-    "a15_zscore_outliers",
-    "a16_value_histogram",
-    "w3_gapfill_daily_by_type",
-    "w4_ntile_rank_quartiles",
-    "w5_first_last_per_user",
-    "w6_percent_rank_cume_dist",
-    "w7_ewma_per_user",
-    "w8_range_interval_frame",
-    "w9_running_distinct",
-    "o3_global_topk",
-    "j7_range_join_binned",
-    "j10_basket_part_pairs",
-    "j11_lateral_topn",
-    "j12_salted_skew_join",
-    "j13_nullsafe_join",
-    "u4_bag_set_ops",
-    "p17_map_pivot_lookup",
-    "p18_array_set_ops",
-    "p19_ansi_safe_arith",
-    "s5_recursive_cte_ancestors",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "ivm_incremental_daily_kpis",
-    "pandas_group_minmax_scale",
-    "text_lang_confusion",
-    "corpus_source_mix",
-    # -- new or behavior-changed this round: need fresh driver rows --
-    "dedup_containment_banded",  # new scale twin of dedup_containment
-    "dedup_minhash_lsh",  # LSH size-block orientation fix
-    "curate_training_corpus",  # consumes lsh_candidate_pairs
-    "genre_kpis_daily",  # flagship (typed-parse headline work)
+    # -- new oracles or behavior changed in round 5: need fresh driver rows --
+    "dedup_containment_banded",
+    "streaming_hourly_window",
+    "streaming_foreachbatch_upsert",
+    "genre_kpis_daily",
     "genre_kpis_daily_onepass",
-    "multimodal_decode_metadata",  # WAV decode added
-    "streaming_hourly_window",  # oracle added (availableNow determinism)
-    "streaming_foreachbatch_upsert",  # oracle added
-    # -- high-value re-checks to round out the budget --
-    "hourly_kpis",
-    "q4_most_popular_track_per_day_genre",
-    "q6_top_artist_per_hour",
-    "dedup_exact",
-    "dedup_simhash_banded",
-    "merge_upsert_relational",
-    "scd2_priority_history",
-    "sessionize_events",
-    "dedup_components",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    # -- rotation: oracle-green queries whose last driver row is r1/r2
+    #    (79 such after rounds 3-4 re-checked the head; first 43 here,
+    #    the rest next round) --
+    "hourly_kpis_fast",
+    "s1_input_presence_probe",
+    "s2_multifile_csv_union",
+    "p1_p2_p3_project_rename_cast",
+    "p4_lenient_timestamp_parse",
+    "p5_p6_date_hour_extract",
+    "p7_derived_ratio",
+    "p9_null_profile",
+    "p10_rows_with_any_null",
+    "p11_null_imputation",
+    "p12_row_count",
+    "p8_required_columns_check",
+    "j1_broadcast_left_join",
+    "a1_group_multi_agg",
+    "a2_argmax_per_group",
+    "a3_hourly_distinct_counts",
+    "a4_plays_per_artist_hour",
+    "o1_multikey_sort",
+    "o2_top1_per_group",
+    "j4_multiway_dim_rollup",
+    "a5_rollup_hierarchy",
+    "a6_pivot_event_matrix",
+    "u1_union_all",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "u2_intersect_distinct",
+    "u3_except_distinct",
+    "j5_semi_anti_join",
+    "w1_user_event_lag_gaps",
+    "w2_moving_average_7d",
+    "text_top_bigrams",
+    "p13_string_functions",
+    "p14_json_extraction",
+    "j6_asof_join_latest_order",
+    "embedding_dim_stats",
+    "j7_range_join_value_bands",
+    "a8_hypertable_rollup",
+    "p15_array_collect_transform",
+    "s3_scalar_subquery_having",
+    "s4_correlated_not_exists",
+    "a9_exact_correlation",
+    "a7_exact_percentiles",
+    "j8_bloom_prefilter_join",
 )
 
 
@@ -131,8 +131,14 @@ def all_specs() -> dict[str, QuerySpec]:
 
     ordered: dict[str, QuerySpec] = {}
     for name in _PRIORITY:
-        if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
+        # Loud, not lenient: a name that isn't registered (phantom) or has
+        # no oracle would burn one of the driver's ~50 correctness slots on
+        # nothing — exactly how a round-4 phantom entry went unnoticed.
+        if name not in _REGISTRY:
+            raise KeyError(f"_PRIORITY lists unregistered query {name!r}")
+        if _REGISTRY[name].oracle is None:
+            raise ValueError(f"_PRIORITY entry {name!r} has no oracle")
+        ordered[name] = _REGISTRY[name]
     # remaining oracle-bearing queries keep insertion order
     for name, spec in _REGISTRY.items():
         if name not in ordered and spec.oracle is not None:
