@@ -25,6 +25,7 @@ from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry imp
 # the SQL surface, and (as they land) the scale-path extension operators.
 HEADLINE = [
     "genre_kpis_daily",
+    "genre_kpis_daily_strparse",
     "genre_kpis_daily_onepass",
     "hourly_kpis",
     "a1_group_multi_agg",
@@ -47,6 +48,7 @@ HEADLINE = [
     "merge_upsert_relational",
     "scd2_priority_history",
     "dedup_simhash_banded",
+    "dedup_containment_banded",
     "dedup_embedding_lsh",
     "graph_pagerank_parts",
 ]

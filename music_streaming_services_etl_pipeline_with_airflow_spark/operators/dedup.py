@@ -781,6 +781,69 @@ def _make_lsh_udfs():
     return band_codes, pair_dot
 
 
+_BC_VERIFY_MAX = 50_000  # rows; ≈25 MB of float64 at dim 64 — broadcast-safe
+
+
+def _lsh_rep_pairs(
+    spark: SparkSession, nv: DataFrame, band_codes, pair_dot, n_hint: int
+) -> DataFrame:
+    """Hyperplane-LSH candidate pairs + exact-cosine verify over normalized
+    vectors ``nv`` (vec_id, v). The band join always shuffles ids only.
+
+    Verification is cost-adaptive, mirroring Spark's own broadcast-join
+    threshold logic: when the distinct-vector count fits comfortably on
+    every executor (≤ _BC_VERIFY_MAX), the normalized matrix is broadcast
+    and each candidate partition computes its dots with one numpy gather +
+    einsum — the Arrow exchange then carries 16-byte id pairs instead of
+    two 512-byte vectors per pair (~60× less). Beyond the bound, vectors
+    are re-joined by id (the shuffle-scalable path).
+    """
+    import numpy as np
+
+    # single-file local inputs arrive as 1 partition — spread the Arrow UDF
+    # signature work across the cluster before the per-row kernels run
+    par = spark.sparkContext.defaultParallelism
+    if nv.rdd.getNumPartitions() < par:
+        nv = nv.repartition(par)
+    sig = nv.select("vec_id", F.posexplode(band_codes("v")).alias("band", "code"))
+    a = sig.select("band", "code", F.col("vec_id").alias("va"))
+    b_ = sig.select("band", "code", F.col("vec_id").alias("vb"))
+    cand = (
+        a.join(b_, ["band", "code"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .dropDuplicates(["va", "vb"])
+    )
+    if n_hint <= _BC_VERIFY_MAX:
+        rows = nv.collect()  # bounded by _BC_VERIFY_MAX — broadcast metadata
+        mat = np.array([r["v"] for r in rows], dtype=np.float64)
+        index = {r["vec_id"]: i for i, r in enumerate(rows)}
+        bc = spark.sparkContext.broadcast((index, mat))
+
+        def _verify(batches):
+            idx, m = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = pdf["va"].map(idx).to_numpy()
+                ib = pdf["vb"].map(idx).to_numpy()
+                cos = np.einsum("ij,ij->i", m[ia], m[ib])
+                out = pdf.assign(cos=cos)
+                out = out[out["cos"] >= COSINE_DUP_THRESHOLD]
+                if len(out):
+                    yield out
+
+        return cand.mapInPandas(_verify, "va long, vb long, cos double")
+    va_vec = nv.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
+    vb_vec = nv.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
+    return (
+        cand.join(va_vec, "va")
+        .join(vb_vec, "vb")
+        .select("va", "vb", pair_dot(F.col("veca"), F.col("vecb")).alias("cos"))
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 @register(
     "dedup_embedding_lsh",
     None,  # sub-1.0 recall by design — rows-only; precision/recall pinned in
@@ -823,25 +886,7 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
         )
-        sig = nv.select(
-            "vec_id", F.posexplode(band_codes("v")).alias("band", "code")
-        )
-        a = sig.select("band", "code", F.col("vec_id").alias("va"))
-        b_ = sig.select("band", "code", F.col("vec_id").alias("vb"))
-        cand = (
-            a.join(b_, ["band", "code"])
-            .filter(F.col("va") < F.col("vb"))
-            .select("va", "vb")
-            .dropDuplicates(["va", "vb"])
-        )
-        va_vec = nv.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
-        vb_vec = nv.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
-        return (
-            cand.join(va_vec, "va")
-            .join(vb_vec, "vb")
-            .select("va", "vb", pair_dot(F.col("veca"), F.col("vecb")).alias("cos"))
-            .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        )
+        return _lsh_rep_pairs(spark, nv, band_codes, pair_dot, stats["n"])
     # Stage 1 — exact-vector collapse (mirrors dedup_minhash_lsh's exact-dup
     # collapse): identical vectors band identically and verify identically,
     # so LSH only needs one representative per distinct vector. A replicated
@@ -868,27 +913,9 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
     )
     # Stage 2 — hyperplane LSH over representatives. (vec_id, band, code)
-    # only: ids shuffle through the band join, the 64-dim vectors do not
-    # (they are fetched back by id after pair dedup).
-    sig = nv.select(
-        "vec_id", F.posexplode(band_codes("v")).alias("band", "code")
-    )
-    a = sig.select("band", "code", F.col("vec_id").alias("va"))
-    b_ = sig.select("band", "code", F.col("vec_id").alias("vb"))
-    cand = (
-        a.join(b_, ["band", "code"])
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb")
-        .dropDuplicates(["va", "vb"])
-    )
-    va_vec = nv.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
-    vb_vec = nv.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
-    rep_pairs = (
-        cand.join(va_vec, "va")
-        .join(vb_vec, "vb")
-        .select("va", "vb", pair_dot(F.col("veca"), F.col("vecb")).alias("cos"))
-        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-    )
+    # only: ids shuffle through the band join, the 64-dim vectors do not;
+    # verification is the shared cost-adaptive kernel.
+    rep_pairs = _lsh_rep_pairs(spark, nv, band_codes, pair_dot, stats["nd"])
     # Stage 3 — expand to member pairs (output-proportional). Identical
     # vectors share the representatives' cosine exactly.
     ma = members.select(F.col("rep").alias("va"), F.col("vec_id").alias("xa"))

@@ -197,17 +197,75 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
 
 M_SUB = 8  # subspaces
 SUB_DIM = 8  # 64-dim vectors → 8 × 8-dim subvectors
-K_PQ = 16  # codewords per subspace (codebook = first K_PQ corpus vectors)
-RERANK_FACTOR = 10  # exact-rerank shortlist = RERANK_FACTOR × TOP_K
+K_PQ = 32  # codewords per subspace (Lloyd-trained, seeded from first K_PQ)
+PQ_TRAIN_ITERS = 3  # Lloyd iterations per subspace (trained jointly)
+RERANK_FACTOR = 20  # exact-rerank shortlist = RERANK_FACTOR × TOP_K
+
+
+def _train_pq_codebook(subs: DataFrame, iterations: int = PQ_TRAIN_ITERS) -> DataFrame:
+    """(sub, code, cw) — per-subspace K_PQ-codeword codebook, Lloyd-trained.
+
+    All M_SUB subspaces train JOINTLY in one relation: the subspace id is
+    simply part of the grouping key, so each iteration is one broadcast
+    join (the codebook is M_SUB x K_PQ x SUB_DIM — tiny at any corpus
+    scale) plus one dim-mean shuffle over (vec_id, sub) rows — not a
+    per-subspace driver loop. Seeded deterministically from the first K_PQ
+    corpus vectors (the old untrained codebook = iteration 0); empty
+    clusters keep their previous codeword. Lineage cut per round with
+    localCheckpoint, same hygiene as operators/clustering.kmeans.
+    """
+    sq_d = F.aggregate(
+        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codebook = subs.filter(F.col("vec_id") < K_PQ).select(
+        "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cw")
+    )
+    for _ in range(iterations):
+        assigned = (
+            subs.join(F.broadcast(codebook), "sub")
+            .select("vec_id", "sub", "code", "sv", sq_d.alias("d2"))
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min_by("code", F.struct("d2", "code")).alias("code"),
+                F.first("sv").alias("sv"),
+            )
+        )
+        means = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("sub", "code", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_cw")
+            )
+        )
+        codebook = (
+            codebook.join(means, ["sub", "code"], "left")
+            .select(
+                "sub", "code", F.coalesce("new_cw", "cw").alias("cw")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return codebook
 
 
 @register(
     "similarity_pq_topk",
     None,  # approximate by construction — rows-only; recall pinned in pytest
     doc=f"PQ-ADC top-{TOP_K}: vectors compress to {M_SUB} codebook ids "
-    f"({M_SUB}×log2({K_PQ}) = 32 bits vs 64×8 bytes raw — the memory lever "
-    "that fits billions of vectors in RAM). Encoding is a per-subspace "
-    "argmin (min_by over a broadcast codebook join); query scoring is "
+    f"({M_SUB}x{K_PQ} codewords = 40 bits/vector vs 64x8 bytes raw - the "
+    "memory lever "
+    "that fits billions of vectors in RAM). The codebook is Lloyd-trained "
+    f"per subspace ({PQ_TRAIN_ITERS} joint iterations — subspace id is just "
+    "a grouping key, so training is one broadcast join + one dim-mean "
+    "shuffle per round, not a per-subspace loop). Encoding is a "
+    "per-subspace argmin (min_by over a broadcast codebook join); query "
+    "scoring is "
     "ASYMMETRIC distance: a tiny (qid, subspace, code) partial-IP lookup "
     "table broadcasts, joins the code relation, and one hash aggregate "
     "sums the approximate cosine — no per-pair vector math anywhere. An "
@@ -236,9 +294,7 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv"))
-    codebook = subs.filter(F.col("vec_id") < K_PQ).select(
-        "sub", F.col("vec_id").alias("code"), F.col("sv").alias("cw")
-    )
+    codebook = _train_pq_codebook(subs)
     sq_dist = F.aggregate(
         F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

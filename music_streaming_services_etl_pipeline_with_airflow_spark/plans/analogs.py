@@ -187,14 +187,32 @@ FROM hourly h LEFT JOIN top t ON h.date = t.date AND h.hour = t.hour
 @register(
     "genre_kpis_daily",
     GENRE_KPIS_SQL,
-    doc="Full genre-KPI pipeline analog: P4 lenient parse + J1 broadcast "
-    "join + A1 multi-agg + A2 argmax (reference "
-    "dags/music_streaming_services_dag.py:159-190). Since round 2 the argmax "
-    "executes inside the hash aggregate (min_by) — single shuffle; the "
+    doc="Full genre-KPI pipeline analog: J1 broadcast join + A1 multi-agg "
+    "+ A2 argmax (reference dags/music_streaming_services_dag.py:159-190). "
+    "Since round 2 the argmax executes inside the hash aggregate (min_by) "
+    "— single shuffle; since round 5 the flagship reads the TYPED source "
+    "directly (parquet timestamps need no parse — the string→"
+    "try_to_timestamp round-trip was ~25% of plan time and belongs only "
+    "where the input is actually strings). The P4 lenient-parse path stays "
+    "registered and oracle-checked as genre_kpis_daily_strparse; the "
     "reference's literal two-pass agg+window+join shape lives on as "
     "kpis.genre_kpis_window_form, pinned row-identical in tests.",
 )
 def q_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpis.genre_kpis(enriched_genre_direct(spark, sf_dir))
+
+
+@register(
+    "genre_kpis_daily_strparse",
+    GENRE_KPIS_SQL,  # identical semantics — same oracle
+    doc="The P4 parity variant of the flagship: listen_time arrives as a "
+    "STRING (the reference's CSV reality, SURVEY §2.8 P3/P4) and goes "
+    "through the lenient try_to_timestamp coerce before the identical "
+    "min_by plan. Kept as its own oracle-checked entry so the parse "
+    "semantics stay pinned while the flagship quotes the typed-source "
+    "plan.",
+)
+def q_genre_kpis_strparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kpis.genre_kpis(enriched_genre(spark, sf_dir))
 
 

@@ -53,6 +53,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_hourly_window",
     "streaming_foreachbatch_upsert",
     "genre_kpis_daily",
+    "genre_kpis_daily_strparse",
     "genre_kpis_daily_onepass",
     "dedup_minhash_lsh",
     "dedup_containment",

@@ -464,8 +464,8 @@ def test_pagerank_invariants(spark):
 def test_pq_topk_recall_and_exactness(spark):
     """PQ-ADC: the shortlist is approximate but the returned cosines are
     exact (rerank recomputes them), ranks are a valid per-query 1..k
-    permutation, and recall@5 vs brute force clears 0.7 on the seeded
-    fixture (deterministic codebook = first K_PQ vectors)."""
+    permutation, and recall@5 vs brute force clears 0.8 on the seeded
+    fixture (Lloyd-trained codebook, deterministic seeding)."""
     from music_streaming_services_etl_pipeline_with_airflow_spark.operators.similarity import (
         TOP_K,
         q_topk_brute,
@@ -486,7 +486,7 @@ def test_pq_topk_recall_and_exactness(spark):
                 assert abs(r.cos - exact_cos[(r.qid, r.neighbor_id)]) < 1e-12
     pq_set = {(r.qid, r.neighbor_id) for r in pq}
     br_set = {(r.qid, r.neighbor_id) for r in brute}
-    assert len(pq_set & br_set) / len(br_set) >= 0.7
+    assert len(pq_set & br_set) / len(br_set) >= 0.8
 
 
 def test_lsh_size_block_orientation_independent(spark):
