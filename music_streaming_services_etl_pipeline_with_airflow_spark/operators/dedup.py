@@ -3,7 +3,7 @@ training-data-pipeline extension family (BASELINE.json north star; no
 reference-repo counterpart, so semantics follow the standard literature:
 Broder resemblance / MinHash-LSH banding, Charikar SimHash).
 
-Five methods, all oracle-checked:
+Six method families, oracle-checked unless noted:
 
 - exact          — hash-groupBy on md5(text) (shuffle md5 keys, not 100 KB
                    texts — the 100 TB version of ``dropDuplicates``)
@@ -12,8 +12,13 @@ Five methods, all oracle-checked:
 - ngram_jaccard  — exact all-pair Jaccard via shingle-key equi-join
                    (candidate pairs share ≥1 shingle; the exact baseline
                    LSH approximates)
+- containment    — doc-in-doc C(A,B) ≥ 0.8: exact equi-join baseline plus
+                   the prefix-filtered (PPJoin-style) scale twin
+                   ``dedup_containment_banded`` (lossless, same oracle)
 - simhash        — 32-bit Charikar fingerprint + Hamming-≤6 pairs
 - embedding near-dup — cosine ≥ threshold pairs on the embeddings table
+                   (exact baseline oracle-checked; hyperplane-LSH variant
+                   rows-only with pytest recall pin)
 
 Scale design: every method is shuffle-on-small-keys. MinHash-LSH is the
 canonical 100 TB near-dup path: cost is O(docs × shingles) map-side +
@@ -397,40 +402,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_containment_banded",
-    # LOSSLESS candidate pruning ⇒ output identical to dedup_containment ⇒
-    # the exact-intersection SQL is a valid oracle for the banded plan too.
-    _CONTAINMENT_ORACLE,
-    doc=f"Containment dedup, scale path: prefix-filtered set-similarity "
-    f"join (PPJoin-family). Each doc probes the inverted shingle index "
-    f"with only its ⌊(1-τ)·n⌋+1 RAREST shingles (global-frequency order): "
-    f"if max-containment ≥ τ={CONTAINMENT_THRESHOLD}, the smaller set is "
-    "missing at most (1-τ)·n shingles from the larger, so at least one "
-    "prefix shingle must collide — lossless. Rare-first ordering makes "
-    "prefix keys low-fan-out, collapsing the quadratic hot-shingle blowup "
-    "of the exact equi-join; exact containment is then verified on "
-    "candidate pairs only. Output provably equals dedup_containment.",
-)
-def q_dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
-    docs = load_table(spark, sf_dir, "documents")
-    # Stage 0 — exact-dup collapse (same composition as dedup_minhash_lsh):
-    # identical texts have identical shingle sets, so prefix-filtering only
-    # needs one representative per distinct text. On a replicated corpus
-    # this keeps the inverted-index fan-out proportional to distinct
-    # content (a 10x nested-copy corpus multiplies every shingle frequency
-    # by 10 and the probe x index fan-out by 100 without it).
-    hashed = docs.select("doc_id", F.md5("text").alias("th"))
-    groups = hashed.groupBy("th").agg(
-        F.min("doc_id").alias("rep"), F.count("*").alias("n_members")
-    )
-    members = hashed.join(groups, "th").persist(StorageLevel.MEMORY_AND_DISK)
-    rep_docs = docs.join(
-        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
-    )
-    sh = doc_shingles(rep_docs).persist(StorageLevel.MEMORY_AND_DISK)
+def _containment_prefix_pairs(sh: DataFrame) -> DataFrame:
+    """Verified max-containment ≥ τ pairs over a shingle relation, via the
+    lossless rarest-prefix probe — the shared kernel of both adaptive
+    branches of ``dedup_containment_banded``."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # Global shingle frequency → rank each doc's shingles rarest-first.
     # (freq, s) is a total order, so prefixes are deterministic.
@@ -469,7 +444,7 @@ def q_dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = counts.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("na"))
     cb = counts.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("nb"))
-    rep_pairs = (
+    return (
         inter.join(ca, "da")
         .join(cb, "db")
         .select(
@@ -483,6 +458,56 @@ def q_dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= CONTAINMENT_THRESHOLD
         )
     )
+
+
+@register(
+    "dedup_containment_banded",
+    # LOSSLESS candidate pruning ⇒ output identical to dedup_containment ⇒
+    # the exact-intersection SQL is a valid oracle for the banded plan too.
+    _CONTAINMENT_ORACLE,
+    doc=f"Containment dedup, scale path: prefix-filtered set-similarity "
+    f"join (PPJoin-family). Each doc probes the inverted shingle index "
+    f"with only its ⌊(1-τ)·n⌋+1 RAREST shingles (global-frequency order): "
+    f"if max-containment ≥ τ={CONTAINMENT_THRESHOLD}, the smaller set is "
+    "missing at most (1-τ)·n shingles from the larger, so at least one "
+    "prefix shingle must collide — lossless. Rare-first ordering makes "
+    "prefix keys low-fan-out, collapsing the quadratic hot-shingle blowup "
+    "of the exact equi-join; exact containment is then verified on "
+    "candidate pairs only. Output provably equals dedup_containment.",
+)
+def q_dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("th"))
+    # Adaptive composition, mirroring dedup_embedding_lsh: the exact-dup
+    # collapse (+ member-pair expansion) only pays off when the corpus
+    # repeats texts. Identical texts have identical shingle sets, so both
+    # branches emit the same pairs; one bounded-row aggregate picks the
+    # cheaper plan.
+    stats = hashed.agg(
+        F.approx_count_distinct("th", rsd=0.01).alias("nd"),
+        F.count("*").alias("n"),
+    ).first()
+    collapse = stats["n"] > 0 and stats["nd"] < 0.95 * stats["n"]
+    if not collapse:
+        sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        return _containment_prefix_pairs(sh)
+    # Stage 0 — exact-dup collapse (same composition as dedup_minhash_lsh):
+    # prefix-filtering runs on one representative per distinct text. On a
+    # replicated corpus this keeps the inverted-index fan-out proportional
+    # to distinct content (a 10x nested-copy corpus multiplies every
+    # shingle frequency by 10 and the probe x index fan-out by 100
+    # without it).
+    groups = hashed.groupBy("th").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n_members")
+    )
+    members = hashed.join(groups, "th").persist(StorageLevel.MEMORY_AND_DISK)
+    rep_docs = docs.join(
+        members.filter(F.col("doc_id") == F.col("rep")).select("doc_id"), "doc_id"
+    )
+    sh = doc_shingles(rep_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    rep_pairs = _containment_prefix_pairs(sh)
     # Stage 3 — expand back to member pairs (output-proportional joins).
     # Containment is DIRECTIONAL: when least/greatest flips the pair's
     # orientation relative to its representatives, the two containment

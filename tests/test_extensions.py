@@ -23,6 +23,27 @@ def test_minhash_recall_vs_exact(spark):
     assert lsh == exact  # banding found all ≥0.5 pairs, verify removed FPs
 
 
+def test_containment_banded_equals_exact(spark):
+    """The prefix-filtered (PPJoin-style) containment plan is lossless:
+    collapse + rarest-shingle prefix probe + expansion must reproduce the
+    exact shingle-equi-join result pair-for-pair, values included."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        q_dedup_containment,
+        q_dedup_containment_banded,
+    )
+
+    exact = {
+        (r.da, r.db): (round(r.cont_a_in_b, 9), round(r.cont_b_in_a, 9))
+        for r in q_dedup_containment(spark, SF).collect()
+    }
+    banded = {
+        (r.da, r.db): (round(r.cont_a_in_b, 9), round(r.cont_b_in_a, 9))
+        for r in q_dedup_containment_banded(spark, SF).collect()
+    }
+    assert exact, "testdata should contain containment pairs"
+    assert banded == exact
+
+
 def test_embedding_lsh_precision_recall(spark):
     """Hyperplane-LSH near-dup: exact verification makes precision exactly
     1.0 (result ⊆ all-pairs result); with seeded hyperplanes and fixed
