@@ -57,6 +57,10 @@ _PRIORITY: tuple[str, ...] = (
     "genre_kpis_daily_onepass",
     "dedup_minhash_lsh",
     "dedup_containment",
+    "streaming_dedup_watermark",
+    "streaming_interval_join",
+    "streaming_sessionize",
+    "streaming_sliding_window",
     # -- rotation: oracle-green queries whose last driver row is r1/r2
     #    (79 such after rounds 3-4 re-checked the head; first 43 here,
     #    the rest next round) --
@@ -101,8 +105,6 @@ _PRIORITY: tuple[str, ...] = (
     "s3_scalar_subquery_having",
     "s4_correlated_not_exists",
     "a9_exact_correlation",
-    "a7_exact_percentiles",
-    "j8_bloom_prefilter_join",
 )
 
 

@@ -74,7 +74,13 @@ _stage = stage_events
 
 @register(
     "streaming_dedup_watermark",
-    None,  # streaming — rows-only; batch-count parity pinned in pytest
+    # Real oracle: the two staged copies are identical, so every replayed
+    # event_id lands inside the watermark horizon of its first delivery and
+    # the surviving rows are exactly the distinct events (event_id is
+    # unique in the source table).
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
     doc="Exactly-once from at-least-once: the events feed staged TWICE "
     "(simulated redelivery) through dropDuplicatesWithinWatermark on "
     "event_id — output cardinality equals the batch-distinct count, and "
@@ -95,7 +101,22 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_interval_join",
-    None,  # streaming — rows-only; batch-equivalence pinned in pytest
+    # Real oracle: with availableNow over one bounded staged folder, every
+    # qualifying pair is co-resident in join state before the final
+    # watermark advances, so the emitted set equals the batch interval
+    # join (the same equivalence test_registered_streaming_interval_join
+    # _equals_batch pins against the DataFrame batch form).
+    """
+    SELECT p.user_id AS imp_user,
+           p.event_id AS imp_id,
+           e.event_id AS clk_id
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts
+     AND e.ts <= p.ts + INTERVAL '30 minutes'
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    """,
     doc="Stream-stream interval join: purchase stream x error stream of "
     "the same user with error_ts in [purchase_ts, purchase_ts + 30min]. "
     "Watermarks on both sides let Spark expire join state older than the "

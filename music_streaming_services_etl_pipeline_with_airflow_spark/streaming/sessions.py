@@ -100,8 +100,36 @@ from ..plans.registry import register  # noqa: E402
 
 @register(
     "streaming_sessionize",
-    None,  # emits only closed sessions (stateful streaming) — rows-only;
-    # exact parity with the batch operator is asserted in pytest.
+    # Real oracle: with availableNow over a single staged file everything
+    # arrives in one micro-batch, so the stateful operator's output is
+    # exactly "gap-≥30min sessions minus the trailing (still-open) session
+    # per user" — expressible as a lag/sum session assignment that drops
+    # each user's last session id.
+    f"""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL '{GAP_MINUTES} minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x
+    ),
+    g AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY 1, 2
+    ),
+    m AS (SELECT user_id, MAX(sid) AS last_sid FROM g GROUP BY 1)
+    SELECT g.user_id, g.session_start, g.session_end_ts, g.n_events
+    FROM g JOIN m ON m.user_id = g.user_id AND g.sid < m.last_sid
+    """,
     doc="Custom stateful streaming operator: per-user gap sessionization via "
     "applyInPandasWithState (hash-partitioned state, append output). "
     "Cross-checked against the batch session_window operator in tests.",

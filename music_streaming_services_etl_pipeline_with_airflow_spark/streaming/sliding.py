@@ -63,7 +63,28 @@ from .runner import EVENTS_SCHEMA, run_stream_to_df, stage_events  # noqa: E402
 
 @register(
     "streaming_sliding_window",
-    None,  # streaming — rows-only; window arithmetic pinned in pytest
+    # Real oracle: in append mode over one bounded staged folder the
+    # emitted set is exactly the sliding windows the final watermark
+    # closed — window_end <= max(ts) - 2h. Each event lands in 4
+    # epoch-aligned windows: starts time_bucket(15min, ts) - k*15min,
+    # k = 0..3.
+    """
+    WITH k AS (SELECT UNNEST(range(4)) AS k),
+    w AS (
+        SELECT time_bucket(INTERVAL '15 minutes', e.ts)
+                   - k.k * INTERVAL '15 minutes' AS window_start
+        FROM events e CROSS JOIN k
+    ),
+    g AS (
+        SELECT window_start,
+               window_start + INTERVAL '1 hour' AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM w GROUP BY 1
+    )
+    SELECT window_start, window_end, n_events
+    FROM g
+    WHERE window_end <= (SELECT MAX(ts) - INTERVAL '2 hours' FROM events)
+    """,
     doc="Sliding event-time windows on a stream: 1-hour windows sliding "
     "every 15 minutes (each event in 4 windows) with a 2h watermark, "
     "APPEND mode — only windows the watermark has closed emit, so the "

@@ -29,6 +29,7 @@ QUERIES = [
     "hourly_kpis_fast",
     "a3_hourly_distinct_counts",
     "dedup_minhash_lsh",
+    "dedup_containment_banded",
     "text_tfidf_top_terms",
     "sessionize_events",
     "j4_multiway_dim_rollup",
