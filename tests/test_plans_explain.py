@@ -139,3 +139,15 @@ def test_scd2_single_exchange(spark):
 
     plan = _explain(q_scd2_history(spark, SF))
     assert plan.count("+- Exchange") + plan.count(":- Exchange") == 1
+
+
+def test_containment_banded_no_cartesian(spark):
+    """The prefix-filtered containment plan must stay equi-join shaped:
+    no cartesian product, no nested-loop pair enumeration."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        q_dedup_containment_banded,
+    )
+
+    plan = _explain(q_dedup_containment_banded(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

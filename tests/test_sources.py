@@ -92,3 +92,36 @@ def test_observe_metrics_without_extra_scan(spark):
     )
     n = observed.count()
     assert obs.get["n_rows"] == n and obs.get["null_users"] == 0
+
+
+def test_stage_events_normalizes_legacy_nanos(tmp_path):
+    """stage_events must normalize BOTH physical ts forms to
+    timestamp[us, UTC] — including the legacy int64-nanoseconds layout that
+    current testdata no longer exercises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.runner import (
+        stage_events,
+    )
+
+    us = 1704067207179575  # 2024-01-01T00:00:07.179575Z
+    legacy = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([us * 1000], pa.int64()),  # nanoseconds
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["play"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    src_dir = tmp_path / "legacy_sf"
+    src_dir.mkdir()
+    pq.write_table(legacy, src_dir / "events.parquet")
+
+    staged = stage_events(str(src_dir), "events_legacy_test")
+    out = pq.read_table(f"{staged}/copy0.v2.parquet")
+    t = out.schema.field("ts").type
+    assert pa.types.is_timestamp(t) and t.unit == "us" and t.tz == "UTC"
+    assert out.column("ts")[0].value == us
