@@ -74,6 +74,11 @@ def main() -> None:
     # one-slow-outlier pattern best-of-2 could not distinguish from drift);
     # spread = (max-min)/median flags queries whose number is untrustworthy.
     # Plans are re-built per run — nothing is result-cached.
+    # one untimed warmup pass: JIT/codegen/broadcast-build costs land here,
+    # not in run 1 of the measurement (they are session artifacts, not plan
+    # cost; nothing is result-cached — plans rebuild per run)
+    for name in names:
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(n_runs):
         for name in names:
