@@ -73,18 +73,26 @@ def _sessionize_group(
         )
 
 
-def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionize_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Run the stateful streaming sessionizer to completion over the events
     drop-folder; returns the *closed* sessions (the trailing open session
-    per user stays in state, as it would in production)."""
-    stream_dir = stage_events(sf_dir, "events")
+    per user stays in state, as it would in production).
 
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .format("parquet")
-        .load(stream_dir)
-        .select("user_id", "ts", "event_id")
-    )
+    ``source_dir`` overrides the default staged folder; setting
+    ``max_files_per_trigger`` forces multiple micro-batches so tests can
+    exercise cross-batch state continuity (files are picked up oldest
+    mtime first)."""
+    stream_dir = source_dir or stage_events(sf_dir, "events")
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(stream_dir).select("user_id", "ts", "event_id")
     sessions = src.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=_OUT_SCHEMA,

@@ -120,3 +120,57 @@ def test_session_gap_exact_boundary_merges(spark):
     )
     got = sorted((str(r.session_start), r.n_events) for r in sessionize(ev).collect())
     assert got == [("2024-01-01 10:00:00", 3), ("2024-01-01 11:30:00.000001", 1)]
+
+
+def test_streaming_sessions_state_survives_micro_batches(spark, tmp_path):
+    """Cross-batch state continuity of the stateful sessionizer: events for
+    one session split across two micro-batches (maxFilesPerTrigger=1) must
+    merge into ONE session, and a gap that straddles the batch boundary
+    must close the earlier session exactly once."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    t0 = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+    MIN = 60_000_000
+
+    def write(path, rows, mtime_s):
+        ts = pa.array([t0 + m * MIN for (_, m) in rows], pa.timestamp("us", tz="UTC"))
+        table = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([u for (u, _) in rows], pa.int64()),
+                "event_type": pa.array(["play"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(table, path)
+        os.utime(path, (mtime_s, mtime_s))
+
+    d = tmp_path / "split_events"
+    d.mkdir()
+    # file0 (older mtime -> batch 1): u1 opens a session; u2 opens a session
+    write(str(d / "f0.parquet"), [(1, 0), (1, 5), (2, 0)], 1_000_000)
+    # file1 (batch 2): u1 returns after a 55-min gap (closes session 1);
+    # u2 continues the SAME session (+10 min) then gaps (closes it) and
+    # leaves a trailing open session
+    write(str(d / "f1.parquet"), [(1, 60), (2, 10), (2, 70)], 1_000_100)
+
+    out = sessionize_stream(
+        spark, "unused", source_dir=str(d), max_files_per_trigger=1
+    )
+    got = {
+        (r.user_id, r.session_start.minute + r.session_start.hour * 60,
+         r.session_end_ts.minute + r.session_end_ts.hour * 60, r.n_events)
+        for r in out.collect()
+    }
+    # u1: (t0, t0+5m, 2 events) closed by the cross-batch gap.
+    # u2: (t0, t0+10m, 2 events) -- the +10m event arrived in batch 2 and
+    # must have MERGED into the batch-1 session, not started a new one.
+    assert got == {(1, 0, 5, 2), (2, 0, 10, 2)}
