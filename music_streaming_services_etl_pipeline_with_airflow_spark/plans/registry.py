@@ -60,6 +60,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_dedup_watermark",
     "streaming_interval_join",
     "streaming_sessionize",
+    "streaming_sessionize_timeout",
     "streaming_sliding_window",
     # -- rotation: oracle-green queries whose last driver row is r1/r2
     #    (79 such after rounds 3-4 re-checked the head; first 43 here,

@@ -73,6 +73,86 @@ def _sessionize_group(
         )
 
 
+_WATERMARK_DELAY_MINUTES = 10
+
+
+def _sessionize_group_timeout(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """EventTimeTimeout twin of ``_sessionize_group``: same gap merge, but
+    the open session also EXPIRES — its timeout is ``last + gap`` in event
+    time, so once the watermark passes that point Spark calls back with
+    ``hasTimedOut`` (and no data) and the session is emitted and dropped.
+    This is the production shape: state for idle users is reclaimed by the
+    watermark instead of living forever."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end_ts": [pd.Timestamp(last, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = None
+        n = 0
+    out = []
+    for ts in rows["ts"]:
+        ts_us = int(ts.value // 1000) if hasattr(ts, "value") else int(ts)
+        if last is not None and ts_us - last >= _GAP_US:
+            out.append((user_id, start, last, n))
+            start, n = ts_us, 0
+        if start is None:
+            start = ts_us
+        last = ts_us
+        n += 1
+    state.update((start, last, n))
+    state.setTimeoutTimestamp(last // 1000 + GAP_MINUTES * 60 * 1000)
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
+                "session_end_ts": [pd.Timestamp(r[2], unit="us") for r in out],
+                "n_events": [r[3] for r in out],
+            }
+        )
+
+
+def sessionize_stream_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow run of the EventTimeTimeout sessionizer: gap-closed
+    sessions emit as data arrives; open sessions whose ``last + gap`` falls
+    behind the final watermark (``max(ts) - delay``) emit via the timeout
+    callback in the settling batch. Only users active within the last
+    ``delay + gap`` of event time keep state."""
+    stream_dir = stage_events(sf_dir, "events")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(stream_dir)
+        .select("user_id", "ts", "event_id")
+        .withWatermark("ts", f"{_WATERMARK_DELAY_MINUTES} minutes")
+    )
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group_timeout,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_stream_to_df(sessions)
+
+
 def sessionize_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -144,3 +224,50 @@ from ..plans.registry import register  # noqa: E402
 )
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_sessionize_timeout",
+    # Real oracle: emitted = gap-closed sessions PLUS any trailing session
+    # whose (end + gap) the final watermark (max(ts) - delay) has passed —
+    # i.e. everything except sessions still inside the live horizon.
+    f"""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w >= INTERVAL '{GAP_MINUTES} minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x
+    ),
+    g AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY 1, 2
+    ),
+    m AS (SELECT user_id, MAX(sid) AS last_sid FROM g GROUP BY 1),
+    mx AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT g.user_id, g.session_start, g.session_end_ts, g.n_events
+    FROM g JOIN m ON m.user_id = g.user_id CROSS JOIN mx
+    WHERE g.sid < m.last_sid
+       OR g.session_end_ts + INTERVAL '{GAP_MINUTES} minutes'
+          <= mx.mx - INTERVAL '{_WATERMARK_DELAY_MINUTES} minutes'
+    """,
+    doc="EventTimeTimeout sessionization — the production-complete shape: "
+    "gap-closed sessions emit with the data, and idle sessions expire via "
+    "the event-time timeout (last + gap) once the watermark passes, so "
+    "per-user state is RECLAIMED instead of growing forever (the "
+    "NoTimeout variant keeps one open session per user in state "
+    "indefinitely). availableNow settles timeouts against the final "
+    "watermark; only users active inside the last delay+gap horizon keep "
+    "state.",
+)
+def q_streaming_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize_stream_timeout(spark, sf_dir)

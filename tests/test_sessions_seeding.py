@@ -174,3 +174,67 @@ def test_streaming_sessions_state_survives_micro_batches(spark, tmp_path):
     # u2: (t0, t0+10m, 2 events) -- the +10m event arrived in batch 2 and
     # must have MERGED into the batch-1 session, not started a new one.
     assert got == {(1, 0, 5, 2), (2, 0, 10, 2)}
+
+
+def test_streaming_sessions_event_time_timeout_fires(spark, tmp_path):
+    """EventTimeTimeout sessionizer: an idle session must emit via the
+    timeout callback once the watermark (driven by OTHER users' events)
+    passes last + gap — and a session still inside the horizon must stay
+    in state."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.runner import (
+        EVENTS_SCHEMA,
+        run_stream_to_df,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.sessions import (
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        _WATERMARK_DELAY_MINUTES,
+        _sessionize_group_timeout,
+    )
+
+    t0 = 1_704_067_200_000_000
+    MIN = 60_000_000
+    rows = [(1, 0), (1, 5), (2, 300), (2, 301)]
+    d = tmp_path / "timeout_events"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [t0 + m * MIN for (_, m) in rows], pa.timestamp("us", tz="UTC")
+                ),
+                "user_id": pa.array([u for (u, _) in rows], pa.int64()),
+                "event_type": pa.array(["play"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "f0.parquet"),
+    )
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(str(d))
+        .select("user_id", "ts", "event_id")
+        .withWatermark("ts", f"{_WATERMARK_DELAY_MINUTES} minutes")
+    )
+    out = run_stream_to_df(
+        src.groupBy("user_id").applyInPandasWithState(
+            _sessionize_group_timeout,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    ).collect()
+    got = {(r.user_id, r.n_events) for r in out}
+    # u1's session (ended min 5; timeout min 35) is far behind the final
+    # watermark (min 291) -> emitted via timeout. u2's session (timeout
+    # min 331) is inside the horizon -> still open, not emitted.
+    assert got == {(1, 2)}
