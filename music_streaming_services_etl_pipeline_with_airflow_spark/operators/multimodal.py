@@ -2,14 +2,16 @@
 columns with typed metadata, processed by Arrow-batched Pandas UDFs via
 ``mapInPandas``.
 
-The decode step is REAL for the dependency-free formats: uncompressed BMP
-(BITMAPINFOHEADER), binary PNM (P6 PPM / P5 PGM), and PCM WAV (RIFF)
-headers are parsed in pure Python with strict structural validation
-(magic + declared sizes must match the payload exactly), yielding actual
-width/height/channels (for audio: sample_rate/n_frames/n_channels). Payloads
-that are not valid BMP/PNM fall back to a deterministic stub (header fields
-derived from the payload bytes), and compressed formats (JPEG/PNG) raise
-behind an import-try for PIL, which this container ships without. The
+The decode step is REAL for every dependency-free path: uncompressed BMP
+(BITMAPINFOHEADER), binary PNM (P6 PPM / P5 PGM), PCM WAV (RIFF), PNG
+(IHDR + CRC32-validated chunk walk to IEND) and JPEG (strict marker walk
+to SOF0/1/2 + EOI) headers are parsed in pure Python with strict
+structural validation (magic + declared sizes/CRCs must match the payload
+exactly), yielding actual width/height/channels (for audio:
+sample_rate/n_frames/n_channels). Payloads matching no format fall back
+to a deterministic stub (header fields derived from the payload bytes);
+only PIXEL decode of compressed formats raises behind an import-try for
+PIL, which this container ships without. The
 distributed plan (columnar scan → Arrow-batched ``mapInPandas`` → typed
 struct output) is exactly what a 100 TB image pipeline runs, with
 ``spark.sql.files.maxPartitionBytes`` sizing the batches and no driver
@@ -172,12 +174,100 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, str] | None:
     return (rate, data_size // block_align, n_ch, "wav")
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def _parse_png(payload: bytes) -> tuple[int, int, int, str] | None:
+    """Pure-Python PNG header decode: IHDR fields + a STRICT chunk walk.
+
+    Full pixel decode would need zlib inflate of IDAT (doable) plus filter
+    reconstruction — out of scope for metadata extraction — but the header
+    path is real: the 8-byte signature, a first chunk that must be IHDR,
+    CRC32 validation of every chunk (stdlib zlib), and a walk that must
+    land exactly on IEND at the payload's end. Arbitrary bytes cannot pass.
+    """
+    import struct
+    import zlib
+
+    if len(payload) < 45 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos = 8
+    width = height = channels = None
+    first = True
+    while pos + 12 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data_end = pos + 8 + length
+        if data_end + 4 > len(payload):
+            return None
+        data = payload[pos + 8 : data_end]
+        crc = struct.unpack_from(">I", payload, data_end)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            return None
+        if first:
+            if ctype != b"IHDR" or length != 13:
+                return None
+            width, height, bit_depth, color_type = struct.unpack_from(
+                ">IIBB", data, 0
+            )
+            if width == 0 or height == 0 or color_type not in _PNG_CHANNELS:
+                return None
+            channels = _PNG_CHANNELS[color_type]
+            first = False
+        pos = data_end + 4
+        if ctype == b"IEND":
+            return (width, height, channels, "png") if pos == len(payload) else None
+    return None
+
+
+def _parse_jpeg(payload: bytes) -> tuple[int, int, int, str] | None:
+    """Pure-Python JPEG (JFIF/EXIF) header decode via a strict marker walk.
+
+    Segments are length-prefixed until SOS; the frame header (SOF0/1/2 —
+    baseline/extended/progressive) carries height/width/components. The
+    walk must stay in bounds and the payload must end with EOI (FFD9), so
+    random bytes starting with FFD8 cannot pass. Entropy data itself is
+    not decoded (that is the PIL-gated path).
+    """
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8" or payload[-2:] != b"\xff\xd9":
+        return None
+    pos = 2
+    dims = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS — header-only stream
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone markers
+            pos += 2
+            continue
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        if seglen < 2 or pos + 2 + seglen > len(payload):
+            return None
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            if seglen < 8:
+                return None
+            height, width = struct.unpack_from(">HH", payload, pos + 5)
+            ncomp = payload[pos + 9]
+            if width == 0 or height == 0 or ncomp not in (1, 3, 4):
+                return None
+            dims = (width, height, ncomp)
+        if marker == 0xDA:  # SOS — entropy-coded data follows; EOI already
+            return (*dims, "jpeg") if dims else None
+        pos += 2 + seglen
+    return (*dims, "jpeg") if dims else None
+
+
 def _decode_auto(payload: bytes) -> tuple[int, int, int, str]:
     """Real decode for recognized formats, deterministic stub otherwise."""
     return (
         _parse_bmp(payload)
         or _parse_pnm(payload)
         or _parse_wav(payload)
+        or _parse_png(payload)
+        or _parse_jpeg(payload)
         or _decode_stub(payload)
     )
 

@@ -13,6 +13,8 @@ from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimod
     DECODED_SCHEMA,
     _decode_stub,
     _parse_bmp,
+    _parse_jpeg,
+    _parse_png,
     _parse_pnm,
     _parse_wav,
     decode_image_batch,
@@ -197,9 +199,92 @@ try:
     def test_parsers_never_crash_on_garbage(payload):
         # strict validation: arbitrary bytes either parse to a plausible
         # header or are rejected — never an exception
-        for parse in (_parse_bmp, _parse_pnm, _parse_wav):
+        for parse in (_parse_bmp, _parse_pnm, _parse_wav, _parse_png, _parse_jpeg):
             out = parse(payload)
             assert out is None or (out[0] > 0 and out[1] >= 0)
 
 except ImportError:  # pragma: no cover — hypothesis is available in CI image
     pass
+
+
+def make_png(w, h, color_type=2):
+    import struct, zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # one filtered scanline per row, zlib-compressed (valid but unread)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = (b"\x00" + b"\x7f" * (w * nch)) * h
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(w, h, ncomp=3):
+    import struct
+
+    sof = struct.pack(">BBHHB", 8, 0, 0, 0, 0)  # placeholder, rebuilt below
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"\x01\x11\x00" * ncomp
+    seg_sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    seg_app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    seg_sos = b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    entropy = b"\x12\x34\x56"  # fake entropy-coded bytes (no FF markers)
+    return b"\xff\xd8" + seg_app0 + seg_sof + seg_sos + entropy + b"\xff\xd9"
+
+
+def test_png_header_parses_exact_dimensions():
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        _parse_png,
+    )
+
+    assert _parse_png(make_png(17, 9, color_type=2)) == (17, 9, 3, "png")
+    assert _parse_png(make_png(1, 1, color_type=0)) == (1, 1, 1, "png")
+    assert _parse_png(make_png(5, 3, color_type=6)) == (5, 3, 4, "png")
+
+
+def test_png_strictness():
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        _parse_png,
+    )
+
+    good = make_png(4, 4)
+    assert _parse_png(good) is not None
+    corrupted = bytearray(good)
+    corrupted[20] ^= 0xFF  # flip an IHDR byte -> CRC mismatch
+    assert _parse_png(bytes(corrupted)) is None
+    assert _parse_png(good[:-4]) is None  # truncated after IEND length
+    assert _parse_png(good + b"x") is None  # trailing junk after IEND
+
+
+def test_jpeg_header_parses_exact_dimensions():
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        _parse_jpeg,
+    )
+
+    assert _parse_jpeg(make_jpeg(640, 480, 3)) == (640, 480, 3, "jpeg")
+    assert _parse_jpeg(make_jpeg(28, 28, 1)) == (28, 28, 1, "jpeg")
+
+
+def test_jpeg_strictness():
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        _parse_jpeg,
+    )
+
+    good = make_jpeg(10, 10)
+    assert _parse_jpeg(good) is not None
+    assert _parse_jpeg(good[:-2]) is None  # missing EOI
+    broken = bytearray(good)
+    broken[2] = 0x00  # segment must start with FF
+    assert _parse_jpeg(bytes(broken)) is None
