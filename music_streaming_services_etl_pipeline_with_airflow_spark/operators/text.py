@@ -473,3 +473,51 @@ def q_corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " ")).cast("long")).cast("long").alias("n_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "dedup_chunks_cross_doc",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunks AS (
+    SELECT doc_id,
+           chunk_idx,
+           array_to_string(toks[chunk_idx * {CHUNK_TOKENS} + 1 :
+                                chunk_idx * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ')
+               AS chunk_text
+    FROM t, unnest(generate_series(0, (len(toks) - 1) // {CHUNK_TOKENS})) AS u(chunk_idx)
+)
+SELECT md5(chunk_text) AS chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id * 1000000 + chunk_idx) // 1000000 AS BIGINT) AS keep_doc_id,
+       CAST(MIN(doc_id * 1000000 + chunk_idx) % 1000000 AS BIGINT) AS keep_chunk_idx
+FROM chunks
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2""",
+    doc=f"Chunk-level exact dedup ACROSS documents (the Lee-et-al-style "
+    f"exact-substring dedup at {CHUNK_TOKENS}-token chunk granularity): "
+    "chunk every document on the shared fixed grid, hash each chunk, and "
+    "report chunks that recur in ≥2 distinct documents with a "
+    "deterministic canonical occurrence. The shuffle carries 32-byte "
+    "chunk hashes, never chunk text — at 100 TB this is a plain hash "
+    "aggregate over the chunk relation, the same shape as dedup_exact one "
+    "level down. The canonical occurrence is min(doc_id, chunk_idx) in "
+    "lexicographic order, carried portably as the packed surrogate "
+    "doc_id*1e6+chunk_idx (chunk_idx is bounded far below 1e6 here; at "
+    "scale use min_by over a struct, which DuckDB's min_by cannot "
+    "express).",
+)
+def q_dedup_chunks_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = q_chunk_fixed(spark, sf_dir)
+    packed = F.col("doc_id") * 1_000_000 + F.col("chunk_idx")
+    return (
+        chunks.select("doc_id", "chunk_idx", F.md5("chunk_text").alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            (F.min(packed) / 1_000_000).cast("long").alias("keep_doc_id"),
+            (F.min(packed) % 1_000_000).cast("long").alias("keep_chunk_idx"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

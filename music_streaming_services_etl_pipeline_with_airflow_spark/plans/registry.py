@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_interval_join",
     "streaming_sessionize",
     "streaming_sessionize_timeout",
+    "dedup_chunks_cross_doc",
     "streaming_sliding_window",
     # -- rotation: oracle-green queries whose last driver row is r1/r2
     #    (79 such after rounds 3-4 re-checked the head; first 43 here,
