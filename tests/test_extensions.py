@@ -534,3 +534,71 @@ def test_lsh_size_block_orientation_independent(spark):
     sigs = spark.createDataFrame(rows)
     got = {(r.da, r.db) for r in lsh_candidate_pairs(sigs).collect()}
     assert got == {(1, 9)}
+
+
+def test_containment_catches_constructed_nesting(spark):
+    """A short document literally contained in a long one must be flagged
+    by BOTH containment plans with cont(small in big) = 1.0 — the doc-in-doc
+    case Jaccard-based near-dup misses (J is tiny here)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        _containment_prefix_pairs,
+        doc_shingles,
+        JACCARD_THRESHOLD,
+    )
+    from pyspark.sql import functions as F
+
+    small = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"word{i}" for i in range(60))
+    big = filler + " " + small + " " + " ".join(f"tail{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated text about nothing here")],
+        "doc_id long, text string",
+    )
+    sh = doc_shingles(docs)
+    pairs = {
+        (r.da, r.db): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in _containment_prefix_pairs(sh).collect()
+    }
+    assert (1, 2) in pairs
+    cont_small_in_big = pairs[(1, 2)][0]  # da=1 is the small doc
+    assert cont_small_in_big == 1.0
+    # and its Jaccard is far below the near-dup threshold — the case that
+    # motivates a containment family at all
+    n_small = sh.filter(F.col("doc_id") == 1).count()
+    n_big = sh.filter(F.col("doc_id") == 2).count()
+    assert n_small / n_big < JACCARD_THRESHOLD < CONTAINMENT_THRESHOLD
+
+
+def test_chunk_dedup_catches_constructed_boilerplate(spark, tmp_path):
+    """A 32-token run repeated verbatim at chunk-aligned positions in two
+    documents must surface as one cross-doc duplicated chunk with the
+    lexicographically-first occurrence as canonical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        CHUNK_TOKENS,
+        q_dedup_chunks_cross_doc,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(CHUNK_TOKENS))
+    uniq_a = " ".join(f"a{i}" for i in range(CHUNK_TOKENS))
+    uniq_b = " ".join(f"c{i}" for i in range(CHUNK_TOKENS))
+    d = tmp_path / "sfdocs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 20], pa.int64()),
+                "text": pa.array(
+                    [boiler + " " + uniq_a, boiler + " " + uniq_b], pa.string()
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = q_dedup_chunks_cross_doc(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.n_occurrences, r.keep_doc_id, r.keep_chunk_idx) == (2, 2, 10, 0)
