@@ -420,9 +420,18 @@ def _containment_prefix_pairs(sh: DataFrame) -> DataFrame:
             ),
         )
     )
+    # Integer-safe prefix bound: (1 - 0.8) evaluates to 0.19999999999999996
+    # in binary float, so floor(0.1999... * n_sh) is one short whenever
+    # (1-τ)·n_sh is a whole number (e.g. n_sh=5 → 0 instead of 1), silently
+    # dropping pairs at containment exactly τ. The epsilon only ever rounds
+    # UP to the true integer value — a longer prefix adds candidates, never
+    # loses them, so losslessness is preserved.
     prefix = ranked.filter(
         F.col("rk")
-        <= F.floor((1 - CONTAINMENT_THRESHOLD) * F.col("n_sh")).cast("int") + 1
+        <= F.floor((1 - CONTAINMENT_THRESHOLD) * F.col("n_sh") + F.lit(1e-9)).cast(
+            "int"
+        )
+        + 1
     ).select("doc_id", "s")
     # Probe (prefix) × index (full): any pair with max-containment ≥ τ
     # collides on ≥1 prefix shingle of its smaller member.

@@ -237,6 +237,10 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, str] | None:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
+        # JPEG permits runs of 0xFF fill/padding bytes before the marker
+        # byte — skip them instead of misreading 0xFF as a segment marker.
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS — header-only stream
             break

@@ -516,8 +516,17 @@ def q_dedup_chunks_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
-            (F.min(packed) / 1_000_000).cast("long").alias("keep_doc_id"),
-            (F.min(packed) % 1_000_000).cast("long").alias("keep_chunk_idx"),
+            F.min(packed).alias("_packed_min"),
         )
         .filter(F.col("n_docs") >= 2)
+        # Integral `div` on longs, not float `/`: packed values above 2^53
+        # (doc_id > ~9e9) would lose precision in double division, while the
+        # DuckDB oracle's `//` is exact integer arithmetic.
+        .select(
+            "chunk_hash",
+            "n_occurrences",
+            "n_docs",
+            F.expr("_packed_min div 1000000").alias("keep_doc_id"),
+            (F.col("_packed_min") % 1_000_000).alias("keep_chunk_idx"),
+        )
     )

@@ -117,7 +117,10 @@ def _sessionize_group_timeout(
         last = ts_us
         n += 1
     state.update((start, last, n))
-    state.setTimeoutTimestamp(last // 1000 + GAP_MINUTES * 60 * 1000)
+    # Ceil last (µs) to ms: flooring could fire the timeout up to 1 ms
+    # before the oracle's µs-exact horizon (session_end + gap <= max(ts) -
+    # delay), emitting a session the oracle does not have.
+    state.setTimeoutTimestamp((last + 999) // 1000 + GAP_MINUTES * 60 * 1000)
     if out:
         yield pd.DataFrame(
             {

@@ -570,6 +570,37 @@ def test_containment_catches_constructed_nesting(spark):
     assert n_small / n_big < JACCARD_THRESHOLD < CONTAINMENT_THRESHOLD
 
 
+def test_containment_prefix_boundary_exact_threshold(spark):
+    """Regression: with τ=0.8 the prefix bound ⌊(1-τ)·n⌋+1 must be computed
+    with integer-safe arithmetic. (1-0.8) is 0.19999999999999996 in binary
+    float, so for n_sh a multiple of 5 the naive floor yields a prefix one
+    too short — a pair at containment exactly 0.8 whose unshared shingle is
+    the doc's rarest was silently dropped, breaking banded==exact.
+
+    Constructed worst case: doc 1 has 5 shingles {x, c0..c3}; doc 2 shares
+    c0..c3 (containment 4/5 = 0.8 exactly) plus 16 private y-shingles. x is
+    globally unique → doc 1's rarest; doc 2's 5-shingle prefix is all
+    y-shingles (freq 1 < freq 2). A 1-shingle prefix for doc 1 probes only
+    x and misses the pair; the correct 2-shingle prefix probes a shared c."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        _containment_prefix_pairs,
+    )
+
+    rows = (
+        [(1, "x")]
+        + [(1, f"c{i}") for i in range(4)]
+        + [(2, f"c{i}") for i in range(4)]
+        + [(2, f"y{i:02d}") for i in range(16)]
+    )
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    pairs = {
+        (r.da, r.db): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in _containment_prefix_pairs(sh).collect()
+    }
+    assert (1, 2) in pairs, "pair at containment exactly τ must be found"
+    assert pairs[(1, 2)][0] == 0.8
+
+
 def test_chunk_dedup_catches_constructed_boilerplate(spark, tmp_path):
     """A 32-token run repeated verbatim at chunk-aligned positions in two
     documents must surface as one cross-doc duplicated chunk with the

@@ -288,3 +288,23 @@ def test_jpeg_strictness():
     broken = bytearray(good)
     broken[2] = 0x00  # segment must start with FF
     assert _parse_jpeg(bytes(broken)) is None
+
+
+def test_jpeg_fill_bytes_between_segments():
+    """Regression: the spec allows runs of 0xFF fill/padding bytes before a
+    marker byte; the walk must skip them instead of rejecting the stream
+    (which sent valid JPEGs to the deterministic stub with fabricated
+    dimensions)."""
+    import struct
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        _parse_jpeg,
+    )
+
+    sof = struct.pack(">BHHB", 8, 33, 44, 3) + b"\x01\x11\x00" * 3
+    seg_sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    seg_sos = b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    # three fill 0xFF bytes before the SOF marker byte
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + seg_sof + seg_sos + b"\x12" + b"\xff\xd9"
+    assert _parse_jpeg(padded) == (44, 33, 3, "jpeg")
