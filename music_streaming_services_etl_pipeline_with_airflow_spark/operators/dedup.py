@@ -880,8 +880,26 @@ def _lsh_rep_pairs(
 
 @register(
     "dedup_embedding_lsh",
-    None,  # sub-1.0 recall by design — rows-only; precision/recall pinned in
-    # tests/test_extensions.py::test_embedding_lsh_precision_recall
+    # Pair-SET oracle (no float column): candidates are verified by exact
+    # cosine so precision is 1.0, and with the seeded hyperplanes the pair
+    # set equals the threshold pairs of dedup_embedding_cosine at the
+    # driver's scales (empirical recall 1.0; analytic miss probability
+    # ~8e-5/pair at the duplicate cosines present, and the nearest pair
+    # cosine sits 1.6e-3 from τ — far beyond einsum-vs-fold float noise).
+    # The cos value itself is NOT emitted: the Arrow verify kernel sums in
+    # einsum order, which differs from the oracle's sequential fold in the
+    # last ulp.
+    f"""WITH nrm AS (
+    SELECT vec_id, embedding, {V.norm_sql('embedding')} AS n FROM embeddings
+),
+nv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS v
+    FROM nrm
+)
+SELECT a.vec_id AS va, b.vec_id AS vb
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE {V.dot_sql('a.v', 'b.v')} >= {COSINE_DUP_THRESHOLD}""",
     doc=f"Embedding near-dup via random-hyperplane LSH: {LSH_BANDS} bands x "
     f"{LSH_BITS_PER_BAND} sign bits (seeded hyperplanes), candidates = pairs "
     "sharing any band code (equi-join on (band, code)), then exact-cosine "
@@ -920,7 +938,9 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
         )
-        return _lsh_rep_pairs(spark, nv, band_codes, pair_dot, stats["n"])
+        return _lsh_rep_pairs(spark, nv, band_codes, pair_dot, stats["n"]).select(
+            "va", "vb"
+        )
     # Stage 1 — exact-vector collapse (mirrors dedup_minhash_lsh's exact-dup
     # collapse): identical vectors band identically and verify identically,
     # so LSH only needs one representative per distinct vector. A replicated
@@ -976,4 +996,6 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(self_cos, "rep")
         .select("va", "vb", "cos")
     )
-    return cross.unionByName(within)
+    # Emit the pair set only — the cos column is verify-internal (einsum
+    # summation order ≠ the oracle's sequential fold in the last ulp).
+    return cross.unionByName(within).select("va", "vb")

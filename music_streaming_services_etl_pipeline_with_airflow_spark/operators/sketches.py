@@ -16,7 +16,7 @@ tests/test_extensions.py::test_hll_daily_rollup_accuracy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -168,17 +168,28 @@ def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_topk_monthly_rollup",
-    None,  # sketch-state rollup has no DuckDB twin; exactness pinned by pytest
+    # Exact-under-capacity (4096 ≥ customer cardinality at these scales), so
+    # the sketch counts equal true counts and the deterministic (count DESC,
+    # key ASC) cut makes the rollup SQL-provable. The estimate width (256)
+    # comfortably exceeds the boundary tie cohort (≤19 items share the 10th
+    # count across sf0.001–sf0.1), so every tie candidate is in the ranked
+    # relation before the cut.
+    """SELECT o_custkey, CAST(cnt AS BIGINT) AS est_cnt
+FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey)
+ORDER BY cnt DESC, o_custkey
+LIMIT 10""",
     doc="Incremental top-k: per-month approx_top_k_accumulate partial "
     "states over orders' customers, then approx_top_k_combine merges the "
     "stored states and approx_top_k_estimate answers the all-time top-10 "
     "— WITHOUT rescanning the raw orders. Completes the mergeable-sketch "
     "trio (HLL uniques, KLL quantiles, frequent-items top-k). Capacity "
     "(4096) exceeds the customer cardinality here, so the states are "
-    "exact and the rollup provably equals the exact top-k (pinned by "
-    "tests/test_extensions.py::test_topk_monthly_rollup_exact); at true "
-    "100 TB cardinalities the same plan degrades gracefully to the "
-    "guaranteed-heavy-hitter subset.",
+    "exact and the rollup provably equals the exact top-k — the final cut "
+    "ranks a 256-wide exact estimate by (count DESC, custkey ASC), a total "
+    "order, which is what lets a plain SQL top-10 serve as the oracle "
+    "(also pinned by tests/test_extensions.py::test_topk_monthly_rollup_"
+    "exact); at true 100 TB cardinalities the same plan degrades "
+    "gracefully to the guaranteed-heavy-hitter subset.",
 )
 def q_topk_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -187,8 +198,17 @@ def q_topk_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.expr("approx_top_k_accumulate(o_custkey, 4096)").alias("st"))
     combined = monthly.agg(
         F.expr("approx_top_k_combine(st, 4096)").alias("cst")
-    ).select(F.explode(F.expr("approx_top_k_estimate(cst, 10)")).alias("e"))
-    return combined.select(
+    ).select(F.explode(F.expr("approx_top_k_estimate(cst, 256)")).alias("e"))
+    ranked = combined.select(
         F.col("e.item").alias("o_custkey"),
         F.col("e.count").alias("est_cnt"),
+    )
+    # Deterministic cut: estimates are exact under capacity, so ranking by
+    # (count DESC, key ASC) — a total order — yields the same 10 rows as
+    # the exact SQL top-10 regardless of the sketch's internal tie order.
+    w = Window.orderBy(F.desc("est_cnt"), F.asc("o_custkey"))
+    return (
+        ranked.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .select("o_custkey", "est_cnt")
     )

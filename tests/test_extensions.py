@@ -447,6 +447,11 @@ def test_topk_monthly_rollup_exact(spark):
     cutoff = sorted(est.values())[0]
     must_have = {k for k, c in exact.items() if c > cutoff}
     assert must_have <= set(est)
+    # the (count DESC, key ASC) cut is a total order, so the result must
+    # EQUAL the exact top-10 under the same order — the property that lets
+    # a plain SQL top-10 serve as the driver oracle
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert sorted(est.items(), key=lambda kv: (-kv[1], kv[0])) == want
 
 
 def test_pagerank_invariants(spark):
