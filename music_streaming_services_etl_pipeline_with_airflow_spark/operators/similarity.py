@@ -202,56 +202,64 @@ PQ_TRAIN_ITERS = 3  # Lloyd iterations per subspace (trained jointly)
 RERANK_FACTOR = 20  # exact-rerank shortlist = RERANK_FACTOR × TOP_K
 
 
-def _train_pq_codebook(subs: DataFrame, iterations: int = PQ_TRAIN_ITERS) -> DataFrame:
-    """(sub, code, cw) — per-subspace K_PQ-codeword codebook, Lloyd-trained.
+PQ_TRAIN_SAMPLE = 65_536  # max vectors collected for codebook training
 
-    All M_SUB subspaces train JOINTLY in one relation: the subspace id is
-    simply part of the grouping key, so each iteration is one broadcast
-    join (the codebook is M_SUB x K_PQ x SUB_DIM — tiny at any corpus
-    scale) plus one dim-mean shuffle over (vec_id, sub) rows — not a
-    per-subspace driver loop. Seeded deterministically from the first K_PQ
-    corpus vectors (the old untrained codebook = iteration 0); empty
-    clusters keep their previous codeword. Lineage cut per round with
-    localCheckpoint, same hygiene as operators/clustering.kmeans.
+
+def _train_pq_codebook(
+    spark: SparkSession, nv: DataFrame, iterations: int = PQ_TRAIN_ITERS
+) -> DataFrame:
+    """(sub, code, cw) — per-subspace K_PQ-codeword codebook, Lloyd-trained
+    on a BOUNDED sample with one vectorized local solver.
+
+    The 100 TB shape: PQ codebooks are always trained on a size-capped
+    sample (FAISS/ScaNN practice — quantizer quality saturates long before
+    the corpus does), so training cost is O(sample), independent of corpus
+    size. The sample is the first PQ_TRAIN_SAMPLE vec_ids (TakeOrdered —
+    per-partition top-k merge, no global sort materialization), collected
+    once (≤ 32 MB at dim 64) and solved with numpy Lloyd — a former
+    3-iteration distributed loop whose per-round shuffle + eager-checkpoint
+    overhead dominated the whole query's wall time (~4.8 of 6.8 s at
+    sf0.1) on work that is milliseconds locally. Encoding and ADC scoring
+    remain fully distributed; only the M_SUB×K_PQ×SUB_DIM codebook (16 KB)
+    travels back, as a broadcast relation.
+
+    Determinism: sample order is vec_id-sorted, init is the first K_PQ
+    sample vectors' subvectors, ties take the lowest code (numpy argmin),
+    empty clusters keep their previous codeword — same contract as the
+    distributed formulation it replaces.
     """
-    sq_d = F.aggregate(
-        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    import numpy as np
+
+    rows = (
+        nv.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("v").collect()
     )
-    codebook = subs.filter(F.col("vec_id") < K_PQ).select(
-        "sub", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cw")
-    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)  # (n, dim)
+    n = len(x)
+    xs = x.reshape(n, M_SUB, SUB_DIM)  # (n, sub, subdim)
+    cb = xs[: min(K_PQ, n)].copy()  # (K, sub, subdim) init: first K vectors
+    if len(cb) < K_PQ:  # degenerate tiny corpus: pad by repeating
+        reps = -(-K_PQ // len(cb))
+        cb = np.tile(cb, (reps, 1, 1))[:K_PQ]
+    cb = cb.transpose(1, 0, 2).copy()  # (sub, K, subdim)
     for _ in range(iterations):
-        assigned = (
-            subs.join(F.broadcast(codebook), "sub")
-            .select("vec_id", "sub", "code", "sv", sq_d.alias("d2"))
-            .groupBy("vec_id", "sub")
-            .agg(
-                F.min_by("code", F.struct("d2", "code")).alias("code"),
-                F.first("sv").alias("sv"),
-            )
-        )
-        means = (
-            assigned.select("sub", "code", F.posexplode("sv").alias("dim", "x"))
-            .groupBy("sub", "code", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("sub", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("new_cw")
-            )
-        )
-        codebook = (
-            codebook.join(means, ["sub", "code"], "left")
-            .select(
-                "sub", "code", F.coalesce("new_cw", "cw").alias("cw")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return codebook
+        for m in range(M_SUB):
+            xm, cm = xs[:, m, :], cb[m]  # (n, d), (K, d)
+            d2 = (
+                (xm * xm).sum(1, keepdims=True)
+                - 2.0 * xm @ cm.T
+                + (cm * cm).sum(1)
+            )  # (n, K)
+            code = d2.argmin(1)  # ties -> lowest code
+            for k in range(K_PQ):
+                mask = code == k
+                if mask.any():
+                    cb[m, k] = xs[mask, m, :].mean(0)
+    out = [
+        (m, k, [float(v) for v in cb[m, k]])
+        for m in range(M_SUB)
+        for k in range(K_PQ)
+    ]
+    return spark.createDataFrame(out, "sub int, code int, cw array<double>"), cb
 
 
 @register(
@@ -261,54 +269,83 @@ def _train_pq_codebook(subs: DataFrame, iterations: int = PQ_TRAIN_ITERS) -> Dat
     f"({M_SUB}x{K_PQ} codewords = 40 bits/vector vs 64x8 bytes raw - the "
     "memory lever "
     "that fits billions of vectors in RAM). The codebook is Lloyd-trained "
-    f"per subspace ({PQ_TRAIN_ITERS} joint iterations — subspace id is just "
-    "a grouping key, so training is one broadcast join + one dim-mean "
-    "shuffle per round, not a per-subspace loop). Encoding is a "
-    "per-subspace argmin (min_by over a broadcast codebook join); query "
-    "scoring is "
-    "ASYMMETRIC distance: a tiny (qid, subspace, code) partial-IP lookup "
-    "table broadcasts, joins the code relation, and one hash aggregate "
-    "sums the approximate cosine — no per-pair vector math anywhere. An "
+    f"({PQ_TRAIN_ITERS} iterations) on a {PQ_TRAIN_SAMPLE}-vector-capped "
+    "sample with a local vectorized solver — the FAISS-style split where "
+    "training is O(sample) regardless of corpus size while encoding stays "
+    "distributed. Encoding is one Arrow kernel (numpy argmin per batch "
+    "against the broadcast 16 KB codebook) emitting one codes-array row "
+    "per vector — corpus vectors never explode relationally; "
+    "query scoring is ASYMMETRIC distance: each query's (subspace, code) "
+    "partial-IP table packs into one broadcast array row and the "
+    "approximate cosine is a map-side element_at fold — no shuffle, no "
+    "per-pair vector math. An "
     f"exact-cosine rerank of the top {RERANK_FACTOR}×{TOP_K} shortlist "
-    "restores ordering quality. Everything is joins + hash aggregates: "
-    "the plan Catalyst already knows how to scale.",
+    "restores ordering quality. Everything is broadcast joins, one "
+    "bounded-sample collect, and per-query top-k windows: the plan shape "
+    "that survives a 1000-executor corpus scan.",
 )
 def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     corpus = _corpus(spark, sf_dir)
     nv = corpus.select(
         "vec_id",
         F.transform("v", lambda x: x / V.norm(F.col("v"))).alias("v"),
     )
-    # (vec_id, sub, sv): 8-dim subvector per subspace — slice is 1-indexed
-    subs = nv.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("sub"),
-                        F.slice("v", m * SUB_DIM + 1, SUB_DIM).alias("sv"),
-                    )
-                    for m in range(M_SUB)
-                ]
-            )
-        ).alias("p"),
-    ).select("vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv"))
-    codebook = _train_pq_codebook(subs)
-    sq_dist = F.aggregate(
-        F.zip_with("sv", "cw", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # (vec_id, sub, sv) for the QUERY vectors only — feeds the ADC table;
+    # corpus vectors never explode (the Arrow encoder below slices in numpy)
+    subs = (
+        nv.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("sub"),
+                            F.slice("v", m * SUB_DIM + 1, SUB_DIM).alias("sv"),
+                        )
+                        for m in range(M_SUB)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv"))
     )
-    # encode: nearest codeword per (vector, subspace) — ties to lowest code
-    enc = (
-        subs.join(F.broadcast(codebook), "sub")
-        .select("vec_id", "sub", "code", sq_dist.alias("d2"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
-    )
-    # ADC lookup table: partial inner product of each query subvector with
-    # each codeword — N_QUERIES × M_SUB × K_PQ rows, trivially broadcastable
+    codebook, cb_np = _train_pq_codebook(spark, nv)
+    # encode: nearest codeword per (vector, subspace) as one Arrow kernel —
+    # a numpy argmin per batch against the broadcast 16 KB codebook, emitting
+    # one codes-array row per vector. The former relational formulation
+    # (explode to N×M_SUB subvectors, broadcast-join K_PQ codewords, two
+    # shuffled aggregates) moved N×M_SUB×K_PQ intermediate rows — 12.8M at
+    # the 10× scale point — for what is one matmul per Arrow batch here.
+    bc_cb = spark.sparkContext.broadcast(cb_np)
+
+    def _encode(batches):
+        cb = bc_cb.value  # (M_SUB, K_PQ, SUB_DIM)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).reshape(-1, M_SUB, SUB_DIM)
+            codes = np.empty((len(mat), M_SUB), dtype=np.int32)
+            for m in range(M_SUB):
+                xm, cm = mat[:, m, :], cb[m]
+                d2 = (
+                    (xm * xm).sum(1, keepdims=True)
+                    - 2.0 * xm @ cm.T
+                    + (cm * cm).sum(1)
+                )
+                codes[:, m] = d2.argmin(1)  # ties -> lowest code
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    codes = nv.mapInPandas(_encode, "vec_id long, codes array<integer>")
+    # ADC lookup table, packed per query: tbl[sub][code] = partial inner
+    # product of the query subvector with that codeword — N_QUERIES rows of
+    # M_SUB×K_PQ doubles (2 KB each), broadcast to every task. Scoring is
+    # then a pure map-side fold (one element_at per subspace), replacing the
+    # former (sub, code) equi-join that exploded N×M_SUB×N_QUERIES rows
+    # through a shuffle hash-aggregate — the heaviest exchange in the repo.
     table = (
         subs.filter(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(codebook), "sub")
@@ -319,11 +356,37 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             V.dot(F.col("sv"), F.col("cw")).alias("part_ip"),
         )
     )
+    qtbl = (
+        table.groupBy("qid", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "part_ip"))),
+                lambda s: s["part_ip"],
+            ).alias("row")
+        )
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "row"))),
+                lambda s: s["row"],
+            ).alias("tbl")
+        )
+    )
     approx = (
-        enc.join(F.broadcast(table), ["sub", "code"])
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum("part_ip").alias("approx_cos"))
+        codes.join(F.broadcast(qtbl), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "codes",
+                    "tbl",
+                    lambda c, t: F.element_at(t, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_cos"),
+        )
     )
     w_approx = Window.partitionBy("qid").orderBy(
         F.desc("approx_cos"), F.asc("vec_id")
