@@ -238,3 +238,31 @@ def test_streaming_sessions_event_time_timeout_fires(spark, tmp_path):
     # watermark (min 291) -> emitted via timeout. u2's session (timeout
     # min 331) is inside the horizon -> still open, not emitted.
     assert got == {(1, 2)}
+
+
+def test_tws_sessionizer_equals_timeout_twin_when_runtime_present():
+    """Conditional twin-equality pin for the transformWithStateInPandas
+    sessionizer: whenever the protobuf runtime imports (it is broken in
+    this container, so the test normally SKIPs), the typed-state API must
+    produce exactly the EventTimeTimeout sessionizer's rows — they share
+    semantics, registration oracle, and this assertion."""
+    import pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.sessions import (
+        _has_tws_runtime,
+    )
+
+    if not _has_tws_runtime():
+        pytest.skip("google.protobuf runtime unavailable — tws variant gated off")
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.session import get_spark
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.sessions import (
+        sessionize_stream_timeout,
+        sessionize_stream_tws,
+    )
+
+    spark = get_spark()
+    key = lambda r: (r.user_id, r.session_start, r.session_end_ts, r.n_events)  # noqa: E731
+    tws = sorted(map(key, sessionize_stream_tws(spark, SF).collect()))
+    timeout = sorted(map(key, sessionize_stream_timeout(spark, SF).collect()))
+    assert tws == timeout
