@@ -51,6 +51,9 @@ HEADLINE = [
     "dedup_containment_banded",
     "dedup_embedding_lsh",
     "graph_pagerank_parts",
+    # round 6: the reworked PQ-ADC path (sampled local Lloyd + Arrow encode
+    # + broadcast ADC fold) joins the headline so its cost stays watched
+    "similarity_pq_topk",
 ]
 
 
