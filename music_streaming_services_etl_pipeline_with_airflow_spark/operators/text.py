@@ -530,3 +530,114 @@ def q_dedup_chunks_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_packed_min") % 1_000_000).alias("keep_chunk_idx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowed fingerprint dedup (round 6) — any-alignment shared-run detection
+# --------------------------------------------------------------------------
+
+WIN_W = 16  # tokens per window (the shingle the fingerprint hashes)
+WIN_K = 8  # winnowing window: one fingerprint selected per K consecutive
+
+
+@register(
+    "dedup_winnowed_shingles",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(toks[pos + 1 : pos + {WIN_W}], ' ')) AS h
+    FROM t, unnest(generate_series(0, len(toks) - {WIN_W})) AS u(pos)
+    WHERE len(toks) >= {WIN_W}
+),
+k AS (
+    SELECT doc_id,
+           MIN(h || '#' || lpad(CAST(999999999 - pos AS VARCHAR), 9, '0'))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {WIN_K - 1} FOLLOWING)
+               AS minkey
+    FROM w
+),
+sel AS (
+    SELECT DISTINCT doc_id,
+           substr(minkey, 1, 32) AS h,
+           999999999 - CAST(substr(minkey, 34, 9) AS INTEGER) AS pos
+    FROM k
+)
+SELECT h AS win_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id * 1000000 + pos) // 1000000 AS BIGINT) AS keep_doc_id,
+       CAST(MIN(doc_id * 1000000 + pos) % 1000000 AS BIGINT) AS keep_pos
+FROM sel
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2""",
+    doc=f"Any-alignment cross-document duplicate-run detection via WINNOWING "
+    f"(Schleimer-Wilkerson-Aiken MOSS fingerprinting): hash every "
+    f"{WIN_W}-token window, then keep only each {WIN_K}-window's minimal "
+    "hash (rightmost on ties, encoded in the sortable key), and report "
+    "fingerprints recurring in ≥2 distinct documents. Guarantee: any run "
+    f"of ≥ {WIN_W + WIN_K - 1} shared tokens at ANY offset yields ≥1 shared "
+    "selected fingerprint — the shifted-boilerplate case the fixed chunk "
+    "grid (dedup_chunks_cross_doc) provably misses — while expected "
+    f"fingerprint density is only 2/(K+1) ≈ {2/(WIN_K+1):.2f} of positions. "
+    "At 100 TB: the per-doc window/select phase is map-side (one window "
+    "function partitioned by doc_id — partition-local, no cross-doc "
+    "shuffle), and the only exchange is the final hash aggregate over "
+    "32-byte selected fingerprints, the same shape as dedup_exact. "
+    "Canonical occurrence carried as the packed min(doc_id, pos) surrogate "
+    "with integral-div unpack (exact above 2^53).",
+)
+def q_dedup_winnowed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= WIN_W
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - WIN_W),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, WIN_W))),
+            )
+        ).alias("pos", "h"),
+    )
+    # sortable key: hash, then complemented position so MIN picks the
+    # RIGHTMOST position among equal hashes (classic winnowing tie rule)
+    key = F.concat(
+        F.col("h"),
+        F.lit("#"),
+        F.lpad((F.lit(999_999_999) - F.col("pos")).cast("string"), 9, "0"),
+    )
+    wk = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.currentRow, WIN_K - 1
+    )
+    sel = (
+        wins.select("doc_id", F.min(key).over(wk).alias("minkey"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.substring("minkey", 1, 32).alias("h"),
+            (F.lit(999_999_999) - F.substring("minkey", 34, 9).cast("int")).alias(
+                "pos"
+            ),
+        )
+    )
+    packed = F.col("doc_id") * 1_000_000 + F.col("pos")
+    return (
+        sel.groupBy(F.col("h").alias("win_hash"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(packed).alias("_packed_min"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "win_hash",
+            "n_occurrences",
+            "n_docs",
+            F.expr("_packed_min div 1000000").alias("keep_doc_id"),
+            (F.col("_packed_min") % 1_000_000).alias("keep_pos"),
+        )
+    )

@@ -638,3 +638,52 @@ def test_chunk_dedup_catches_constructed_boilerplate(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r.n_docs, r.n_occurrences, r.keep_doc_id, r.keep_chunk_idx) == (2, 2, 10, 0)
+
+
+def test_winnowed_shingles_catch_shifted_run_chunks_miss(spark, tmp_path):
+    """The winnowing guarantee: a shared run of >= W+K-1 tokens at a
+    MISALIGNED offset (not on the fixed chunk grid) must surface as >= 1
+    shared selected fingerprint — while the chunk-grid dedup misses the
+    same pair, which is exactly the gap the operator exists to close."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        CHUNK_TOKENS,
+        WIN_K,
+        WIN_W,
+        q_dedup_chunks_cross_doc,
+        q_dedup_winnowed_shingles,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(WIN_W + WIN_K - 1))
+    # doc 1: run starts at token 3; doc 2: run starts at token 10 — both
+    # offsets chosen off the CHUNK_TOKENS grid and off each other
+    assert 3 % CHUNK_TOKENS != 10 % CHUNK_TOKENS
+    doc1 = " ".join(f"a{i}" for i in range(3)) + " " + run + " " + " ".join(
+        f"b{i}" for i in range(40)
+    )
+    doc2 = " ".join(f"c{i}" for i in range(10)) + " " + run + " " + " ".join(
+        f"d{i}" for i in range(40)
+    )
+    d = tmp_path / "sfwin"
+    d.mkdir()
+    docs = [(1, doc1), (2, doc2)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * 2, pa.string()),
+                "source": pa.array(["test"] * 2, pa.string()),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    win = q_dedup_winnowed_shingles(spark, str(d)).collect()
+    assert win, "winnowing must flag the shifted shared run"
+    assert all(r.n_docs == 2 for r in win)
+    assert all(r.keep_doc_id == 1 for r in win)
+    chunk = q_dedup_chunks_cross_doc(spark, str(d)).collect()
+    assert chunk == [], "fixed-grid chunk dedup cannot see the misaligned run"
