@@ -687,3 +687,100 @@ def test_winnowed_shingles_catch_shifted_run_chunks_miss(spark, tmp_path):
     assert all(r.keep_doc_id == 1 for r in win)
     chunk = q_dedup_chunks_cross_doc(spark, str(d)).collect()
     assert chunk == [], "fixed-grid chunk dedup cannot see the misaligned run"
+
+
+def test_ivf_trained_quantizer_balances_clustered_corpus(spark, tmp_path):
+    """The case the trained coarse quantizer exists for: a clustered corpus
+    whose first k vectors all sit in ONE mode. The deterministic first-k
+    quantizer then absorbs each foreign cluster wholesale into single
+    inverted lists (unbounded probe cost / partition skew at scale), while
+    sampled spherical-k-means centroids track the modes and bound the
+    largest list. Constructed deterministically — no RNG."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import Window
+    from music_streaming_services_etl_pipeline_with_airflow_spark.functions import (
+        vectors as V,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.similarity import (
+        N_LIST,
+        _corpus,
+        _train_coarse_centroids,
+    )
+
+    dim, n = 16, 600
+    centers = []
+    for c in range(3):  # three orthogonal-ish modes on the unit sphere
+        v = [0.0] * dim
+        v[c * 5] = 1.0
+        v[c * 5 + 1] = 0.5
+        centers.append(v)
+
+    def vec(i):
+        c = 0 if i < 8 else i % 3  # first 8 ids all in mode 0
+        base = centers[c]
+        return [
+            base[d] + 0.05 * math.sin(1.0 + i * (d + 1)) for d in range(dim)
+        ]
+
+    d = tmp_path / "sfivf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [vec(i) for i in range(n)], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    corpus = _corpus(spark, str(d))
+
+    def list_sizes(cents):
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+        a = (
+            corpus.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+        )
+        return [r.c for r in a.groupBy("cid").agg(F.count("*").alias("c")).collect()]
+
+    untrained = corpus.filter(F.col("vec_id") < N_LIST).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    mode_size = n // 3
+    # first-k seeds (all mode 0) leave whole foreign modes lumped together:
+    # some inverted list holds MORE than one mode — the unbounded-probe /
+    # partition-skew failure at scale
+    assert max(list_sizes(untrained)) > mode_size
+    # trained centroids track the modes: no list may exceed one mode (+5%)
+    trained_sizes = list_sizes(_train_coarse_centroids(spark, corpus))
+    assert max(trained_sizes) <= mode_size * 1.05, trained_sizes
+
+
+def test_ivf_kmeans_recall_floor(spark):
+    """Trained-quantizer IVF on the real testdata: valid per-query top-k
+    structure and recall@5 vs brute force above the floor expected of an
+    8-list / 2-probe configuration."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.similarity import (
+        TOP_K,
+        q_topk_brute,
+        q_topk_ivf_kmeans,
+    )
+
+    got = q_topk_ivf_kmeans(spark, SF).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    for rows in by_q.values():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOP_K
+    brute = {(r.qid, r.neighbor_id) for r in q_topk_brute(spark, SF).collect()}
+    mine = {(r.qid, r.neighbor_id) for r in got}
+    assert len(mine & brute) / len(brute) >= 0.5
