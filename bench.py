@@ -52,8 +52,10 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "graph_pagerank_parts",
     # round 6: the reworked PQ-ADC path (sampled local Lloyd + Arrow encode
-    # + broadcast ADC fold) joins the headline so its cost stays watched
+    # + broadcast ADC fold) joins the headline so its cost stays watched,
+    # as does the new any-alignment winnowed-fingerprint dedup
     "similarity_pq_topk",
+    "dedup_winnowed_shingles",
 ]
 
 
