@@ -641,3 +641,90 @@ def q_dedup_winnowed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_packed_min") % 1_000_000).alias("keep_pos"),
         )
     )
+
+
+@register(
+    "dedup_shared_spans",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(toks[pos + 1 : pos + {WIN_W}], ' ')) AS h
+    FROM t, unnest(generate_series(0, len(toks) - {WIN_W})) AS u(pos)
+    WHERE len(toks) >= {WIN_W}
+),
+shared AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+sel AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM shared)),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                THEN 0 ELSE 1 END AS new_island
+    FROM sel
+),
+grp AS (
+    SELECT doc_id, pos,
+           SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {WIN_W} - 1 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM grp
+GROUP BY doc_id, island""",
+    doc=f"EXACT cross-document duplicated-span extraction — the surgical "
+    "output a dedup pipeline actually strips: for every document, the "
+    "inclusive token ranges whose content also appears verbatim in at "
+    f"least one OTHER document (window size {WIN_W}; inside a shared run "
+    "every window hash is globally duplicated, so consecutive shared "
+    "positions merge into maximal spans by the gaps-and-islands pattern "
+    "and the recovered span equals the shared run exactly). Complements "
+    "dedup_winnowed_shingles: winnowed fingerprints DETECT offending "
+    "docs cheaply at scale; this operator runs at full window density to "
+    "delimit the spans to remove. 100 TB shape: one 32-byte-hash "
+    "aggregate (same as dedup_exact) + a semi join back + per-doc window "
+    "functions — no cross-doc pair explosion anywhere (within-doc-only "
+    "repetition is deliberately excluded by the distinct-doc bar).",
+)
+def q_dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= WIN_W
+    )
+    w = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - WIN_W),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, WIN_W))),
+            )
+        ).alias("pos", "h"),
+    )
+    shared = (
+        w.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    sel = w.join(shared, "h", "left_semi").select("doc_id", "pos")
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = sel.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(wo) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    grp = flagged.withColumn(
+        "island", F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        grp.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + WIN_W - 1).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )

@@ -784,3 +784,50 @@ def test_ivf_kmeans_recall_floor(spark):
     brute = {(r.qid, r.neighbor_id) for r in q_topk_brute(spark, SF).collect()}
     mine = {(r.qid, r.neighbor_id) for r in got}
     assert len(mine & brute) / len(brute) >= 0.5
+
+
+def test_shared_spans_recover_exact_run(spark, tmp_path):
+    """The islands merge must recover the shared run EXACTLY: every window
+    inside the run is globally duplicated, nothing outside is, so the span
+    equals [run_start, run_end] in both documents."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        WIN_K,
+        WIN_W,
+        q_dedup_shared_spans,
+    )
+
+    runlen = WIN_W + WIN_K - 1  # 23 tokens
+    run = " ".join(f"shared{i}" for i in range(runlen))
+    doc1 = " ".join(f"a{i}" for i in range(3)) + " " + run + " " + " ".join(
+        f"b{i}" for i in range(40)
+    )
+    doc2 = " ".join(f"c{i}" for i in range(10)) + " " + run + " " + " ".join(
+        f"d{i}" for i in range(40)
+    )
+    d = tmp_path / "sfspan"
+    d.mkdir()
+    docs = [(1, doc1), (2, doc2)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * 2, pa.string()),
+                "source": pa.array(["test"] * 2, pa.string()),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.n_windows)
+        for r in q_dedup_shared_spans(spark, str(d)).collect()
+    }
+    n_windows = runlen - WIN_W + 1  # 8 fully-inside windows
+    assert got == {
+        1: (3, 3 + runlen - 1, n_windows),
+        2: (10, 10 + runlen - 1, n_windows),
+    }
