@@ -79,3 +79,64 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_event_counts_stream(spark, sf_dir).select(
         "date", "hour", "n_events"
     )
+
+
+@register(
+    "streaming_topk_event_type",
+    # availableNow + complete-mode agg ⇒ the materialized (window, type)
+    # counts equal the batch group-by, so the ranked projection equals the
+    # batch top-1 per hour with the same total-order tie-break.
+    """
+    WITH c AS (
+        SELECT CAST(ts AS DATE) AS date,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS top_n
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT date, hour, event_type AS top_event_type, top_n FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY date, hour
+                                     ORDER BY top_n DESC, event_type) AS rn
+        FROM c
+    ) WHERE rn = 1
+    """,
+    doc="Streaming top-k: the reference's top-artist-per-hour (O2) semantic "
+    "in-stream. The stream maintains incremental (1h window, event_type) "
+    "counts — rank-over-window is not a streaming-supported operation, so "
+    "the top-1 projection (count DESC, type ASC — total order) runs on the "
+    "materialized snapshot at the sink, the standard agg-in-stream / "
+    "rank-at-serving split a production dashboard uses. At scale the "
+    "streaming state is |windows|x|types| counters (bounded by the "
+    "watermark horizon), and the serving-side rank touches only that "
+    "aggregate relation, never raw events.",
+)
+def q_streaming_topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .runner import run_stream_to_df, stage_events
+
+    stream_dir = stage_events(sf_dir, "events")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(stream_dir)
+    )
+    windowed = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("top_n"))
+    )
+    snap = run_stream_to_df(windowed, output_mode="complete").select(
+        F.to_date("w.start").alias("date"),
+        F.hour("w.start").cast("long").alias("hour"),
+        F.col("event_type").alias("top_event_type"),
+        "top_n",
+    )
+    rk = Window.partitionBy("date", "hour").orderBy(
+        F.desc("top_n"), F.asc("top_event_type")
+    )
+    return (
+        snap.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select("date", "hour", "top_event_type", "top_n")
+    )
