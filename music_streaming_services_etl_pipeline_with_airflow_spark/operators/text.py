@@ -728,3 +728,147 @@ def q_dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "n_windows")
     )
+
+
+@register(
+    "curate_strip_shared_spans",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(toks[pos + 1 : pos + {WIN_W}], ' ')) AS h
+    FROM t, unnest(generate_series(0, len(toks) - {WIN_W})) AS u(pos)
+    WHERE len(toks) >= {WIN_W}
+),
+own AS (
+    SELECT h, MIN(doc_id) AS keep_doc, COUNT(DISTINCT doc_id) AS nd
+    FROM w GROUP BY h
+),
+rem AS (
+    SELECT w.doc_id, w.pos FROM w JOIN own ON own.h = w.h
+    WHERE own.nd >= 2 AND w.doc_id <> own.keep_doc
+),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                THEN 0 ELSE 1 END AS new_island
+    FROM rem
+),
+spans AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) + {WIN_W} - 1 AS e
+    FROM (SELECT doc_id, pos,
+                 SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS island
+          FROM flagged)
+    GROUP BY doc_id, island
+),
+tok AS (
+    SELECT doc_id, i, toks[i + 1] AS tok
+    FROM t, unnest(generate_series(0, len(toks) - 1)) AS u(i)
+),
+kept AS (
+    SELECT tk.doc_id, tk.i, tk.tok FROM tok tk
+    WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                      WHERE sp.doc_id = tk.doc_id
+                        AND tk.i BETWEEN sp.s AND sp.e)
+),
+agg AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
+    FROM kept GROUP BY doc_id
+)
+SELECT t2.doc_id,
+       CAST(len(t2.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t2.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.clean_md5, md5('')) AS clean_md5
+FROM t t2 LEFT JOIN agg a ON a.doc_id = t2.doc_id""",
+    doc=f"End-to-end surgical dedup: remove every duplicated span from "
+    "every NON-CANONICAL document while the canonical owner (min doc_id "
+    "per shared {WIN_W}-token window hash) keeps its text intact — the "
+    "detect→locate→strip pipeline composed into one relational plan "
+    "(shared-hash ownership aggregate → removed-position islands → "
+    "token-level anti-range-join → order-preserving reassembly). Emits "
+    "(doc_id, n_tokens, n_removed, md5(clean_text)) for EVERY document so "
+    "the oracle verifies both the strip decisions and the exact "
+    "reassembled bytes. 100 TB shape: the ownership exchange carries "
+    "32-byte hashes; spans are per-doc bounded so the anti join fans out "
+    "tokens x few-spans within each doc partition; no cross-doc pair "
+    "explosion.",
+)
+def q_curate_strip_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    w = (
+        t.filter(F.size("toks") >= WIN_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - WIN_W),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("toks", i + 1, WIN_W))
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    own = w.groupBy("h").agg(
+        F.min("doc_id").alias("keep_doc"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    rem = (
+        w.join(own, "h")
+        .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("keep_doc")))
+        .select("doc_id", "pos")
+    )
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        rem.withColumn(
+            "new_island",
+            F.when(F.col("pos") - F.lag("pos").over(wo) == 1, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + WIN_W - 1).alias("e"))
+        .select("doc_id", "s", "e")
+    )
+    tok = t.select(
+        "doc_id", F.posexplode("toks").alias("i", "tok")
+    )
+    kept = tok.alias("tk").join(
+        spans.alias("sp"),
+        (F.col("tk.doc_id") == F.col("sp.doc_id"))
+        & F.col("tk.i").between(F.col("sp.s"), F.col("sp.e")),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    empty_md5 = F.md5(F.lit(""))
+    return (
+        t.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+            F.coalesce("clean_md5", empty_md5).alias("clean_md5"),
+        )
+    )

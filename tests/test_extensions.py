@@ -831,3 +831,48 @@ def test_shared_spans_recover_exact_run(spark, tmp_path):
         1: (3, 3 + runlen - 1, n_windows),
         2: (10, 10 + runlen - 1, n_windows),
     }
+
+
+def test_strip_shared_spans_canonical_keeps_dupe_loses(spark, tmp_path):
+    """The strip rule end-to-end: the canonical (min doc_id) owner keeps its
+    full text; the non-canonical doc loses exactly the shared run, and its
+    reassembled clean text hashes to the expected bytes."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        WIN_K,
+        WIN_W,
+        q_curate_strip_shared_spans,
+    )
+
+    runlen = WIN_W + WIN_K - 1
+    run_toks = [f"shared{i}" for i in range(runlen)]
+    pre2, post2 = [f"c{i}" for i in range(10)], [f"d{i}" for i in range(40)]
+    doc1 = " ".join([f"a{i}" for i in range(3)] + run_toks + [f"b{i}" for i in range(40)])
+    doc2 = " ".join(pre2 + run_toks + post2)
+    d = tmp_path / "sfstrip"
+    d.mkdir()
+    docs = [(1, doc1), (2, doc2)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * 2, pa.string()),
+                "source": pa.array(["test"] * 2, pa.string()),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {r.doc_id: r for r in q_curate_strip_shared_spans(spark, str(d)).collect()}
+    # canonical doc 1: untouched
+    assert got[1].n_removed == 0
+    assert got[1].clean_md5 == hashlib.md5(doc1.encode()).hexdigest()
+    # doc 2: exactly the shared run stripped, clean text = pre + post
+    assert got[2].n_removed == runlen
+    expect2 = " ".join(pre2 + post2)
+    assert got[2].clean_md5 == hashlib.md5(expect2.encode()).hexdigest()
