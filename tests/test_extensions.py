@@ -876,3 +876,66 @@ def test_strip_shared_spans_canonical_keeps_dupe_loses(spark, tmp_path):
     assert got[2].n_removed == runlen
     expect2 = " ".join(pre2 + post2)
     assert got[2].clean_md5 == hashlib.md5(expect2.encode()).hexdigest()
+
+
+def test_span_family_property_random_offsets(spark, tmp_path):
+    """Property pin for the span family: for ANY filler lengths and run
+    offsets, a planted shared run of exactly W+K-1 tokens is (a) detected
+    by the winnowed fingerprints and (b) recovered EXACTLY by the span
+    extractor in both documents. Fillers are doc-unique tokens so the run
+    is provably the only shared content."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        WIN_K,
+        WIN_W,
+        q_dedup_shared_spans,
+        q_dedup_winnowed_shingles,
+    )
+
+    runlen = WIN_W + WIN_K - 1
+    run = [f"shared{i}" for i in range(runlen)]
+    counter = [0]
+
+    @given(
+        pre1=st.integers(0, 25),
+        post1=st.integers(0, 25),
+        pre2=st.integers(0, 25),
+        post2=st.integers(0, 25),
+    )
+    @settings(max_examples=5, deadline=None)
+    def check(pre1, post1, pre2, post2):
+        counter[0] += 1
+        doc1 = " ".join([f"a{i}" for i in range(pre1)] + run + [f"b{i}" for i in range(post1)])
+        doc2 = " ".join([f"c{i}" for i in range(pre2)] + run + [f"d{i}" for i in range(post2)])
+        d = tmp_path / f"case{counter[0]}"
+        d.mkdir()
+        docs = [(1, doc1), (2, doc2)]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string()),
+                    "lang": pa.array(["en"] * 2, pa.string()),
+                    "source": pa.array(["test"] * 2, pa.string()),
+                    "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+                }
+            ),
+            str(d / "documents.parquet"),
+        )
+        fps = q_dedup_winnowed_shingles(spark, str(d)).collect()
+        assert fps, (pre1, post1, pre2, post2)
+        spans = {
+            r.doc_id: (r.span_start, r.span_end)
+            for r in q_dedup_shared_spans(spark, str(d)).collect()
+        }
+        assert spans == {
+            1: (pre1, pre1 + runlen - 1),
+            2: (pre2, pre2 + runlen - 1),
+        }, (pre1, post1, pre2, post2, spans)
+
+    check()
