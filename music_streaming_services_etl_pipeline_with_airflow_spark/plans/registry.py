@@ -57,10 +57,17 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_chunks_cross_doc",  # integral-div canonical-occurrence unpack
     "streaming_sessionize_timeout",  # ceil-to-ms timeout fix
     "multimodal_decode_metadata",  # JPEG fill-byte walk fix
+    # -- brand-new round-6 queries: zero driver rows yet --
+    "dedup_winnowed_shingles",  # any-alignment winnowed fingerprint dedup
+    "dedup_shared_spans",  # exact duplicated token-range extraction
+    "curate_strip_shared_spans",  # surgical strip w/ canonical preservation
+    "streaming_topk_event_type",  # windowed top-k, serving-side rank
     # -- rotation: oracle-green queries whose last driver row is r1/r2
-    #    (42 such after round 5 re-checked the r3/r4 head; 34 here, the
-    #    remaining 8 -- sampling + product-analytics families -- next
-    #    round, after which zero stale-since-r2 oracle queries remain) --
+    #    (42 such after round 5 re-checked the r3/r4 head; 29 here, the
+    #    remaining 13 -- sampling, product-analytics, UDF-surface and
+    #    similarity families (the latter exercised every round by bench
+    #    and pytest recall pins) -- lead the round-7 head, after which
+    #    zero stale-since-r2 oracle queries remain) --
     "a7_exact_percentiles",
     "a8_hypertable_rollup",
     "a9_exact_correlation",
@@ -90,11 +97,6 @@ _PRIORITY: tuple[str, ...] = (
     "decontam_ngram_overlap",
     "gopher_repetition",
     "entity_mask",
-    "udtf_text_chunks",
-    "udaf_geometric_mean",
-    "similarity_topk_bruteforce",
-    "similarity_ivf_topk",
-    "similarity_ivf_multiprobe",
 )
 
 # Rows-only queries (no SQL-expressible oracle) that have never had a driver
@@ -103,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
 # registered AND oracle-less (an entry that later gains an oracle belongs in
 # _PRIORITY instead).
 _PRIORITY_ROWS_ONLY: tuple[str, ...] = (
+    "similarity_ivf_kmeans",  # new in round 6 (trained coarse quantizer)
     "similarity_pq_topk",
     "kmeans_embeddings",
     "graph_pagerank_parts",
