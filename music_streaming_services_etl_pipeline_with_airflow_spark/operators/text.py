@@ -872,3 +872,61 @@ def q_curate_strip_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("clean_md5", empty_md5).alias("clean_md5"),
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n FROM tok),
+scored AS (
+    SELECT t.doc_id,
+           CAST(FLOOR(-log2(CAST(f.cnt AS DOUBLE) / tot.n) * 1000) AS BIGINT)
+               AS bits_milli
+    FROM tok t JOIN freq f USING (tok) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bits_milli) // COUNT(*) AS BIGINT) AS bits_per_token_milli
+FROM scored GROUP BY doc_id""",
+    doc="Statistical quality scoring (the CCNet-style LM-proxy signal): "
+    "corpus unigram frequencies give each token a surprisal of "
+    "-log2(count/total) bits; a document's mean bits-per-token is the "
+    "perplexity proxy quality pipelines bucket on (low = repetitive/"
+    "boilerplate-heavy, high = rare-token noise; the middle is the "
+    "keep-band). Determinism: surprisal is floored to integer milli-bits "
+    "PER TOKEN and summed as BIGINT — exact, addition-order independent — "
+    "then integer-divided by the token count, the same convention as "
+    "tf-idf's milli-floor. 100 TB shape: one vocab aggregate plus a "
+    "token↔vocab shuffle join (broadcast the vocab when it is bounded); "
+    "per-doc reduction is an ordinary hash aggregate.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("n"))
+    scored = (
+        tok.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.floor(
+                -F.log2(F.col("cnt").cast("double") / F.col("n")) * 1000
+            )
+            .cast("long")
+            .alias("bits_milli"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("bits_milli").alias("_bits_total"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("_bits_total div n_tokens").alias("bits_per_token_milli"),
+        )
+    )

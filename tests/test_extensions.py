@@ -939,3 +939,41 @@ def test_span_family_property_random_offsets(spark, tmp_path):
         }, (pre1, post1, pre2, post2, spans)
 
     check()
+
+
+def test_unigram_logprob_orders_common_vs_rare(spark, tmp_path):
+    """Semantic pin for the LM-proxy quality score: a document made of the
+    corpus's most common token scores fewer bits/token than one made of
+    singleton tokens, and surprisal is exact integer milli-bits."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_unigram_logprob,
+    )
+
+    common = " ".join(["the"] * 50)
+    rare = " ".join(f"rare{i}" for i in range(50))
+    d = tmp_path / "sflp"
+    d.mkdir()
+    docs = [(1, common), (2, rare)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * 2, pa.string()),
+                "source": pa.array(["test"] * 2, pa.string()),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {r.doc_id: r for r in q_unigram_logprob(spark, str(d)).collect()}
+    assert got[1].n_tokens == got[2].n_tokens == 50
+    # corpus: 100 tokens; 'the' p=1/2 -> 1000 milli-bits; each rare p=1/100
+    assert got[1].bits_per_token_milli == 1000
+    assert got[2].bits_per_token_milli == math.floor(-math.log2(1 / 100) * 1000)
+    assert got[1].bits_per_token_milli < got[2].bits_per_token_milli
