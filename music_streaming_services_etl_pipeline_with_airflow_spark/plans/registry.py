@@ -62,12 +62,13 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_shared_spans",  # exact duplicated token-range extraction
     "curate_strip_shared_spans",  # surgical strip w/ canonical preservation
     "streaming_topk_event_type",  # windowed top-k, serving-side rank
+    "text_unigram_logprob",  # LM-proxy quality score, exact milli-bits
     # -- rotation: oracle-green queries whose last driver row is r1/r2
-    #    (42 such after round 5 re-checked the r3/r4 head; 29 here, the
-    #    remaining 13 -- sampling, product-analytics, UDF-surface and
-    #    similarity families (the latter exercised every round by bench
-    #    and pytest recall pins) -- lead the round-7 head, after which
-    #    zero stale-since-r2 oracle queries remain) --
+    #    (42 such after round 5 re-checked the r3/r4 head; 28 here, the
+    #    remaining 14 -- sampling, product-analytics, UDF-surface,
+    #    entity_mask and the similarity family (the latter exercised every
+    #    round by bench and pytest recall pins) -- lead the round-7 head,
+    #    after which zero stale-since-r2 oracle queries remain) --
     "a7_exact_percentiles",
     "a8_hypertable_rollup",
     "a9_exact_correlation",
@@ -96,7 +97,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "decontam_ngram_overlap",
     "gopher_repetition",
-    "entity_mask",
 )
 
 # Rows-only queries (no SQL-expressible oracle) that have never had a driver
