@@ -730,9 +730,8 @@ def q_dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curate_strip_shared_spans",
-    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+# Shared by curate_strip_shared_spans and its corpus-level rollup
+_STRIP_SQL = f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 w AS (
     SELECT doc_id, pos,
            md5(array_to_string(toks[pos + 1 : pos + {WIN_W}], ' ')) AS h
@@ -781,7 +780,12 @@ SELECT t2.doc_id,
        CAST(len(t2.toks) AS BIGINT) AS n_tokens,
        CAST(len(t2.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
        COALESCE(a.clean_md5, md5('')) AS clean_md5
-FROM t t2 LEFT JOIN agg a ON a.doc_id = t2.doc_id""",
+FROM t t2 LEFT JOIN agg a ON a.doc_id = t2.doc_id"""
+
+
+@register(
+    "curate_strip_shared_spans",
+    _STRIP_SQL,
     doc=f"End-to-end surgical dedup: remove every duplicated span from "
     "every NON-CANONICAL document while the canonical owner (min doc_id "
     "per shared {WIN_W}-token window hash) keeps its text intact — the "
@@ -929,4 +933,39 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.expr("_bits_total div n_tokens").alias("bits_per_token_milli"),
         )
+    )
+
+
+@register(
+    "corpus_dup_stats",
+    f"""WITH strip AS ({_STRIP_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_affected,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(n_removed) AS BIGINT) AS tokens_removed,
+       CAST(SUM(n_removed) * 1000 // SUM(n_tokens) AS BIGINT)
+           AS removed_per_mille
+FROM strip""",
+    doc="Corpus-level dedup report — the one-row summary a curation run "
+    "logs and alerts on: documents affected by cross-doc duplication, "
+    "tokens that surgical stripping would remove, and the per-mille "
+    "removal ratio (integer arithmetic end-to-end). Composes the "
+    "curate_strip_shared_spans relation with one global aggregate; at "
+    "100 TB the rollup input is one row per document, so the report adds "
+    "a single reduce over already-computed results.",
+)
+def q_corpus_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    strip = q_curate_strip_shared_spans(spark, sf_dir)
+    return strip.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_affected"),
+        F.sum("n_tokens").alias("tokens_total"),
+        F.sum("n_removed").alias("tokens_removed"),
+    ).select(
+        "n_docs",
+        "docs_affected",
+        "tokens_total",
+        "tokens_removed",
+        F.expr("tokens_removed * 1000 div tokens_total").alias("removed_per_mille"),
     )

@@ -63,6 +63,9 @@ _PRIORITY: tuple[str, ...] = (
     "curate_strip_shared_spans",  # surgical strip w/ canonical preservation
     "streaming_topk_event_type",  # windowed top-k, serving-side rank
     "text_unigram_logprob",  # LM-proxy quality score, exact milli-bits
+    # (corpus_dup_stats — a pure one-aggregate composition of the
+    # head-checked curate_strip_shared_spans relation — waits for the
+    # round-7 head rather than displacing another stale rotation slot)
     # -- rotation: oracle-green queries whose last driver row is r1/r2
     #    (42 such after round 5 re-checked the r3/r4 head; 28 here, the
     #    remaining 14 -- sampling, product-analytics, UDF-surface,
