@@ -1,0 +1,149 @@
+"""BPE tokenizer induction over the corpus — the tokenizer-training step of
+an LLM data pipeline, split the production way:
+
+1. **Distributed**: aggregate the corpus to a word-frequency table (at
+   100 TB this is THE heavy step — one hash aggregate whose output is
+   bounded by vocabulary, not corpus size).
+2. **Local**: run Sennrich-style BPE merge training on the top
+   ``TRAIN_WORDS_CAP`` words (tokenizer trainers operate on word counts,
+   which fit in memory by construction — same sampled-training split as
+   the PQ codebook and IVF centroids in operators/similarity).
+3. **Distributed**: apply the learned merges to every DISTINCT word with
+   an Arrow kernel (broadcast merge ranks), then join the per-word
+   subword lengths back to the token relation — per-doc BPE token counts
+   without ever re-tokenizing duplicate words.
+
+Determinism: merge selection is (max pair count, lexicographic pair) — a
+total order; application follows lowest-merge-rank-first (the standard
+BPE apply), which reproduces the training segmentation. The registry
+entry is rows-only (iterative string rewriting has no SQL twin); exact
+behavior is pinned against an independently-coded quadratic reference in
+tests/test_extensions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import register
+from ..sources import load_table
+
+N_MERGES = 64
+TRAIN_WORDS_CAP = 8_192
+END_MARK = "</w>"
+
+
+def train_bpe_merges(
+    word_freqs: list[tuple[str, int]], n_merges: int = N_MERGES
+) -> list[tuple[str, str]]:
+    """Sennrich BPE training on a word-frequency table: repeatedly merge
+    the most frequent adjacent symbol pair (ties to the lexicographically
+    smallest pair), stopping at ``n_merges`` or when no pair repeats."""
+    vocab: list[tuple[list[str], int]] = [
+        ([*w, END_MARK], f) for w, f in word_freqs
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b))
+        new = a + b
+        for idx, (syms, f) in enumerate(vocab):
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[idx] = (out, f)
+    return merges
+
+
+def apply_bpe(
+    word: str,
+    merges: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], int],
+) -> list[str]:
+    """Tokenize one word with trained merges, lowest-rank-first (the
+    standard BPE apply; reproduces the training-time segmentation)."""
+    syms = [*word, END_MARK]
+    while len(syms) > 1:
+        best = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = merges[best]
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@register(
+    "bpe_tokenize_corpus",
+    None,  # iterative string rewriting — no SQL twin; exactness pinned by
+    # tests/test_extensions.py::test_bpe_matches_reference_implementation
+    doc=f"Tokenizer induction + corpus tokenization: distributed word-"
+    f"frequency aggregate → local Sennrich BPE training ({N_MERGES} merges "
+    f"on the top {TRAIN_WORDS_CAP} words; total-order tie-breaks) → "
+    "distributed Arrow apply over DISTINCT words only (broadcast merge "
+    "ranks; duplicate words never re-tokenize) → per-doc BPE token counts "
+    "via one join + hash aggregate. The 100 TB shape: corpus-sized work is "
+    "two hash aggregates and a words join; training cost is bounded by "
+    "vocabulary regardless of corpus size. Emits (doc_id, n_ws_tokens, "
+    "n_bpe_tokens) — the token-budget table a packing/pricing stage "
+    "consumes.",
+)
+def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wf = tok.groupBy("w").agg(F.count("*").alias("freq"))
+    train_rows = (
+        wf.orderBy(F.desc("freq"), "w").limit(TRAIN_WORDS_CAP).collect()
+    )
+    merges = train_bpe_merges([(r["w"], r["freq"]) for r in train_rows])
+    ranks = {m: i for i, m in enumerate(merges)}
+    bc = spark.sparkContext.broadcast((merges, ranks))
+
+    def _subword_len(batches):
+        mg, rk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_sub": [len(apply_bpe(w, mg, rk)) for w in pdf["w"]],
+                }
+            )
+
+    wlen = wf.select("w").mapInPandas(_subword_len, "w string, n_sub int")
+    return (
+        tok.join(wlen, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ws_tokens"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )

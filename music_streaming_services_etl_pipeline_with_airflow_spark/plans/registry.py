@@ -64,8 +64,10 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_topk_event_type",  # windowed top-k, serving-side rank
     "text_unigram_logprob",  # LM-proxy quality score, exact milli-bits
     # (corpus_dup_stats — a pure one-aggregate composition of the
-    # head-checked curate_strip_shared_spans relation — waits for the
-    # round-7 head rather than displacing another stale rotation slot)
+    # head-checked curate_strip_shared_spans relation — and
+    # bpe_tokenize_corpus — rows-only, already pinned EXACTLY against an
+    # independent reference implementation in pytest — wait for the
+    # round-7 head rather than displacing more stale rotation slots)
     # -- rotation: oracle-green queries whose last driver row is r1/r2
     #    (42 such after round 5 re-checked the r3/r4 head; 28 here, the
     #    remaining 14 -- sampling, product-analytics, UDF-surface,
@@ -126,6 +128,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # Import registrants lazily to avoid import cycles.
     from . import analogs, breadth, curation, product_analytics, sql_surface, warehouse  # noqa: F401
     from ..operators import (  # noqa: F401
+        bpe,
         components,
         dedup,
         expectations,

@@ -977,3 +977,86 @@ def test_unigram_logprob_orders_common_vs_rare(spark, tmp_path):
     assert got[1].bits_per_token_milli == 1000
     assert got[2].bits_per_token_milli == math.floor(-math.log2(1 / 100) * 1000)
     assert got[1].bits_per_token_milli < got[2].bits_per_token_milli
+
+
+def test_bpe_matches_reference_implementation(spark, tmp_path):
+    """Exact pin for the BPE trainer + apply: an independently-coded
+    quadratic reference (recount-from-scratch each merge, same total-order
+    tie-break) must produce the identical merge sequence on the classic
+    corpus, and the distributed per-doc subword counts must equal applying
+    the reference segmentation word-by-word."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.bpe import (
+        END_MARK,
+        apply_bpe,
+        q_bpe_tokenize_corpus,
+        train_bpe_merges,
+    )
+
+    # classic Sennrich-style corpus
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    text1 = " ".join(words[:8])
+    text2 = " ".join(words[8:])
+
+    # independent reference: brute-force pair counting over a symbol table
+    def ref_train(freqs, n):
+        vocab = {w: [*w, END_MARK] for w in freqs}
+        out = []
+        for _ in range(n):
+            cnt = {}
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    cnt[p] = cnt.get(p, 0) + freqs[w]
+            if not cnt:
+                break
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if best[1] < 2:
+                break
+            (a, b) = best[0]
+            out.append((a, b))
+            for w, syms in vocab.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                vocab[w] = ns
+        return out, vocab
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    ref_merges, ref_vocab = ref_train(freqs, 64)
+    got_merges = train_bpe_merges(list(freqs.items()), 64)
+    assert got_merges == ref_merges
+    # apply must reproduce the training-time segmentation per word
+    ranks = {m: i for i, m in enumerate(got_merges)}
+    for w, syms in ref_vocab.items():
+        assert apply_bpe(w, got_merges, ranks) == syms, w
+
+    # distributed end-to-end on the same corpus
+    d = tmp_path / "sfbpe"
+    d.mkdir()
+    docs = [(1, text1), (2, text2)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * 2, pa.string()),
+                "source": pa.array(["test"] * 2, pa.string()),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {r.doc_id: r for r in q_bpe_tokenize_corpus(spark, str(d)).collect()}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        expect = sum(len(ref_vocab[w]) for w in ws)
+        assert got[doc_id].n_ws_tokens == len(ws)
+        assert got[doc_id].n_bpe_tokens == expect, (doc_id, got[doc_id], expect)
