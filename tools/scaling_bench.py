@@ -36,6 +36,14 @@ QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "decontam_ngram_overlap",
+    # round 6
+    "streaming_sessionize_timeout",
+    "genre_kpis_daily_strparse",
+    "similarity_pq_topk",
+    "dedup_winnowed_shingles",
+    "dedup_shared_spans",
+    "curate_strip_shared_spans",
+    "bpe_tokenize_corpus",
 ]
 
 
