@@ -999,3 +999,60 @@ def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Emit the pair set only — the cos column is verify-internal (einsum
     # summation order ≠ the oracle's sequential fold in the last ulp).
     return cross.unionByName(within).select("va", "vb")
+
+
+# --------------------------------------------------------------------------
+# Incremental ingestion dedup (round 6) — new batch vs stored index
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_batch",
+    """WITH h AS (SELECT doc_id, md5(text) AS th FROM documents),
+history AS (SELECT th, MIN(doc_id) AS hist_keep FROM h
+            WHERE doc_id % 5 <> 0 GROUP BY th),
+batch AS (SELECT doc_id, th FROM h WHERE doc_id % 5 = 0),
+batch_first AS (SELECT th, MIN(doc_id) AS batch_keep FROM batch GROUP BY th)
+SELECT b.doc_id,
+       CASE WHEN hi.th IS NOT NULL THEN 'dup_of_history'
+            WHEN b.doc_id > bf.batch_keep THEN 'dup_in_batch'
+            ELSE 'unique' END AS verdict,
+       CAST(CASE WHEN hi.th IS NOT NULL THEN hi.hist_keep
+                 ELSE bf.batch_keep END AS BIGINT) AS keep_doc_id
+FROM batch b
+LEFT JOIN history hi ON hi.th = b.th
+JOIN batch_first bf ON bf.th = b.th""",
+    doc="Incremental ingestion dedup — the production mode: a NEW batch "
+    "(doc_id % 5 = 0 simulates the arriving shard) checks against the "
+    "STORED content index built from history (everything else), never "
+    "rescanning historical text. Each batch doc gets a verdict: "
+    "dup_of_history (content already ingested — keep_doc_id points at the "
+    "earliest historical holder), dup_in_batch (first seen inside this "
+    "batch — points at the batch's canonical copy), or unique. At 100 TB "
+    "the stored index IS the (hash, keep_doc) relation — ingestion joins "
+    "touch 32-byte keys only, cost scales with the BATCH, not the corpus, "
+    "and the same composition extends to the minhash/winnowed fingerprint "
+    "indexes for near-dup-vs-history.",
+)
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("th"))
+    history = (
+        h.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("hist_keep"))
+    )
+    batch = h.filter(F.col("doc_id") % 5 == 0)
+    batch_first = batch.groupBy("th").agg(F.min("doc_id").alias("batch_keep"))
+    return (
+        batch.join(history, "th", "left")
+        .join(batch_first, "th")
+        .select(
+            "doc_id",
+            F.when(F.col("hist_keep").isNotNull(), F.lit("dup_of_history"))
+            .when(F.col("doc_id") > F.col("batch_keep"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.coalesce("hist_keep", "batch_keep").cast("long").alias("keep_doc_id"),
+        )
+    )

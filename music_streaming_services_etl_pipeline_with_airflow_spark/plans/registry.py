@@ -66,8 +66,10 @@ _PRIORITY: tuple[str, ...] = (
     # (corpus_dup_stats — a pure one-aggregate composition of the
     # head-checked curate_strip_shared_spans relation — and
     # bpe_tokenize_corpus — rows-only, already pinned EXACTLY against an
-    # independent reference implementation in pytest — wait for the
-    # round-7 head rather than displacing more stale rotation slots)
+    # independent reference implementation in pytest — and
+    # dedup_incremental_batch (constructed-verdict pytest + local parity)
+    # wait for the round-7 head rather than displacing more stale
+    # rotation slots)
     # -- rotation: oracle-green queries whose last driver row is r1/r2
     #    (42 such after round 5 re-checked the r3/r4 head; 28 here, the
     #    remaining 14 -- sampling, product-analytics, UDF-surface,

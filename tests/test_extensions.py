@@ -1060,3 +1060,49 @@ def test_bpe_matches_reference_implementation(spark, tmp_path):
         expect = sum(len(ref_vocab[w]) for w in ws)
         assert got[doc_id].n_ws_tokens == len(ws)
         assert got[doc_id].n_bpe_tokens == expect, (doc_id, got[doc_id], expect)
+
+
+def test_incremental_batch_verdicts(spark, tmp_path):
+    """Constructed ingestion batch: content already in history is flagged
+    against the historical canonical, intra-batch repeats point at the
+    batch's first copy, fresh content is unique and self-canonical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        q_dedup_incremental_batch,
+    )
+
+    # doc_id % 5 == 0 -> batch; others -> history
+    docs = [
+        (1, "alpha beta gamma"),        # history
+        (7, "delta epsilon zeta"),      # history
+        (5, "alpha beta gamma"),        # batch: dup of history doc 1
+        (10, "eta theta iota"),         # batch: unique (first of its content)
+        (15, "eta theta iota"),         # batch: dup_in_batch -> 10
+        (20, "kappa lambda mu"),        # batch: unique
+    ]
+    d = tmp_path / "sfinc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array(["test"] * len(docs), pa.string()),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    got = {
+        r.doc_id: (r.verdict, r.keep_doc_id)
+        for r in q_dedup_incremental_batch(spark, str(d)).collect()
+    }
+    assert got == {
+        5: ("dup_of_history", 1),
+        10: ("unique", 10),
+        15: ("dup_in_batch", 10),
+        20: ("unique", 20),
+    }
