@@ -1056,3 +1056,89 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("hist_keep", "batch_keep").cast("long").alias("keep_doc_id"),
         )
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    # Oracle: exact cross-split Jaccard (batch vs history). Valid for the
+    # banded plan because the banding is lossless here — same empirical
+    # basis as dedup_minhash_lsh's own exact-Jaccard oracle (hash-green),
+    # plus the one-sided ±1 size-bucket probe proven in the pytest pin.
+    f"""WITH {_shingles_cte()},
+hist AS (SELECT doc_id, s FROM shingles WHERE doc_id % 5 <> 0),
+bat AS (SELECT doc_id, s FROM shingles WHERE doc_id % 5 = 0),
+hc AS (SELECT doc_id, COUNT(*) AS n_sh FROM hist GROUP BY doc_id),
+bcnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM bat GROUP BY doc_id),
+inter AS (
+    SELECT b.doc_id AS batch_doc, h.doc_id AS hist_doc, COUNT(*) AS n_inter
+    FROM bat b JOIN hist h ON h.s = b.s
+    GROUP BY 1, 2
+)
+SELECT i.batch_doc, i.hist_doc,
+       CAST(i.n_inter AS DOUBLE) / (cb.n_sh + ch.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN bcnt cb ON cb.doc_id = i.batch_doc
+JOIN hc ch ON ch.doc_id = i.hist_doc
+WHERE CAST(i.n_inter AS DOUBLE) / (cb.n_sh + ch.n_sh - i.n_inter)
+      >= {JACCARD_THRESHOLD}""",
+    doc=f"Incremental NEAR-dup: the arriving batch (doc_id % 5 = 0) probes "
+    "the STORED MinHash band index built from history — the production "
+    "ingestion mode where near-dup cost scales with the batch, and "
+    "history is touched only through its compact (band, bucket) "
+    "signature relation, never its text. One-sided probing explodes the "
+    "batch side into size buckets {g-1, g, g+1} (the two-sided plan's "
+    "±1-bucket guarantee folded onto the probe, still lossless at "
+    f"τ={JACCARD_THRESHOLD}); candidates verify by exact Jaccard. "
+    "Complements dedup_incremental_batch's exact-hash level with the "
+    "fuzzy level of the same stored-index pattern.",
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(sh)
+    r = N_HASHES // N_BANDS
+    g = F.floor(F.log2("n_sh")).cast("int")
+    bands = sigs.select(
+        "doc_id",
+        g.alias("g"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])
+                        ).alias("bval"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "g", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+    probe = bands.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("batch_doc"),
+        "band",
+        "bval",
+        F.explode(
+            F.array(F.col("g") - 1, F.col("g"), F.col("g") + 1)
+        ).alias("gk"),
+    )
+    index = bands.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("hist_doc"), "band", "bval", F.col("g").alias("gk")
+    )
+    cand = (
+        probe.join(index, ["band", "bval", "gk"])
+        .select(F.col("batch_doc").alias("da"), F.col("hist_doc").alias("db"))
+        .distinct()
+    )
+    return (
+        _pair_jaccard(sh, cand)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("da").alias("batch_doc"),
+            F.col("db").alias("hist_doc"),
+            "jaccard",
+        )
+    )

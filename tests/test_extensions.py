@@ -1106,3 +1106,47 @@ def test_incremental_batch_verdicts(spark, tmp_path):
         15: ("dup_in_batch", 10),
         20: ("unique", 20),
     }
+
+
+def test_minhash_incremental_one_sided_probe_lossless(spark):
+    """The one-sided ±1 size-bucket probe must recover every exact
+    cross-split near-dup pair (batch vs history) — the same losslessness
+    contract as the two-sided plan, checked against the exact-Jaccard
+    cross-split baseline."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        doc_shingles,
+        q_dedup_minhash_incremental,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    got = {
+        (r.batch_doc, r.hist_doc)
+        for r in q_dedup_minhash_incremental(spark, SF).collect()
+    }
+    sh = doc_shingles(load_table(spark, SF, "documents"))
+    bat = sh.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("batch_doc"), "s"
+    )
+    hist = sh.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("hist_doc"), "s"
+    )
+    inter = (
+        bat.join(hist, "s")
+        .groupBy("batch_doc", "hist_doc")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cb = bat.groupBy("batch_doc").agg(F.count("*").alias("nb"))
+    ch = hist.groupBy("hist_doc").agg(F.count("*").alias("nh"))
+    exact = {
+        (r.batch_doc, r.hist_doc)
+        for r in inter.join(cb, "batch_doc")
+        .join(ch, "hist_doc")
+        .filter(
+            F.col("n_inter") / (F.col("nb") + F.col("nh") - F.col("n_inter"))
+            >= JACCARD_THRESHOLD
+        )
+        .collect()
+    }
+    assert exact, "testdata should contain cross-split near-dups"
+    assert got == exact
