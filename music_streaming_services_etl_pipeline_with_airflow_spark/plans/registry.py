@@ -67,9 +67,9 @@ _PRIORITY: tuple[str, ...] = (
     # head-checked curate_strip_shared_spans relation — and
     # bpe_tokenize_corpus — rows-only, already pinned EXACTLY against an
     # independent reference implementation in pytest — and
-    # dedup_incremental_batch (constructed-verdict pytest + local parity)
-    # wait for the round-7 head rather than displacing more stale
-    # rotation slots)
+    # dedup_incremental_batch and dedup_minhash_incremental (both with
+    # constructed/lossless pytest pins + local parity) wait for the
+    # round-7 head rather than displacing more stale rotation slots)
     # -- rotation: oracle-green queries whose last driver row is r1/r2
     #    (42 such after round 5 re-checked the r3/r4 head; 28 here, the
     #    remaining 14 -- sampling, product-analytics, UDF-surface,
