@@ -56,6 +56,11 @@ HEADLINE = [
     # as does the new any-alignment winnowed-fingerprint dedup
     "similarity_pq_topk",
     "dedup_winnowed_shingles",
+    # late round 6: the two new scale-path flagships — int8-quantized ANN
+    # (4× index-byte reduction + exact rerank) and canonicalized exact
+    # dedup (normalization scan-side, 32-byte keys shuffle)
+    "similarity_int8_topk",
+    "dedup_normalized_exact",
 ]
 
 

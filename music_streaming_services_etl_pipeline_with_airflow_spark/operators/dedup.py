@@ -1142,3 +1142,62 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 10. Normalization-insensitive exact dedup
+# --------------------------------------------------------------------------
+
+# Canonical text form: lowercase, strip everything but [a-z0-9 ], collapse
+# whitespace runs, trim. Both regexes use constructs with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB) — plain character
+# classes and '+', no lookaround/backrefs.
+_NORM_STRIP = "[^a-z0-9 ]"
+_NORM_SPACES = " +"
+
+
+def normalize_text(col):
+    """Case/punctuation/whitespace-insensitive canonical form of a text
+    column — the first dedup level most web-corpus pipelines run, catching
+    trivially-reformatted copies that byte-exact md5 (dedup_exact) misses."""
+    stripped = F.regexp_replace(F.lower(col), _NORM_STRIP, "")
+    return F.trim(F.regexp_replace(stripped, _NORM_SPACES, " "))
+
+
+def _normalize_sql(col: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), "
+        f"'{_NORM_STRIP}', '', 'g'), '{_NORM_SPACES}', ' ', 'g'))"
+    )
+
+
+@register(
+    "dedup_normalized_exact",
+    f"""SELECT md5({_normalize_sql('text')}) AS norm_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_variants
+        FROM documents GROUP BY md5({_normalize_sql('text')})""",
+    doc="Exact dedup after text canonicalization (lowercase, punctuation "
+    "strip, whitespace collapse): groups byte-different but semantically "
+    "identical copies that dedup_exact's raw md5 keeps apart — "
+    "n_raw_variants > 1 marks groups only this level catches. Same "
+    "100 TB shape as dedup_exact: the normalization runs scan-side inside "
+    "codegen and only the 32-byte md5 of the canonical form shuffles, "
+    "never document bodies.",
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(normalize_text(F.col("text"))).alias("norm_hash"),
+            "doc_id",
+            F.md5("text").alias("raw_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.count_distinct(F.col("raw_hash")).alias("n_raw_variants"),
+        )
+    )

@@ -1430,3 +1430,167 @@ def q_a16_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(cents).alias("min_cents"),
         F.max(cents).alias("max_cents"),
     )
+
+
+@register(
+    "a17_grouping_sets",
+    """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                AS lvl,
+              COALESCE(l_returnflag, '*') AS returnflag,
+              COALESCE(l_linestatus, '*') AS linestatus,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                               (l_returnflag), (l_linestatus), ())""",
+    doc="Explicit GROUPING SETS (the general form behind ROLLUP/CUBE — "
+    "a5/a10 cover those): four aggregation levels in ONE pass, "
+    "disambiguated by the GROUPING() bitmask rather than by NULL-marker "
+    "guessing. Spark expands the sets into a single Expand + hash-agg "
+    "plan — one scan and one shuffle regardless of how many levels, vs "
+    "four scans + a UNION if written naively; map-side partial aggregation "
+    "applies per set, so this stays cheap at 100 TB.",
+)
+def q_a17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    gs = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("long")
+        .alias("lvl"),
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+    return gs.select(
+        "lvl",
+        F.coalesce(F.col("l_returnflag"), F.lit("*")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("*")).alias("linestatus"),
+        "n_rows",
+        "sum_qty",
+    )
+
+
+# MAD outlier detection works on integer cents (floor(value*100)) so every
+# median/interpolation/deviation below is an exact binary fraction (halves
+# and quarters of integers) — bit-identical across engines with no rounding
+# escape hatch needed (same trick as a16's histogram bins).
+MAD_K = 3  # Hampel identifier's conventional cutoff
+
+
+@register(
+    "w10_mad_outliers",
+    f"""WITH cents AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events
+        ),
+        med AS (
+          SELECT event_type, quantile_cont(c, 0.5) AS med
+          FROM cents GROUP BY event_type
+        ),
+        dev AS (
+          SELECT c.event_type, c.c, abs(c.c - m.med) AS adev
+          FROM cents c JOIN med m ON c.event_type = m.event_type
+        ),
+        mad AS (
+          SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN d.adev > {MAD_K} * m2.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               MAX(m.med) AS median_cents,
+               MAX(m2.mad) AS mad_cents
+        FROM dev d
+        JOIN med m ON d.event_type = m.event_type
+        JOIN mad m2 ON d.event_type = m2.event_type
+        GROUP BY d.event_type""",
+    doc=f"Robust outlier detection (Hampel identifier): per event_type "
+    f"median + median-absolute-deviation over integer cents, flagging "
+    f"|x - med| > {MAD_K}*MAD. Exact interpolated percentiles on integral "
+    "doubles, so cross-engine results match bit-for-bit. Plan: two "
+    "hash-agg shuffles on event_type (a handful of groups) with the tiny "
+    "med/mad relations broadcast back against the events scan — the "
+    "robust-statistics profiling shape that resists the skewed/heavy-"
+    "tailed value columns a z-score (a15) is blind to.",
+)
+def q_w10_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    med = cents.groupBy("event_type").agg(
+        F.expr("percentile(c, 0.5)").alias("med")
+    )
+    dev = cents.join(F.broadcast(med), "event_type").select(
+        "event_type", "c", F.abs(F.col("c") - F.col("med")).alias("adev"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.max("med").alias("median_cents"),
+            F.max("mad").alias("mad_cents"),
+        )
+    )
+
+
+ASOF_TOLERANCE_DAYS = 90
+
+
+@register(
+    "j14_asof_tolerance_join",
+    f"""SELECT o.o_orderkey, o.o_custkey,
+               COALESCE(CAST(MAX(p.o_orderdate) AS DATE), DATE '1900-01-01')
+                 AS prev_order_date,
+               CAST(COUNT(p.o_orderkey) AS BIGINT) AS n_prior_window
+        FROM orders o
+        LEFT JOIN orders p
+          ON p.o_custkey = o.o_custkey
+         AND p.o_orderdate < o.o_orderdate
+         AND p.o_orderdate >= o.o_orderdate - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+        GROUP BY o.o_orderkey, o.o_custkey""",
+    doc="As-of join with a tolerance window (pandas merge_asof(tolerance=) "
+    "semantics), here as the repeat-purchase probe: each order's latest "
+    f"strictly-prior order by the same customer within {ASOF_TOLERANCE_DAYS} "
+    "days, else the 1900-01-01 sentinel (a typed NULL stand-in keeps the "
+    "date column non-nullable). The bounded range predicate is the scale "
+    "win over j6's open-ended as-of: each probe only touches a "
+    f"{ASOF_TOLERANCE_DAYS}-day slice, so with date-partitioned orders the "
+    "self-join prunes to adjacent partitions instead of the full history, "
+    "and the per-customer key keeps it an equi-join plus residual — never "
+    "a global range scan.",
+)
+def q_j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    prior = orders.select(
+        F.col("o_custkey").alias("p_custkey"),
+        F.col("o_orderkey").alias("p_orderkey"),
+        F.col("o_orderdate").alias("p_orderdate"),
+    )
+    lower = F.col("o_orderdate") - F.expr(f"INTERVAL {ASOF_TOLERANCE_DAYS} DAYS")
+    joined = orders.join(
+        prior,
+        (F.col("p_custkey") == F.col("o_custkey"))
+        & (F.col("p_orderdate") < F.col("o_orderdate"))
+        & (F.col("p_orderdate") >= lower),
+        "left",
+    )
+    return joined.groupBy("o_orderkey", "o_custkey").agg(
+        F.coalesce(
+            F.max("p_orderdate").cast("date"), F.to_date(F.lit("1900-01-01"))
+        ).alias("prev_order_date"),
+        F.count("p_orderkey").alias("n_prior_window"),
+    )

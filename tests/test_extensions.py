@@ -1150,3 +1150,151 @@ def test_minhash_incremental_one_sided_probe_lossless(spark):
     }
     assert exact, "testdata should contain cross-split near-dups"
     assert got == exact
+
+
+def test_int8_topk_recall_and_exactness(spark):
+    """int8 scalar quantization: returned cosines are exact (rerank), ranks
+    are a valid 1..k prefix, and recall@5 vs brute force clears 0.9 — the
+    20-deep shortlist over 8-bit codes loses almost nothing at this scale."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.similarity import (
+        TOP_K,
+        q_topk_brute,
+        q_topk_int8,
+    )
+
+    i8 = q_topk_int8(spark, SF).collect()
+    brute = q_topk_brute(spark, SF).collect()
+    exact_cos = {(r.qid, r.neighbor_id): r.cos for r in brute}
+    by_q = {}
+    for r in i8:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOP_K
+        for r in rows:
+            if (r.qid, r.neighbor_id) in exact_cos:
+                assert abs(r.cos - exact_cos[(r.qid, r.neighbor_id)]) < 1e-12
+    i8_set = {(r.qid, r.neighbor_id) for r in i8}
+    br_set = {(r.qid, r.neighbor_id) for r in brute}
+    assert len(i8_set & br_set) / len(br_set) >= 0.9
+
+
+def test_normalized_dedup_catches_reformatted_copies(spark, tmp_path):
+    """Three byte-different reformattings of the same sentence (case,
+    punctuation, whitespace runs) collapse into ONE normalized group with
+    three raw variants — exactly what raw-md5 dedup_exact cannot see — and
+    an unrelated doc stays its own group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        q_dedup_normalized,
+    )
+
+    d = tmp_path / "sfdocs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "Hello, World! This is FINE.",
+                        "hello world this is fine",
+                        "HELLO    world;;; this IS fine...",
+                        "a completely different document",
+                    ],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    rows = {r.keep_doc_id: r for r in q_dedup_normalized(spark, str(d)).collect()}
+    assert set(rows) == {1, 4}
+    assert (rows[1].n_copies, rows[1].n_raw_variants) == (3, 3)
+    assert (rows[4].n_copies, rows[4].n_raw_variants) == (1, 1)
+
+
+def test_mad_outliers_constructed(spark, tmp_path):
+    """Known distribution: values [1,2,3,4,100] → median 300 cents, MAD 100
+    cents, exactly one Hampel outlier (|10000-300| > 3*100); a second
+    symmetric type has MAD 0 and flags every off-median point."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.breadth import q_w10_mad
+
+    d = tmp_path / "sfev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["a"] * 5 + ["b"] * 4, pa.string()),
+                "value": pa.array(
+                    [1.0, 2.0, 3.0, 4.0, 100.0, 5.0, 5.0, 5.0, 7.0], pa.float64()
+                ),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    rows = {r.event_type: r for r in q_w10_mad(spark, str(d)).collect()}
+    a = rows["a"]
+    assert (a.n_events, a.median_cents, a.mad_cents, a.n_outliers) == (5, 300.0, 100.0, 1)
+    b = rows["b"]
+    # median 500, deviations [0,0,0,200] -> MAD 0: every nonzero deviation
+    # is an outlier under the strict > comparison
+    assert (b.n_events, b.median_cents, b.mad_cents, b.n_outliers) == (4, 500.0, 0.0, 1)
+
+
+def test_asof_tolerance_bounds(spark):
+    """j14 invariants on real data: every non-sentinel prev_order_date lies
+    strictly before its order's date and within the tolerance window, the
+    output is one row per order, and both the matched and sentinel cases
+    actually occur (the window is neither vacuous nor universal)."""
+    import datetime
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.breadth import (
+        ASOF_TOLERANCE_DAYS,
+        q_j14_asof_tolerance,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    out = q_j14_asof_tolerance(spark, SF)
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderdate")
+    joined = out.join(orders, "o_orderkey").collect()
+    assert len(joined) == orders.count()
+    sentinel = datetime.date(1900, 1, 1)
+    n_real = n_sent = 0
+    for r in joined:
+        if r.prev_order_date == sentinel:
+            n_sent += 1
+            assert r.n_prior_window == 0
+            continue
+        n_real += 1
+        assert r.n_prior_window >= 1
+        assert r.prev_order_date < r.o_orderdate.date()
+        assert (r.o_orderdate.date() - r.prev_order_date).days <= ASOF_TOLERANCE_DAYS
+    assert n_real > 0 and n_sent > 0
+
+
+def test_grouping_sets_levels_consistent(spark):
+    """The four grouping-set levels agree: the grand total (lvl 3) equals
+    the sum of the finest level's rows, and each single-column level sums
+    to the same total."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.breadth import (
+        q_a17_grouping_sets,
+    )
+
+    rows = q_a17_grouping_sets(spark, SF).collect()
+    by_lvl = {}
+    for r in rows:
+        by_lvl.setdefault(r.lvl, []).append(r)
+    total = by_lvl[3][0]
+    assert len(by_lvl[3]) == 1
+    for lvl in (0, 1, 2):
+        assert sum(r.n_rows for r in by_lvl[lvl]) == total.n_rows
+        assert sum(r.sum_qty for r in by_lvl[lvl]) == total.sum_qty
+    # lvl-1 rows (returnflag only) must carry the '*' marker for linestatus
+    assert all(r.linestatus == "*" for r in by_lvl[1])
+    assert all(r.returnflag == "*" for r in by_lvl[2])

@@ -44,6 +44,10 @@ QUERIES = [
     "dedup_shared_spans",
     "curate_strip_shared_spans",
     "bpe_tokenize_corpus",
+    # late round 6
+    "similarity_int8_topk",
+    "dedup_normalized_exact",
+    "j14_asof_tolerance_join",
 ]
 
 
