@@ -356,3 +356,232 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(8))).alias("frame_idx"),
     ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Resize + feature extraction
+# ---------------------------------------------------------------------------
+#
+# The two remaining multimodal verbs a training pipeline needs. Pixel work
+# is REAL (numpy nearest-neighbor / reductions inside the Arrow batch); the
+# image source is the deterministic text→pixel mapping below, so the whole
+# path — including the resampled pixel values — carries an exact SQL oracle.
+# ``resize_p5`` additionally resizes genuine binary P5/P6 PNM payloads
+# (the dependency-free format whose pixels we can decode for real).
+
+THUMB = 8  # thumbnail edge (out images are THUMB x THUMB)
+SYN_W_MAX = 32  # synthetic image width cap
+SYN_H = 16  # synthetic image height
+
+
+def _synthetic_gray(text: bytes):
+    """Deterministic grayscale image from a document's bytes:
+    w = min(n, 32), h = 16, pixel(r, c) = b[(r*w + c) % n]."""
+    import numpy as np
+
+    n = len(text)
+    if n == 0:
+        return None
+    w = min(n, SYN_W_MAX)
+    b = np.frombuffer(text, dtype=np.uint8)
+    idx = (np.arange(SYN_H)[:, None] * w + np.arange(w)[None, :]) % n
+    return b[idx]  # (h, w) uint8
+
+
+def _nn_resize(img, out_h: int, out_w: int):
+    """Nearest-neighbor resample via floor index mapping:
+    out[i, j] = src[i*h // out_h, j*w // out_w] — pure integer arithmetic,
+    bit-reproducible on any engine."""
+    import numpy as np
+
+    h, w = img.shape
+    ri = (np.arange(out_h) * h) // out_h
+    rj = (np.arange(out_w) * w) // out_w
+    return img[np.ix_(ri, rj)]
+
+
+def resize_p5(payload: bytes, out_h: int = THUMB, out_w: int = THUMB) -> bytes | None:
+    """REAL resize of a binary PGM (P5) payload: decode pixels, nearest-
+    neighbor resample, re-encode. Returns None for non-P5 payloads (codec
+    formats would need PIL — see _decode_real)."""
+    import numpy as np
+
+    if not payload.startswith(b"P5"):
+        return None
+    parts = payload.split(maxsplit=4)
+    if len(parts) < 5:
+        return None
+    _, w_s, h_s, maxval, rest = parts
+    w, h = int(w_s), int(h_s)
+    if len(rest) < w * h:
+        return None
+    img = np.frombuffer(rest[: w * h], dtype=np.uint8).reshape(h, w)
+    out = _nn_resize(img, out_h, out_w)
+    return b"P5 %d %d %s " % (out_w, out_h, maxval) + out.tobytes()
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_w long, src_h long, out_w long, out_h long, "
+    "pix_sum long, pix_wsum long"
+)
+
+
+def resize_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, text) → 8×8 thumbnail summary. The
+    resample itself is real numpy indexing; sum and position-weighted sum
+    pin every resampled pixel value and its position."""
+    import numpy as np
+
+    wts = np.arange(1, THUMB * THUMB + 1, dtype=np.int64)
+    for pdf in frames:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            img = _synthetic_gray(text.encode("utf-8"))
+            if img is None:
+                continue
+            thumb = _nn_resize(img, THUMB, THUMB).astype(np.int64).ravel()
+            rows.append(
+                (
+                    doc_id,
+                    img.shape[1],
+                    img.shape[0],
+                    THUMB,
+                    THUMB,
+                    int(thumb.sum()),
+                    int((thumb * wts).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "src_w", "src_h", "out_w", "out_h",
+                "pix_sum", "pix_wsum",
+            ],
+        )
+
+
+# src pixel feeding out cell (i, j): row i*h//8, col j*w//8, byte index
+# (row*w + col) % n, 1-based for substr
+_SYN_PIX_SQL = (
+    f"ascii(substr(text, ((((i * {SYN_H}) // {THUMB}) * w "
+    f"+ ((j * w) // {THUMB})) % n) + 1, 1))"
+)
+
+
+@register(
+    "multimodal_resize_thumbnail",
+    f"""WITH d AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS n,
+                 least(octet_length(encode(text)), {SYN_W_MAX}) AS w
+          FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        cells AS (
+          SELECT doc_id, text, n, w, i.i, j.j
+          FROM d,
+               (SELECT unnest(generate_series(0, {THUMB - 1})) AS i) i,
+               (SELECT unnest(generate_series(0, {THUMB - 1})) AS j) j
+        ),
+        rp AS (
+          SELECT doc_id, w, i * {THUMB} + j + 1 AS pos,
+                 {_SYN_PIX_SQL} AS pix
+          FROM cells
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS src_w,
+               CAST({SYN_H} AS BIGINT) AS src_h,
+               CAST({THUMB} AS BIGINT) AS out_w,
+               CAST({THUMB} AS BIGINT) AS out_h,
+               CAST(SUM(pix) AS BIGINT) AS pix_sum,
+               CAST(SUM(pix * pos) AS BIGINT) AS pix_wsum
+        FROM rp GROUP BY doc_id, w""",
+    doc=f"Image resize plumbing with REAL pixel math: deterministic "
+    f"text→grayscale image (w≤{SYN_W_MAX}×{SYN_H}), numpy nearest-neighbor "
+    f"resample to {THUMB}×{THUMB} inside an Arrow-batched mapInPandas "
+    "kernel; the position-weighted pixel sum pins every resampled byte "
+    "and its location, so the whole kernel is value-hash oracle-checked. "
+    "At 100 TB this is the thumbnail/augmentation pass: columnar scan → "
+    "per-batch numpy (C-speed, zero-copy Arrow) → typed struct out, "
+    "maxPartitionBytes sizing the batches, no driver involvement. "
+    "resize_p5 applies the same resample to genuine P5 PNM payloads "
+    "(pytest-pinned); compressed codecs stay behind the PIL import guard.",
+)
+def q_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
+
+
+FEAT_SCHEMA = (
+    "doc_id long, n_pix long, mean_milli long, min_pix long, max_pix long, "
+    "hist0 long, hist1 long, hist2 long, hist3 long"
+)
+
+
+def feature_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: per-image feature vector over the full synthetic
+    image — integer mean (milli-units), min/max, 4-bin histogram. All
+    reductions exact integer arithmetic."""
+    import numpy as np
+
+    for pdf in frames:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            img = _synthetic_gray(text.encode("utf-8"))
+            if img is None:
+                continue
+            flat = img.astype(np.int64).ravel()
+            hist = np.bincount(flat // 64, minlength=4)
+            rows.append(
+                (
+                    doc_id,
+                    flat.size,
+                    int(flat.sum()) * 1000 // flat.size,
+                    int(flat.min()),
+                    int(flat.max()),
+                    int(hist[0]), int(hist[1]), int(hist[2]), int(hist[3]),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_pix", "mean_milli", "min_pix", "max_pix",
+                "hist0", "hist1", "hist2", "hist3",
+            ],
+        )
+
+
+@register(
+    "multimodal_feature_stats",
+    f"""WITH d AS (
+          SELECT doc_id, text, octet_length(encode(text)) AS n,
+                 least(octet_length(encode(text)), {SYN_W_MAX}) AS w
+          FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        px AS (
+          SELECT doc_id, w,
+                 ascii(substr(text, ((r.r * w + c.c) % n) + 1, 1)) AS pix
+          FROM d,
+               (SELECT unnest(generate_series(0, {SYN_H - 1})) AS r) r,
+               (SELECT unnest(generate_series(0, {SYN_W_MAX - 1})) AS c) c
+          WHERE c.c < w
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pix,
+               CAST(SUM(pix) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
+               CAST(MIN(pix) AS BIGINT) AS min_pix,
+               CAST(MAX(pix) AS BIGINT) AS max_pix,
+               CAST(SUM(CASE WHEN pix // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hist0,
+               CAST(SUM(CASE WHEN pix // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hist1,
+               CAST(SUM(CASE WHEN pix // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hist2,
+               CAST(SUM(CASE WHEN pix // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hist3
+        FROM px GROUP BY doc_id""",
+    doc="Image feature extraction with real reductions: per-image integer "
+    "mean (milli-units, floor), min/max, and a 4-bin intensity histogram "
+    "over the full variable-size synthetic image — the embedding-adjacent "
+    "per-asset feature vector (brightness/contrast/exposure buckets) a "
+    "vision data pipeline computes before filtering. Same Arrow-batched "
+    "mapInPandas shape as the decode/resize kernels; every feature is "
+    "exact integer arithmetic, fully value-hash oracle-checked.",
+)
+def q_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(feature_batch, schema=FEAT_SCHEMA)

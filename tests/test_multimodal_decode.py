@@ -308,3 +308,78 @@ def test_jpeg_fill_bytes_between_segments():
     # three fill 0xFF bytes before the SOF marker byte
     padded = b"\xff\xd8" + b"\xff\xff\xff" + seg_sof + seg_sos + b"\x12" + b"\xff\xd9"
     assert _parse_jpeg(padded) == (44, 33, 3, "jpeg")
+
+
+def test_nn_resize_known_case():
+    """Hand-computed nearest-neighbor: 4x4 ramp to 2x2 picks rows/cols
+    {0,2} (floor(i*4/2) = 0,2) — the canonical floor-index mapping."""
+    import numpy as np
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import _nn_resize
+
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out = _nn_resize(img, 2, 2)
+    assert out.tolist() == [[0, 2], [8, 10]]
+
+
+def test_resize_p5_real_payload_roundtrip():
+    """A genuine binary PGM resizes for real: output is valid P5 with the
+    target dims and exactly the pixels the floor mapping selects; non-P5
+    payloads return None instead of garbage."""
+    import numpy as np
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        _nn_resize,
+        resize_p5,
+    )
+
+    src = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    payload = b"P5 16 16 255 " + src.tobytes()
+    out = resize_p5(payload, out_h=4, out_w=4)
+    assert out is not None and out.startswith(b"P5 4 4 255 ")
+    pix = np.frombuffer(out.split(maxsplit=4)[4], dtype=np.uint8).reshape(4, 4)
+    assert (pix == _nn_resize(src, 4, 4)).all()
+    assert resize_p5(b"JUNK" + payload) is None
+    assert resize_p5(b"P5 16 16 255 " + src.tobytes()[:10]) is None  # truncated
+
+
+def test_synthetic_gray_mapping():
+    """pixel(r, c) = bytes[(r*w + c) % n] with w = min(n, 32), h = 16 —
+    the contract the SQL oracles re-derive."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        SYN_H,
+        _synthetic_gray,
+    )
+
+    b = b"abcde"
+    img = _synthetic_gray(b)
+    assert img.shape == (SYN_H, 5)
+    for r in range(SYN_H):
+        for c in range(5):
+            assert img[r, c] == b[(r * 5 + c) % 5]
+    assert _synthetic_gray(b"") is None
+
+
+def test_resize_and_feature_kernels_through_spark(spark):
+    """End-to-end mapInPandas: every non-empty doc yields one thumbnail row
+    (8x8, weighted sum consistent with the plain sum bounds) and one
+    feature row (histogram partitions n_pix, min <= mean <= max)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        THUMB,
+        q_feature_stats,
+        q_resize_thumbnail,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rs = q_resize_thumbnail(spark, sf).collect()
+    assert len(rs) > 0
+    for r in rs:
+        assert (r.out_w, r.out_h) == (THUMB, THUMB)
+        assert 0 <= r.pix_sum <= 255 * THUMB * THUMB
+        # weighted sum bounds: sum*1 <= wsum <= sum*64
+        assert r.pix_sum <= r.pix_wsum <= r.pix_sum * THUMB * THUMB
+    fs = q_feature_stats(spark, sf).collect()
+    assert len(fs) == len(rs)
+    for r in fs:
+        assert r.hist0 + r.hist1 + r.hist2 + r.hist3 == r.n_pix
+        assert r.min_pix * 1000 <= r.mean_milli <= r.max_pix * 1000
