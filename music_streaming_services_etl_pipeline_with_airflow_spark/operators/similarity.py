@@ -630,9 +630,9 @@ def q_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     ).cast("double")
-    approx = corpus.select("vec_id").join(
-        c8.select("vec_id", "c8", "n8"), "vec_id"
-    ).join(F.broadcast(queries), F.col("vec_id") != F.col("qid")).select(
+    approx = c8.select("vec_id", "c8", "n8").join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).select(
         "qid",
         "vec_id",
         (idot / (F.sqrt(F.col("qn8").cast("double")) * F.sqrt(F.col("n8").cast("double"))))
