@@ -1148,10 +1148,12 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 10. Normalization-insensitive exact dedup
 # --------------------------------------------------------------------------
 
-# Canonical text form: lowercase, strip everything but [a-z0-9 ], collapse
-# whitespace runs, trim. Both regexes use constructs with identical
-# semantics in Java regex (Spark) and RE2 (DuckDB) — plain character
-# classes and '+', no lookaround/backrefs.
+# Canonical text form: lowercase, map whitespace (tab/newline/CR) to
+# space FIRST (so "a\nb" canonicalizes to "a b", not "ab"), strip
+# everything but [a-z0-9 ], collapse space runs, trim. All three regexes
+# use constructs with identical semantics in Java regex (Spark) and RE2
+# (DuckDB) — plain character classes and '+', no lookaround/backrefs.
+_NORM_WS = "[\\t\\n\\r]"
 _NORM_STRIP = "[^a-z0-9 ]"
 _NORM_SPACES = " +"
 
@@ -1160,13 +1162,15 @@ def normalize_text(col):
     """Case/punctuation/whitespace-insensitive canonical form of a text
     column — the first dedup level most web-corpus pipelines run, catching
     trivially-reformatted copies that byte-exact md5 (dedup_exact) misses."""
-    stripped = F.regexp_replace(F.lower(col), _NORM_STRIP, "")
+    spaced = F.regexp_replace(F.lower(col), _NORM_WS, " ")
+    stripped = F.regexp_replace(spaced, _NORM_STRIP, "")
     return F.trim(F.regexp_replace(stripped, _NORM_SPACES, " "))
 
 
 def _normalize_sql(col: str) -> str:
     return (
-        f"trim(regexp_replace(regexp_replace(lower({col}), "
+        f"trim(regexp_replace(regexp_replace(regexp_replace(lower({col}), "
+        f"'{_NORM_WS}', ' ', 'g'), "
         f"'{_NORM_STRIP}', '', 'g'), '{_NORM_SPACES}', ' ', 'g'))"
     )
 

@@ -1201,7 +1201,7 @@ def test_normalized_dedup_catches_reformatted_copies(spark, tmp_path):
                     [
                         "Hello, World! This is FINE.",
                         "hello world this is fine",
-                        "HELLO    world;;; this IS fine...",
+                        "HELLO  \n world;;;\tthis IS fine...",
                         "a completely different document",
                     ],
                     pa.string(),
@@ -1298,3 +1298,26 @@ def test_grouping_sets_levels_consistent(spark):
     # lvl-1 rows (returnflag only) must carry the '*' marker for linestatus
     assert all(r.linestatus == "*" for r in by_lvl[1])
     assert all(r.returnflag == "*" for r in by_lvl[2])
+
+
+def test_normalize_text_idempotent_and_whitespace_mapping(spark):
+    """normalize(normalize(x)) == normalize(x) for adversarial inputs, and
+    newlines/tabs act as separators ("a\\nb" -> "a b", never "ab")."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import normalize_text
+
+    cases = [
+        "a\nb", "a\tb", "  A!!B  ", "x\r\ny", "..", "", "A  B\n\nC",
+        "MiXeD CaSe 123!!!", "\t\n ", "a-b_c.d",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["t"])
+    once = df.select(F.col("t"), normalize_text(F.col("t")).alias("n1"))
+    twice = once.select("t", "n1", normalize_text(F.col("n1")).alias("n2"))
+    for r in twice.collect():
+        assert r.n1 == r.n2, r.t
+    got = {r.t: r.n1 for r in twice.collect()}
+    assert got["a\nb"] == "a b"
+    assert got["a\tb"] == "a b"
+    assert got["x\r\ny"] == "x y"
+    assert got["A  B\n\nC"] == "a b c"
+    assert got[".."] == ""
+    assert got["a-b_c.d"] == "abcd"
