@@ -1,0 +1,146 @@
+"""Cross-engine fuzz parity: hypothesis-generated adversarial `events`
+tables run through event-only registry queries on BOTH Spark and their
+DuckDB oracles, compared with exact value equality.
+
+The fixed-testdata parity gate (tools/check_parity.py) proves the oracles
+on one distribution; this suite hunts data-dependent divergence the fixed
+data can't reach — duplicate timestamps on the tie-break path, exact
+session-gap spacing, empty/unicode group keys, negative/zero/huge values,
+single-row groups (the n-1 variance guard), users with one event (null
+lag), and empty filter matches.
+
+Query choice is deliberate: only queries whose outputs are integers,
+strings, timestamps, or single IEEE divisions of integers — engine-exact
+by construction on ANY input, so a mismatch here is a real semantics bug,
+never float-rounding noise.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+pytestmark = pytest.mark.skipif(not _HAS_HYP, reason="hypothesis not installed")
+
+# integer-exact / tie-broken queries over the events table only
+FUZZ_QUERIES = [
+    "a14_filtered_agg",
+    "a16_value_histogram",
+    "w10_mad_outliers",
+    "w5_first_last_per_user",
+    "w9_running_distinct",
+    "evt_transition_matrix",
+    "sessionize_events",
+]
+
+_BASE = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+# offsets in seconds: includes duplicates-by-construction (small pool),
+# exact 30-minute (1800 s) session-gap spacing, and far-apart stragglers
+_OFFSETS = st.integers(min_value=0, max_value=5400)
+_GAPPY = st.sampled_from([0, 1, 1799, 1800, 1801, 3600, 5400, 86_400])
+_TYPES = st.sampled_from(["purchase", "error", "view", "", "söng", "click"])
+# |cents| <= 2e8 keeps Σx² far inside int64 for any row count here
+_VALUES = st.one_of(
+    st.sampled_from([0.0, -0.01, 0.005, -1.5, 123.456, 1999999.99, -2e6]),
+    st.floats(min_value=-2e6, max_value=2e6, allow_nan=False, width=64),
+)
+
+
+@st.composite
+def _events(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    rows = []
+    for i in range(n):
+        off = draw(_GAPPY) if draw(st.booleans()) else draw(_OFFSETS)
+        rows.append(
+            (
+                i + 1,  # event_id: unique, the tie-break of last resort
+                _BASE + dt.timedelta(seconds=off),
+                draw(st.integers(min_value=1, max_value=4)),  # user_id
+                draw(_TYPES),
+                draw(_VALUES),
+            )
+        )
+    return rows
+
+
+def _canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return repr(v)
+    return str(v)
+
+
+def _norm(df):
+    """pandas frame → sorted list of row tuples over name-sorted columns,
+    every value canonicalized (same contract as tools/check_parity)."""
+    import pandas as pd
+
+    cols = sorted(df.columns)
+    out = []
+    for _, row in df[cols].iterrows():
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, pd.Timestamp):
+                v = str(v.to_pydatetime())
+            try:
+                if pd.isna(v):
+                    v = None
+            except (TypeError, ValueError):
+                pass
+            vals.append(_canon(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_events())
+def test_event_queries_match_oracle_on_fuzzed_tables(spark, tmp_path_factory, rows):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    d = tmp_path_factory.mktemp("fuzzev")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    specs = all_specs()
+    for name in FUZZ_QUERIES:
+        spec = specs[name]
+        got = _norm(spec.fn(spark, str(d)).toPandas())
+        want = _norm(con.execute(spec.oracle).fetchdf())
+        assert got == want, f"{name}: spark != oracle on fuzzed input"
