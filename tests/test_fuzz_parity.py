@@ -144,3 +144,40 @@ def test_event_queries_match_oracle_on_fuzzed_tables(spark, tmp_path_factory, ro
         got = _norm(spec.fn(spark, str(d)).toPandas())
         want = _norm(con.execute(spec.oracle).fetchdf())
         assert got == want, f"{name}: spark != oracle on fuzzed input"
+
+
+def test_normalize_text_cross_engine_on_unicode(spark):
+    """Spark (Java toLowerCase) and DuckDB (utf8proc) disagree on some
+    unicode lowerings pre-strip — 'İ' → 'i̇' vs 'i', final sigma 'ς' vs
+    'σ' — but every divergent output falls outside [a-z0-9 ] and is
+    deleted by the strip stage, so the CANONICAL form converges. This
+    pins that convergence on the adversarial cases plus the
+    folds-into-ascii ones (Kelvin sign, fullwidth letters)."""
+    import duckdb
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        _normalize_sql,
+        normalize_text,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [
+        "İstanbul CITY",
+        "ΣΙΣΥΦΟΣ myth",
+        "STRASSE ẞ 12",
+        "KK Kelvin",  # ASCII K + Kelvin sign
+        "Ａｂｃ fullwidth",
+        "mixed\tWS\r\nand!!punct",
+        "",
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], ["text"])
+    got = {
+        r.text: r.n
+        for r in sdf.select("text", normalize_text(F.col("text")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        want = con.execute(
+            f"SELECT {_normalize_sql('?')}", [c]
+        ).fetchone()[0]
+        assert got[c] == want, (c, got[c], want)
