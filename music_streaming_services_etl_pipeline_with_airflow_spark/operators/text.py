@@ -969,3 +969,278 @@ def q_corpus_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_removed",
         F.expr("tokens_removed * 1000 div tokens_total").alias("removed_per_mille"),
     )
+
+
+@register(
+    "gopher_repetition_full",
+    """WITH d AS (
+    SELECT doc_id, length(text) AS n_chars_c, string_split(text, ' ') AS t
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+ng AS (
+    SELECT doc_id, n_chars_c, len(t) AS n_words, 2 AS n,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1])) AS g
+    FROM d
+    UNION ALL
+    SELECT doc_id, n_chars_c, len(t), 3,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    FROM d
+),
+cnt AS (
+    SELECT doc_id, n_chars_c, n_words, n, g, COUNT(*) AS c
+    FROM ng GROUP BY doc_id, n_chars_c, n_words, n, g
+),
+cov AS (
+    SELECT doc_id, n_chars_c, n_words, n, c, c * length(g) AS cov FROM cnt
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(MAX(CASE WHEN n = 2 THEN cov END) * 1000 // n_chars_c AS BIGINT)
+           AS top2_char_permille,
+       CAST(COALESCE(SUM(CASE WHEN n = 2 AND c > 1 THEN cov END), 0) * 1000
+            // n_chars_c AS BIGINT) AS dup2_char_permille,
+       CAST(MAX(CASE WHEN n = 3 THEN cov END) * 1000 // n_chars_c AS BIGINT)
+           AS top3_char_permille,
+       CAST(COALESCE(SUM(CASE WHEN n = 3 AND c > 1 THEN cov END), 0) * 1000
+            // n_chars_c AS BIGINT) AS dup3_char_permille
+FROM cov GROUP BY doc_id, n_chars_c, n_words""",
+    doc="The rest of the Gopher repetition suite (Rae et al. 2021 §A1.1): "
+    "per-document fraction of characters covered by the MOST FREQUENT "
+    "{2,3}-gram and by ALL duplicated {2,3}-grams, as exact integer "
+    "per-mille (char coverage = count x gram length, so the top-gram "
+    "scalar is MAX(c*len) — no argmax tie-break needed). Complements "
+    "gopher_repetition's top-word/dup-bigram ratios with the char-mass "
+    "view the paper thresholds on. Where the sibling uses zero-shuffle "
+    "map-side array counting (right below ~10k words/doc), this one is "
+    "the book-length-doc variant its docstring promises: one explode of "
+    "tagged (n, gram) structs -> hash-aggregate counts -> per-doc "
+    "conditional rollup. Both aggregates are partial-aggregation "
+    "friendly (map-side combine on (doc_id, n, g)), the carried "
+    "grouping keys n_chars_c/n_words are functionally dependent on "
+    "doc_id so no join-back is needed, and nothing in the plan holds a "
+    "whole document's distinct-gram set in one row, so a 500-page book "
+    "streams through the same plan as a tweet.",
+)
+def q_gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_c"),
+        t.alias("t"),
+    ).filter(F.size("t") >= 3)
+    grams = F.expr(
+        "concat("
+        " transform(sequence(0, size(t) - 2),"
+        "           i -> struct(2 AS n, concat_ws(' ', t[i], t[i+1]) AS g)),"
+        " transform(sequence(0, size(t) - 3),"
+        "           i -> struct(3 AS n,"
+        "                       concat_ws(' ', t[i], t[i+1], t[i+2]) AS g)))"
+    )
+    ex = d.select(
+        "doc_id",
+        "n_chars_c",
+        F.size("t").cast("long").alias("n_words"),
+        F.explode(grams).alias("ng"),
+    ).select(
+        "doc_id",
+        "n_chars_c",
+        "n_words",
+        F.col("ng.n").alias("n"),
+        F.col("ng.g").alias("g"),
+    )
+    cov = ex.groupBy("doc_id", "n_chars_c", "n_words", "n", "g").agg(
+        F.count("*").alias("c")
+    ).select(
+        "doc_id",
+        "n_chars_c",
+        "n_words",
+        "n",
+        "c",
+        (F.col("c") * F.length("g")).alias("cov"),
+    )
+    per = cov.groupBy("doc_id", "n_chars_c", "n_words").agg(
+        F.max(F.when(F.col("n") == 2, F.col("cov"))).alias("top2_cov"),
+        F.coalesce(
+            F.sum(F.when((F.col("n") == 2) & (F.col("c") > 1), F.col("cov"))),
+            F.lit(0),
+        ).alias("dup2_cov"),
+        F.max(F.when(F.col("n") == 3, F.col("cov"))).alias("top3_cov"),
+        F.coalesce(
+            F.sum(F.when((F.col("n") == 3) & (F.col("c") > 1), F.col("cov"))),
+            F.lit(0),
+        ).alias("dup3_cov"),
+    )
+    return per.select(
+        "doc_id",
+        "n_words",
+        F.expr("top2_cov * 1000 div n_chars_c").alias("top2_char_permille"),
+        F.expr("dup2_cov * 1000 div n_chars_c").alias("dup2_char_permille"),
+        F.expr("top3_cov * 1000 div n_chars_c").alias("top3_char_permille"),
+        F.expr("dup3_cov * 1000 div n_chars_c").alias("dup3_char_permille"),
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    """WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+    SELECT doc_id, b.w1, b.w2
+    FROM (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+          FROM d)
+),
+tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n FROM tok),
+bf AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+cx AS (SELECT w1, COUNT(*) AS ctx FROM bg GROUP BY w1),
+scored AS (
+    SELECT g.doc_id,
+           CAST(FLOOR(-LOG2(0.5 * CAST(bf.cb AS DOUBLE) / CAST(cx.ctx AS DOUBLE)
+                            + 0.5 * CAST(uni.cu AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                      * 1000) AS BIGINT) AS bits_milli
+    FROM bg g
+    JOIN bf USING (w1, w2)
+    JOIN cx USING (w1)
+    JOIN uni ON uni.tok = g.w2
+    CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(bits_milli) // COUNT(*) AS BIGINT) AS bits_per_bigram_milli
+FROM scored GROUP BY doc_id""",
+    doc="Context-sensitive LM-proxy quality score: a Jelinek-Mercer "
+    "interpolated bigram model (lambda=0.5 between the corpus bigram "
+    "MLE cb/ctx and the unigram fallback cu/N) scores each adjacent "
+    "token pair with -log2(p) surprisal; a doc's mean bits-per-bigram "
+    "separates fluent text from shuffled-word soup that the unigram "
+    "scorer (text_unigram_logprob) cannot tell apart, since unigram "
+    "scores are permutation-invariant. Same determinism convention as "
+    "the unigram op: per-token milli-bit floors summed as BIGINT then "
+    "integer-divided — addition-order independent, identical float "
+    "expression shape on both engines. 100 TB shape: bigram/context/"
+    "unigram vocab aggregates (map-side combinable), then vocab "
+    "lookup joins that broadcast when bounded; no per-doc state.",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count("*").alias("cu"))
+    tot = tok.agg(F.count("*").alias("n"))
+    bf = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cx = bg.groupBy("w1").agg(F.count("*").alias("ctx"))
+    scored = (
+        bg.join(bf, ["w1", "w2"])
+        .join(cx, "w1")
+        .join(uni, bg["w2"] == uni["tok"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(FLOOR(-LOG2(0.5 * CAST(cb AS DOUBLE) / CAST(ctx AS DOUBLE)"
+                " + 0.5 * CAST(cu AS DOUBLE) / CAST(n AS DOUBLE)) * 1000)"
+                " AS BIGINT)"
+            ).alias("bits_milli"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("bits_milli").alias("_bits_total"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("_bits_total div n_bigrams").alias("bits_per_bigram_milli"),
+        )
+    )
+
+
+@register(
+    "corpus_trigram_novelty",
+    """WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS t
+    FROM documents WHERE len(string_split(text, ' ')) >= 3
+),
+tri AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+    FROM d
+),
+df AS (SELECT g, COUNT(*) AS n_docs_with FROM tri GROUP BY g)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams_distinct,
+       CAST(SUM(CASE WHEN f.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_trigrams_shared,
+       CAST((COUNT(*) - SUM(CASE WHEN f.n_docs_with > 1 THEN 1 ELSE 0 END))
+            * 1000 // COUNT(*) AS BIGINT) AS novelty_permille
+FROM tri t JOIN df f USING (g)
+GROUP BY t.doc_id""",
+    doc="Cross-document novelty score: the per-mille of a document's "
+    "distinct 3-grams that appear in NO other document. The cheap "
+    "aggregate-only complement to pairwise containment — duplication "
+    "PRESSURE per doc without materializing any doc pair, which is what "
+    "a memorization-risk audit ranks on before paying for span-level "
+    "dedup. (A doc's repeats of its own trigram don't count against "
+    "it: document frequency is over DISTINCT (doc, gram).) 100 TB "
+    "shape: per-doc distinct then one gram-keyed doc-frequency hash "
+    "aggregate and a gram-keyed join back — two shuffles on the gram "
+    "key, no pair expansion anywhere; skewed ubiquitous grams cap at "
+    "one row per (gram, doc) before the df aggregate.",
+)
+def q_corpus_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    tri = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df = tri.groupBy("g").agg(F.count("*").alias("n_docs_with"))
+    return (
+        tri.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams_distinct"),
+            F.sum((F.col("n_docs_with") > 1).cast("long")).alias(
+                "n_trigrams_shared"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams_distinct",
+            "n_trigrams_shared",
+            F.expr(
+                "(n_trigrams_distinct - n_trigrams_shared) * 1000"
+                " div n_trigrams_distinct"
+            ).alias("novelty_permille"),
+        )
+    )

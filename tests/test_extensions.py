@@ -1321,3 +1321,71 @@ def test_normalize_text_idempotent_and_whitespace_mapping(spark):
     assert got["A  B\n\nC"] == "a b c"
     assert got[".."] == ""
     assert got["a-b_c.d"] == "abcd"
+
+
+def _write_docs(tmp_path, ids, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sfdocs"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_gopher_full_char_coverage_constructed(spark, tmp_path):
+    """Hand-computed char-coverage per-milles: 'a a a b' (7 chars) has
+    2-grams {'a a' x2, 'a b' x1} -> top/dup 2-gram coverage 6 chars
+    (857 per-mille) and 3-grams {'a a a', 'a a b'} -> top 5 chars
+    (714 per-mille), none duplicated."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_gopher_repetition_full,
+    )
+
+    sf = _write_docs(tmp_path, [1], ["a a a b"])
+    r = q_gopher_repetition_full(spark, sf).collect()[0]
+    assert (r.n_words, r.top2_char_permille, r.dup2_char_permille) == (4, 857, 857)
+    assert (r.top3_char_permille, r.dup3_char_permille) == (714, 0)
+
+
+def test_bigram_logprob_sees_adjacency_unigram_cannot(spark, tmp_path):
+    """Two docs with IDENTICAL unigram multisets but different word order:
+    the unigram scorer is permutation-invariant (equal scores, by
+    construction), while the interpolated bigram scorer separates the
+    predictable alternation from the blocked layout — the exact signal
+    that justifies the context-sensitive model."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_bigram_logprob,
+        q_unigram_logprob,
+    )
+
+    sf = _write_docs(tmp_path, [1, 2], ["x y x y x y", "x x x y y y"])
+    uni = {r.doc_id: r.bits_per_token_milli for r in q_unigram_logprob(spark, sf).collect()}
+    bi = {r.doc_id: r.bits_per_bigram_milli for r in q_bigram_logprob(spark, sf).collect()}
+    assert uni[1] == uni[2]
+    assert bi[1] != bi[2]
+    nb = {r.doc_id: r.n_bigrams for r in q_bigram_logprob(spark, sf).collect()}
+    assert nb == {1: 5, 2: 5}  # n_tokens - 1
+
+
+def test_trigram_novelty_constructed(spark, tmp_path):
+    """Doc 1 and 2 share exactly one trigram ('p q r'); doc 3 is fully
+    novel. Shared counts and novelty per-milles are hand-computed."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_corpus_trigram_novelty,
+    )
+
+    sf = _write_docs(tmp_path, [1, 2, 3], ["p q r s", "z p q r", "u v w x"])
+    out = {r.doc_id: r for r in q_corpus_trigram_novelty(spark, sf).collect()}
+    assert (out[1].n_trigrams_distinct, out[1].n_trigrams_shared) == (2, 1)
+    assert out[1].novelty_permille == 500
+    assert out[2].novelty_permille == 500
+    assert (out[3].n_trigrams_shared, out[3].novelty_permille) == (0, 1000)
