@@ -72,10 +72,12 @@ _PRIORITY: tuple[str, ...] = (
     # round-7 head rather than displacing more stale rotation slots.
     # Likewise the late-round-6 additions a17_grouping_sets,
     # w10_mad_outliers, j14_asof_tolerance_join, dedup_normalized_exact,
-    # similarity_int8_topk, multimodal_resize_thumbnail and
-    # multimodal_feature_stats: all oracle-bearing, exact-parity green
-    # locally (tools/check_parity.py at sf0.01) and pytest-pinned, and
-    # lead the round-7 head together with the queries above)
+    # similarity_int8_topk, multimodal_resize_thumbnail,
+    # multimodal_feature_stats, gopher_repetition_full,
+    # text_bigram_logprob and corpus_trigram_novelty: all oracle-bearing,
+    # exact-parity green locally (tools/check_parity.py at sf0.01) and
+    # pytest-pinned, and lead the round-7 head together with the queries
+    # above)
     # -- rotation: oracle-green queries whose last driver row is r1/r2
     #    (42 such after round 5 re-checked the r3/r4 head; 28 here, the
     #    remaining 14 -- sampling, product-analytics, UDF-surface,

@@ -48,6 +48,9 @@ QUERIES = [
     "similarity_int8_topk",
     "dedup_normalized_exact",
     "j14_asof_tolerance_join",
+    "gopher_repetition_full",
+    "text_bigram_logprob",
+    "corpus_trigram_novelty",
 ]
 
 
@@ -96,6 +99,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
     specs = all_specs()
+    queries = sys.argv[1:] or QUERIES
     spark.read.parquet(f"{OUT}/lineitem.parquet").count()  # warmup
     for label, d in [
         ("sf0.01", "/root/testdata/sf0.01"),
@@ -103,7 +107,7 @@ def main() -> None:
         ("sf1x10", OUT),
     ]:
         row = {}
-        for q in QUERIES:
+        for q in queries:
             best = None
             for _ in range(2):
                 t0 = time.time()
