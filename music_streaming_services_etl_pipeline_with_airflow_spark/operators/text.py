@@ -1098,9 +1098,9 @@ bg AS (
 ),
 tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
 uni AS (SELECT tok, COUNT(*) AS cu FROM tok GROUP BY tok),
-tot AS (SELECT COUNT(*) AS n FROM tok),
+tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
 bf AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
-cx AS (SELECT w1, COUNT(*) AS ctx FROM bg GROUP BY w1),
+cx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS ctx FROM bf GROUP BY w1),
 scored AS (
     SELECT g.doc_id,
            CAST(FLOOR(-LOG2(0.5 * CAST(bf.cb AS DOUBLE) / CAST(cx.ctx AS DOUBLE)
@@ -1144,9 +1144,13 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     tok = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     uni = tok.groupBy("tok").agg(F.count("*").alias("cu"))
-    tot = tok.agg(F.count("*").alias("n"))
+    # ctx and N are derivable from the vocab-sized aggregates (sum of bigram
+    # counts per w1 == tokens-with-a-successor count; sum of unigram counts
+    # == corpus token count) — two fewer full corpus explodes than the
+    # direct formulation, and both identities are exact.
+    tot = uni.agg(F.sum("cu").alias("n"))
     bf = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    cx = bg.groupBy("w1").agg(F.count("*").alias("ctx"))
+    cx = bf.groupBy("w1").agg(F.sum("cb").alias("ctx"))
     scored = (
         bg.join(bf, ["w1", "w2"])
         .join(cx, "w1")
