@@ -181,3 +181,68 @@ def test_normalize_text_cross_engine_on_unicode(spark):
             f"SELECT {_normalize_sql('?')}", [c]
         ).fetchone()[0]
         assert got[c] == want, (c, got[c], want)
+
+
+# integer-exact / single-division queries over the documents table only.
+# (The log2-based LM scorers are deliberately absent: engine log2 may
+# differ in the last ulp on adversarial counts, which the milli-floor can
+# amplify into an off-by-one — their parity is proven on the fixed gate
+# data instead.)
+DOC_FUZZ_QUERIES = [
+    "text_token_stats",
+    "gopher_repetition",
+    "gopher_repetition_full",
+    "corpus_trigram_novelty",
+    "text_chunk_fixed",
+]
+
+# small pool ⇒ shared n-grams across docs by construction; includes empty
+# token (double-space on join), unicode, and single-char tokens
+_DOC_TOKENS = st.sampled_from(
+    ["a", "b", "the", "of", "söng", "x1", "", "zzz", "Q"]
+)
+
+
+@st.composite
+def _documents(draw):
+    n = draw(st.integers(min_value=1, max_value=8))
+    docs = []
+    for i in range(n):
+        k = draw(st.integers(min_value=0, max_value=12))
+        docs.append((i + 1, " ".join(draw(_DOC_TOKENS) for _ in range(k))))
+    return docs
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_documents())
+def test_doc_queries_match_oracle_on_fuzzed_tables(spark, tmp_path_factory, docs):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    d = tmp_path_factory.mktemp("fuzzdoc")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    specs = all_specs()
+    for name in DOC_FUZZ_QUERIES:
+        spec = specs[name]
+        got = _norm(spec.fn(spark, str(d)).toPandas())
+        want = _norm(con.execute(spec.oracle).fetchdf())
+        assert got == want, f"{name}: spark != oracle on fuzzed input"
