@@ -151,3 +151,32 @@ def test_containment_banded_no_cartesian(spark):
     plan = _explain(q_dedup_containment_banded(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_text_ops_no_pair_expansion(spark):
+    """The round-6 text additions must stay join-safe: no cartesian or
+    nested-loop join anywhere (the only cross join allowed is the bounded
+    1-row broadcast of the corpus total in the bigram scorer), and the
+    n-gram aggregates must carry map-side partial aggregation."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_bigram_logprob,
+        q_corpus_trigram_novelty,
+        q_gopher_repetition_full,
+    )
+
+    for fn in (q_gopher_repetition_full, q_corpus_trigram_novelty):
+        plan = _explain(fn(spark, SF))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "HashAggregate" in plan
+
+    import re
+
+    plan = _explain(q_bigram_logprob(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the corpus-total cross join must be the broadcast (1-row) form, and
+    # every vocab lookup a hash join — never a nested loop over tokens
+    # (formatted mode prints each node twice: tree line + numbered detail,
+    # so count the numbered detail headers)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
