@@ -61,6 +61,11 @@ HEADLINE = [
     # dedup (normalization scan-side, 32-byte keys shuffle)
     "similarity_int8_topk",
     "dedup_normalized_exact",
+    # final round-6 wave: the char-mass Gopher suite, the interpolated
+    # bigram LM scorer, and the cross-doc trigram novelty audit
+    "gopher_repetition_full",
+    "text_bigram_logprob",
+    "corpus_trigram_novelty",
 ]
 
 

@@ -246,3 +246,44 @@ def test_doc_queries_match_oracle_on_fuzzed_tables(spark, tmp_path_factory, docs
         got = _norm(spec.fn(spark, str(d)).toPandas())
         want = _norm(con.execute(spec.oracle).fetchdf())
         assert got == want, f"{name}: spark != oracle on fuzzed input"
+
+
+def test_log2_milli_floor_converges_cross_engine(spark):
+    """The LM scorers floor -log2(p)*1000 to integer milli-bits; a last-ulp
+    log2 divergence between the JVM and DuckDB could flip a floor boundary.
+    Pin exact agreement over an exhaustive grid of the probabilities the
+    unigram/bigram models can actually produce at gate scale: p = c/n and
+    the interpolated 0.5*a/b + 0.5*c/n forms, every count 1..120."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (c, n, a, b)
+        for n in (7, 120, 997, 30_000)
+        for c in range(1, 121)
+        for (a, b) in ((c, n), (1, 120), (119, 120))
+    ]
+    sdf = spark.createDataFrame(rows, ["c", "n", "a", "b"])
+    got = (
+        sdf.select(
+            "c", "n", "a", "b",
+            F.expr(
+                "CAST(FLOOR(-LOG2(0.5 * CAST(a AS DOUBLE) / CAST(b AS DOUBLE)"
+                " + 0.5 * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000)"
+                " AS BIGINT)"
+            ).alias("bits"),
+        )
+        .toPandas()
+        .sort_values(["c", "n", "a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("grid", got[["c", "n", "a", "b"]])
+    want = con.execute(
+        """SELECT CAST(FLOOR(-LOG2(0.5 * CAST(a AS DOUBLE) / CAST(b AS DOUBLE)
+                              + 0.5 * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000)
+                   AS BIGINT) AS bits
+           FROM grid ORDER BY c, n, a, b"""
+    ).fetchdf()
+    assert list(got["bits"]) == list(want["bits"])
