@@ -1205,3 +1205,48 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("raw_hash")).alias("n_raw_variants"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Source-overlap forensics over the near-dup pair relation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_source_overlap",
+    f"""WITH pairs AS ({_CONTAINMENT_ORACLE}),
+labeled AS (
+    SELECT LEAST(sa.source, sb.source) AS source_lo,
+           GREATEST(sa.source, sb.source) AS source_hi
+    FROM pairs p
+    JOIN documents sa ON sa.doc_id = p.da
+    JOIN documents sb ON sb.doc_id = p.db
+)
+SELECT source_lo, source_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM labeled GROUP BY source_lo, source_hi""",
+    doc="Corpus forensics: which sources contain each other's content. "
+    "Aggregates the verified containment pair relation (the banded, "
+    "lossless scale path — provably identical to the exact equi-join, so "
+    "the exact-intersection SQL composes as this oracle's CTE) up to the "
+    "unordered (source, source) level — the matrix a curation team reads "
+    "to find mirror sites, cross-source boilerplate, and wholesale "
+    "re-hosting before deciding per-source policy. Cost beyond the pair "
+    "relation itself: two broadcast-able doc_id->source lookups and one "
+    "tiny hash aggregate (sources x sources is bounded).",
+)
+def q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_dedup_containment_banded(spark, sf_dir)
+    sa = docs.select(F.col("doc_id").alias("da"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("db"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count("*").alias("n_pairs"))
+    )

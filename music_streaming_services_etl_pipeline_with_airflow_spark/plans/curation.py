@@ -224,3 +224,90 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "token", "freq", F.row_number().over(wnd).cast("long").alias("token_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (multilingual-LM alpha-sampling recipe)
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA_BUDGET_FRAC = 2  # draw total // 2 documents across sources
+
+
+@register(
+    "corpus_temperature_mixture",
+    """WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT)
+               AS sq_milli
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+           CAST(SUM(sq_milli) AS BIGINT) AS ssum
+    FROM counts
+),
+quota AS (
+    SELECT c.source, c.n_docs,
+           LEAST((tot.total // 2) * c.sq_milli // tot.ssum, c.n_docs) AS take
+    FROM counts c CROSS JOIN tot
+),
+ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                       doc_id) AS rk
+    FROM documents
+)
+SELECT r.doc_id, r.source FROM ranked r
+JOIN quota q ON r.source = q.source
+WHERE r.rk <= q.take""",
+    doc="Temperature-scaled source mixing — the multilingual-LM "
+    "alpha-sampling recipe (alpha = 0.5): each source's draw probability "
+    "is proportional to N_s^alpha, flattening the head sources and "
+    "up-weighting the tail relative to natural sampling. Determinism "
+    "under floats: each sqrt is floored to integer milli-units FIRST, "
+    "then everything downstream (sum of weights, budget x weight / "
+    "total-weight, the quota floor) is pure int64 arithmetic — no "
+    "order-dependent double summation anywhere, so the quota is "
+    "bit-identical on any engine and any partitioning. (Bound: budget x "
+    "sq_milli stays under 2^63 up to ~1e10 docs per source.) Quotas "
+    "fill deterministically by md5(doc_id) hash order, the same "
+    "seedless reproducible shuffle as corpus_mixture_sample; one "
+    "bounded per-source aggregate + one window shuffle at 100 TB.",
+)
+def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+    ).select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
+        .cast("long")
+        .alias("sq_milli"),
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.sum("sq_milli").alias("ssum")
+    )
+    quota = counts.join(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.expr("(total div 2) * sq_milli div ssum"), F.col("n_docs")
+        ).alias("take"),
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("take"))
+        .select("doc_id", "source")
+    )

@@ -1389,3 +1389,60 @@ def test_trigram_novelty_constructed(spark, tmp_path):
     assert out[1].novelty_permille == 500
     assert out[2].novelty_permille == 500
     assert (out[3].n_trigrams_shared, out[3].novelty_permille) == (0, 1000)
+
+
+def _write_docs_with_source(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sfdocs"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "source": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_temperature_mixture_flattens_head(spark, tmp_path):
+    """alpha=0.5 quotas, hand-computed: sources of 100 and 4 docs have
+    sqrt-milli weights 10000 and 2000; budget = 104//2 = 52, so quotas are
+    52*10000//12000 = 43 and min(52*2000//12000, 4) = 4. The tail source's
+    sampled share (4/47) more than doubles its natural share (4/104) —
+    the flattening the recipe exists for."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.curation import (
+        q_corpus_temperature_mixture,
+    )
+
+    rows = [(i, f"tok{i} a b", "big") for i in range(100)]
+    rows += [(1000 + i, f"small{i} c d", "tail") for i in range(4)]
+    sf = _write_docs_with_source(tmp_path, rows)
+    out = q_corpus_temperature_mixture(spark, sf).groupBy("source").count().collect()
+    got = {r.source: r["count"] for r in out}
+    assert got == {"big": 43, "tail": 4}
+
+
+def test_source_overlap_finds_cross_source_copy(spark, tmp_path):
+    """A verbatim copy hosted under a different source must surface as one
+    unordered (source, source) pair with n_pairs == 1; the unrelated third
+    doc contributes nothing."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        q_dedup_source_overlap,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"z{i}" for i in range(12))
+    sf = _write_docs_with_source(
+        tmp_path,
+        [(1, shared, "mirror_b"), (2, shared, "mirror_a"), (3, other, "clean")],
+    )
+    out = q_dedup_source_overlap(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.source_lo, r.source_hi, r.n_pairs) == ("mirror_a", "mirror_b", 1)
