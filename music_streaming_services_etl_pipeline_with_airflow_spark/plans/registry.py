@@ -74,7 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     # w10_mad_outliers, j14_asof_tolerance_join, dedup_normalized_exact,
     # similarity_int8_topk, multimodal_resize_thumbnail,
     # multimodal_feature_stats, gopher_repetition_full,
-    # text_bigram_logprob and corpus_trigram_novelty: all oracle-bearing,
+    # text_bigram_logprob, corpus_trigram_novelty,
+    # corpus_temperature_mixture and dedup_source_overlap: all oracle-bearing,
     # exact-parity green locally (tools/check_parity.py at sf0.01) and
     # pytest-pinned, and lead the round-7 head together with the queries
     # above)

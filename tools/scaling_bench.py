@@ -51,6 +51,8 @@ QUERIES = [
     "gopher_repetition_full",
     "text_bigram_logprob",
     "corpus_trigram_novelty",
+    "corpus_temperature_mixture",
+    "dedup_source_overlap",
 ]
 
 
