@@ -156,6 +156,7 @@ def all_specs() -> dict[str, QuerySpec]:
     )
     from ..streaming import dedup_join as streaming_dedup_join  # noqa: F401
     from ..streaming import hourly_stream  # noqa: F401
+    from ..streaming import ingest as streaming_ingest  # noqa: F401
     from ..streaming import sessions as streaming_sessions  # noqa: F401
     from ..streaming import sliding as streaming_sliding  # noqa: F401
     from ..streaming import upsert_sink as streaming_upsert_sink  # noqa: F401

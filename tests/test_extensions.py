@@ -1446,3 +1446,34 @@ def test_source_overlap_finds_cross_source_copy(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r.source_lo, r.source_hi, r.n_pairs) == ("mirror_a", "mirror_b", 1)
+
+
+def test_streaming_dedup_ingest_equals_batch_dedup(spark, tmp_path):
+    """Duplicates planted ACROSS the staged micro-batch split (copies of
+    early-doc_id content reappear at high doc_ids, i.e. in later batches)
+    must be dropped by the index anti-join; within-batch duplicates by the
+    batch groupBy. The final index equals the batch-mode min-doc_id-per-
+    hash dedup exactly — the oracle the registry entry relies on."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        q_streaming_dedup_ingest,
+    )
+
+    rows = [(i, f"unique text number {i} with payload") for i in range(1, 17)]
+    # cross-batch dups: docs 101..104 repeat docs 1..2's content (and each
+    # other), landing in the last staged file while the originals are in
+    # the first
+    rows += [
+        (101, rows[0][1]),
+        (102, rows[1][1]),
+        (103, rows[0][1]),
+        (104, "brand new content arriving late"),
+    ]
+    sf = _write_docs(tmp_path, [r[0] for r in rows], [r[1] for r in rows])
+    out = {r.text_hash: r.doc_id for r in q_streaming_dedup_ingest(spark, sf).collect()}
+    import hashlib
+
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()
+    assert len(out) == 17  # 16 unique + 1 late-arriving new text
+    assert out[md5(rows[0][1])] == 1  # both replays of doc 1's text dropped
+    assert out[md5(rows[1][1])] == 2
+    assert out[md5("brand new content arriving late")] == 104
