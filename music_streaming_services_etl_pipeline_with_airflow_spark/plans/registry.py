@@ -75,7 +75,8 @@ _PRIORITY: tuple[str, ...] = (
     # similarity_int8_topk, multimodal_resize_thumbnail,
     # multimodal_feature_stats, gopher_repetition_full,
     # text_bigram_logprob, corpus_trigram_novelty,
-    # corpus_temperature_mixture and dedup_source_overlap: all oracle-bearing,
+    # corpus_temperature_mixture, dedup_source_overlap and
+    # streaming_dedup_ingest: all oracle-bearing,
     # exact-parity green locally (tools/check_parity.py at sf0.01) and
     # pytest-pinned, and lead the round-7 head together with the queries
     # above)
