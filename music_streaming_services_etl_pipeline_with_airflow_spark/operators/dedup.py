@@ -137,21 +137,17 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Docs sharing ≥1 band bucket. Band value = concat of r minhashes,
-    md5-compressed so the shuffle key is fixed-width.
-
-    Size blocking (LOSSLESS at this threshold): Jaccard ≥ 0.5 forces
-    min(|A|,|B|)/max(|A|,|B|) ≥ 0.5 (intersection ≤ min, union ≥ max), so a
-    qualifying pair's ``floor(log2(n_sh))`` buckets differ by at most 1.
-    The probe side therefore emits each band row under its own bucket and
-    the next one, the build side under its own — every survivable pair still
-    collides, but band buckets fragment by document size, pruning
-    cross-size false candidates before the pair-dedup shuffle.
-    """
+def banded_signatures(sigs: DataFrame) -> DataFrame:
+    """(doc_id, g, band, bval) — the LSH band relation every banded plan
+    joins on: band value = concat of r minhashes, md5-compressed so the
+    shuffle key is fixed-width; ``g = floor(log2(n_sh))`` is the size
+    bucket the ±1 blocking guarantee quantifies over. ONE definition on
+    purpose: the two-sided self-join (lsh_candidate_pairs) and the
+    one-sided stored-index probe (q_dedup_minhash_incremental) inherit
+    their lossless-collision guarantees from this exact layout."""
     r = N_HASHES // N_BANDS
     g = F.floor(F.log2("n_sh")).cast("int")
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         g.alias("g"),
         F.explode(
@@ -167,7 +163,24 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", "g", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+    ).select(
+        "doc_id", "g", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Docs sharing ≥1 band bucket. Band value = concat of r minhashes,
+    md5-compressed so the shuffle key is fixed-width.
+
+    Size blocking (LOSSLESS at this threshold): Jaccard ≥ 0.5 forces
+    min(|A|,|B|)/max(|A|,|B|) ≥ 0.5 (intersection ≤ min, union ≥ max), so a
+    qualifying pair's ``floor(log2(n_sh))`` buckets differ by at most 1.
+    The probe side therefore emits each band row under its own bucket and
+    the next one, the build side under its own — every survivable pair still
+    collides, but band buckets fragment by document size, pruning
+    cross-size false candidates before the pair-dedup shuffle.
+    """
+    bands = banded_signatures(sigs)
     a = bands.select(
         F.col("doc_id").alias("da"),
         "band",
@@ -1098,25 +1111,7 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = doc_shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh)
-    r = N_HASHES // N_BANDS
-    g = F.floor(F.log2("n_sh")).cast("int")
-    bands = sigs.select(
-        "doc_id",
-        g.alias("g"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])
-                        ).alias("bval"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "g", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+    bands = banded_signatures(sigs)
     probe = bands.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("batch_doc"),
         "band",

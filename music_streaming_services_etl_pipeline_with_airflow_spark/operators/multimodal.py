@@ -239,8 +239,13 @@ def _parse_jpeg(payload: bytes) -> tuple[int, int, int, str] | None:
             return None
         # JPEG permits runs of 0xFF fill/padding bytes before the marker
         # byte — skip them instead of misreading 0xFF as a segment marker.
-        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 4 > len(payload):
+            # The fill run reached the payload tail; nothing but the
+            # (entry-validated) trailing EOI can fit — stop the walk
+            # instead of unpacking past the buffer.
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before SOS — header-only stream
             break
@@ -406,13 +411,17 @@ def resize_p5(payload: bytes, out_h: int = THUMB, out_w: int = THUMB) -> bytes |
     formats would need PIL — see _decode_real)."""
     import numpy as np
 
-    if not payload.startswith(b"P5"):
+    import re
+
+    # Per the PNM spec the raster starts after EXACTLY ONE whitespace byte
+    # following maxval — a plain split() would swallow pixel bytes that
+    # happen to be whitespace (0x20/0x09/0x0a), rejecting or shifting
+    # valid images whose first pixels are whitespace-valued.
+    m = re.match(rb"P5\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if m is None:
         return None
-    parts = payload.split(maxsplit=4)
-    if len(parts) < 5:
-        return None
-    _, w_s, h_s, maxval, rest = parts
-    w, h = int(w_s), int(h_s)
+    w, h, maxval = int(m.group(1)), int(m.group(2)), m.group(3)
+    rest = payload[m.end():]
     if len(rest) < w * h:
         return None
     img = np.frombuffer(rest[: w * h], dtype=np.uint8).reshape(h, w)
@@ -461,22 +470,27 @@ def resize_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 # src pixel feeding out cell (i, j): row i*h//8, col j*w//8, byte index
-# (row*w + col) % n, 1-based for substr
+# (row*w + col) % n. The kernel reads UTF-8 BYTES (text.encode), so the
+# oracle must too: ascii(substr(text, ...)) would index CHARACTERS and
+# return codepoints, diverging on any non-ASCII document. hex(encode(..))
+# exposes the byte sequence to SQL; byte k (0-based) is the 2-hex-digit
+# slice at 2k+1, parsed via the 0x cast.
 _SYN_PIX_SQL = (
-    f"ascii(substr(text, ((((i * {SYN_H}) // {THUMB}) * w "
-    f"+ ((j * w) // {THUMB})) % n) + 1, 1))"
+    f"CAST(concat('0x', substr(hx, 2 * (((((i * {SYN_H}) // {THUMB}) * w "
+    f"+ ((j * w) // {THUMB})) % n)) + 1, 2)) AS INTEGER)"
 )
 
 
 @register(
     "multimodal_resize_thumbnail",
     f"""WITH d AS (
-          SELECT doc_id, text, octet_length(encode(text)) AS n,
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n,
                  least(octet_length(encode(text)), {SYN_W_MAX}) AS w
           FROM documents WHERE octet_length(encode(text)) > 0
         ),
         cells AS (
-          SELECT doc_id, text, n, w, i.i, j.j
+          SELECT doc_id, hx, n, w, i.i, j.j
           FROM d,
                (SELECT unnest(generate_series(0, {THUMB - 1})) AS i) i,
                (SELECT unnest(generate_series(0, {THUMB - 1})) AS j) j
@@ -485,7 +499,7 @@ _SYN_PIX_SQL = (
           SELECT doc_id, w, i * {THUMB} + j + 1 AS pos,
                  {_SYN_PIX_SQL} AS pix
           FROM cells
-        )
+        )  -- pix is the exact UTF-8 byte, matching the numpy kernel
         SELECT doc_id,
                CAST(w AS BIGINT) AS src_w,
                CAST({SYN_H} AS BIGINT) AS src_h,
@@ -552,13 +566,15 @@ def feature_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "multimodal_feature_stats",
     f"""WITH d AS (
-          SELECT doc_id, text, octet_length(encode(text)) AS n,
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n,
                  least(octet_length(encode(text)), {SYN_W_MAX}) AS w
           FROM documents WHERE octet_length(encode(text)) > 0
         ),
         px AS (
           SELECT doc_id, w,
-                 ascii(substr(text, ((r.r * w + c.c) % n) + 1, 1)) AS pix
+                 CAST(concat('0x', substr(hx,
+                      2 * (((r.r * w + c.c) % n)) + 1, 2)) AS INTEGER) AS pix
           FROM d,
                (SELECT unnest(generate_series(0, {SYN_H - 1})) AS r) r,
                (SELECT unnest(generate_series(0, {SYN_W_MAX - 1})) AS c) c

@@ -297,9 +297,11 @@ RERANK_FACTOR = 20  # exact-rerank shortlist = RERANK_FACTOR × TOP_K
 
 def _train_pq_codebook(
     spark: SparkSession, nv: DataFrame, iterations: int = PQ_TRAIN_ITERS
-) -> DataFrame:
-    """(sub, code, cw) — per-subspace K_PQ-codeword codebook, Lloyd-trained
-    on a BOUNDED sample with one vectorized local solver.
+) -> tuple[DataFrame, "object"]:
+    """((sub, code, cw) DataFrame, local (M_SUB, K_PQ, SUB_DIM) ndarray) —
+    per-subspace K_PQ-codeword codebook, Lloyd-trained on a BOUNDED sample
+    with one vectorized local solver; the ndarray twin feeds the Arrow
+    encoder without a collect round-trip.
 
     The 100 TB shape: PQ codebooks are always trained on a size-capped
     sample (FAISS/ScaNN practice — quantizer quality saturates long before
@@ -437,8 +439,7 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # former (sub, code) equi-join that exploded N×M_SUB×N_QUERIES rows
     # through a shuffle hash-aggregate — the heaviest exchange in the repo.
     table = (
-        subs.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(codebook), "sub")
+        subs.join(F.broadcast(codebook), "sub")
         .select(
             F.col("vec_id").alias("qid"),
             "sub",

@@ -540,6 +540,46 @@ WIN_W = 16  # tokens per window (the shingle the fingerprint hashes)
 WIN_K = 8  # winnowing window: one fingerprint selected per K consecutive
 
 
+def _window_hashes(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, pos, h) — md5 of every WIN_W-token window at every
+    alignment. ONE definition on purpose: the span family's composition
+    ("winnowing detects, shared-spans delimit, strip removes") holds only
+    because all three operators fingerprint the identical window relation;
+    a drift in WIN_W handling or the hash expression at one site would
+    silently desynchronize them."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= WIN_W
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - WIN_W),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, WIN_W))),
+            )
+        ).alias("pos", "h"),
+    )
+
+
+def _pos_islands(sel: "DataFrame") -> "DataFrame":
+    """Gaps-and-islands over (doc_id, pos): adds an ``island`` id that
+    increments whenever consecutive positions break — the shared span-merge
+    kernel of dedup_shared_spans and curate_strip_shared_spans."""
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    return sel.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(wo) == 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+
 @register(
     "dedup_winnowed_shingles",
     f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -591,18 +631,7 @@ def q_dedup_winnowed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= WIN_W
-    )
-    wins = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - WIN_W),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, WIN_W))),
-            )
-        ).alias("pos", "h"),
-    )
+    wins = _window_hashes(docs)
     # sortable key: hash, then complemented position so MIN picks the
     # RIGHTMOST position among equal hashes (classic winnowing tie rule)
     key = F.concat(
@@ -690,18 +719,7 @@ def q_dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
-        F.size("toks") >= WIN_W
-    )
-    w = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - WIN_W),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, WIN_W))),
-            )
-        ).alias("pos", "h"),
-    )
+    w = _window_hashes(docs)
     shared = (
         w.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -709,16 +727,7 @@ def q_dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     sel = w.join(shared, "h", "left_semi").select("doc_id", "pos")
-    wo = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = sel.withColumn(
-        "new_island",
-        F.when(F.col("pos") - F.lag("pos").over(wo) == 1, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    )
-    grp = flagged.withColumn(
-        "island", F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    grp = _pos_islands(sel)
     return (
         grp.groupBy("doc_id", "island")
         .agg(
@@ -804,20 +813,7 @@ def q_curate_strip_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    w = (
-        t.filter(F.size("toks") >= WIN_W)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - WIN_W),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice("toks", i + 1, WIN_W))
-                    ),
-                )
-            ).alias("pos", "h"),
-        )
-    )
+    w = _window_hashes(docs)
     own = w.groupBy("h").agg(
         F.min("doc_id").alias("keep_doc"),
         F.countDistinct("doc_id").alias("nd"),
@@ -827,18 +823,8 @@ def q_curate_strip_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("keep_doc")))
         .select("doc_id", "pos")
     )
-    wo = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
-        rem.withColumn(
-            "new_island",
-            F.when(F.col("pos") - F.lag("pos").over(wo) == 1, F.lit(0)).otherwise(
-                F.lit(1)
-            ),
-        )
-        .withColumn(
-            "island",
-            F.sum("new_island").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
-        )
+        _pos_islands(rem)
         .groupBy("doc_id", "island")
         .agg(F.min("pos").alias("s"), (F.max("pos") + WIN_W - 1).alias("e"))
         .select("doc_id", "s", "e")

@@ -32,17 +32,15 @@ from ..plans.registry import register
 DOCS_SCHEMA = "doc_id long, text string"
 
 _N_STAGE_FILES = 4
-_counter = [0]
 
 
 def stage_documents(sf_dir: str, name: str, n_files: int = _N_STAGE_FILES) -> str:
     """Split the documents table into ``n_files`` drop-folder parquet files
     by ascending doc_id range, mtimes strictly increasing so the file
     stream source replays them in doc_id order."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
     import hashlib
+
+    import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
@@ -112,7 +110,6 @@ def dedup_ingest_each_batch(index_path: str):
 )
 def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = stage_documents(sf_dir, "dedup_ingest")
-    _counter[0] += 1
     index = tempfile.mkdtemp(prefix="spark_engine_ingest_idx_") + "/content_index"
     os.makedirs(index, exist_ok=True)
     ckpt = tempfile.mkdtemp(prefix="spark_engine_ingest_ck_")

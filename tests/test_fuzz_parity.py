@@ -190,6 +190,11 @@ def test_normalize_text_cross_engine_on_unicode(spark):
 # data instead.)
 DOC_FUZZ_QUERIES = [
     "text_token_stats",
+    # the two mapInPandas pixel kernels read UTF-8 BYTES; their oracles
+    # read hex(encode(text)) slices — this suite (whose pool includes
+    # 'söng') is the regression net for byte-vs-character indexing
+    "multimodal_resize_thumbnail",
+    "multimodal_feature_stats",
     "gopher_repetition",
     "gopher_repetition_full",
     "corpus_trigram_novelty",
