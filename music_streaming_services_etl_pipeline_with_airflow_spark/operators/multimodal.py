@@ -421,6 +421,11 @@ def resize_p5(payload: bytes, out_h: int = THUMB, out_w: int = THUMB) -> bytes |
     if m is None:
         return None
     w, h, maxval = int(m.group(1)), int(m.group(2)), m.group(3)
+    # zero-dimension rasters are malformed (reshape/ix_ would raise), and
+    # maxval > 255 means 2-byte big-endian samples — reject both rather
+    # than misdecode; this parser only handles the 1-byte-raster subset.
+    if w == 0 or h == 0 or not 0 < int(maxval) < 256:
+        return None
     rest = payload[m.end():]
     if len(rest) < w * h:
         return None

@@ -409,3 +409,17 @@ def test_resize_p5_accepts_whitespace_valued_first_pixels():
     # round-trip: output parses as P5 again and keeps the 8x8 shape
     assert out.startswith(b"P5 8 8 255 ")
     assert len(out) - len(b"P5 8 8 255 ") == 64
+
+
+def test_resize_p5_rejects_zero_dims_and_wide_maxval():
+    """Zero-dimension rasters and maxval > 255 (2-byte samples) must
+    return None, not crash or silently misdecode the raster as uint8."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        resize_p5,
+    )
+
+    assert resize_p5(b"P5 0 16 255 ") is None
+    assert resize_p5(b"P5 16 0 255 " + bytes(16)) is None
+    assert resize_p5(b"P5 16 16 65535 " + bytes(512)) is None
+    assert resize_p5(b"P5 16 16 0 " + bytes(256)) is None
+    assert resize_p5(b"P5 4 4 255 " + bytes(range(16))) is not None
