@@ -1477,3 +1477,29 @@ def test_streaming_dedup_ingest_equals_batch_dedup(spark, tmp_path):
     assert out[md5(rows[0][1])] == 1  # both replays of doc 1's text dropped
     assert out[md5(rows[1][1])] == 2
     assert out[md5("brand new content arriving late")] == 104
+
+
+def test_dedup_ingest_callback_is_replay_idempotent(spark, tmp_path):
+    """foreachBatch redelivery: replaying the SAME batch against the index
+    must append nothing (the anti-join drops every already-indexed hash) —
+    the exactly-once property the streaming ingest relies on under
+    checkpoint recovery."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        dedup_ingest_each_batch,
+    )
+
+    index = str(tmp_path / "idx")
+    import os
+
+    os.makedirs(index)
+    batch = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        ["doc_id", "text"],
+    )
+    cb = dedup_ingest_each_batch(index)
+    cb(batch, 0)
+    first = sorted(r.doc_id for r in spark.read.parquet(index).collect())
+    assert first == [1, 2]  # within-batch dup (doc 3) collapsed
+    cb(batch, 0)  # redelivery of the same batch
+    second = sorted(r.doc_id for r in spark.read.parquet(index).collect())
+    assert second == first  # nothing appended

@@ -180,3 +180,27 @@ def test_new_text_ops_no_pair_expansion(spark):
     # so count the numbered detail headers)
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Repo-wide plan-hygiene gate: NO registered batch query may plan a
+    CartesianProduct — the one join strategy that cannot survive a scale-up
+    (every cross join in the repo is a bounded-row broadcast, which plans
+    as BroadcastNestedLoopJoin instead). Streaming queries are skipped
+    because building their DataFrame executes the stream."""
+    import contextlib
+    import io
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    offenders = []
+    for name, spec in all_specs().items():
+        if name.startswith("streaming_"):
+            continue
+        df = spec.fn(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        if "CartesianProduct" in buf.getvalue():
+            offenders.append(name)
+    assert offenders == []
