@@ -1234,3 +1234,141 @@ def q_corpus_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_permille"),
         )
     )
+
+
+# quality-gate thresholds (integer units so every comparison is exact);
+# the LM band is in milli-bits per token, the ratios in per-mille
+QV_MIN_TOKENS = 20
+QV_TOP_WORD_PERMILLE = 150
+QV_DUP_BIGRAM_PERMILLE = 200
+QV_LM_LOW_MILLI = 2000
+QV_LM_HIGH_MILLI = 5200
+
+_QV_VERDICT_SQL = f"""CASE
+    WHEN n_tokens < {QV_MIN_TOKENS} THEN 'too_short'
+    WHEN top_word_permille >= {QV_TOP_WORD_PERMILLE} THEN 'repetitive_word'
+    WHEN dup_bigram_permille >= {QV_DUP_BIGRAM_PERMILLE} THEN 'repetitive_bigram'
+    WHEN bits_per_token_milli < {QV_LM_LOW_MILLI} THEN 'lm_too_predictable'
+    WHEN bits_per_token_milli > {QV_LM_HIGH_MILLI} THEN 'lm_too_noisy'
+    ELSE 'keep' END"""
+
+
+@register(
+    "curate_quality_verdicts",
+    f"""WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sig AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN len(t) >= 1 THEN
+                CAST(list_max(list_transform(list_distinct(t),
+                     w -> len(list_filter(t, x -> x = w)))) AS BIGINT)
+                * 1000 // len(t) ELSE 0 END AS BIGINT) AS top_word_permille,
+           CAST(CASE WHEN len(t) >= 2 THEN
+                (len(t) - 1
+                 - len(list_distinct(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1]))))
+                * 1000 // (len(t) - 1) ELSE 0 END AS BIGINT)
+               AS dup_bigram_permille
+    FROM t
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n FROM tok),
+scored AS (
+    SELECT t.doc_id,
+           CAST(FLOOR(-log2(CAST(f.cnt AS DOUBLE) / tot.n) * 1000) AS BIGINT)
+               AS bits_milli
+    FROM tok t JOIN freq f USING (tok) CROSS JOIN tot
+),
+lm AS (
+    SELECT doc_id, CAST(SUM(bits_milli) // COUNT(*) AS BIGINT)
+               AS bits_per_token_milli
+    FROM scored GROUP BY doc_id
+),
+joined AS (
+    SELECT s.doc_id, s.n_tokens, s.top_word_permille, s.dup_bigram_permille,
+           l.bits_per_token_milli
+    FROM sig s JOIN lm l USING (doc_id)
+)
+SELECT doc_id, n_tokens, top_word_permille, dup_bigram_permille,
+       bits_per_token_milli, {_QV_VERDICT_SQL} AS verdict
+FROM joined""",
+    doc="The full filter decision table — every quality signal the corpus "
+    "computes (length, Gopher top-word and dup-bigram repetition as "
+    "integer per-mille, and the unigram LM surprisal band), joined per "
+    "document with an explicit precedence-ordered verdict "
+    "(too_short > repetitive_word > repetitive_bigram > LM band > keep). "
+    "This is the auditable artifact a CCNet/RefinedWeb-style gate "
+    "actually ships: not a boolean, but WHICH rule fired, so threshold "
+    "changes can be diffed against the table before a re-run. All "
+    "comparisons are on exact integers; the LM signal reuses the "
+    "text_unigram_logprob relation (one vocab aggregate + one lookup "
+    "join at 100 TB), the repetition signals are map-side array math.",
+)
+def q_curate_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    max_c = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("t")),
+            lambda w: F.size(F.filter(F.col("t"), lambda x: x == w)),
+        )
+    )
+    dup_bg = F.expr(
+        "size(t) - 1 - size(array_distinct(transform(sequence(0, size(t) - 2),"
+        " i -> concat_ws(' ', t[i], t[i+1]))))"
+    )
+    sig = docs.select("doc_id", t.alias("t")).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.when(F.size("t") >= 1, (max_c.cast("long") * 1000).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("_twc"),
+        F.when(F.size("t") >= 2, (dup_bg.cast("long") * 1000).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("_dbc"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") >= 1, F.expr("_twc div n_tokens")
+        ).otherwise(F.lit(0)).cast("long").alias("top_word_permille"),
+        F.when(
+            F.col("n_tokens") >= 2, F.expr("_dbc div (n_tokens - 1)")
+        ).otherwise(F.lit(0)).cast("long").alias("dup_bigram_permille"),
+    )
+    lm = q_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "bits_per_token_milli"
+    )
+    joined = sig.join(lm, "doc_id")
+    verdict = (
+        F.when(F.col("n_tokens") < QV_MIN_TOKENS, F.lit("too_short"))
+        .when(
+            F.col("top_word_permille") >= QV_TOP_WORD_PERMILLE,
+            F.lit("repetitive_word"),
+        )
+        .when(
+            F.col("dup_bigram_permille") >= QV_DUP_BIGRAM_PERMILLE,
+            F.lit("repetitive_bigram"),
+        )
+        .when(
+            F.col("bits_per_token_milli") < QV_LM_LOW_MILLI,
+            F.lit("lm_too_predictable"),
+        )
+        .when(
+            F.col("bits_per_token_milli") > QV_LM_HIGH_MILLI,
+            F.lit("lm_too_noisy"),
+        )
+        .otherwise(F.lit("keep"))
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "top_word_permille",
+        "dup_bigram_permille",
+        "bits_per_token_milli",
+        verdict.alias("verdict"),
+    )

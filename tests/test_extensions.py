@@ -1503,3 +1503,36 @@ def test_dedup_ingest_callback_is_replay_idempotent(spark, tmp_path):
     cb(batch, 0)  # redelivery of the same batch
     second = sorted(r.doc_id for r in spark.read.parquet(index).collect())
     assert second == first  # nothing appended
+
+
+def test_quality_verdicts_each_rule_fires(spark, tmp_path):
+    """One constructed doc per verdict class (precedence-ordered): short,
+    word-repetitive, bigram-repetitive-but-word-diverse, LM-noisy
+    (corpus-unique vocabulary), and a clean keeper."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_curate_quality_verdicts,
+    )
+
+    pairs = " ".join(
+        f"p{i} q{i} p{i} q{i} p{i} q{i}" for i in range(7)
+    )  # each word 3/42 (diverse) but bigrams heavily duplicated
+    # keepers: rotations of one 24-word sequence — every within-doc bigram
+    # unique (dup 0), every word 1/24 (diverse), and the shared vocabulary
+    # across 10 docs keeps unigram surprisal inside the LM band
+    base = [f"w{i}" for i in range(24)]
+    keepers = [
+        (10 + k, " ".join(base[k:] + base[:k])) for k in range(10)
+    ]
+    docs = [
+        (1, "tiny doc"),                                  # too_short
+        (2, " ".join(["rep"] * 25) + " x y z"),           # repetitive_word
+        (3, pairs),                                       # repetitive_bigram
+        (4, " ".join(f"rare{i}" for i in range(25))),     # lm_too_noisy
+    ] + keepers
+    sf = _write_docs(tmp_path, [d[0] for d in docs], [d[1] for d in docs])
+    out = {r.doc_id: r.verdict for r in q_curate_quality_verdicts(spark, sf).collect()}
+    assert out[1] == "too_short"
+    assert out[2] == "repetitive_word"
+    assert out[3] == "repetitive_bigram"
+    assert out[4] == "lm_too_noisy"
+    assert all(out[10 + k] == "keep" for k in range(10))
