@@ -76,7 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     # multimodal_feature_stats, gopher_repetition_full,
     # text_bigram_logprob, corpus_trigram_novelty,
     # corpus_temperature_mixture, dedup_source_overlap and
-    # streaming_dedup_ingest: all oracle-bearing,
+    # streaming_dedup_ingest and curate_quality_verdicts: all oracle-bearing,
     # exact-parity green locally (tools/check_parity.py at sf0.01) and
     # pytest-pinned, and lead the round-7 head together with the queries
     # above)

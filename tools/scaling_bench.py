@@ -53,6 +53,7 @@ QUERIES = [
     "corpus_trigram_novelty",
     "corpus_temperature_mixture",
     "dedup_source_overlap",
+    "curate_quality_verdicts",
     "streaming_dedup_ingest",
 ]
 
