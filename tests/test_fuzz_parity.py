@@ -41,6 +41,12 @@ FUZZ_QUERIES = [
     "w9_running_distinct",
     "evt_transition_matrix",
     "sessionize_events",
+    # round-6 additions: calendar gap-fill (dense date spine vs sparse
+    # events), the ordered funnel, and weekly cohort retention — all
+    # event-only with integer outputs
+    "w3_gapfill_daily_by_type",
+    "funnel_signup_click_purchase",
+    "retention_weekly_cohorts",
 ]
 
 _BASE = dt.datetime(2024, 3, 1, 0, 0, 0)
@@ -85,27 +91,27 @@ def _canon(v):
     return str(v)
 
 
-def _norm(df):
-    """pandas frame → sorted list of row tuples over name-sorted columns,
-    every value canonicalized (same contract as tools/check_parity)."""
-    import pandas as pd
-
+def _norm_spark(df):
+    """Spark DataFrame → canonical sorted rows via collect(): DATE columns
+    stay datetime.date (toPandas would too, but the DuckDB side must
+    match — see _norm_duck)."""
     cols = sorted(df.columns)
-    out = []
-    for _, row in df[cols].iterrows():
-        vals = []
-        for c in cols:
-            v = row[c]
-            if isinstance(v, pd.Timestamp):
-                v = str(v.to_pydatetime())
-            try:
-                if pd.isna(v):
-                    v = None
-            except (TypeError, ValueError):
-                pass
-            vals.append(_canon(v))
-        out.append(tuple(vals))
-    return sorted(out)
+    return sorted(
+        tuple(_canon(r[c]) for c in cols) for r in df.collect()
+    )
+
+
+def _norm_duck(con, sql):
+    """DuckDB oracle → canonical sorted rows via fetchall(): unlike
+    fetchdf(), the native cursor returns datetime.date for DATE columns
+    instead of upcasting to pandas datetime64 (which would stringify as
+    'YYYY-MM-DD 00:00:00' and falsely diverge from Spark's date)."""
+    cur = con.execute(sql)
+    names = [d[0] for d in cur.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    return sorted(
+        tuple(_canon(row[i]) for i in order) for row in cur.fetchall()
+    )
 
 
 @settings(
@@ -141,8 +147,8 @@ def test_event_queries_match_oracle_on_fuzzed_tables(spark, tmp_path_factory, ro
     specs = all_specs()
     for name in FUZZ_QUERIES:
         spec = specs[name]
-        got = _norm(spec.fn(spark, str(d)).toPandas())
-        want = _norm(con.execute(spec.oracle).fetchdf())
+        got = _norm_spark(spec.fn(spark, str(d)))
+        want = _norm_duck(con, spec.oracle)
         assert got == want, f"{name}: spark != oracle on fuzzed input"
 
 
@@ -248,8 +254,8 @@ def test_doc_queries_match_oracle_on_fuzzed_tables(spark, tmp_path_factory, docs
     specs = all_specs()
     for name in DOC_FUZZ_QUERIES:
         spec = specs[name]
-        got = _norm(spec.fn(spark, str(d)).toPandas())
-        want = _norm(con.execute(spec.oracle).fetchdf())
+        got = _norm_spark(spec.fn(spark, str(d)))
+        want = _norm_duck(con, spec.oracle)
         assert got == want, f"{name}: spark != oracle on fuzzed input"
 
 
