@@ -79,7 +79,10 @@ _PRIORITY: tuple[str, ...] = (
     # streaming_dedup_ingest and curate_quality_verdicts: all oracle-bearing,
     # exact-parity green locally (tools/check_parity.py at sf0.01) and
     # pytest-pinned, and lead the round-7 head together with the queries
-    # above)
+    # above. The canonical TPC-H family (plans/tpch.py: tpch_q1, q3, q5,
+    # q6, q7, q10, q18 — exact-integer money math, hash-exact parity at
+    # sf0.01, plan shapes pinned in test_plans_explain) joins that round-7
+    # head too.)
     # -- rotation: oracle-green queries whose last driver row is r1/r2
     #    (42 such after round 5 re-checked the r3/r4 head; 28 here, the
     #    remaining 14 -- sampling, product-analytics, UDF-surface,
@@ -138,7 +141,7 @@ _PRIORITY_ROWS_ONLY: tuple[str, ...] = (
 
 def all_specs() -> dict[str, QuerySpec]:
     # Import registrants lazily to avoid import cycles.
-    from . import analogs, breadth, curation, product_analytics, sql_surface, warehouse  # noqa: F401
+    from . import analogs, breadth, curation, product_analytics, sql_surface, tpch, warehouse  # noqa: F401
     from ..operators import (  # noqa: F401
         bpe,
         components,

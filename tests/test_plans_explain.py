@@ -204,3 +204,29 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in buf.getvalue():
             offenders.append(name)
     assert offenders == []
+
+
+def test_tpch_family_plan_shape(spark):
+    """The TPC-H family's scale contract: every dimension side broadcasts
+    (lineitem is never shuffled on a join key), Q6's date filter reaches the
+    parquet scan, and Q1/Q6 are single-scan aggregates with no join at all."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans import tpch
+
+    # multi-join queries: all joins broadcast, no sort-merge on the fact
+    for fn in (tpch.q_tpch3, tpch.q_tpch5, tpch.q_tpch7, tpch.q_tpch10):
+        plan = _explain(fn(spark, SF))
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "SortMergeJoin" not in plan, fn.__name__
+    # Q18: the big rollup runs on lineitem alone before any join
+    plan18 = _explain(tpch.q_tpch18(spark, SF), mode="simple")
+    assert "BroadcastHashJoin" in plan18
+    # Q6: filter pushdown + pruned read (3 of 11 lineitem columns)
+    plan6 = _explain(tpch.q_tpch6(spark, SF))
+    assert "PushedFilters:" in plan6
+    assert "l_shipdate" in plan6.split("PushedFilters:")[1].split("\n")[0]
+    read_schema = plan6.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_returnflag" not in read_schema and "l_discount" in read_schema
+    # Q1: one scan, one aggregate exchange, zero joins
+    plan1 = _explain(tpch.q_tpch1(spark, SF), mode="simple")
+    assert "Join" not in plan1
+    assert plan1.count("Exchange hashpartitioning") == 1
