@@ -1245,3 +1245,79 @@ def q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_lo", "source_hi")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# 9. SemDeDup — semantic dedup via k-means cluster-local cosine pruning
+#    (Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+#    semantic deduplication", 2023 — public arXiv method)
+# --------------------------------------------------------------------------
+
+SEMANTIC_PRUNE_TAU = 0.45  # same operating point as the exact-cosine baseline
+
+
+@register(
+    "dedup_semantic_prune",
+    None,  # kmeans assignment rests on float dim-means (addition-order
+    # dependent) → rows-only; the prune relation's invariants are
+    # pytest-pinned instead: (a) every pruned vector's keep_partner is a
+    # smaller-id same-cluster vector with exact cosine ≥ tau (the partner
+    # may itself be pruned in a chain — pruning is neighbor-based, the
+    # repo's standard pair semantics, not component-based), (b) keep and
+    # prune sets partition the input, (c) every (keep_partner, vec_id)
+    # pair is a member of dedup_embedding_cosine's exact ≥ tau relation.
+    doc="SemDeDup: k-means-cluster the embeddings (operators.clustering "
+    "Lloyd kernel), then prune WITHIN each cluster only — a vector is "
+    "pruned iff some smaller-id vector in the same cluster has exact "
+    "cosine >= tau with it (greedy min-id representative, the repo's "
+    "standard min-id dedup rule; keep_partner = that smallest neighbor). "
+    "The cluster key bounds the pair join: "
+    "candidate generation is sum(|cluster|^2), never n^2, and at scale k "
+    "grows ~sqrt(n) so clusters stay bucket-sized (the paper runs k=11k "
+    "for 100M points). Exact-cosine verify per candidate keeps precision "
+    "at 1.0 — clustering only costs recall for cross-cluster near-dups, "
+    "the documented SemDeDup trade.",
+)
+def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("dv")
+    )
+    pts = emb.select("vec_id", F.col("dv").alias("v"))
+    assignment, _ = kmeans(pts)  # (vec_id, cluster, sq_dist)
+
+    # normalize once; cosine = one dot per candidate pair
+    nv = (
+        emb.withColumn("nrm", V.norm(F.col("dv")))
+        .select("vec_id", F.transform("dv", lambda x: x / F.col("nrm")).alias("v"))
+        .join(assignment.select("vec_id", "cluster"), "vec_id")
+    )
+    a = nv.select(
+        F.col("vec_id").alias("va"), F.col("v").alias("veca"), "cluster"
+    )
+    b = nv.select(
+        F.col("vec_id").alias("vb"), F.col("v").alias("vecb"), "cluster"
+    )
+    dup_pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "cluster", "va", "vb", V.dot(F.col("veca"), F.col("vecb")).alias("cos")
+        )
+        .filter(F.col("cos") >= SEMANTIC_PRUNE_TAU)
+    )
+    # prune the larger id of every dup pair; partner = smallest such va
+    pruned = dup_pairs.groupBy(F.col("vb").alias("vec_id")).agg(
+        F.min("va").alias("keep_partner")
+    )
+    return (
+        nv.select("vec_id", "cluster")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("keep_partner").isNotNull().alias("pruned"),
+            "keep_partner",
+        )
+    )

@@ -1536,3 +1536,44 @@ def test_quality_verdicts_each_rule_fires(spark, tmp_path):
     assert out[3] == "repetitive_bigram"
     assert out[4] == "lm_too_noisy"
     assert all(out[10 + k] == "keep" for k in range(10))
+
+
+def test_semantic_prune_invariants(spark):
+    """SemDeDup prune relation: (a) every pruned vector's keep_partner is a
+    smaller-id same-cluster neighbor whose exact cosine clears tau, (b)
+    keep/prune partition the input, (c) every (keep_partner, vec_id) pair
+    is in the exact all-pairs >= tau relation, (d) a vector with NO
+    same-cluster smaller-id neighbor above tau is kept."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        SEMANTIC_PRUNE_TAU,
+        q_dedup_semantic_prune,
+        q_embedding_dup,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    out = q_dedup_semantic_prune(spark, SF).collect()
+    n_in = load_table(spark, SF, "embeddings").count()
+    assert len(out) == n_in  # (b): one verdict per vector
+    pruned = [r for r in out if r.pruned]
+    kept = [r for r in out if not r.pruned]
+    assert len(pruned) + len(kept) == n_in
+    assert pruned, "testdata's planted near-dups should prune something"
+    assert all(r.keep_partner is None for r in kept)
+    cluster_of = {r.vec_id: r.cluster for r in out}
+    exact = {
+        (r.va, r.vb)
+        for r in q_embedding_dup(spark, SF).collect()
+        if r.cos >= SEMANTIC_PRUNE_TAU
+    }
+    for r in pruned:
+        assert r.keep_partner is not None and r.keep_partner < r.vec_id  # (a)
+        assert cluster_of[r.keep_partner] == r.cluster  # (a): same cluster
+        assert (r.keep_partner, r.vec_id) in exact  # (c): exact-cosine member
+    # (d) completeness within a cluster: a kept vector has no smaller-id
+    # exact-dup neighbor in its own cluster
+    for r in kept:
+        for va, vb in exact:
+            if vb == r.vec_id and cluster_of.get(va) == r.cluster:
+                raise AssertionError(
+                    f"vec {r.vec_id} kept despite in-cluster dup {va}"
+                )

@@ -55,6 +55,13 @@ QUERIES = [
     "dedup_source_overlap",
     "curate_quality_verdicts",
     "streaming_dedup_ingest",
+    # TPC-H family: q1/q6/q18 are lineitem-driven so the 10x replica
+    # (shifted l_orderkey) scales their full input; the join queries keep
+    # sf0.1-sized dimension sides, stressing the fact scan alone
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
 ]
 
 
