@@ -214,3 +214,87 @@ def q_ivm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_cents").cast("long").alias("value_cents"),
         )
     )
+
+
+@register(
+    "warehouse_snapshot_time_travel",
+    """WITH delta AS (
+         SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM orders GROUP BY o_custkey
+         UNION ALL
+         SELECT o_custkey + 100000 AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+       )
+       SELECT COALESCE(c.c_custkey, d.k) AS c_custkey,
+              CASE WHEN c.c_custkey IS NULL THEN 'insert' ELSE 'update' END
+                AS change,
+              c.c_mktsegment AS segment_old,
+              CASE WHEN c.c_custkey IS NULL THEN 'NEW' ELSE 'ACTIVE' END
+                AS segment_new,
+              d.cnt AS order_cnt
+       FROM customer c FULL JOIN delta d ON c.c_custkey = d.k
+       WHERE d.k IS NOT NULL""",
+    doc="Snapshot-versioned table format (snapshots.SnapshotTable: atomic "
+    "manifest commits over raw parquet, Delta/Iceberg-style) driven end to "
+    "end: commit the customer dim as v1, MERGE an order-activity delta "
+    "into v2, then diff the two TIME-TRAVEL READS version-over-version. "
+    "The oracle recomputes the expected diff from the base tables alone — "
+    "if the v1 read leaked v2 data (broken isolation) or the merge "
+    "mangled a branch, the diff diverges and the hash catches it. The "
+    "physical merge is the same single full-outer key join as "
+    "merge_upsert_relational; the format adds version history at "
+    "O(commits) manifest cost.",
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+    from ..sources import load_table
+
+    t = SnapshotTable(tempfile.mkdtemp(prefix="spark_engine_snap_") + "/customer_dim")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).withColumn("order_cnt", F.lit(0).cast("bigint"))
+    v1 = t.commit(cust, mode="overwrite")
+
+    orders = load_table(spark, sf_dir, "orders")
+    delta = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("d_cnt"))
+        .unionByName(
+            orders.filter(F.col("o_orderstatus") == "O")
+            .groupBy((F.col("o_custkey") + 100000).alias("c_custkey"))
+            .agg(F.count("*").alias("d_cnt"))
+        )
+    )
+    v2 = t.merge(
+        spark,
+        delta,
+        on="c_custkey",
+        update={"c_mktsegment": "'ACTIVE'", "order_cnt": "d_cnt"},
+        insert_defaults={"c_mktsegment": "'NEW'", "order_cnt": "d_cnt"},
+    )
+
+    old = t.read(spark, v1).select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("segment_old"),
+        F.col("order_cnt").alias("cnt_old"),
+    )
+    new = t.read(spark, v2)
+    return (
+        new.join(old, "c_custkey", "left")
+        .filter(
+            old.cnt_old.isNull()
+            | (F.col("order_cnt") != F.col("cnt_old"))
+            | (F.col("c_mktsegment") != F.col("segment_old"))
+        )
+        .select(
+            "c_custkey",
+            F.when(F.col("cnt_old").isNull(), "insert")
+            .otherwise("update")
+            .alias("change"),
+            "segment_old",
+            F.col("c_mktsegment").alias("segment_new"),
+            F.col("order_cnt"),
+        )
+    )

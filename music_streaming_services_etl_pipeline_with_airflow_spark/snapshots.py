@@ -1,0 +1,142 @@
+"""Snapshot-versioned parquet tables — a minimal transactional table format
+with time travel, in the spirit of the public Delta/Iceberg designs but
+self-contained over raw parquet (no table-format dependency in this
+container).
+
+The reference's warehouse is append-only Redshift COPY
+(dags/music_streaming_services_dag.py:317-353) with no version history; a
+failed-then-retried load duplicates rows (SURVEY §8.6). This module gives
+the engine the two properties that fix that class of bug:
+
+- **Atomic commits.** Data files are written first, under a per-version
+  directory; the commit is the manifest JSON, written via temp-file +
+  ``os.replace`` (atomic on POSIX). A crash between data write and manifest
+  write leaves an orphan data dir that NO reader ever sees — readers only
+  resolve directories listed in a committed manifest.
+- **Time travel.** Every manifest is immutable and kept; ``read(spark, v)``
+  reconstructs any historical version. ``overwrite`` commits replace the
+  visible file set; ``append`` commits extend the parent's.
+
+Layout::
+
+    <table>/_manifests/v000001.json   {"version":1,"parent":0,"dirs":[...]}
+    <table>/data/v000001/part-*.parquet
+
+Scale notes: the manifest holds *directory* paths, not per-file lists, so
+manifest size is O(commits), not O(files); readers hand the dir list to
+``spark.read.parquet(*dirs)`` — partition pruning and predicate pushdown
+work unchanged because the files are ordinary parquet. Single-writer
+semantics (the reference's Airflow DAG is single-writer per table too);
+a concurrent-writer CAS on the manifest name is the documented seam, same
+category as the Derby-only JDBC surface (README "Known seams").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path.rstrip("/")
+        self._mdir = f"{self.path}/_manifests"
+        os.makedirs(self._mdir, exist_ok=True)
+
+    # -- manifest bookkeeping ------------------------------------------------
+
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self._mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def _manifest(self, version: int) -> dict:
+        with open(f"{self._mdir}/v{version:06d}.json") as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        """Atomic publish: temp file in the same directory + os.replace."""
+        final = f"{self._mdir}/v{manifest['version']:06d}.json"
+        fd, tmp = tempfile.mkstemp(dir=self._mdir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, final)
+
+    # -- write path ----------------------------------------------------------
+
+    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+        """Write df as the next version. ``overwrite`` replaces the visible
+        file set; ``append`` extends the parent's. Returns the new version.
+        The data write happens BEFORE the manifest publish — a failure in
+        between leaves an invisible orphan, never a torn table."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        parent = self.latest_version()
+        version = parent + 1
+        # A crashed previous attempt leaves an orphan data dir with no
+        # manifest; the retry must not collide with it (write mode is
+        # "error" so every data dir is written exactly once). Probe for a
+        # free sibling — the orphan stays dark forever because only
+        # manifest-listed dirs are ever read.
+        data_dir = f"{self.path}/data/v{version:06d}"
+        attempt = 0
+        while os.path.exists(data_dir):
+            attempt += 1
+            data_dir = f"{self.path}/data/v{version:06d}-r{attempt}"
+        df.write.mode("error").parquet(data_dir)
+        dirs = [data_dir]
+        if mode == "append" and parent > 0:
+            dirs = self._manifest(parent)["dirs"] + dirs
+        self._write_manifest(
+            {"version": version, "parent": parent, "mode": mode, "dirs": dirs}
+        )
+        return version
+
+    def merge(
+        self,
+        spark: SparkSession,
+        delta: DataFrame,
+        on: str,
+        update: dict[str, str],
+        insert_defaults: dict[str, str],
+    ) -> int:
+        """MERGE INTO current snapshot: WHEN MATCHED update columns per the
+        ``update`` expr map, WHEN NOT MATCHED insert with ``insert_defaults``
+        filling target-only columns. Committed as a new overwrite version —
+        the pre-merge version stays readable (time travel)."""
+        from pyspark.sql import functions as F
+
+        tgt = self.read(spark)
+        d = delta.withColumnRenamed(on, "__mk")
+        joined = tgt.join(d, tgt[on] == d["__mk"], "full_outer")
+        matched = tgt[on].isNotNull() & F.col("__mk").isNotNull()
+        inserted = tgt[on].isNull()
+        cols = []
+        for c in tgt.columns:
+            expr = F.col(c)
+            if c in update:
+                expr = F.when(matched, F.expr(update[c])).otherwise(expr)
+            if c == on:
+                expr = F.coalesce(F.col(on), F.col("__mk"))
+            elif c in insert_defaults:
+                expr = F.when(inserted, F.expr(insert_defaults[c])).otherwise(expr)
+            cols.append(expr.alias(c))
+        merged = joined.select(*cols)
+        return self.commit(merged, mode="overwrite")
+
+    # -- read path -----------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise ValueError(f"{self.path}: no committed versions")
+        return spark.read.parquet(*self._manifest(v)["dirs"])

@@ -1,0 +1,88 @@
+"""Snapshot table format properties: atomic manifest commits, time travel,
+append vs overwrite lineage, orphan invisibility, crash-retry safety."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_overwrite_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d1 = spark.range(5).select(F.col("id"), F.lit("a").alias("tag"))
+    d2 = spark.range(3).select(F.col("id"), F.lit("b").alias("tag"))
+    v1 = t.commit(d1)
+    v2 = t.commit(d2)
+    assert (v1, v2) == (1, 2)
+    assert t.versions() == [1, 2]
+    # latest == v2; v1 still reconstructs bit-for-bit
+    assert _rows(t.read(spark)) == _rows(d2)
+    assert _rows(t.read(spark, v1)) == _rows(d1)
+
+
+def test_append_extends_parent(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d1 = spark.range(0, 4).select("id")
+    d2 = spark.range(4, 6).select("id")
+    t.commit(d1)
+    t.commit(d2, mode="append")
+    assert _rows(t.read(spark)) == [(i,) for i in range(6)]
+    assert _rows(t.read(spark, 1)) == [(i,) for i in range(4)]
+
+
+def test_orphan_data_dir_is_invisible(spark, tmp_path):
+    """A data dir without a manifest (crash between data write and commit)
+    must never be read, and a subsequent commit must not collide with it."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(3).select("id"))
+    # simulate a crashed attempt at version 2: data written, no manifest
+    orphan = str(tmp_path / "tbl" / "data" / "v000002")
+    spark.range(100, 200).select("id").write.parquet(orphan)
+    assert t.latest_version() == 1
+    assert _rows(t.read(spark)) == [(0,), (1,), (2,)]
+    # the retry lands beside the orphan and commits cleanly
+    v2 = t.commit(spark.range(50, 53).select("id"))
+    assert v2 == 2
+    assert _rows(t.read(spark)) == [(50,), (51,), (52,)]
+    assert os.path.exists(orphan)  # orphan left in place, still dark
+
+
+def test_manifest_publish_is_atomic(tmp_path):
+    """No partially-written manifest is ever visible under the final name:
+    the temp file lives in the same dir and lands via os.replace."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t._write_manifest({"version": 1, "parent": 0, "mode": "overwrite", "dirs": []})
+    names = os.listdir(t._mdir)
+    assert names == ["v000001.json"]  # no .tmp residue
+
+
+def test_merge_branches(spark, tmp_path):
+    """WHEN MATCHED updates, WHEN NOT MATCHED inserts with defaults,
+    untouched target rows pass through — and the pre-merge version is
+    still readable afterwards."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    tgt = spark.createDataFrame(
+        [(1, "x", 0), (2, "y", 0)], "k long, seg string, cnt long"
+    )
+    v1 = t.commit(tgt)
+    delta = spark.createDataFrame([(2, 7), (3, 9)], "k long, d long")
+    v2 = t.merge(
+        spark,
+        delta,
+        on="k",
+        update={"seg": "'ACTIVE'", "cnt": "d"},
+        insert_defaults={"seg": "'NEW'", "cnt": "d"},
+    )
+    assert _rows(t.read(spark, v2)) == [
+        (1, "x", 0),  # untouched passes through
+        (2, "ACTIVE", 7),  # matched: updated
+        (3, "NEW", 9),  # not matched: inserted with defaults
+    ]
+    assert _rows(t.read(spark, v1)) == _rows(tgt)
