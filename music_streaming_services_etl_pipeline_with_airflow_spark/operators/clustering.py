@@ -69,8 +69,18 @@ def kmeans(
     points: DataFrame, k: int = K, iterations: int = ITERATIONS
 ) -> tuple[DataFrame, list[float]]:
     """Returns (assignment DataFrame, inertia per iteration)."""
-    centroids = points.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    # init = the k lowest vec_ids (robust to non-contiguous ids, e.g. when
+    # the caller collapsed exact-duplicate vectors first; identical to the
+    # original vec_id < k rule on contiguous inputs). k rows — the window
+    # runs on a k-row relation, not the full input.
+    w_init = Window.orderBy("vec_id")
+    centroids = (
+        points.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("int").alias("cid"),
+            F.col("v").alias("cv"),
+        )
     )
     inertias: list[float] = []
     assigned = None

@@ -1266,30 +1266,54 @@ SEMANTIC_PRUNE_TAU = 0.45  # same operating point as the exact-cosine baseline
     # repo's standard pair semantics, not component-based), (b) keep and
     # prune sets partition the input, (c) every (keep_partner, vec_id)
     # pair is a member of dedup_embedding_cosine's exact ≥ tau relation.
-    doc="SemDeDup: k-means-cluster the embeddings (operators.clustering "
-    "Lloyd kernel), then prune WITHIN each cluster only — a vector is "
-    "pruned iff some smaller-id vector in the same cluster has exact "
-    "cosine >= tau with it (greedy min-id representative, the repo's "
-    "standard min-id dedup rule; keep_partner = that smallest neighbor). "
-    "The cluster key bounds the pair join: "
-    "candidate generation is sum(|cluster|^2), never n^2, and at scale k "
-    "grows ~sqrt(n) so clusters stay bucket-sized (the paper runs k=11k "
-    "for 100M points). Exact-cosine verify per candidate keeps precision "
-    "at 1.0 — clustering only costs recall for cross-cluster near-dups, "
-    "the documented SemDeDup trade.",
+    doc="SemDeDup: collapse exact-duplicate vectors to min-id reps, "
+    "k-means-cluster the reps (operators.clustering Lloyd kernel, "
+    "k~sqrt(n_distinct)), then prune WITHIN each cluster only — a rep is "
+    "pruned iff some smaller-id rep in the same cluster has exact cosine "
+    ">= tau with it (keep_partner = that smallest neighbor); non-rep "
+    "duplicates expand as pruned against their rep (cos 1.0, same "
+    "cluster). The cluster key bounds the pair join: candidate generation "
+    "is sum(|cluster|^2) over DISTINCT vectors, never n^2 (the paper runs "
+    "k=11k for 100M points). Exact-cosine verify per candidate keeps "
+    "precision at 1.0 — clustering only costs recall for cross-cluster "
+    "near-dups, the documented SemDeDup trade. Measured flat at 10x "
+    "replica data (SCALING.md).",
 )
 def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from .clustering import kmeans
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double_array("embedding").alias("dv")
     )
-    pts = emb.select("vec_id", F.col("dv").alias("v"))
-    assignment, _ = kmeans(pts)  # (vec_id, cluster, sq_dist)
+    # 1. exact-duplicate collapse FIRST (the same composition that makes
+    #    dedup_minhash_lsh and dedup_containment replication-proof):
+    #    identical vectors cluster identically and have cosine 1.0, so the
+    #    rep-level verdict expands losslessly — cluster/prune cost scales
+    #    with DISTINCT vectors, not corpus size (measured: without this,
+    #    the 10x replica ran 8.5x slower; with it, flat).
+    keyed = emb.withColumn("ck", F.md5(F.to_json(F.col("dv"))))
+    members = keyed.select("vec_id", "ck").join(
+        keyed.groupBy("ck").agg(F.min("vec_id").alias("rep")), "ck"
+    )
+    reps = (
+        members.filter(F.col("vec_id") == F.col("rep"))
+        .select("vec_id")
+        .join(emb, "vec_id")
+    )
 
-    # normalize once; cosine = one dot per candidate pair
+    # 2. adaptive k ~ sqrt(n_distinct) (SemDeDup scales k with corpus size;
+    #    fixed k would let cluster sizes — and the quadratic in-cluster
+    #    pair count — grow linearly with n)
+    n_reps = reps.count()
+    k = max(8, min(64, math.isqrt(n_reps)))
+    pts = reps.select("vec_id", F.col("dv").alias("v"))
+    assignment, _ = kmeans(pts, k=k)  # (vec_id, cluster, sq_dist)
+
+    # 3. normalize once; cosine = one dot per in-cluster candidate pair
     nv = (
-        emb.withColumn("nrm", V.norm(F.col("dv")))
+        reps.withColumn("nrm", V.norm(F.col("dv")))
         .select("vec_id", F.transform("dv", lambda x: x / F.col("nrm")).alias("v"))
         .join(assignment.select("vec_id", "cluster"), "vec_id")
     )
@@ -1307,17 +1331,33 @@ def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= SEMANTIC_PRUNE_TAU)
     )
-    # prune the larger id of every dup pair; partner = smallest such va
-    pruned = dup_pairs.groupBy(F.col("vb").alias("vec_id")).agg(
+    # prune the larger rep of every dup pair; partner = smallest such va
+    rep_pruned = dup_pairs.groupBy(F.col("vb").alias("vec_id")).agg(
         F.min("va").alias("keep_partner")
     )
-    return (
+    rep_verdicts = (
         nv.select("vec_id", "cluster")
-        .join(pruned, "vec_id", "left")
+        .join(rep_pruned, "vec_id", "left")
+        .select(
+            F.col("vec_id").alias("rep"),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("keep_partner").alias("rep_partner"),
+        )
+    )
+
+    # 4. expand to members: a non-rep duplicate is pruned against its rep
+    #    (cosine exactly 1.0, same cluster, rep = group-min id < member);
+    #    a rep carries its rep-level verdict.
+    return (
+        members.join(rep_verdicts, "rep")
         .select(
             "vec_id",
-            F.col("cluster").cast("int").alias("cluster"),
-            F.col("keep_partner").isNotNull().alias("pruned"),
-            "keep_partner",
+            "cluster",
+            F.when(F.col("vec_id") != F.col("rep"), F.lit(True))
+            .otherwise(F.col("rep_partner").isNotNull())
+            .alias("pruned"),
+            F.when(F.col("vec_id") != F.col("rep"), F.col("rep"))
+            .otherwise(F.col("rep_partner"))
+            .alias("keep_partner"),
         )
     )

@@ -133,6 +133,37 @@ class SnapshotTable:
         merged = joined.select(*cols)
         return self.commit(merged, mode="overwrite")
 
+    # -- maintenance ---------------------------------------------------------
+
+    def expire(self, keep_last: int = 1) -> list[int]:
+        """Expire all but the newest ``keep_last`` versions: delete their
+        manifests, then delete any data directory no surviving manifest
+        references (append lineage means an old dir can still back a live
+        version — refcount before delete). Returns the expired versions.
+        Manifests are removed OLDEST-FIRST and each data dir only after
+        every manifest that references it is gone, so a reader of a
+        surviving version never loses a file out from under it."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        expired = vs[:-keep_last]
+        survivors = vs[-keep_last:]
+        live_dirs = set()
+        for v in survivors:
+            live_dirs.update(self._manifest(v)["dirs"])
+        for v in expired:
+            dead = [d for d in self._manifest(v)["dirs"] if d not in live_dirs]
+            os.remove(f"{self._mdir}/v{v:06d}.json")
+            for d in dead:
+                # only dirs no *earlier surviving* manifest needs; later
+                # expired manifests can't resurrect them (append lineage
+                # only ever carries dirs forward, and we walk oldest-first)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+        return expired
+
     # -- read path -----------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

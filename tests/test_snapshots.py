@@ -86,3 +86,26 @@ def test_merge_branches(spark, tmp_path):
         (3, "NEW", 9),  # not matched: inserted with defaults
     ]
     assert _rows(t.read(spark, v1)) == _rows(tgt)
+
+
+def test_expire_refcounts_shared_dirs(spark, tmp_path):
+    """Expiration must not delete a data dir that a surviving version still
+    references through append lineage, and must delete dirs only dead
+    versions reference; expired versions stop being readable."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 2).select("id"))  # v1
+    t.commit(spark.range(2, 4).select("id"), mode="append")  # v2 = v1 dirs + new
+    t.commit(spark.range(4, 6).select("id"), mode="append")  # v3 = v1+v2+new
+    v1_dir = t._manifest(1)["dirs"][0]
+    expired = t.expire(keep_last=1)
+    assert expired == [1, 2]
+    assert t.versions() == [3]
+    # v1's dir survives: v3's append lineage still references it
+    assert os.path.isdir(v1_dir)
+    assert _rows(t.read(spark)) == [(i,) for i in range(6)]
+    # now overwrite and expire: the whole old lineage is dead
+    t.commit(spark.range(9, 10).select("id"), mode="overwrite")  # v4
+    t.expire(keep_last=1)
+    assert not os.path.isdir(v1_dir)
+    assert _rows(t.read(spark)) == [(9,)]
+    assert t.versions() == [4]
