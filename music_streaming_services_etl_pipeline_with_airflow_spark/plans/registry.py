@@ -63,6 +63,9 @@ _PRIORITY: tuple[str, ...] = (
     "curate_strip_shared_spans",  # surgical strip w/ canonical preservation
     "streaming_topk_event_type",  # windowed top-k, serving-side rank
     "text_unigram_logprob",  # LM-proxy quality score, exact milli-bits
+    "tpch_q1_pricing_summary",  # canonical TPC-H flagships (plans/tpch.py)
+    "tpch_q5_local_supplier_volume",
+    "warehouse_snapshot_time_travel",  # snapshot format MERGE + time travel
     # (corpus_dup_stats — a pure one-aggregate composition of the
     # head-checked curate_strip_shared_spans relation — and
     # bpe_tokenize_corpus — rows-only, already pinned EXACTLY against an
@@ -105,12 +108,14 @@ _PRIORITY: tuple[str, ...] = (
     "q3_avg_popularity_per_genre",
     "q5_unique_listeners_per_hour",
     "q7_avg_diversity_per_hour",
-    "dedup_simhash",
+    # (dedup_simhash, pack_sequences_greedy, pack_sequences_hierarchical
+    # move to the round-7 rotation slice to make room for the three
+    # round-6 flagships above — each is pinned independently: the simhash
+    # family by pytest + the every-round simhash_banded bench entry, the
+    # packing kernels by recursive-CTE-proved pytest twins)
     "dq_expectations_lineitem",
     "dq_referential_integrity",
     "multimodal_frame_sample",
-    "pack_sequences_greedy",
-    "pack_sequences_hierarchical",
     "text_token_stats",
     "text_quality_scores",
     "text_lang_id",
