@@ -82,12 +82,14 @@ _PRIORITY: tuple[str, ...] = (
     # streaming_dedup_ingest and curate_quality_verdicts: all oracle-bearing,
     # exact-parity green locally (tools/check_parity.py at sf0.01) and
     # pytest-pinned, and lead the round-7 head together with the queries
-    # above. The canonical TPC-H family (plans/tpch.py: tpch_q1, q3, q5,
-    # q6, q7, q10, q18 — exact-integer money math, hash-exact parity at
-    # sf0.01, plan shapes pinned in test_plans_explain) and
+    # above. The canonical TPC-H family (plans/tpch.py: all 12 schema-
+    # expressible queries, exact-integer money math, hash-exact parity at
+    # sf0.01, plan shapes pinned in test_plans_explain — q1/q5 head-checked
+    # this round, the other ten lead round 7) and
     # warehouse_snapshot_time_travel (snapshot-format MERGE + time-travel
-    # diff, hash-exact) join that round-7 head too; dedup_semantic_prune
-    # (rows-only, invariant-pinned) joins the rows-only tail.)
+    # diff, hash-exact, head-checked this round) are covered likewise;
+    # dedup_semantic_prune (rows-only, invariant-pinned) joins the
+    # rows-only tail.)
     # -- rotation: oracle-green queries whose last driver row is r1/r2
     #    (42 such after round 5 re-checked the r3/r4 head; 28 here, the
     #    remaining 14 -- sampling, product-analytics, UDF-surface,

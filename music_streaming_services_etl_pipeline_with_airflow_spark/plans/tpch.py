@@ -5,8 +5,9 @@ multi-join OLAP shapes end-to-end, not just the reference's KPI pipeline).
 
 Adaptations (the testdata is a column-subset of real TPC-H):
 - no ``partsupp`` / ``l_commitdate`` / ``l_receiptdate`` / ``o_shippriority``
-  → Q2/Q4/Q11/Q12/Q16/Q20/Q21 are out of scope; the join-heavy Q1/Q3/Q5/
-  Q6/Q7/Q10/Q18 family is in.
+  / ``l_shipmode`` / ``c_phone`` → Q2/Q4/Q9/Q11/Q12/Q16/Q19/Q20/Q21/Q22 are
+  out of scope; the 12 expressible ones — Q1/Q3/Q5/Q6/Q7/Q8/Q10/Q13/Q14/
+  Q15/Q17/Q18 — are all in.
 - nation names are synthetic (``NATION_0``..``NATION_24``), region names
   real (``ASIA`` etc.) — constants below reflect that.
 
@@ -459,4 +460,273 @@ def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice_cents"), F.asc("o_orderkey"))
         .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share
+# --------------------------------------------------------------------------
+
+_Q8_DUCK = f"""
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e6 ELSE 0 END)
+            AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(rev_e6) AS BIGINT) AS DOUBLE) AS mkt_share
+FROM (
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {_REV_E6} AS rev_e6,
+           n2.n_name AS supp_nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register(
+    "tpch_q8_national_market_share",
+    _Q8_DUCK,
+    doc="TPC-H Q8 national market share: NATION_3's share of ASIA-customer "
+    "ECONOMY-part revenue by order year — the 8-way star with a "
+    "conditional-aggregate ratio. Every dimension broadcasts (part is "
+    "filtered to 1/6 before its join); the share is a ratio of two exact "
+    "BIGINT sums with one final division, identical expression text on "
+    "both engines.",
+)
+def q_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = _li(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")
+    )
+    cust_in_region = cust.join(
+        F.broadcast(n1.join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)),
+        cust.c_nationkey == F.col("n1_key"),
+    )
+    oc = orders.join(F.broadcast(cust_in_region), orders.o_custkey == cust_in_region.c_custkey)
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    )
+    agg = joined.groupBy(
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("o_year")
+    ).agg(
+        F.sum(
+            F.expr(f"CASE WHEN supp_nation = 'NATION_3' THEN {_REV_E6} ELSE 0 END")
+        ).alias("_num"),
+        F.sum(F.expr(_REV_E6)).alias("_den"),
+    )
+    return agg.select(
+        "o_year",
+        F.expr("CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)").alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution
+# --------------------------------------------------------------------------
+
+_Q13_DUCK = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "tpch_q13_order_count_distribution",
+    _Q13_DUCK,
+    doc="TPC-H Q13 customer distribution: orders-per-customer histogram via "
+    "a left join (zero-order customers must appear at c_count=0) and two "
+    "integer aggregates. The per-customer count partial-aggregates "
+    "map-side on the custkey; the second aggregate's key space is tiny.",
+)
+def q_tpch13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion effect
+# --------------------------------------------------------------------------
+
+_Q14_DUCK = f"""
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_E6} ELSE 0 END)
+                    AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM({_REV_E6}) AS BIGINT) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@register(
+    "tpch_q14_promotion_effect",
+    _Q14_DUCK,
+    doc="TPC-H Q14 promotion effect: PROMO-part revenue share for one ship "
+    "month. One month of lineitem (pushed scan filter) broadcast-joins the "
+    "part dim; the percentage is a ratio of exact BIGINT sums, one final "
+    "division on identical expression text.",
+)
+def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-09-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-10-01 00:00:00'"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    agg = joined.agg(
+        F.sum(
+            F.expr(f"CASE WHEN p_type = 'PROMO' THEN {_REV_E6} ELSE 0 END")
+        ).alias("_num"),
+        F.sum(F.expr(_REV_E6)).alias("_den"),
+    )
+    return agg.select(
+        F.expr("100.0 * CAST(_num AS DOUBLE) / CAST(_den AS DOUBLE)").alias(
+            "promo_revenue"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier
+# --------------------------------------------------------------------------
+
+_Q15_DUCK = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(SUM({_REV_E6}) AS BIGINT) AS total_rev_e6
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_rev_e6 AS DOUBLE) / 1000000.0 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev_e6 = (SELECT MAX(total_rev_e6) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "tpch_q15_top_supplier",
+    _Q15_DUCK,
+    doc="TPC-H Q15 top supplier: quarterly per-supplier revenue view, then "
+    "the supplier(s) achieving the max (ties all included — the classic "
+    "view+scalar-subquery form, no LIMIT nondeterminism). Exact BIGINT "
+    "revenue makes the max comparison exact; the view aggregates once and "
+    "is reused for both the max and the final filter.",
+)
+def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01 00:00:00'"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.expr(_REV_E6)).alias("total_rev_e6")
+    )
+    # max-of-exact-ints via a 1-row broadcast cross join (no second scan)
+    mx = revenue.agg(F.max("total_rev_e6").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), revenue.total_rev_e6 == mx._mx)
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr("CAST(total_rev_e6 AS DOUBLE) / 1000000.0").alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue
+# --------------------------------------------------------------------------
+
+_Q17_DUCK = f"""
+WITH pa AS (
+    SELECT l_partkey AS pk,
+           CAST(SUM({_QTY}) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM({_CENTS}) AS BIGINT) AS DOUBLE) / 100.0 / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pk = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND {_QTY} * cnt * 5 < sum_qty
+"""
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    _Q17_DUCK,
+    doc="TPC-H Q17 small-quantity-order revenue: lines below 20% of their "
+    "part's average quantity, for one brand. The correlated avg subquery "
+    "becomes a per-part aggregate joined back; the 0.2*avg comparison is "
+    "integerized (qty*cnt*5 < sum_qty — exact, no float division) so both "
+    "engines agree at the boundary. Per-part aggregate and probe co-"
+    "partition on l_partkey.",
+)
+def q_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.expr(_QTY)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    probe = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = probe.join(pa, probe.l_partkey == pa.pk).filter(
+        F.expr(f"{_QTY} * cnt * 5 < sum_qty")
+    )
+    return joined.agg(
+        F.expr(
+            f"CAST(CAST(SUM({_CENTS}) AS BIGINT) AS DOUBLE) / 100.0 / 7.0"
+        ).alias("avg_yearly")
     )

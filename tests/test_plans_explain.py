@@ -213,7 +213,14 @@ def test_tpch_family_plan_shape(spark):
     from music_streaming_services_etl_pipeline_with_airflow_spark.plans import tpch
 
     # multi-join queries: all joins broadcast, no sort-merge on the fact
-    for fn in (tpch.q_tpch3, tpch.q_tpch5, tpch.q_tpch7, tpch.q_tpch10):
+    for fn in (
+        tpch.q_tpch3,
+        tpch.q_tpch5,
+        tpch.q_tpch7,
+        tpch.q_tpch8,
+        tpch.q_tpch10,
+        tpch.q_tpch14,
+    ):
         plan = _explain(fn(spark, SF))
         assert "BroadcastHashJoin" in plan, fn.__name__
         assert "SortMergeJoin" not in plan, fn.__name__
