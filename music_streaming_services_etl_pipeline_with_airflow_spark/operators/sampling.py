@@ -95,6 +95,39 @@ def q_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_reservoir_topk",
+    """
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 500
+    )
+    """,
+    doc="Exact-k uniform sample (reservoir-sampling equivalent): rank every "
+    "row by md5(key) and keep the k smallest. Same marginal distribution as "
+    "a k-reservoir but deterministic and engine-independent — and the plan "
+    "is TakeOrderedAndProject: per-partition size-k heaps merged on the "
+    "driver, so no global sort and no shuffle of the full table. At 100 TB "
+    "the cost is one scan + k*n_partitions rows of driver merge, vs a "
+    "sequential pass for classic reservoir sampling.",
+)
+def q_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("_hk"),
+        )
+        .orderBy("_hk", "doc_id")
+        .limit(500)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@register(
     "sample_bernoulli_rng",
     None,  # engine-specific RNG → rows-only (the API-parity entry; the
     # reproducible path is sample_hash_bucket)

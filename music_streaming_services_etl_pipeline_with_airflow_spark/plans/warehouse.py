@@ -298,3 +298,72 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("order_cnt"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout locality — the registered face of functions/zorder.py
+# ---------------------------------------------------------------------------
+
+def _interleave_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB twin of functions.zorder.interleave_bits: bit i of `a` at
+    position 2i, bit i of `b` at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH bounds AS (
+    SELECT MIN(l_partkey) AS amin, MAX(l_partkey) AS amax,
+           MIN(l_suppkey) AS bmin, MAX(l_suppkey) AS bmax
+    FROM lineitem
+), g AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(FLOOR((l_partkey - amin) * 65535.0
+                      / GREATEST(amax - amin, 1)) AS BIGINT) AS ga,
+           CAST(FLOOR((l_suppkey - bmin) * 65535.0
+                      / GREATEST(bmax - bmin, 1)) AS BIGINT) AS gb
+    FROM lineitem, bounds
+), z AS (
+    SELECT l_partkey, l_suppkey,
+           ({_interleave_sql('ga', 'gb')}) AS zv
+    FROM g
+)
+SELECT (zv >> 26) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+       MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+FROM z
+GROUP BY 1
+"""
+
+
+@register(
+    "warehouse_zorder_locality",
+    _ZORDER_ORACLE,
+    doc="Z-order (Morton) layout audit: interleave 16-bit grid coordinates "
+    "of (l_partkey, l_suppkey), split the curve into 64 buckets (top 6 "
+    "code bits), and report each bucket's key-space rectangle. The bounded "
+    "per-bucket min/max ranges on BOTH keys are exactly why a z-ordered "
+    "file layout prunes range predicates on either column from parquet "
+    "footer stats (`sinks.write_zordered` writes this order physically; "
+    "`test_zorder_layout_prunes_both_dimensions` measures the skipping). "
+    "All integer shift/or arithmetic — whole-stage codegen, one hash "
+    "aggregate, no shuffle beyond the 64-group agg; the min/max "
+    "normalization bounds are one tiny pre-pass inlined as literals.",
+)
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.zorder import Z_BITS, with_zorder
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = with_zorder(li, "l_partkey", "l_suppkey")
+    bucket = F.shiftright(F.col("_z"), 2 * Z_BITS - 6)
+    return z.groupBy(bucket.alias("z_bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("pk_min"),
+        F.max("l_partkey").alias("pk_max"),
+        F.min("l_suppkey").alias("sk_min"),
+        F.max("l_suppkey").alias("sk_max"),
+    )

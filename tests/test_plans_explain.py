@@ -237,3 +237,41 @@ def test_tpch_family_plan_shape(spark):
     plan1 = _explain(tpch.q_tpch1(spark, SF), mode="simple")
     assert "Join" not in plan1
     assert plan1.count("Exchange hashpartitioning") == 1
+
+
+def test_reservoir_topk_no_global_sort(spark):
+    """Exact-k hash-rank sample must plan as TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a full Sort + shuffle."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.sampling import (
+        q_reservoir_topk,
+    )
+
+    plan = _explain(q_reservoir_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_zorder_locality_buckets_are_rectangles(spark):
+    """The z-order claim itself: with 3 high bits fixed per dimension, every
+    64-bucket cell spans at most 2^13 of the 2^16 grid units per key — i.e.
+    each bucket covers a bounded rectangle of the key space, which is what
+    makes min/max footer stats prune range predicates on EITHER column."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.warehouse import (
+        q_zorder_locality,
+    )
+
+    rows = q_zorder_locality(spark, SF).collect()
+    assert len(rows) > 8  # curve actually split across many buckets
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"), F.min("l_suppkey"), F.max("l_suppkey")
+    ).first()
+    # grid→key scale: one grid unit is span/65535 keys; 2^13 grid units
+    # plus one unit of quantization slack
+    a_cap = max(b[1] - b[0], 1) * 8192 / 65535 + max(b[1] - b[0], 1) / 65535 + 1
+    b_cap = max(b[3] - b[2], 1) * 8192 / 65535 + max(b[3] - b[2], 1) / 65535 + 1
+    for r in rows:
+        assert r.pk_max - r.pk_min <= a_cap, r
+        assert r.sk_max - r.sk_min <= b_cap, r
