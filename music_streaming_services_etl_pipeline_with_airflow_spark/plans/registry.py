@@ -58,6 +58,9 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_sessionize_timeout",  # ceil-to-ms timeout fix
     "multimodal_decode_metadata",  # JPEG fill-byte walk fix
     # -- brand-new round-6 queries: zero driver rows yet --
+    "streaming_interval_join_outer",  # LEFT OUTER stream-stream interval join
+    "sample_reservoir_topk",  # exact-k hash-rank sample, TakeOrderedAndProject
+    "warehouse_zorder_locality",  # Morton-layout bucket rectangles
     "dedup_winnowed_shingles",  # any-alignment winnowed fingerprint dedup
     "dedup_shared_spans",  # exact duplicated token-range extraction
     "curate_strip_shared_spans",  # surgical strip w/ canonical preservation
@@ -122,10 +125,15 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "text_lang_id",
     "text_tfidf_top_terms",
-    "text_chunk_fixed",
-    "text_fingerprint",
-    "decontam_ngram_overlap",
     "gopher_repetition",
+    # (text_chunk_fixed, text_fingerprint and decontam_ngram_overlap yield
+    # their slots to the three late-round-6 queries above and lead the
+    # round-7 rotation instead — each carries an independent pin meanwhile:
+    # text_chunk_fixed is bit-identical to the head-adjacent
+    # udtf_text_chunks twin by pytest, text_fingerprint's winnowed kernel
+    # is exercised by the head-checked dedup_winnowed_shingles, and
+    # decontam_ngram_overlap's broadcast probe is plan-pinned in
+    # test_decontam_probe_is_broadcast.)
 )
 
 # Rows-only queries (no SQL-expressible oracle) that have never had a driver

@@ -17,7 +17,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .runner import EVENTS_SCHEMA, run_stream_to_df, stage_events
+from .runner import (
+    EVENTS_SCHEMA,
+    run_stream_to_df,
+    stage_events,
+    stage_events_with_watermark_sentinel,
+)
 
 
 def dedup_stream(
@@ -154,3 +159,74 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("imp_user", "imp_id", "clk_id")
     return run_stream_to_df(joined)
+
+
+@register(
+    "streaming_interval_join_outer",
+    # Real oracle: the left-outer batch interval join. The staged folder
+    # carries a far-future watermark sentinel (see
+    # stage_events_with_watermark_sentinel) so the final watermark passes
+    # every real impression's `ts + 30min` bound and all null-padded rows
+    # flush before the availableNow run ends; the sentinel pair itself is
+    # user_id -1 and is filtered back out post-join.
+    """
+    SELECT p.user_id AS imp_user,
+           p.event_id AS imp_id,
+           e.event_id AS clk_id
+    FROM events p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.event_type = 'error'
+     AND e.ts >= p.ts
+     AND e.ts <= p.ts + INTERVAL '30 minutes'
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="LEFT OUTER stream-stream interval join: every purchase emits, "
+    "null-padded when no same-user error lands within 30 minutes. Outer "
+    "emission is watermark-driven (a row can only be declared unmatched "
+    "once no earlier-timestamped right row can still arrive), which is "
+    "exactly the state-eviction semantics inner joins get for free — and "
+    "why the staged folder carries a control-event sentinel to advance the "
+    "final watermark past the trailing rows. The attribution shape "
+    "(impressions with AND without conversions) that an inner join "
+    "silently drops.",
+)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = stage_events_with_watermark_sentinel(sf_dir, "events_join_outer")
+    base = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    imp = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("imp_user"),
+            F.col("event_id").alias("imp_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+        .withWatermark("imp_ts", "2 hours")
+    )
+    clk = (
+        base.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("clk_user"),
+            F.col("event_id").alias("clk_id"),
+            F.col("ts").alias("clk_ts"),
+        )
+        .withWatermark("clk_ts", "2 hours")
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            """imp_user = clk_user AND
+               clk_ts >= imp_ts AND
+               clk_ts <= imp_ts + interval 30 minutes"""
+        ),
+        "leftOuter",
+    )
+    # The sentinel strip runs on the BATCH result, never inside the
+    # streaming plan: a pre-sink `imp_user >= 0` filter would be pushed
+    # below the join by Catalyst (and inferred onto clk_user through the
+    # equi-join key), dropping the sentinel rows before the watermark
+    # nodes ever see them — which silently un-advances the final watermark
+    # and strands the trailing outer rows in state.
+    return run_stream_to_df(joined.select("imp_user", "imp_id", "clk_id")).filter(
+        F.col("imp_user") >= 0
+    )

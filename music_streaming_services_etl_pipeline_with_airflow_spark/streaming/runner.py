@@ -101,6 +101,64 @@ def run_stream_to_df(df: DataFrame, output_mode: str = "append") -> DataFrame:
     return spark.read.schema(df.schema).parquet(data_dir)
 
 
+def stage_events_with_watermark_sentinel(sf_dir: str, name: str) -> str:
+    """Stage events plus one far-future *control file*: a (purchase, error)
+    sentinel pair for the reserved user_id -1, 365/367 days past the real
+    max event time. Outer stream-stream joins only emit their null-padded
+    rows once the global watermark passes `left_ts + interval`; with a
+    bounded historical folder the watermark stops 2h short of max(ts), so
+    the trailing rows would stay in state forever. The sentinel advances
+    both sides' event-time high-mark far past every real row — the standard
+    "heartbeat/control event" pattern used to close windows on quiet Kafka
+    partitions — and is filtered back out after the join (user_id -1 never
+    matches real traffic, and the pair is 2 days apart so it never matches
+    itself under a 30-minute bound)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = stage_events(sf_dir, name)  # removes any stale sentinel as leftover
+    pf = pq.ParquetFile(f"{d}/copy0.v2.parquet")
+    md = pf.metadata
+    ts_idx = next(
+        i
+        for i in range(md.num_columns)
+        if md.row_group(0).column(i).path_in_schema == "ts"
+    )
+    mx = max(
+        md.row_group(rg).column(ts_idx).statistics.max
+        for rg in range(md.num_row_groups)
+    )
+    if mx.tzinfo is None:
+        mx = mx.replace(tzinfo=dt.timezone.utc)
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    table = pa.table(
+        {
+            "event_id": [-1, -2],
+            "ts": [mx + dt.timedelta(days=365), mx + dt.timedelta(days=367)],
+            "user_id": [-1, -1],
+            "event_type": ["purchase", "error"],
+            "value": [0.0, 0.0],
+            "props": [None, None],
+        },
+        schema=schema,
+    )
+    tmp = f"{d}.sentinel_partial"  # outside the globbed dir
+    pq.write_table(table, tmp)
+    os.replace(tmp, f"{d}/sentinel.v2.parquet")
+    return d
+
+
 def stage_events(sf_dir: str, name: str, n_copies: int = 1) -> str:
     """Stage ``{sf_dir}/events.parquet`` into a stream drop-folder with
     ``ts`` normalized to the logical schema (``n_copies`` > 1 simulates

@@ -151,3 +151,49 @@ def test_registered_streaming_interval_join_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_registered_streaming_interval_join_outer_equals_batch(spark):
+    """LEFT OUTER stream-stream interval join must emit every purchase
+    exactly once per match plus a null-padded row for unmatched purchases —
+    including the TRAILING ones, which only flush because the staged folder's
+    far-future sentinel advances the final watermark past their
+    `ts + 30min` eviction bound."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.dedup_join import (
+        q_streaming_interval_join_outer,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = sorted(
+        ((r.imp_id, r.clk_id) for r in q_streaming_interval_join_outer(spark, SF).collect()),
+        key=str,
+    )
+    ev = load_table(spark, SF, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    e = ev.filter("event_type = 'error'").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("eid"), F.col("ts").alias("ets")
+    )
+    want = sorted(
+        (
+            (r.pid, r.eid)
+            for r in p.join(
+                e,
+                (p.u == e.u)
+                & (e.ets >= p.pts)
+                & (e.ets <= p.pts + F.expr("interval 30 minutes")),
+                "left",
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want
+    # the sentinel itself must never leak into the output
+    assert all(i >= 0 for i, _ in got)
+    # and at least one null-padded (unmatched) row must exist — otherwise
+    # this degenerates to the inner-join test
+    assert any(c is None for _, c in got)
