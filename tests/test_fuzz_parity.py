@@ -298,3 +298,110 @@ def test_log2_milli_floor_converges_cross_engine(spark):
            FROM grid ORDER BY c, n, a, b"""
     ).fetchdf()
     assert list(got["bits"]) == list(want["bits"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H money math: fuzzed lineitem through the exact-BIGINT integerization
+# ---------------------------------------------------------------------------
+
+# lineitem-only queries with the FLOOR(x*scale + 0.5) integerization
+# contract; a divergence here means a real cross-engine IEEE/boundary bug
+TPCH_FUZZ_QUERIES = ["tpch_q1_pricing_summary", "tpch_q6_forecast_revenue"]
+
+_SHIP_DATES = st.sampled_from(
+    [
+        # straddle the Q6 window edges exactly...
+        dt.datetime(1995, 12, 31, 23, 59, 59),
+        dt.datetime(1996, 1, 1, 0, 0, 0),
+        dt.datetime(1996, 7, 4, 12, 0, 0),
+        dt.datetime(1996, 12, 31, 23, 59, 59),
+        dt.datetime(1997, 1, 1, 0, 0, 0),
+        # ...and the Q1 <= cutoff exactly
+        dt.datetime(2001, 8, 5, 0, 0, 0),
+        dt.datetime(2001, 8, 6, 0, 0, 0),
+        dt.datetime(2001, 8, 7, 0, 0, 0),
+    ]
+)
+# money/rate pools hammer the FLOOR(x*scale + 0.5) half-way boundaries:
+# .005 cents edges, the Q6 BETWEEN 500..700 bp edges, halves of quantity
+_PRICES = st.one_of(
+    st.sampled_from([0.0, 0.005, 0.004999999999999999, 901.505, 104999.995, 0.01]),
+    st.floats(min_value=0.0, max_value=105_000.0, allow_nan=False, width=64),
+)
+_RATES = st.one_of(
+    st.sampled_from([0.0, 0.05, 0.049999999999999996, 0.07, 0.07000000000000001, 0.0500499, 0.1]),
+    st.floats(min_value=0.0, max_value=0.2, allow_nan=False, width=64),
+)
+_QTYS = st.sampled_from([1.0, 23.0, 23.5, 24.0, 24.5, 25.0, 49.5, 50.0])
+_FLAGS = st.sampled_from(["A", "N", "R", ""])
+_STATUS = st.sampled_from(["O", "F"])
+
+
+@st.composite
+def _lineitems(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i // 4 + 1,  # l_orderkey
+                draw(st.integers(min_value=1, max_value=50)),  # l_partkey
+                draw(st.integers(min_value=1, max_value=10)),  # l_suppkey
+                i % 4 + 1,  # l_linenumber
+                draw(_QTYS),
+                draw(_PRICES),
+                draw(_RATES),  # l_discount
+                draw(_RATES),  # l_tax
+                draw(_FLAGS),
+                draw(_STATUS),
+                draw(_SHIP_DATES),
+            )
+        )
+    return rows
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_lineitems())
+def test_tpch_money_math_matches_oracle_on_fuzzed_lineitem(
+    spark, tmp_path_factory, rows
+):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    d = tmp_path_factory.mktemp("fuzzli")
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(cols[0], pa.int64()),
+                "l_partkey": pa.array(cols[1], pa.int64()),
+                "l_suppkey": pa.array(cols[2], pa.int64()),
+                "l_linenumber": pa.array(cols[3], pa.int32()),
+                "l_quantity": pa.array(cols[4], pa.float64()),
+                "l_extendedprice": pa.array(cols[5], pa.float64()),
+                "l_discount": pa.array(cols[6], pa.float64()),
+                "l_tax": pa.array(cols[7], pa.float64()),
+                "l_returnflag": pa.array(cols[8], pa.string()),
+                "l_linestatus": pa.array(cols[9], pa.string()),
+                "l_shipdate": pa.array(cols[10], pa.timestamp("us")),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    specs = all_specs()
+    for name in TPCH_FUZZ_QUERIES:
+        spec = specs[name]
+        got = _norm_spark(spec.fn(spark, str(d)))
+        want = _norm_duck(con, spec.oracle)
+        assert got == want, f"{name}: spark != oracle on fuzzed lineitem"
