@@ -133,6 +133,51 @@ class SnapshotTable:
         merged = joined.select(*cols)
         return self.commit(merged, mode="overwrite")
 
+    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+        """Copy-on-write DELETE: remove rows where ``predicate`` is TRUE and
+        commit the result as a new overwrite version (the pre-delete version
+        stays readable — the GDPR-erasure shape still wants the *lineage*
+        expired afterwards via ``expire``, which physically removes the old
+        data dirs).
+
+        Dir-level pruning, the same play Delta/Iceberg make at file level:
+        each manifest dir is first probed with a pushed-down ``LIMIT 1``
+        scan (parquet footer stats make a no-hit probe metadata-cheap), and
+        only dirs that actually contain matches are rewritten — untouched
+        dirs carry over into the new manifest by reference, so a delete
+        that touches one ingest batch rewrites one batch, not the table.
+        The probe loop is driver-side but O(manifest dirs) = O(commits),
+        never O(files) or O(rows).
+
+        SQL DELETE three-valued logic: rows where the predicate is NULL
+        are NOT deleted (kept), matching ``DELETE FROM t WHERE p``."""
+        from pyspark.sql import functions as F
+
+        parent = self.latest_version()
+        if parent == 0:
+            raise ValueError(f"{self.path}: no committed versions")
+        untouched, touched = [], []
+        for d in self._manifest(parent)["dirs"]:
+            hit = spark.read.parquet(d).filter(predicate).limit(1).count() > 0
+            (touched if hit else untouched).append(d)
+        version = parent + 1
+        dirs = list(untouched)
+        if touched:
+            kept = spark.read.parquet(*touched).filter(
+                ~F.coalesce(F.expr(predicate), F.lit(False))
+            )
+            data_dir = f"{self.path}/data/v{version:06d}"
+            attempt = 0
+            while os.path.exists(data_dir):
+                attempt += 1
+                data_dir = f"{self.path}/data/v{version:06d}-r{attempt}"
+            kept.write.mode("error").parquet(data_dir)
+            dirs.append(data_dir)
+        self._write_manifest(
+            {"version": version, "parent": parent, "mode": "delete", "dirs": dirs}
+        )
+        return version
+
     # -- maintenance ---------------------------------------------------------
 
     def expire(self, keep_last: int = 1) -> list[int]:
