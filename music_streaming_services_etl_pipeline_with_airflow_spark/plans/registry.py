@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q1_pricing_summary",  # canonical TPC-H flagships (plans/tpch.py)
     "tpch_q5_local_supplier_volume",
     "warehouse_snapshot_time_travel",  # snapshot format MERGE + time travel
+    "warehouse_snapshot_delete",  # copy-on-write DELETE w/ dir pruning
     # (corpus_dup_stats — a pure one-aggregate composition of the
     # head-checked curate_strip_shared_spans relation — and
     # bpe_tokenize_corpus — rows-only, already pinned EXACTLY against an
@@ -125,7 +126,10 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_scores",
     "text_lang_id",
     "text_tfidf_top_terms",
-    "gopher_repetition",
+    # (gopher_repetition yields its slot to warehouse_snapshot_delete —
+    # its zero-shuffle plan is pinned in test_gopher_repetition_is_shuffle
+    # _free and the head-checked gopher_repetition_full supersets its
+    # signal family; it rejoins the round-7 rotation.)
     # (text_chunk_fixed, text_fingerprint and decontam_ngram_overlap yield
     # their slots to the three late-round-6 queries above and lead the
     # round-7 rotation instead — each carries an independent pin meanwhile:

@@ -367,3 +367,64 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("sk_min"),
         F.max("l_suppkey").alias("sk_max"),
     )
+
+
+_DELETE_PRED = "o_orderstatus = 'F' AND o_custkey % 10 < 3"
+
+
+@register(
+    "warehouse_snapshot_delete",
+    f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(SUM(CASE WHEN NOT ({_DELETE_PRED}) THEN 1 ELSE 0 END)
+                AS BIGINT) AS rows_after,
+           CAST(SUM(CASE WHEN {_DELETE_PRED} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_deleted
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Copy-on-write DELETE in the snapshot format (GDPR-erasure shape): "
+    "orders committed as two append batches split by status, then "
+    "`SnapshotTable.delete_where` removes a keyed slice of the 'F' rows. "
+    "Dir-level pruning — each manifest dir is probed with a pushed-down "
+    "LIMIT 1 scan and only dirs containing matches are rewritten, so the "
+    "delete rewrites the one batch it touches and carries the other by "
+    "reference (pinned in test_snapshots). The audit diffs the pre- and "
+    "post-delete TIME-TRAVEL READS per status; the oracle recomputes it "
+    "from the base table — a leak of deleted rows into the new version, "
+    "or of the delete into the old one, diverges the hash.",
+)
+def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+
+    t = SnapshotTable(tempfile.mkdtemp(prefix="spark_engine_snapdel_") + "/orders_fact")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    t.commit(orders.filter("o_orderstatus <> 'F'"), mode="overwrite")
+    v_pre = t.commit(orders.filter("o_orderstatus = 'F'"), mode="append")
+    v_post = t.delete_where(spark, _DELETE_PRED)
+
+    before = (
+        t.read(spark, v_pre)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("rows_before"))
+    )
+    after = (
+        t.read(spark, v_post)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("rows_after"))
+    )
+    return (
+        before.join(after, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            "rows_before",
+            F.coalesce("rows_after", F.lit(0)).alias("rows_after"),
+            (F.col("rows_before") - F.coalesce("rows_after", F.lit(0))).alias(
+                "n_deleted"
+            ),
+        )
+    )

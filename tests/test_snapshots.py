@@ -109,3 +109,38 @@ def test_expire_refcounts_shared_dirs(spark, tmp_path):
     assert not os.path.isdir(v1_dir)
     assert _rows(t.read(spark)) == [(9,)]
     assert t.versions() == [4]
+
+
+def test_delete_where_copy_on_write(spark, tmp_path):
+    """delete_where removes predicate-TRUE rows into a new version, keeps
+    the parent readable (time travel), rewrites ONLY the dirs that contain
+    matches (untouched dirs carry over by reference), and keeps rows where
+    the predicate evaluates to NULL (SQL DELETE three-valued logic)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    )  # v1: no matches for v > 90
+    t.commit(
+        spark.createDataFrame([(3, 95), (4, 40), (5, None)], "id long, v long"),
+        mode="append",
+    )  # v2 adds the only matching dir (and a NULL-predicate row)
+    clean_dir = t._manifest(1)["dirs"][0]
+    v3 = t.delete_where(spark, "v > 90")
+    assert v3 == 3
+    # predicate-TRUE row gone; FALSE and NULL rows kept
+    assert _rows(t.read(spark, v3).select("id")) == [(1,), (2,), (4,), (5,)]
+    # parent version still shows the deleted row (time travel isolation)
+    assert _rows(t.read(spark, 2).select("id")) == [(1,), (2,), (3,), (4,), (5,)]
+    # the match-free dir was carried over by reference, not rewritten
+    assert clean_dir in t._manifest(v3)["dirs"]
+    # a delete matching nothing commits a manifest-only version
+    v4 = t.delete_where(spark, "v > 1000")
+    assert _rows(t.read(spark, v4).select("id")) == [(1,), (2,), (4,), (5,)]
+    assert set(t._manifest(v4)["dirs"]) == set(t._manifest(v3)["dirs"])
+    # expire(1) physically removes the pre-delete lineage dirs that the
+    # surviving version no longer references (the GDPR completion step)
+    import os as _os
+
+    dead = [d for d in t._manifest(2)["dirs"] if d not in t._manifest(v4)["dirs"]]
+    t.expire(keep_last=1)
+    assert dead and all(not _os.path.isdir(d) for d in dead)
