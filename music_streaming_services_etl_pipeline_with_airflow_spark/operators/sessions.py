@@ -75,3 +75,132 @@ FROM numbered GROUP BY user_id, session_no
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental sessionization — IVM for session windows
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOFF = "2024-01-21 00:00:00"
+
+
+def sessionize_state(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """Sessionize into a MERGEABLE state: like ``sessionize`` but carrying
+    the distinct event-type SET (``collect_set``) instead of its size —
+    countDistinct is not combinable from two counts, so the incremental
+    state stores the partial the merge actually needs. The IVM lesson in
+    one column."""
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.collect_set("event_type").alias("types"),
+            F.max("ts").alias("session_end_ts"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "session_start", "session_end_ts", "n_events", "types")
+    )
+
+
+def merge_session_states(
+    base: DataFrame, delta: DataFrame, gap_minutes: int = GAP_MINUTES
+) -> DataFrame:
+    """Merge a stored session state with the state of a strictly-later
+    delta batch (every delta event after every base event — the
+    late-partition ingest shape). Per user at most ONE boundary pair can
+    merge: the base's last session with the delta's first, iff the gap is
+    within the timeout — internal gaps on both sides already exceed it, so
+    no chaining is possible. Cost: two window shuffles on user_id + one
+    user-keyed join of the two boundary row sets; everything else passes
+    through untouched."""
+    from pyspark.sql import Window
+
+    w_last = Window.partitionBy("user_id").orderBy(F.col("session_end_ts").desc())
+    w_first = Window.partitionBy("user_id").orderBy(F.col("session_start").asc())
+    b = base.withColumn("_rn", F.row_number().over(w_last))
+    d = delta.withColumn("_rn", F.row_number().over(w_first))
+
+    b_last = b.filter("_rn = 1").select(
+        "user_id",
+        F.col("session_start").alias("b_start"),
+        F.col("session_end_ts").alias("b_end"),
+        F.col("n_events").alias("b_n"),
+        F.col("types").alias("b_types"),
+    )
+    d_first = d.filter("_rn = 1").select(
+        "user_id",
+        F.col("session_start").alias("d_start"),
+        F.col("session_end_ts").alias("d_end"),
+        F.col("n_events").alias("d_n"),
+        F.col("types").alias("d_types"),
+    )
+    pair = b_last.join(d_first, "user_id", "inner").withColumn(
+        "_merge",
+        F.col("d_start")
+        <= F.col("b_end") + F.expr(f"interval {gap_minutes} minutes"),
+    )
+    merged = pair.filter("_merge").select(
+        "user_id",
+        F.col("b_start").alias("session_start"),
+        F.col("d_end").alias("session_end_ts"),
+        (F.col("b_n") + F.col("d_n")).alias("n_events"),
+        F.array_union("b_types", "d_types").alias("types"),
+    )
+    merged_users = pair.filter("_merge").select("user_id")
+    keep_b = b.join(
+        merged_users.withColumn("_m", F.lit(1)), "user_id", "left"
+    ).filter("_rn > 1 OR _m IS NULL")
+    keep_d = d.join(
+        merged_users.withColumn("_m", F.lit(1)), "user_id", "left"
+    ).filter("_rn > 1 OR _m IS NULL")
+    cols = ["user_id", "session_start", "session_end_ts", "n_events", "types"]
+    return keep_b.select(*cols).unionAll(keep_d.select(*cols)).unionAll(merged)
+
+
+@register(
+    "ivm_incremental_sessions",
+    f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_type, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL {GAP_MINUTES} MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+numbered AS (
+    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end_ts,
+       COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_event_types
+FROM numbered GROUP BY user_id, session_no
+""",
+    doc="Incremental sessionization (IVM for session windows): events are "
+    f"split at TIMESTAMP '{_IVM_CUTOFF}' into a stored base state and a "
+    "strictly-later delta batch, each sessionized independently into "
+    "MERGEABLE states (collect_set of event types, not countDistinct — "
+    "the non-combinable aggregate is exactly what the state must carry), "
+    "then combined: per user the single boundary pair (base-last, "
+    "delta-first) merges iff its gap is within the timeout; chaining is "
+    "impossible because internal gaps already exceed it. The oracle is "
+    "the FULL lag-gap recompute over all events — hash equality proves "
+    "combine(state, delta) == recompute, the IVM contract. At scale the "
+    "delta is a day's partition and the base is never re-scanned: cost "
+    "tracks the increment plus two bounded boundary-row exchanges.",
+)
+def q_ivm_incremental_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("ts") < F.lit(_IVM_CUTOFF).cast("timestamp"))
+    delta = events.filter(F.col("ts") >= F.lit(_IVM_CUTOFF).cast("timestamp"))
+    combined = merge_session_states(sessionize_state(base), sessionize_state(delta))
+    return combined.select(
+        "user_id",
+        "session_start",
+        "session_end_ts",
+        "n_events",
+        F.size("types").alias("n_event_types"),
+    )

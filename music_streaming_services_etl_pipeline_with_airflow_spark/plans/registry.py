@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q5_local_supplier_volume",
     "warehouse_snapshot_time_travel",  # snapshot format MERGE + time travel
     "warehouse_snapshot_delete",  # copy-on-write DELETE w/ dir pruning
+    "ivm_incremental_sessions",  # combine(state, delta) == recompute
     # (corpus_dup_stats — a pure one-aggregate composition of the
     # head-checked curate_strip_shared_spans relation — and
     # bpe_tokenize_corpus — rows-only, already pinned EXACTLY against an
@@ -103,7 +104,9 @@ _PRIORITY: tuple[str, ...] = (
     "a7_exact_percentiles",
     "a8_hypertable_rollup",
     "a9_exact_correlation",
-    "j8_bloom_prefilter_join",
+    # (j8_bloom_prefilter_join yields its slot to ivm_incremental_sessions
+    # and rejoins the round-7 rotation — its no-false-negative pruning is
+    # pinned in test_bloom_prefilter_prunes_without_false_negatives.)
     "j9_fuzzy_name_pairs",
     "p15_array_collect_transform",
     "p16_unpivot_melt",

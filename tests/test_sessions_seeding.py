@@ -266,3 +266,65 @@ def test_tws_sessionizer_equals_timeout_twin_when_runtime_present():
     tws = sorted(map(key, sessionize_stream_tws(spark, SF).collect()))
     timeout = sorted(map(key, sessionize_stream_timeout(spark, SF).collect()))
     assert tws == timeout
+
+
+def test_incremental_sessions_boundary_merge(spark):
+    """combine(state, delta) == recompute for sessionization, on a
+    constructed boundary: user 1's last base session is within the gap of
+    their first delta session (must merge, n_events and the distinct
+    type SET combine), user 2's is outside it (must not merge), user 3
+    exists only in the delta. The distinct-type union across the boundary
+    is the part a count-based state could not produce."""
+    import datetime as dt
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.sessions import (
+        merge_session_states,
+        sessionize,
+        sessionize_state,
+    )
+    from pyspark.sql import functions as F
+
+    def _ev(eid, h, m, u, typ):
+        return (eid, dt.datetime(2024, 1, 21, h, m), u, typ, 0.0, None)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    base_rows = [
+        _ev(1, 9, 0, 1, "view"),
+        _ev(2, 9, 10, 1, "click"),  # user 1 base session ends 9:10
+        _ev(3, 8, 0, 2, "view"),    # user 2 base session ends 8:00
+        _ev(4, 6, 0, 1, "view"),    # earlier user-1 session (must pass through)
+    ]
+    delta_rows = [
+        _ev(5, 9, 30, 1, "purchase"),  # 20 min after 9:10 -> merges
+        _ev(6, 11, 0, 2, "view"),      # 3 h after 8:00 -> no merge
+        _ev(7, 9, 0, 3, "view"),       # delta-only user
+    ]
+    base = spark.createDataFrame(base_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    got = (
+        merge_session_states(sessionize_state(base), sessionize_state(delta))
+        .select(
+            "user_id",
+            "session_start",
+            "session_end_ts",
+            "n_events",
+            F.size("types").alias("n_event_types"),
+        )
+    )
+    want = sessionize(base.unionAll(delta))
+    key = lambda r: (r.user_id, str(r.session_start))
+    got_rows = sorted(
+        ((r.user_id, str(r.session_start), str(r.session_end_ts), r.n_events, r.n_event_types) for r in got.collect())
+    )
+    want_rows = sorted(
+        ((r.user_id, str(r.session_start), str(r.session_end_ts), r.n_events, r.n_event_types) for r in want.collect())
+    )
+    assert got_rows == want_rows
+    # the merged session really is one 3-event, 3-type session
+    m = [r for r in got_rows if r[0] == 1 and r[1].endswith("09:00:00")]
+    assert m == [(1, "2024-01-21 09:00:00", "2024-01-21 09:30:00", 3, 3)]
+    # user 2 kept two separate sessions
+    assert len([r for r in got_rows if r[0] == 2]) == 2

@@ -55,6 +55,11 @@ QUERIES = [
     "dedup_source_overlap",
     "curate_quality_verdicts",
     "streaming_dedup_ingest",
+    # round-6 second wave
+    "streaming_interval_join_outer",
+    "sample_reservoir_topk",
+    "warehouse_zorder_locality",
+    "warehouse_snapshot_delete",
     # TPC-H family: q1/q6/q18 are lineitem-driven so the 10x replica
     # (shifted l_orderkey) scales their full input; the join queries keep
     # sf0.1-sized dimension sides, stressing the fact scan alone
