@@ -1594,3 +1594,45 @@ def q_j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prev_order_date"),
         F.count("p_orderkey").alias("n_prior_window"),
     )
+
+
+@register(
+    "w11_ohlc_resample",
+    """
+    WITH b AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_z
+        FROM events
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY event_type, bucket
+    """,
+    doc="OHLC downsampling (the market-data resample shape): per "
+    "(event_type, hour) bucket, open/close by min_by/max_by over the total "
+    "(ts, event_id) order, high/low by plain extremes. Every output is a "
+    "SELECTION of an input double — zero float arithmetic — so the result "
+    "is engine-exact on any data. One hash-aggregate shuffle on the bucket "
+    "key (min_by/max_by carry the argmax inside the partial aggregate); "
+    "the oracle's window+filter construction proves the selection "
+    "semantics against an independent formulation.",
+)
+def q_w11_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
