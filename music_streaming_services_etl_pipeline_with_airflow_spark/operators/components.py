@@ -180,3 +180,88 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting — the classic distributed graph-analytics kernel
+# ---------------------------------------------------------------------------
+
+_TRI_EDGES = """
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+@register(
+    "graph_triangle_counts",
+    f"""
+WITH e AS ({_TRI_EDGES}),
+tri AS (
+    SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+    FROM e e1
+    JOIN e e2 ON e2.pa = e1.pb
+    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+v AS (
+    SELECT a AS part FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT part AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM v GROUP BY part
+""",
+    doc="Per-vertex triangle counting (the MapReduce graph-analytics "
+    "classic, the clustering-coefficient numerator) over the part "
+    "co-purchase graph: edges = distinct part pairs sharing an order, "
+    "oriented a<b so each triangle is enumerated exactly once as "
+    "a<b<c — wedges (e1.b=e2.a) closed by a hash semi-probe into the "
+    "edge set (e3). All equi-joins: wedge generation shuffles on the "
+    "shared vertex, closure on the (a, c) pair — never a cartesian. At "
+    "scale the standard refinements slot in unchanged: orient edges "
+    "low-degree->high-degree to cap wedge fan-out at O(m^1.5) and "
+    "broadcast the top-degree adjacency; the oriented enumeration here "
+    "is already the 6x-dedup half of that design.",
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    v = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return v.groupBy(F.col("part").alias("l_partkey")).agg(
+        F.count("*").alias("n_triangles")
+    )

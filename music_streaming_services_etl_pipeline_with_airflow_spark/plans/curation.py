@@ -311,3 +311,65 @@ def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("take"))
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination — embedding-space eval-set overlap
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.35
+_SEM_PROBE_MOD = 29  # vec_id % 29 == 0 -> the held-out "eval set" probe
+
+
+def _sem_oracle() -> str:
+    from ..functions import vectors as V
+
+    return f"""
+WITH nrm AS (
+    SELECT vec_id, embedding, {V.norm_sql('embedding')} AS n FROM embeddings
+),
+nv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS v
+    FROM nrm
+)
+SELECT t.vec_id AS train_id, p.vec_id AS eval_id,
+       {V.dot_sql('t.v', 'p.v')} AS cos
+FROM nv t JOIN nv p
+  ON p.vec_id % {_SEM_PROBE_MOD} = 0 AND t.vec_id % {_SEM_PROBE_MOD} <> 0
+WHERE {V.dot_sql('t.v', 'p.v')} >= {_SEM_TAU}
+"""
+
+
+@register(
+    "decontam_semantic",
+    _sem_oracle(),
+    doc=f"Semantic decontamination: flag training vectors whose cosine vs "
+    f"ANY held-out eval vector reaches {_SEM_TAU} — the embedding-space "
+    "complement of decontam_ngram_overlap (n-gram overlap misses "
+    "paraphrased leakage; embedding similarity catches it). Same scale "
+    "shape as the n-gram probe: the eval set is tiny and BROADCAST, the "
+    "training side streams through one scan with a per-row dot-product "
+    "fold against the in-memory probes (BroadcastNestedLoopJoin — bounded "
+    "by |eval|, never a shuffle of the corpus), vectors normalized once "
+    "per side. Cosines are bit-exact cross-engine (same fold order as "
+    "dedup_embedding_cosine), so the pair set value-hash matches.",
+)
+def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("dv")
+    )
+    nv = emb.withColumn("nrm", V.norm(F.col("dv"))).select(
+        "vec_id", F.transform("dv", lambda x: x / F.col("nrm")).alias("v")
+    )
+    probe = nv.filter(F.col("vec_id") % _SEM_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("pv")
+    )
+    train = nv.filter(F.col("vec_id") % _SEM_PROBE_MOD != 0)
+    return (
+        train.crossJoin(F.broadcast(probe))
+        .withColumn("cos", V.dot(F.col("v"), F.col("pv")))
+        .filter(F.col("cos") >= _SEM_TAU)
+        .select(F.col("vec_id").alias("train_id"), "eval_id", "cos")
+    )

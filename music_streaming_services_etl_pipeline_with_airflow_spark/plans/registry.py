@@ -71,9 +71,12 @@ _PRIORITY: tuple[str, ...] = (
     "warehouse_snapshot_time_travel",  # snapshot format MERGE + time travel
     "warehouse_snapshot_delete",  # copy-on-write DELETE w/ dir pruning
     "ivm_incremental_sessions",  # combine(state, delta) == recompute
-    # (w11_ohlc_resample — selection-only OHLC downsampling, engine-exact
-    # by construction and parity-green locally — waits for the round-7
-    # head with the entries below.)
+    # (w11_ohlc_resample — selection-only OHLC downsampling — plus
+    # decontam_semantic (broadcast eval-probe embedding decontamination)
+    # and graph_triangle_counts (oriented wedge-closure triangle counting):
+    # all engine-exact by construction, parity-green locally, constructed-
+    # case pinned in pytest; they wait for the round-7 head with the
+    # entries below.)
     # (corpus_dup_stats — a pure one-aggregate composition of the
     # head-checked curate_strip_shared_spans relation — and
     # bpe_tokenize_corpus — rows-only, already pinned EXACTLY against an

@@ -1577,3 +1577,57 @@ def test_semantic_prune_invariants(spark):
                 raise AssertionError(
                     f"vec {r.vec_id} kept despite in-cluster dup {va}"
                 )
+
+
+def test_triangle_counts_constructed(spark, tmp_path):
+    """Orders {1,2},{2,3},{1,3} close one triangle over parts 1-2-3; the
+    dangling edge (1,4) joins no triangle. Each triangle vertex counts
+    exactly once; part 4 is absent from the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.components import (
+        q_triangle_counts,
+    )
+
+    rows = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3), (4, 1), (4, 4)]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = sorted(
+        (r.l_partkey, r.n_triangles)
+        for r in q_triangle_counts(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_decontam_semantic_flags_identical_vector(spark, tmp_path):
+    """A training vector identical to an eval probe must be flagged with
+    cosine exactly 1.0; an orthogonal one must not appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.curation import (
+        q_decontam_semantic,
+    )
+
+    # vec_id 29 -> probe (29 % 29 == 0); 1 copies it; 2 is orthogonal
+    vecs = {29: [1.0, 0.0, 0.0, 0.0], 1: [1.0, 0.0, 0.0, 0.0], 2: [0.0, 1.0, 0.0, 0.0]}
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(list(vecs), pa.int64()),
+                "embedding": pa.array(list(vecs.values()), pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int64()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = {(r.train_id, r.eval_id, r.cos) for r in q_decontam_semantic(spark, str(tmp_path)).collect()}
+    assert got == {(1, 29, 1.0)}
