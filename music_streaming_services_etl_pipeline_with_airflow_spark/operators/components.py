@@ -186,11 +186,14 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle counting — the classic distributed graph-analytics kernel
 # ---------------------------------------------------------------------------
 
-_TRI_EDGES = """
-    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+_TRI_SUPPORT = 2  # an edge is a REPEATED co-purchase, not a chance collision
+
+_TRI_EDGES = f"""
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
     FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
     JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_SUPPORT}
 """
 
 
@@ -214,15 +217,19 @@ FROM v GROUP BY part
 """,
     doc="Per-vertex triangle counting (the MapReduce graph-analytics "
     "classic, the clustering-coefficient numerator) over the part "
-    "co-purchase graph: edges = distinct part pairs sharing an order, "
-    "oriented a<b so each triangle is enumerated exactly once as "
-    "a<b<c — wedges (e1.b=e2.a) closed by a hash semi-probe into the "
-    "edge set (e3). All equi-joins: wedge generation shuffles on the "
-    "shared vertex, closure on the (a, c) pair — never a cartesian. At "
-    "scale the standard refinements slot in unchanged: orient edges "
-    "low-degree->high-degree to cap wedge fan-out at O(m^1.5) and "
-    "broadcast the top-degree adjacency; the oriented enumeration here "
-    "is already the 6x-dedup half of that design.",
+    f"co-purchase graph. Two scale levers compose: (1) edges require "
+    f"SUPPORT >= {_TRI_SUPPORT} co-occurrences — a repeated co-purchase, "
+    "not a chance basket collision — which is both the market-basket "
+    "convention and the graph sparsifier (1.2M chance edges -> 3.6k "
+    "support-2 edges at sf0.1); (2) DEGREE-ORDERED orientation: each "
+    "edge points from its lower-(degree, id) endpoint to the higher, so "
+    "every triangle has exactly one pivot with two out-edges and is "
+    "enumerated exactly once, with out-degrees O(sqrt(m)) amortized — "
+    "wedge fan-out capped at O(m^1.5) instead of sum(deg^2) on skewed "
+    "graphs. All equi-joins: wedge generation shuffles on the pivot "
+    "vertex, closure is a hash semi-probe into the undirected edge set. "
+    "The oracle counts the same triangles via plain a<b<c id ordering — "
+    "orientation changes the enumeration schedule, never the counts.",
 )
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
@@ -234,33 +241,52 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.alias("a")
     b = li.alias("b")
+    # undirected edge set, canonical (pa < pb by id), support-thresholded
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
+        .groupBy(
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
-        .distinct()
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= _TRI_SUPPORT)
+        .select("pa", "pb")
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
-        .join(
-            e3,
-            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
-        )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("pb"), F.col("d").alias("db"))
+    # orient lower-(degree, id) -> higher; ties broken by id, so the
+    # ordering is total and each triangle has exactly one pivot
+    with_deg = edges.join(da, "pa").join(db, "pb")
+    fwd = F.struct("da", "pa") < F.struct("db", "pb")
+    directed = with_deg.select(
+        F.when(fwd, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+        F.when(fwd, F.col("pb")).otherwise(F.col("pa")).alias("w"),
+    )
+    d1 = directed.alias("d1")
+    d2 = directed.alias("d2")
+    # wedges at the pivot: two out-neighbors, id-ordered so the closure
+    # probe matches the canonical undirected key exactly once
+    wedges = (
+        d1.join(d2, F.col("d1.u") == F.col("d2.u"))
+        .filter(F.col("d1.w") < F.col("d2.w"))
         .select(
-            F.col("e1.pa").alias("a"),
-            F.col("e1.pb").alias("b"),
-            F.col("e2.pb").alias("c"),
+            F.col("d1.u").alias("u"),
+            F.col("d1.w").alias("x"),
+            F.col("d2.w").alias("y"),
         )
     )
+    closer = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    tri = wedges.join(closer, ["x", "y"])
     v = (
-        tri.select(F.col("a").alias("part"))
-        .unionAll(tri.select(F.col("b").alias("part")))
-        .unionAll(tri.select(F.col("c").alias("part")))
+        tri.select(F.col("u").alias("part"))
+        .unionAll(tri.select(F.col("x").alias("part")))
+        .unionAll(tri.select(F.col("y").alias("part")))
     )
     return v.groupBy(F.col("part").alias("l_partkey")).agg(
         F.count("*").alias("n_triangles")

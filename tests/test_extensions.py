@@ -1590,7 +1590,11 @@ def test_triangle_counts_constructed(spark, tmp_path):
         q_triangle_counts,
     )
 
+    # every real edge co-occurs in TWO orders (support threshold); the
+    # (1,5) pair appears once only and must not become an edge at all
     rows = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3), (4, 1), (4, 4)]
+    rows += [(o + 10, p) for (o, p) in rows]  # second co-occurrence of each
+    rows += [(21, 1), (21, 5)]  # support-1 pair -> no edge
     pq.write_table(
         pa.table(
             {

@@ -60,6 +60,10 @@ QUERIES = [
     "sample_reservoir_topk",
     "warehouse_zorder_locality",
     "warehouse_snapshot_delete",
+    "ivm_incremental_sessions",
+    "w11_ohlc_resample",
+    "decontam_semantic",
+    "graph_triangle_counts",
     # TPC-H family: q1/q6/q18 are lineitem-driven so the 10x replica
     # (shifted l_orderkey) scales their full input; the join queries keep
     # sf0.1-sized dimension sides, stressing the fact scan alone
