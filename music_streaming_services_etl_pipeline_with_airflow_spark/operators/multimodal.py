@@ -606,3 +606,107 @@ def feature_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def q_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(feature_batch, schema=FEAT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (dHash) — the standard image near-dup key
+# ---------------------------------------------------------------------------
+
+DH = 8  # dHash grid: DH rows x (DH+1) cols -> DH*DH gradient bits
+
+# the 64 gradient bits are carried as two 32-bit halves: bit 63 of a
+# signed BIGINT is the sign bit, and 1 << 63 overflows in BOTH numpy int64
+# and DuckDB -- two unsigned-safe halves keep every engine in range
+PHASH_SCHEMA = "doc_id long, dhash_hi long, dhash_lo long"
+
+
+def phash_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, text) → 64-bit dHash. Resample the
+    synthetic grayscale image to an 8×9 grid (same floor-index nearest
+    neighbor as the thumbnail kernel) and set bit (i*8+j) iff
+    pix[i, j] < pix[i, j+1] — the horizontal-gradient signature that
+    survives rescaling and brightness shifts in real images."""
+    import numpy as np
+
+    half = DH * DH // 2
+    bit_w = (1 << (np.arange(DH * DH, dtype=np.int64) % half)).reshape(DH, DH)
+    for pdf in frames:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            img = _synthetic_gray(text.encode("utf-8"))
+            if img is None:
+                continue
+            g = _nn_resize(img, DH, DH + 1).astype(np.int64)
+            bits = (g[:, :-1] < g[:, 1:]).astype(np.int64)
+            w = bits * bit_w
+            lo = int(w.ravel()[:half].sum())
+            hi = int(w.ravel()[half:].sum())
+            rows.append((doc_id, hi, lo))
+        yield pd.DataFrame(rows, columns=["doc_id", "dhash_hi", "dhash_lo"])
+
+
+# pixel at dHash grid cell (i, j): src row (i*SYN_H)//DH, src col
+# (j*w)//(DH+1), byte (row*w + col) % n — same byte-exact hex() exposure
+# as _SYN_PIX_SQL, with the (DH, DH+1) grid in place of the square thumb
+_DH_PIX_SQL = (
+    f"CAST(concat('0x', substr(hx, 2 * (((((i * {SYN_H}) // {DH}) * w "
+    f"+ ((j * w) // {DH + 1})) % n)) + 1, 2)) AS INTEGER)"
+)
+_DH_PIX_SQL_R = (
+    f"CAST(concat('0x', substr(hx, 2 * (((((i * {SYN_H}) // {DH}) * w "
+    f"+ (((j + 1) * w) // {DH + 1})) % n)) + 1, 2)) AS INTEGER)"
+)
+
+
+@register(
+    "multimodal_phash_dedup",
+    f"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n,
+                 least(octet_length(encode(text)), {SYN_W_MAX}) AS w
+          FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        cells AS (
+          SELECT doc_id, hx, n, w, i.i, j.j
+          FROM d,
+               (SELECT unnest(generate_series(0, {DH - 1})) AS i) i,
+               (SELECT unnest(generate_series(0, {DH - 1})) AS j) j
+        ),
+        hashes AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN i * {DH} + j >= {DH * DH // 2} THEN
+                        CAST({_DH_PIX_SQL} < {_DH_PIX_SQL_R} AS BIGINT)
+                        * (CAST(1 AS BIGINT) << ((i * {DH} + j) % {DH * DH // 2}))
+                      ELSE 0 END) AS BIGINT) AS dhash_hi,
+                 CAST(SUM(CASE WHEN i * {DH} + j < {DH * DH // 2} THEN
+                        CAST({_DH_PIX_SQL} < {_DH_PIX_SQL_R} AS BIGINT)
+                        * (CAST(1 AS BIGINT) << (i * {DH} + j))
+                      ELSE 0 END) AS BIGINT) AS dhash_lo
+          FROM cells GROUP BY doc_id
+        )
+        SELECT dhash_hi, dhash_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               MIN(doc_id) AS canonical_doc_id
+        FROM hashes GROUP BY dhash_hi, dhash_lo HAVING COUNT(*) > 1""",
+    doc="Image near-dup via perceptual hash (dHash): resample each "
+    f"(synthetic) grayscale image to {DH}x{DH + 1}, take the 64 "
+    "horizontal-gradient bits, and group identical hashes — the standard "
+    "image-dedup key for training corpora (gradient signs survive "
+    "rescaling/brightness shifts that break byte-level hashing; with real "
+    "codecs only the decode step changes). Arrow mapInPandas numpy "
+    "kernel, then a 8-byte-key hash aggregate — image bytes never "
+    "shuffle, the same scan-side-collapse shape as dedup_exact. The "
+    "oracle recomputes every sampled byte and gradient bit in SQL, so "
+    "the kernel is value-hash-checked bit for bit.",
+)
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashes = docs.mapInPandas(phash_batch, schema=PHASH_SCHEMA)
+    return (
+        hashes.groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_images") > 1)
+    )

@@ -423,3 +423,32 @@ def test_resize_p5_rejects_zero_dims_and_wide_maxval():
     assert resize_p5(b"P5 16 16 65535 " + bytes(512)) is None
     assert resize_p5(b"P5 16 16 0 " + bytes(256)) is None
     assert resize_p5(b"P5 4 4 255 " + bytes(range(16))) is not None
+
+
+def test_phash_dedup_constructed(spark, tmp_path):
+    """Hand-computed dHash: text 'ab' -> 16x2 image alternating 97|98 ->
+    8x9 grid has its only rising gradient at column 4 of every row, so
+    bits {4,12,20,28} set in BOTH halves (positions i*8+4, hi half mod
+    32): hi == lo == 0x10101010. Identical docs group; 'ba' (falling
+    gradient) hashes differently and is excluded as a singleton."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        q_phash_dedup,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["ab", "ab", "ba"], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = [
+        (r.dhash_hi, r.dhash_lo, r.n_images, r.canonical_doc_id)
+        for r in q_phash_dedup(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(0x10101010, 0x10101010, 2, 1)]
