@@ -73,8 +73,9 @@ _PRIORITY: tuple[str, ...] = (
     "ivm_incremental_sessions",  # combine(state, delta) == recompute
     # (w11_ohlc_resample — selection-only OHLC downsampling — plus
     # decontam_semantic (broadcast eval-probe embedding decontamination)
-    # graph_triangle_counts (oriented wedge-closure triangle counting)
-    # and multimodal_phash_dedup (dHash perceptual-hash image near-dup):
+    # graph_triangle_counts (oriented wedge-closure triangle counting),
+    # multimodal_phash_dedup (dHash perceptual-hash image near-dup) and
+    # streaming_interval_join_full (both-direction watermark null-padding):
     # all engine-exact by construction, parity-green locally, constructed-
     # case pinned in pytest; they wait for the round-7 head with the
     # entries below.)

@@ -230,3 +230,69 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     return run_stream_to_df(joined.select("imp_user", "imp_id", "clk_id")).filter(
         F.col("imp_user") >= 0
     )
+
+
+@register(
+    "streaming_interval_join_full",
+    # Real oracle: the batch FULL OUTER interval join. Same watermark
+    # sentinel as the left-outer twin, now flushing BOTH directions:
+    # unmatched purchases null-pad on the click side, unmatched errors on
+    # the purchase side. Sentinels stripped on the batch result (either
+    # side may carry the -1 user after an outer emission).
+    """
+    SELECT p.user_id AS imp_user,
+           p.event_id AS imp_id,
+           e.user_id AS clk_user,
+           e.event_id AS clk_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts
+     AND e.ts <= p.ts + INTERVAL '30 minutes'
+    """,
+    doc="FULL OUTER stream-stream interval join: conversions, abandoned "
+    "impressions AND orphan clicks in one pass — both sides null-pad "
+    "when the watermark proves no counterpart can still arrive. The "
+    "right side's eviction bound derives from the reversed inequality "
+    "(a click can only match an EARLIER purchase, so it closes once the "
+    "watermark passes its own timestamp); the left side's from the "
+    "+30min upper bound. Same control-event sentinel as the left-outer "
+    "twin, stripped post-stream.",
+)
+def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = stage_events_with_watermark_sentinel(sf_dir, "events_join_full")
+    base = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    imp = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("imp_user"),
+            F.col("event_id").alias("imp_id"),
+            F.col("ts").alias("imp_ts"),
+        )
+        .withWatermark("imp_ts", "2 hours")
+    )
+    clk = (
+        base.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("clk_user"),
+            F.col("event_id").alias("clk_id"),
+            F.col("ts").alias("clk_ts"),
+        )
+        .withWatermark("clk_ts", "2 hours")
+    )
+    joined = imp.join(
+        clk,
+        F.expr(
+            """imp_user = clk_user AND
+               clk_ts >= imp_ts AND
+               clk_ts <= imp_ts + interval 30 minutes"""
+        ),
+        "fullOuter",
+    )
+    out = run_stream_to_df(joined.select("imp_user", "imp_id", "clk_user", "clk_id"))
+    # sentinel strip on the BATCH result — see the left-outer twin for why
+    # this must not run inside the streaming plan
+    return out.filter(
+        (F.col("imp_user").isNull() | (F.col("imp_user") >= 0))
+        & (F.col("clk_user").isNull() | (F.col("clk_user") >= 0))
+    )

@@ -197,3 +197,48 @@ def test_registered_streaming_interval_join_outer_equals_batch(spark):
     # and at least one null-padded (unmatched) row must exist — otherwise
     # this degenerates to the inner-join test
     assert any(c is None for _, c in got)
+
+
+def test_registered_streaming_interval_join_full_equals_batch(spark):
+    """FULL OUTER twin: matched pairs, abandoned purchases AND orphan
+    errors must all emit — both directions of watermark-driven
+    null-padding, flushed by the sentinel."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.dedup_join import (
+        q_streaming_interval_join_full,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = sorted(
+        (
+            (r.imp_id, r.clk_id)
+            for r in q_streaming_interval_join_full(spark, SF).collect()
+        ),
+        key=str,
+    )
+    ev = load_table(spark, SF, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    e = ev.filter("event_type = 'error'").select(
+        F.col("user_id").alias("eu"), F.col("event_id").alias("eid"), F.col("ts").alias("ets")
+    )
+    want = sorted(
+        (
+            (r.pid, r.eid)
+            for r in p.join(
+                e,
+                (p.pu == e.eu)
+                & (e.ets >= p.pts)
+                & (e.ets <= p.pts + F.expr("interval 30 minutes")),
+                "full",
+            ).collect()
+        ),
+        key=str,
+    )
+    assert got == want
+    # both outer directions genuinely exercised
+    assert any(c is None for _, c in got)  # abandoned purchase
+    assert any(i is None for i, _ in got)  # orphan error
