@@ -180,6 +180,22 @@ class SnapshotTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def compact(self, spark: SparkSession, max_dirs: int = 1) -> int:
+        """Compaction: when append lineage has fragmented the visible file
+        set across more than ``max_dirs`` data dirs, rewrite the current
+        version into ONE fresh dir and commit it — content-identical, new
+        version, old versions still readable until ``expire``. The
+        small-files half of the maintenance triad (merge/delete/compact);
+        at real scale this is the nightly job that keeps scan task counts
+        and parquet footer overhead bounded as ingest appends accumulate.
+        Returns the new version, or the current one if already compact."""
+        parent = self.latest_version()
+        if parent == 0:
+            raise ValueError(f"{self.path}: no committed versions")
+        if len(self._manifest(parent)["dirs"]) <= max_dirs:
+            return parent
+        return self.commit(self.read(spark, parent), mode="overwrite")
+
     def expire(self, keep_last: int = 1) -> list[int]:
         """Expire all but the newest ``keep_last`` versions: delete their
         manifests, then delete any data directory no surviving manifest

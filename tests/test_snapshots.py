@@ -144,3 +144,27 @@ def test_delete_where_copy_on_write(spark, tmp_path):
     dead = [d for d in t._manifest(2)["dirs"] if d not in t._manifest(v4)["dirs"]]
     t.expire(keep_last=1)
     assert dead and all(not _os.path.isdir(d) for d in dead)
+
+
+def test_compact_rewrites_fragmented_lineage(spark, tmp_path):
+    """compact() folds a multi-dir append lineage into one dir with
+    identical content; an already-compact table is a no-op; expire then
+    physically drops the fragments."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 2).select("id"))
+    t.commit(spark.range(2, 4).select("id"), mode="append")
+    t.commit(spark.range(4, 6).select("id"), mode="append")
+    assert len(t._manifest(3)["dirs"]) == 3
+    v4 = t.compact(spark)
+    assert v4 == 4
+    assert len(t._manifest(v4)["dirs"]) == 1
+    assert _rows(t.read(spark)) == [(i,) for i in range(6)]
+    # already compact -> no new version
+    assert t.compact(spark) == v4
+    # fragments die with their last referencing manifest
+    import os as _os
+
+    frags = t._manifest(3)["dirs"]
+    t.expire(keep_last=1)
+    assert all(not _os.path.isdir(d) for d in frags)
+    assert _rows(t.read(spark)) == [(i,) for i in range(6)]
