@@ -660,3 +660,121 @@ def q_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series subsequence similarity search (EDBT'19 / REPOSE-style shape)
+# ---------------------------------------------------------------------------
+
+_TS_L = 24  # subsequence length: one day of hourly points
+_TS_K = 3  # top-k windows per series
+
+
+@register(
+    "similarity_ts_topk_subsequence",
+    f"""
+WITH milli AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS sv
+    FROM events GROUP BY 1, 2
+),
+seq AS (
+    SELECT event_type, sv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS pos
+    FROM milli
+),
+q AS (
+    SELECT pos - {_TS_L} AS i, sv AS qv FROM seq
+    WHERE event_type = 'purchase' AND pos BETWEEN {_TS_L} AND {2 * _TS_L - 1}
+),
+expanded AS (
+    SELECT s.event_type, s.pos, s.sv, g.i
+    FROM seq s, (SELECT unnest(generate_series(0, {_TS_L - 1})) AS i) g
+    WHERE s.pos >= g.i
+),
+scored AS (
+    SELECT e.event_type, e.pos - e.i AS start,
+           CAST(SUM((e.sv - q.qv) * (e.sv - q.qv)) AS BIGINT) AS dist2,
+           COUNT(*) AS n
+    FROM expanded e JOIN q ON q.i = e.i
+    GROUP BY 1, 2 HAVING COUNT(*) = {_TS_L}
+)
+SELECT event_type, start, dist2 FROM (
+    SELECT event_type, start, dist2,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY dist2, start) AS rn
+    FROM scored
+) WHERE rn <= {_TS_K}
+""",
+    doc=f"Distributed top-k time-series subsequence search (the "
+    "EDBT'19/REPOSE problem shape): per event type, the hourly "
+    "milli-integer value series is scanned for the 24-point windows "
+    "closest (squared Euclidean) to a query pattern (day 2 of the "
+    "'purchase' series — self-referential, so no literal vector to "
+    "drift). The scale design is aggregate-THEN-search: raw events "
+    "reduce to one point per (type, hour) in a single map-side-combined "
+    "aggregate, so the expansion join (explode over window offsets + "
+    "equi-join on offset, never a cartesian) touches series-sized data — "
+    "at 100 TB the series is still only hours x types. All distances "
+    "are exact BIGINT sums of squared integer diffs; top-k has a total "
+    "(dist2, start) order.",
+)
+def q_ts_topk_subsequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    milli = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.floor(
+                F.sum(F.floor(F.col("value") * 1000).cast("bigint")).cast("double")
+                / F.count("*")
+            )
+            .cast("bigint")
+            .alias("sv")
+        )
+    )
+    seq = milli.select(
+        "event_type",
+        "sv",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("bucket")
+            )
+            - 1
+        ).alias("pos"),
+    )
+    q = (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("pos").between(_TS_L, 2 * _TS_L - 1)
+        )
+        .select((F.col("pos") - _TS_L).alias("i"), F.col("sv").alias("qv"))
+    )
+    expanded = (
+        seq.select(
+            "event_type",
+            "pos",
+            "sv",
+            F.explode(F.sequence(F.lit(0), F.lit(_TS_L - 1))).alias("i"),
+        )
+        .filter(F.col("pos") >= F.col("i"))
+    )
+    scored = (
+        expanded.join(F.broadcast(q), "i")
+        .groupBy("event_type", (F.col("pos") - F.col("i")).alias("start"))
+        .agg(
+            F.sum(
+                (F.col("sv") - F.col("qv")) * (F.col("sv") - F.col("qv"))
+            ).alias("dist2"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") == _TS_L)
+    )
+    w = Window.partitionBy("event_type").orderBy("dist2", "start")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TS_K)
+        .select("event_type", "start", "dist2")
+    )

@@ -75,7 +75,9 @@ _PRIORITY: tuple[str, ...] = (
     # decontam_semantic (broadcast eval-probe embedding decontamination)
     # graph_triangle_counts (oriented wedge-closure triangle counting),
     # multimodal_phash_dedup (dHash perceptual-hash image near-dup) and
-    # streaming_interval_join_full (both-direction watermark null-padding):
+    # streaming_interval_join_full (both-direction watermark null-padding)
+    # and similarity_ts_topk_subsequence (aggregate-then-search top-k
+    # time-series subsequence matching):
     # all engine-exact by construction, parity-green locally, constructed-
     # case pinned in pytest; they wait for the round-7 head with the
     # entries below.)
