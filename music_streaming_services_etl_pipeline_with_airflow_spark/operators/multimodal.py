@@ -710,3 +710,92 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_images") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio frame energy — the PCM sibling of the image feature kernel
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 256  # samples per analysis frame (8-bit PCM)
+
+AUDIO_SCHEMA = "doc_id long, frame_no long, n_samples long, energy long"
+
+
+def _wrap_wav_u8(pcm: bytes, rate: int = 8000) -> bytes:
+    """Wrap raw unsigned-8-bit mono PCM in a minimal valid RIFF/WAVE
+    container (fmt + data chunks, strict sizes) — the inverse of
+    ``_parse_wav``'s walk, so the kernel round-trips a REAL container."""
+    import struct
+
+    n = len(pcm)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 1, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    # RIFF chunks are word-aligned: an odd data size carries one pad byte
+    # (outside the declared size) — the strict parser walk requires it
+    body += b"data" + struct.pack("<I", n) + pcm + (b"\x00" if n & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_energy_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, text) → per-frame PCM energy. The text
+    bytes become 8-bit PCM, wrapped in a real WAV container and re-parsed
+    through the STRICT ``_parse_wav`` walk (container bugs would zero the
+    output, not corrupt it); energy(frame) = sum((s - 128)^2) in exact
+    int64 over 256-sample frames (trailing partial frame kept with its
+    true n_samples)."""
+    import numpy as np
+
+    for pdf in frames:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            pcm = text.encode("utf-8")
+            if not pcm:
+                continue
+            wav = _wrap_wav_u8(pcm)
+            meta = _parse_wav(wav)
+            if meta is None:  # pragma: no cover — wrap/parse are inverses
+                continue
+            s = np.frombuffer(pcm, dtype=np.uint8).astype(np.int64) - 128
+            for f in range(0, len(s), AUDIO_FRAME):
+                seg = s[f : f + AUDIO_FRAME]
+                rows.append(
+                    (doc_id, f // AUDIO_FRAME, len(seg), int((seg * seg).sum()))
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_no", "n_samples", "energy"]
+        )
+
+
+@register(
+    "multimodal_audio_energy",
+    f"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        pos AS (
+          SELECT doc_id, hx, unnest(generate_series(0, n - 1)) AS k FROM d
+        ),
+        smp AS (
+          SELECT doc_id, k // {AUDIO_FRAME} AS frame_no,
+                 CAST(concat('0x', substr(hx, 2 * k + 1, 2)) AS INTEGER) - 128
+                     AS c
+          FROM pos
+        )
+        SELECT doc_id, frame_no,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(c * c) AS BIGINT) AS energy
+        FROM smp GROUP BY doc_id, frame_no""",
+    doc="Audio feature extraction (frame energy / loudness contour): text "
+    "bytes as 8-bit PCM, wrapped in a REAL RIFF/WAVE container and "
+    "re-parsed through the strict _parse_wav chunk walk, then "
+    f"{AUDIO_FRAME}-sample frame energies in exact int64 — the PCM "
+    "sibling of the image feature kernel, same Arrow mapInPandas shape: "
+    "audio bytes never shuffle, one row per frame comes out. The oracle "
+    "recomputes every sample from the byte sequence in SQL. With real "
+    "codecs only the decode step changes (the container walk is already "
+    "real).",
+)
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(audio_energy_batch, schema=AUDIO_SCHEMA)

@@ -76,8 +76,9 @@ _PRIORITY: tuple[str, ...] = (
     # graph_triangle_counts (oriented wedge-closure triangle counting),
     # multimodal_phash_dedup (dHash perceptual-hash image near-dup) and
     # streaming_interval_join_full (both-direction watermark null-padding)
-    # and similarity_ts_topk_subsequence (aggregate-then-search top-k
-    # time-series subsequence matching):
+    # similarity_ts_topk_subsequence (aggregate-then-search top-k
+    # time-series subsequence matching) and multimodal_audio_energy (PCM
+    # frame-energy kernel with a real RIFF container round-trip):
     # all engine-exact by construction, parity-green locally, constructed-
     # case pinned in pytest; they wait for the round-7 head with the
     # entries below.)

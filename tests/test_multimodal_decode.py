@@ -452,3 +452,30 @@ def test_phash_dedup_constructed(spark, tmp_path):
         for r in q_phash_dedup(spark, str(tmp_path)).collect()
     ]
     assert got == [(0x10101010, 0x10101010, 2, 1)]
+
+
+def test_audio_energy_constructed(spark, tmp_path):
+    """Hand-computed frame energies, including the odd-length PCM case
+    whose RIFF pad byte the strict container walk requires: 'ab' ->
+    (97-128)^2 + (98-128)^2 = 1861; 'abc' (odd) adds (99-128)^2 -> 2702."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        q_audio_energy,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["ab", "abc"], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = sorted(
+        (r.doc_id, r.frame_no, r.n_samples, r.energy)
+        for r in q_audio_energy(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 0, 2, 1861), (2, 0, 3, 2702)]
