@@ -78,7 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     # streaming_interval_join_full (both-direction watermark null-padding)
     # similarity_ts_topk_subsequence (aggregate-then-search top-k
     # time-series subsequence matching) and multimodal_audio_energy (PCM
-    # frame-energy kernel with a real RIFF container round-trip):
+    # frame-energy kernel with a real RIFF container round-trip) and
+    # streaming_static_enrich (broadcast-dim stream enrichment):
     # all engine-exact by construction, parity-green locally, constructed-
     # case pinned in pytest; they wait for the round-7 head with the
     # entries below.)

@@ -296,3 +296,40 @@ def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("imp_user").isNull() | (F.col("imp_user") >= 0))
         & (F.col("clk_user").isNull() | (F.col("clk_user") >= 0))
     )
+
+
+@register(
+    "streaming_static_enrich",
+    # Real oracle: stream-static joins are stateless (each micro-batch
+    # joins the static snapshot), so with availableNow over a bounded
+    # folder the complete-mode aggregate equals the batch join+group.
+    """
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 1000) AS BIGINT)) AS BIGINT)
+               AS value_milli
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Stream-static enrichment join — the ingest-time dimension lookup "
+    "every production stream runs: the event stream joins a BROADCAST "
+    "static dimension (no state, no watermark needed — each micro-batch "
+    "joins the dim snapshot), then aggregates per segment in complete "
+    "mode. At scale the dim broadcast is the same plan as batch J1; the "
+    "stream side never shuffles for the join.",
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    d = _stage(sf_dir, "events_enrich")
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    enriched = src.join(dim, src.user_id == dim.c_custkey)
+    # countDistinct is unsupported on streams — exact integer sums are
+    # the mergeable per-batch partials complete mode can maintain
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_milli"),
+    )
+    return run_stream_to_df(agg, output_mode="complete")
