@@ -66,6 +66,13 @@ HEADLINE = [
     "gopher_repetition_full",
     "text_bigram_logprob",
     "corpus_trigram_novelty",
+    # round-6 second half: incremental sessionization (IVM), the
+    # support-thresholded oriented triangle count, and the dHash
+    # perceptual-hash image dedup — each a new family whose cost should
+    # stay watched round-over-round
+    "ivm_incremental_sessions",
+    "graph_triangle_counts",
+    "multimodal_phash_dedup",
 ]
 
 
