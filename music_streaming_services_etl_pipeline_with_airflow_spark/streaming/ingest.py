@@ -127,3 +127,100 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(index).select("doc_id", "text_hash")
+
+
+# ---------------------------------------------------------------------------
+# CDC apply — the streaming change-feed → versioned-table capstone
+# ---------------------------------------------------------------------------
+
+
+def make_cdc_applier(t):
+    """foreachBatch callback: compact the batch to the latest change per
+    key, then apply to the snapshot table as one anti-join (deletes) +
+    full-outer merge (upserts) overwrite commit. Module-level so the
+    cross-batch semantics are directly unit-testable."""
+
+    def apply_batch(batch, batch_id):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select(
+                "user_id",
+                (F.col("event_type") == "error").alias("is_delete"),
+                F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+            )
+        )
+        spark_ = batch.sparkSession
+        if t.latest_version() == 0:
+            state = spark_.createDataFrame([], "user_id long, value_milli long")
+        else:
+            state = t.read(spark_)
+        dels = latest.filter("is_delete").select("user_id")
+        ups = latest.filter("NOT is_delete").select("user_id", "value_milli")
+        survived = state.join(dels, "user_id", "left_anti")
+        merged = (
+            survived.withColumnRenamed("value_milli", "_old")
+            .join(ups, "user_id", "full_outer")
+            .select(
+                "user_id",
+                F.coalesce("value_milli", "_old").alias("value_milli"),
+            )
+        )
+        t.commit(merged, mode="overwrite")
+
+    return apply_batch
+
+
+@register(
+    "streaming_cdc_apply",
+    # Real oracle: per key, the LATEST change (total (ts, event_id) order)
+    # decides the final state — absent if it was a delete, else the
+    # upserted value. Within-batch compaction + apply implements exactly
+    # that for the availableNow feed.
+    """
+    WITH latest AS (
+        SELECT user_id,
+               event_type,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, v AS value_milli
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="CDC apply (the Delta-Live-Tables apply_changes shape): the event "
+    "stream is a change feed — 'error' rows are DELETEs for their key, "
+    "everything else an UPSERT carrying the milli-floored value. Each "
+    "micro-batch is first COMPACTED to the latest change per key (the "
+    "total (ts, event_id) order), then applied to a snapshot-versioned "
+    "table in one anti-join (deletes) + full-outer merge (upserts) "
+    "commit — so the table is a correct point-in-time state after every "
+    "batch and every prior state stays time-travel readable. At scale "
+    "the apply joins on the key only; change payloads never re-shuffle "
+    "through history.",
+)
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..snapshots import SnapshotTable
+    from .runner import EVENTS_SCHEMA, stage_events
+
+    d = stage_events(sf_dir, "events_cdc")
+    t = SnapshotTable(tempfile.mkdtemp(prefix="spark_engine_cdc_") + "/state")
+    apply_batch = make_cdc_applier(t)
+
+    src = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_engine_cdc_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t.read(spark)

@@ -1635,3 +1635,58 @@ def test_decontam_semantic_flags_identical_vector(spark, tmp_path):
     )
     got = {(r.train_id, r.eval_id, r.cos) for r in q_decontam_semantic(spark, str(tmp_path)).collect()}
     assert got == {(1, 29, 1.0)}
+
+
+def test_cdc_apply_cross_batch_semantics(spark, tmp_path):
+    """Sequential CDC batches must evolve the snapshot state correctly:
+    batch 2 deletes a key batch 1 upserted, re-upserts a key batch 1
+    deleted, and within-batch compaction keeps only the LATEST change per
+    key. Every intermediate state stays time-travel readable."""
+    import datetime as dt
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_cdc_applier,
+    )
+
+    t = SnapshotTable(str(tmp_path / "state"))
+    apply_batch = make_cdc_applier(t)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def _ev(eid, minute, u, typ, v):
+        return (eid, dt.datetime(2024, 1, 1, 10, minute), u, typ, v, None)
+
+    # batch 1: u1 upsert 1.5 then compacted-over by 2.5; u2 upsert; u3 delete
+    b1 = spark.createDataFrame(
+        [
+            _ev(1, 0, 1, "view", 1.5),
+            _ev(2, 5, 1, "click", 2.5),  # latest for u1 -> wins compaction
+            _ev(3, 0, 2, "view", 7.0),
+            _ev(4, 0, 3, "error", 0.0),  # delete of a key never present: no-op
+        ],
+        schema,
+    )
+    apply_batch(b1, 0)
+    assert sorted(
+        (r.user_id, r.value_milli) for r in t.read(spark).collect()
+    ) == [(1, 2500), (2, 7000)]
+
+    # batch 2: delete u1, re-upsert u3, leave u2 untouched
+    b2 = spark.createDataFrame(
+        [
+            _ev(5, 10, 1, "error", 0.0),
+            _ev(6, 10, 3, "purchase", 4.25),
+        ],
+        schema,
+    )
+    apply_batch(b2, 1)
+    assert sorted(
+        (r.user_id, r.value_milli) for r in t.read(spark).collect()
+    ) == [(2, 7000), (3, 4250)]
+    # time travel: the batch-1 state is still intact
+    assert sorted(
+        (r.user_id, r.value_milli) for r in t.read(spark, 1).collect()
+    ) == [(1, 2500), (2, 7000)]
