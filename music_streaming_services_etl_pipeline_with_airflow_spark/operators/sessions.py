@@ -48,9 +48,7 @@ def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
     )
 
 
-@register(
-    "sessionize_events",
-    f"""
+_SESSIONIZE_ORACLE = f"""
 WITH ordered AS (
     SELECT user_id, ts, event_type, event_id,
            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -67,7 +65,12 @@ numbered AS (
 SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end_ts,
        COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_event_types
 FROM numbered GROUP BY user_id, session_no
-""",
+"""
+
+
+@register(
+    "sessionize_events",
+    _SESSIONIZE_ORACLE,
     doc=f"Gap-based sessionization ({GAP_MINUTES}-minute timeout) via native "
     "session_window — single shuffle on user_id, windows merged in the "
     "aggregate. Oracle uses the lag-gap + cumulative-sum construction; "
@@ -161,24 +164,9 @@ def merge_session_states(
 
 @register(
     "ivm_incremental_sessions",
-    f"""
-WITH ordered AS (
-    SELECT user_id, ts, event_type, event_id,
-           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     > INTERVAL {GAP_MINUTES} MINUTE
-                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                THEN 1 ELSE 0 END AS is_new
-    FROM events
-),
-numbered AS (
-    SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_no
-    FROM ordered
-)
-SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end_ts,
-       COUNT(*) AS n_events, COUNT(DISTINCT event_type) AS n_event_types
-FROM numbered GROUP BY user_id, session_no
-""",
+    # the IVM contract is equality against the sessionize_events recompute
+    # — same oracle string by construction, so the two can never drift
+    _SESSIONIZE_ORACLE,
     doc="Incremental sessionization (IVM for session windows): events are "
     f"split at TIMESTAMP '{_IVM_CUTOFF}' into a stored base state and a "
     "strictly-later delta batch, each sessionized independently into "

@@ -73,6 +73,19 @@ class SnapshotTable:
 
     # -- write path ----------------------------------------------------------
 
+    def _fresh_data_dir(self, version: int) -> str:
+        """Collision-proof data dir for a version: a crashed previous
+        attempt leaves an orphan dir with no manifest, and the retry must
+        not collide with it (data writes use mode="error" so every dir is
+        written exactly once) — probe for a free sibling; orphans stay
+        dark forever because only manifest-listed dirs are ever read."""
+        data_dir = f"{self.path}/data/v{version:06d}"
+        attempt = 0
+        while os.path.exists(data_dir):
+            attempt += 1
+            data_dir = f"{self.path}/data/v{version:06d}-r{attempt}"
+        return data_dir
+
     def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
         """Write df as the next version. ``overwrite`` replaces the visible
         file set; ``append`` extends the parent's. Returns the new version.
@@ -82,16 +95,7 @@ class SnapshotTable:
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = self.latest_version()
         version = parent + 1
-        # A crashed previous attempt leaves an orphan data dir with no
-        # manifest; the retry must not collide with it (write mode is
-        # "error" so every data dir is written exactly once). Probe for a
-        # free sibling — the orphan stays dark forever because only
-        # manifest-listed dirs are ever read.
-        data_dir = f"{self.path}/data/v{version:06d}"
-        attempt = 0
-        while os.path.exists(data_dir):
-            attempt += 1
-            data_dir = f"{self.path}/data/v{version:06d}-r{attempt}"
+        data_dir = self._fresh_data_dir(version)
         df.write.mode("error").parquet(data_dir)
         dirs = [data_dir]
         if mode == "append" and parent > 0:
@@ -166,11 +170,7 @@ class SnapshotTable:
             kept = spark.read.parquet(*touched).filter(
                 ~F.coalesce(F.expr(predicate), F.lit(False))
             )
-            data_dir = f"{self.path}/data/v{version:06d}"
-            attempt = 0
-            while os.path.exists(data_dir):
-                attempt += 1
-                data_dir = f"{self.path}/data/v{version:06d}-r{attempt}"
+            data_dir = self._fresh_data_dir(version)
             kept.write.mode("error").parquet(data_dir)
             dirs.append(data_dir)
         self._write_manifest(

@@ -136,9 +136,16 @@ def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def make_cdc_applier(t):
     """foreachBatch callback: compact the batch to the latest change per
-    key, then apply to the snapshot table as one anti-join (deletes) +
-    full-outer merge (upserts) overwrite commit. Module-level so the
-    cross-batch semantics are directly unit-testable."""
+    key, then apply to the snapshot table. The state carries each key's
+    last-applied change time ((cts, cid) = the change's (ts, event_id))
+    and DELETES persist as tombstones — so a change that arrives in a
+    LATER batch but with an EARLIER event time is correctly ignored, and
+    the result equals the global latest-change-per-key semantics for any
+    batch arrival order, not just event-time-ordered feeds. (Tombstone
+    retention is the standard CDC trade-off; a production table GCs
+    tombstones older than the feed's lateness horizon during compaction.)
+    Module-level so the cross/out-of-order-batch semantics are directly
+    unit-testable."""
 
     def apply_batch(batch, batch_id):
         from pyspark.sql import Window
@@ -151,60 +158,39 @@ def make_cdc_applier(t):
             .filter("_rn = 1")
             .select(
                 "user_id",
-                (F.col("event_type") == "error").alias("is_delete"),
-                F.floor(F.col("value") * 1000).cast("bigint").alias("value_milli"),
+                (F.col("event_type") == "error").alias("b_deleted"),
+                F.floor(F.col("value") * 1000).cast("bigint").alias("b_value"),
+                F.col("ts").alias("b_cts"),
+                F.col("event_id").alias("b_cid"),
             )
         )
         spark_ = batch.sparkSession
         if t.latest_version() == 0:
-            state = spark_.createDataFrame([], "user_id long, value_milli long")
+            state = spark_.createDataFrame(
+                [], "user_id long, value_milli long, cts timestamp,"
+                " cid long, deleted boolean"
+            )
         else:
             state = t.read(spark_)
-        dels = latest.filter("is_delete").select("user_id")
-        ups = latest.filter("NOT is_delete").select("user_id", "value_milli")
-        survived = state.join(dels, "user_id", "left_anti")
-        merged = (
-            survived.withColumnRenamed("value_milli", "_old")
-            .join(ups, "user_id", "full_outer")
-            .select(
-                "user_id",
-                F.coalesce("value_milli", "_old").alias("value_milli"),
-            )
+        joined = state.join(latest, "user_id", "full_outer")
+        batch_wins = F.col("cts").isNull() | (
+            F.struct("b_cts", "b_cid") > F.struct("cts", "cid")
+        )
+        take = lambda b, s_: F.when(
+            F.col("b_cts").isNotNull() & batch_wins, F.col(b)
+        ).otherwise(F.col(s_))
+        merged = joined.select(
+            "user_id",
+            take("b_value", "value_milli").alias("value_milli"),
+            take("b_cts", "cts").alias("cts"),
+            take("b_cid", "cid").alias("cid"),
+            take("b_deleted", "deleted").alias("deleted"),
         )
         t.commit(merged, mode="overwrite")
 
     return apply_batch
 
 
-@register(
-    "streaming_cdc_apply",
-    # Real oracle: per key, the LATEST change (total (ts, event_id) order)
-    # decides the final state — absent if it was a delete, else the
-    # upserted value. Within-batch compaction + apply implements exactly
-    # that for the availableNow feed.
-    """
-    WITH latest AS (
-        SELECT user_id,
-               event_type,
-               CAST(FLOOR(value * 1000) AS BIGINT) AS v,
-               ROW_NUMBER() OVER (PARTITION BY user_id
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events
-    )
-    SELECT user_id, v AS value_milli
-    FROM latest WHERE rn = 1 AND event_type <> 'error'
-    """,
-    doc="CDC apply (the Delta-Live-Tables apply_changes shape): the event "
-    "stream is a change feed — 'error' rows are DELETEs for their key, "
-    "everything else an UPSERT carrying the milli-floored value. Each "
-    "micro-batch is first COMPACTED to the latest change per key (the "
-    "total (ts, event_id) order), then applied to a snapshot-versioned "
-    "table in one anti-join (deletes) + full-outer merge (upserts) "
-    "commit — so the table is a correct point-in-time state after every "
-    "batch and every prior state stays time-travel readable. At scale "
-    "the apply joins on the key only; change payloads never re-shuffle "
-    "through history.",
-)
 def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -223,4 +209,4 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return t.read(spark)
+    return t.read(spark).filter("NOT deleted").select("user_id", "value_milli")

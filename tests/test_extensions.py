@@ -1664,15 +1664,19 @@ def test_cdc_apply_cross_batch_semantics(spark, tmp_path):
         [
             _ev(1, 0, 1, "view", 1.5),
             _ev(2, 5, 1, "click", 2.5),  # latest for u1 -> wins compaction
-            _ev(3, 0, 2, "view", 7.0),
+            _ev(3, 5, 2, "view", 7.0),
             _ev(4, 0, 3, "error", 0.0),  # delete of a key never present: no-op
         ],
         schema,
     )
+    def live(version=None):
+        return sorted(
+            (r.user_id, r.value_milli)
+            for r in t.read(spark, version).filter("NOT deleted").collect()
+        )
+
     apply_batch(b1, 0)
-    assert sorted(
-        (r.user_id, r.value_milli) for r in t.read(spark).collect()
-    ) == [(1, 2500), (2, 7000)]
+    assert live() == [(1, 2500), (2, 7000)]
 
     # batch 2: delete u1, re-upsert u3, leave u2 untouched
     b2 = spark.createDataFrame(
@@ -1683,10 +1687,19 @@ def test_cdc_apply_cross_batch_semantics(spark, tmp_path):
         schema,
     )
     apply_batch(b2, 1)
-    assert sorted(
-        (r.user_id, r.value_milli) for r in t.read(spark).collect()
-    ) == [(2, 7000), (3, 4250)]
+    assert live() == [(2, 7000), (3, 4250)]
     # time travel: the batch-1 state is still intact
-    assert sorted(
-        (r.user_id, r.value_milli) for r in t.read(spark, 1).collect()
-    ) == [(1, 2500), (2, 7000)]
+    assert live(version=1) == [(1, 2500), (2, 7000)]
+
+    # batch 3 arrives LATE with EARLIER-timestamped changes: an old upsert
+    # for the deleted u1 (its tombstone is newer -> must stay dead) and an
+    # old delete for u2 (its upsert is newer -> must stay alive)
+    b3 = spark.createDataFrame(
+        [
+            _ev(7, 1, 1, "view", 9.0),
+            _ev(8, 1, 2, "error", 0.0),
+        ],
+        schema,
+    )
+    apply_batch(b3, 2)
+    assert live() == [(2, 7000), (3, 4250)]

@@ -46,8 +46,13 @@ QUERIES = [
 ]
 
 
+DONE = f"{OUT}/_BUILD_DONE"
+
+
 def build(spark) -> None:
-    if os.path.exists(f"{OUT}/lineitem.parquet/_SUCCESS"):
+    # completion marker written LAST: an interrupted build (or a stale
+    # partial replica from an older revision) is rebuilt, never trusted
+    if os.path.exists(DONE):
         return
     reps = spark.range(REP).select(F.col("id").alias("rep"))
 
@@ -70,6 +75,7 @@ def build(spark) -> None:
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{OUT}/{t}.parquet"
         )
+    open(DONE, "w").close()
 
 
 def main() -> None:
