@@ -216,3 +216,49 @@ def compact(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return n_files
+
+
+def write_jsonl_sharded(
+    df: DataFrame, path: str, shard_key: str, n_shards: int
+) -> dict:
+    """Training-data delivery: JSON-lines shards with DETERMINISTIC
+    key-hash shard assignment (the same row lands in the same shard on
+    every run and cluster size — loaders can resume / spot-check shards
+    reproducibly, unlike round-robin repartition) plus a _manifest.json
+    recording per-shard row counts, total, and the schema. Downstream
+    dataloaders read the manifest to size epochs and validate delivery
+    without scanning the data. One shuffle on the shard id; shards land
+    as shard=NNN/ partition directories of JSON-lines files."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from .functions import hashing as H
+
+    shard = F.pmod(
+        H.hex8_to_long(F.md5(F.col(shard_key).cast("string"))), F.lit(n_shards)
+    ).alias("shard")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
+    spark = df.sparkSession
+    back = spark.read.json(path)
+    counts = {
+        int(r["shard"]): r["n"]
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    manifest = {
+        "format": "jsonl",
+        "n_shards": n_shards,
+        "shard_key": shard_key,
+        "total_rows": sum(counts.values()),
+        "rows_per_shard": {str(k): v for k, v in sorted(counts.items())},
+        "columns": sorted(c for c in df.columns),
+    }
+    with open(f"{path.rstrip('/')}/_manifest.json", "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    return manifest

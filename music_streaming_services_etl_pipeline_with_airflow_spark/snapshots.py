@@ -178,6 +178,29 @@ class SnapshotTable:
         )
         return version
 
+    def restore(self, version: int) -> int:
+        """RESTORE: make an earlier version current again as a NEW commit —
+        a manifest-only metadata operation (the restored version's data
+        dirs are referenced, never copied or rewritten), so rollback is
+        O(1) regardless of table size, and the mistaken history stays
+        time-travel readable for forensics. The table-format answer to
+        'the bad deploy wrote garbage': flip back instantly, investigate
+        later."""
+        if version not in self.versions():
+            raise ValueError(f"{self.path}: no version {version}")
+        parent = self.latest_version()
+        target_dirs = self._manifest(version)["dirs"]
+        self._write_manifest(
+            {
+                "version": parent + 1,
+                "parent": parent,
+                "mode": "restore",
+                "restored_from": version,
+                "dirs": list(target_dirs),
+            }
+        )
+        return parent + 1
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(self, spark: SparkSession, max_dirs: int = 1) -> int:

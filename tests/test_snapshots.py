@@ -168,3 +168,26 @@ def test_compact_rewrites_fragmented_lineage(spark, tmp_path):
     t.expire(keep_last=1)
     assert all(not _os.path.isdir(d) for d in frags)
     assert _rows(t.read(spark)) == [(i,) for i in range(6)]
+
+
+def test_restore_is_manifest_only(spark, tmp_path):
+    """restore() flips the table back to an earlier version as a new
+    commit without touching data: same dirs by reference, the bad history
+    stays readable, and expire() keeps shared dirs alive."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 3).select("id"))  # v1: good
+    t.commit(spark.range(90, 91).select("id"))  # v2: the bad deploy
+    v3 = t.restore(1)
+    assert v3 == 3
+    assert _rows(t.read(spark)) == [(0,), (1,), (2,)]
+    # manifest-only: v3 references v1's dir, no new data dir was written
+    assert t._manifest(3)["dirs"] == t._manifest(1)["dirs"]
+    # forensics: the bad version is still readable
+    assert _rows(t.read(spark, 2)) == [(90,)]
+    # expire to the restored head: v1's dir survives (v3 references it)
+    t.expire(keep_last=1)
+    assert _rows(t.read(spark)) == [(0,), (1,), (2,)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.restore(99)
