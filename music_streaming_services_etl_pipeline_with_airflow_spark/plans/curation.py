@@ -373,3 +373,79 @@ def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _SEM_TAU)
         .select(F.col("vec_id").alias("train_id"), "eval_id", "cos")
     )
+
+
+_HN_LO, _HN_HI = 0.10, 0.45  # hard-negative band: similar, but not a dup
+_HN_K = 3
+
+
+def _hn_oracle() -> str:
+    from ..functions import vectors as V
+
+    return f"""
+WITH nrm AS (
+    SELECT vec_id, embedding, {V.norm_sql('embedding')} AS n FROM embeddings
+),
+nv AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS v
+    FROM nrm
+),
+scored AS (
+    SELECT p.vec_id AS anchor_id, t.vec_id AS negative_id,
+           {V.dot_sql('t.v', 'p.v')} AS cos
+    FROM nv t JOIN nv p
+      ON p.vec_id % {_SEM_PROBE_MOD} = 0 AND t.vec_id % {_SEM_PROBE_MOD} <> 0
+    WHERE {V.dot_sql('t.v', 'p.v')} >= {_HN_LO}
+      AND {V.dot_sql('t.v', 'p.v')} < {_HN_HI}
+)
+SELECT anchor_id, negative_id, cos FROM (
+    SELECT anchor_id, negative_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY cos DESC, negative_id) AS rn
+    FROM scored
+) WHERE rn <= {_HN_K}
+"""
+
+
+@register(
+    "similarity_hard_negatives",
+    _hn_oracle(),
+    doc=f"Hard-negative mining for contrastive training: for every anchor "
+    f"(the held-out probe set), the top-{_HN_K} corpus vectors inside the "
+    f"[{_HN_LO}, {_HN_HI}) cosine band — similar enough to be "
+    "informative negatives, below the near-dup bar so they are not "
+    "false negatives. The third face of the broadcast-probe scan family "
+    "(decontam_semantic finds the too-similar, this finds the "
+    "usefully-similar): one corpus scan, per-row dot fold against the "
+    "broadcast anchors, then a bounded per-anchor top-k window. "
+    "Total-order tie-break on (cos DESC, negative_id); cosines bit-exact "
+    "cross-engine.",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("dv")
+    )
+    nv = emb.withColumn("nrm", V.norm(F.col("dv"))).select(
+        "vec_id", F.transform("dv", lambda x: x / F.col("nrm")).alias("v")
+    )
+    probe = nv.filter(F.col("vec_id") % _SEM_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("v").alias("pv")
+    )
+    train = nv.filter(F.col("vec_id") % _SEM_PROBE_MOD != 0)
+    scored = (
+        train.crossJoin(F.broadcast(probe))
+        .withColumn("cos", V.dot(F.col("v"), F.col("pv")))
+        .filter((F.col("cos") >= _HN_LO) & (F.col("cos") < _HN_HI))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HN_K)
+        .select(
+            "anchor_id", F.col("vec_id").alias("negative_id"), "cos"
+        )
+    )

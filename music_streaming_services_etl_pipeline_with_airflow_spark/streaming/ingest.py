@@ -191,6 +191,36 @@ def make_cdc_applier(t):
     return apply_batch
 
 
+@register(
+    "streaming_cdc_apply",
+    # Real oracle: per key, the LATEST change (total (ts, event_id) order)
+    # decides the final state — absent if it was a delete, else the
+    # upserted value. Within-batch compaction plus the tombstone/
+    # change-time guard in make_cdc_applier implements exactly that for
+    # ANY batch arrival order.
+    """
+    WITH latest AS (
+        SELECT user_id,
+               event_type,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, v AS value_milli
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="CDC apply (the Delta-Live-Tables apply_changes shape): the event "
+    "stream is a change feed — 'error' rows are DELETEs for their key, "
+    "everything else an UPSERT carrying the milli-floored value. Each "
+    "micro-batch is compacted to the latest change per key, then applied "
+    "to a snapshot-versioned table in one anti-join + full-outer merge "
+    "commit; the state carries per-key change times and tombstones, so "
+    "an out-of-order batch with an earlier-timestamped change is "
+    "correctly ignored (pinned in pytest). Every prior table state stays "
+    "time-travel readable. At scale the apply joins on the key only; "
+    "change payloads never re-shuffle through history.",
+)
 def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 

@@ -64,6 +64,13 @@ def _canon(v):
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # a name that isn't registered must FAIL, not silently check nothing —
+    # a dropped @register once turned "check this query" into a vacuous
+    # "0 failures"
+    unknown = only - set(all_specs())
+    if unknown:
+        print(f"UNKNOWN query names (not registered): {sorted(unknown)}")
+        return 1
 
     import os
 
