@@ -47,6 +47,12 @@ FUZZ_QUERIES = [
     "w3_gapfill_daily_by_type",
     "funnel_signup_click_purchase",
     "retention_weekly_cohorts",
+    # round-6 second half: selection-only OHLC (engine-exact on any data)
+    # and incremental sessionization — fuzz dates are 2024-03, all AFTER
+    # the 2024-01-21 IVM cutoff, so this also pins the empty-base path of
+    # the state merge
+    "w11_ohlc_resample",
+    "ivm_incremental_sessions",
 ]
 
 _BASE = dt.datetime(2024, 3, 1, 0, 0, 0)
