@@ -449,3 +449,52 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id", F.col("vec_id").alias("negative_id"), "cos"
         )
     )
+
+
+_SOURCE_CAP = 15
+
+
+@register(
+    "curate_source_cap",
+    f"""
+    SELECT source,
+           CAST(SUM(CAST(1 - n_over AS BIGINT)) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(n_over AS BIGINT)) AS BIGINT) AS n_dropped
+    FROM (
+        SELECT source,
+               CASE WHEN rn <= {_SOURCE_CAP} THEN 0 ELSE 1 END AS n_over,
+               rn
+        FROM (
+            SELECT source,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+    )
+    GROUP BY source
+    """,
+    doc=f"Per-source document cap (the domain-cap curation policy: no "
+    f"single site/domain may dominate the corpus): keep at most "
+    f"{_SOURCE_CAP} docs per source, chosen by md5-hash order — a stable "
+    "pseudo-random sample without RNG, so the kept set is reproducible "
+    "across runs, engines and cluster sizes. Output audits kept vs "
+    "dropped per source. One window shuffle on the source key; at scale "
+    "this is the same rank-and-cap plan as sample_class_balanced, and "
+    "heavily-skewed sources cost only their own partitions.",
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.sum(F.when(F.col("rn") <= _SOURCE_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > _SOURCE_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )

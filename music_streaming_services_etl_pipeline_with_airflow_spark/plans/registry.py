@@ -81,7 +81,8 @@ _PRIORITY: tuple[str, ...] = (
     # frame-energy kernel with a real RIFF container round-trip) and
     # streaming_static_enrich (broadcast-dim stream enrichment) and
     # streaming_cdc_apply (change-feed apply into the snapshot format) and
-    # similarity_hard_negatives (contrastive hard-negative mining):
+    # similarity_hard_negatives (contrastive hard-negative mining) and
+    # curate_source_cap (per-source/domain document caps):
     # all engine-exact by construction, parity-green locally, constructed-
     # case pinned in pytest; they wait for the round-7 head with the
     # entries below.)
