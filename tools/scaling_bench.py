@@ -62,6 +62,9 @@ QUERIES = [
     "warehouse_snapshot_delete",
     "ivm_incremental_sessions",
     "w11_ohlc_resample",
+    "similarity_hard_negatives",
+    "curate_source_cap",
+    "streaming_cdc_apply",
     "decontam_semantic",
     "graph_triangle_counts",
     # TPC-H family: q1/q6/q18 are lineitem-driven so the 10x replica
