@@ -321,7 +321,13 @@ _SEM_TAU = 0.35
 _SEM_PROBE_MOD = 29  # vec_id % 29 == 0 -> the held-out "eval set" probe
 
 
-def _sem_oracle() -> str:
+
+
+def _nv_ctes() -> str:
+    """Shared oracle CTE prefix: vectors normalized once (nrm -> nv) —
+    the single definition behind decontam_semantic and
+    similarity_hard_negatives, so the normalization can never drift
+    between the probe-family oracles."""
     from ..functions import vectors as V
 
     return f"""
@@ -331,7 +337,32 @@ WITH nrm AS (
 nv AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS v
     FROM nrm
-)
+)"""
+
+
+def _normalized_probe_split(spark: SparkSession, sf_dir: str):
+    """Shared Spark side of the broadcast-probe family: normalized vectors
+    split into (probe, train) on the vec_id % _SEM_PROBE_MOD rule. Returns
+    (probe aliased (anchor vec_id 'eval_id'/'anchor_id' is applied by the
+    caller), train)."""
+    from ..functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("dv")
+    )
+    nv = emb.withColumn("nrm", V.norm(F.col("dv"))).select(
+        "vec_id", F.transform("dv", lambda x: x / F.col("nrm")).alias("v")
+    )
+    probe = nv.filter(F.col("vec_id") % _SEM_PROBE_MOD == 0)
+    train = nv.filter(F.col("vec_id") % _SEM_PROBE_MOD != 0)
+    return probe, train
+
+
+def _sem_oracle() -> str:
+    from ..functions import vectors as V
+
+    return f"""
+{_nv_ctes()}
 SELECT t.vec_id AS train_id, p.vec_id AS eval_id,
        {V.dot_sql('t.v', 'p.v')} AS cos
 FROM nv t JOIN nv p
@@ -357,16 +388,8 @@ WHERE {V.dot_sql('t.v', 'p.v')} >= {_SEM_TAU}
 def q_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", V.to_double_array("embedding").alias("dv")
-    )
-    nv = emb.withColumn("nrm", V.norm(F.col("dv"))).select(
-        "vec_id", F.transform("dv", lambda x: x / F.col("nrm")).alias("v")
-    )
-    probe = nv.filter(F.col("vec_id") % _SEM_PROBE_MOD == 0).select(
-        F.col("vec_id").alias("eval_id"), F.col("v").alias("pv")
-    )
-    train = nv.filter(F.col("vec_id") % _SEM_PROBE_MOD != 0)
+    probe, train = _normalized_probe_split(spark, sf_dir)
+    probe = probe.select(F.col("vec_id").alias("eval_id"), F.col("v").alias("pv"))
     return (
         train.crossJoin(F.broadcast(probe))
         .withColumn("cos", V.dot(F.col("v"), F.col("pv")))
@@ -383,13 +406,7 @@ def _hn_oracle() -> str:
     from ..functions import vectors as V
 
     return f"""
-WITH nrm AS (
-    SELECT vec_id, embedding, {V.norm_sql('embedding')} AS n FROM embeddings
-),
-nv AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS v
-    FROM nrm
-),
+{_nv_ctes()},
 scored AS (
     SELECT p.vec_id AS anchor_id, t.vec_id AS negative_id,
            {V.dot_sql('t.v', 'p.v')} AS cos
@@ -424,16 +441,8 @@ SELECT anchor_id, negative_id, cos FROM (
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vectors as V
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", V.to_double_array("embedding").alias("dv")
-    )
-    nv = emb.withColumn("nrm", V.norm(F.col("dv"))).select(
-        "vec_id", F.transform("dv", lambda x: x / F.col("nrm")).alias("v")
-    )
-    probe = nv.filter(F.col("vec_id") % _SEM_PROBE_MOD == 0).select(
-        F.col("vec_id").alias("anchor_id"), F.col("v").alias("pv")
-    )
-    train = nv.filter(F.col("vec_id") % _SEM_PROBE_MOD != 0)
+    probe, train = _normalized_probe_split(spark, sf_dir)
+    probe = probe.select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("pv"))
     scored = (
         train.crossJoin(F.broadcast(probe))
         .withColumn("cos", V.dot(F.col("v"), F.col("pv")))
@@ -457,30 +466,24 @@ _SOURCE_CAP = 15
 @register(
     "curate_source_cap",
     f"""
-    SELECT source,
-           CAST(SUM(CAST(1 - n_over AS BIGINT)) AS BIGINT) AS n_kept,
-           CAST(SUM(CAST(n_over AS BIGINT)) AS BIGINT) AS n_dropped
-    FROM (
-        SELECT source,
-               CASE WHEN rn <= {_SOURCE_CAP} THEN 0 ELSE 1 END AS n_over,
-               rn
-        FROM (
-            SELECT source,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY source
-                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                   ) AS rn
-            FROM documents
-        )
-    )
-    GROUP BY source
+    SELECT source, doc_id, pick_rank FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS pick_rank
+        FROM documents
+    ) WHERE pick_rank <= {_SOURCE_CAP}
     """,
     doc=f"Per-source document cap (the domain-cap curation policy: no "
     f"single site/domain may dominate the corpus): keep at most "
     f"{_SOURCE_CAP} docs per source, chosen by md5-hash order — a stable "
-    "pseudo-random sample without RNG, so the kept set is reproducible "
-    "across runs, engines and cluster sizes. Output audits kept vs "
-    "dropped per source. One window shuffle on the source key; at scale "
+    "pseudo-random sample without RNG, reproducible across runs, engines "
+    "and cluster sizes. The output IS the kept set (doc_id + pick rank "
+    "per source), so the hash-order selection property is value-hash "
+    "verified, not just claimed. One window shuffle on the source key; "
+    "the cap binds at every gate scale (25 docs/source vs cap "
+    f"{_SOURCE_CAP}), so the drop branch is always exercised. At scale "
     "this is the same rank-and-cap plan as sample_class_balanced, and "
     "heavily-skewed sources cost only their own partitions.",
 )
@@ -489,12 +492,8 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
-    ranked = docs.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("source").agg(
-        F.sum(F.when(F.col("rn") <= _SOURCE_CAP, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_kept"),
-        F.sum(F.when(F.col("rn") > _SOURCE_CAP, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_dropped"),
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= _SOURCE_CAP)
+        .select("source", "doc_id", "pick_rank")
     )

@@ -227,38 +227,47 @@ def write_jsonl_sharded(
     reproducibly, unlike round-robin repartition) plus a _manifest.json
     recording per-shard row counts, total, and the schema. Downstream
     dataloaders read the manifest to size epochs and validate delivery
-    without scanning the data. One shuffle on the shard id; shards land
-    as shard=NNN/ partition directories of JSON-lines files."""
+    without scanning the data; a shard with count 0 writes NO shard=N
+    directory (Spark partitionBy emits only present keys), so loaders
+    must consult the manifest, not the directory listing. Counts come
+    from the in-memory frame (no schema-inference re-read of the
+    delivered bytes) and every shard id 0..n-1 appears in the manifest,
+    zeros included. The manifest publish is atomic (temp file +
+    os.replace — the same protocol as snapshots._write_manifest).
+    LOCAL-FS ONLY for the manifest side (like `compact`): the data write
+    accepts any Hadoop path, but the manifest uses the local filesystem.
+    One shuffle on the shard id; shards land as shard=NNN/ partition
+    directories of JSON-lines files."""
     import json as _json
+    import os as _os
+    import tempfile as _tempfile
 
     from pyspark.sql import functions as F
 
-    from .functions import hashing as H
+    from .operators.sampling import hash_bucket
 
-    shard = F.pmod(
-        H.hex8_to_long(F.md5(F.col(shard_key).cast("string"))), F.lit(n_shards)
-    ).alias("shard")
+    sharded = df.withColumn("shard", hash_bucket(F.col(shard_key), n_shards))
     (
-        df.withColumn("shard", shard)
-        .repartition(n_shards, "shard")
+        sharded.repartition(n_shards, "shard")
         .write.mode("overwrite")
         .partitionBy("shard")
         .json(path)
     )
-    spark = df.sparkSession
-    back = spark.read.json(path)
     counts = {
         int(r["shard"]): r["n"]
-        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()
     }
     manifest = {
         "format": "jsonl",
         "n_shards": n_shards,
         "shard_key": shard_key,
         "total_rows": sum(counts.values()),
-        "rows_per_shard": {str(k): v for k, v in sorted(counts.items())},
+        "rows_per_shard": {str(k): counts.get(k, 0) for k in range(n_shards)},
         "columns": sorted(c for c in df.columns),
     }
-    with open(f"{path.rstrip('/')}/_manifest.json", "w") as fh:
+    target_dir = path.rstrip("/")
+    fd, tmp = _tempfile.mkstemp(dir=target_dir, suffix=".tmp")
+    with _os.fdopen(fd, "w") as fh:
         _json.dump(manifest, fh, indent=1)
+    _os.replace(tmp, f"{target_dir}/_manifest.json")
     return manifest

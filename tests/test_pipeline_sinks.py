@@ -335,3 +335,14 @@ def test_jsonl_sharded_export_roundtrip(spark, tmp_path):
     assert m1["rows_per_shard"] == m2["rows_per_shard"]
     manifest = json.load(open(f"{out}/_manifest.json"))
     assert manifest["columns"] == ["doc_id", "lang", "n_chars"]
+
+
+def test_jsonl_sharded_manifest_covers_empty_shards(spark, tmp_path):
+    """A skewed/small export leaves some shards with zero rows: the
+    manifest must still enumerate every shard id (zeros included) — the
+    dataloader contract is the manifest, not the directory listing."""
+    two = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    m = sinks.write_jsonl_sharded(two, str(tmp_path / "skew"), "k", 4)
+    assert sorted(m["rows_per_shard"]) == ["0", "1", "2", "3"]
+    assert sum(m["rows_per_shard"].values()) == 2
+    assert m["total_rows"] == 2
