@@ -1600,7 +1600,11 @@ def q_j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w11_ohlc_resample",
     """
     WITH b AS (
-        SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value,
+        -- value + 0.0 canonicalizes IEEE -0.0 to +0.0: MIN/MAX over a
+        -- {-0.0, 0.0} tie returns an engine-arbitrary representative
+        -- otherwise (found by the fuzz suite)
+        SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id,
+               value + 0.0 AS value,
                ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                                   ORDER BY ts, event_id) AS rn_a,
                ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
@@ -1625,7 +1629,13 @@ def q_j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantics against an independent formulation.",
 )
 def q_w11_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # canonicalize -0.0 -> +0.0 (x + 0.0 is the identity elsewhere):
+        # MIN/MAX over a {-0.0, 0.0} tie otherwise returns an
+        # engine-arbitrary representative — caught by the fuzz suite
+        "value",
+        F.col("value") + F.lit(0.0),
+    )
     return (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket"))
         .agg(
