@@ -799,3 +799,78 @@ def audio_energy_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(audio_energy_batch, schema=AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection — feature-delta segmentation over the frame contour
+# ---------------------------------------------------------------------------
+
+# cut when the mean per-sample energy jumps by more than this many
+# squared-distance-from-midpoint units between consecutive frames
+SCENE_DELTA = 400
+
+
+@register(
+    "multimodal_scene_cuts",
+    f"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        pos AS (
+          SELECT doc_id, hx, unnest(generate_series(0, n - 1)) AS k FROM d
+        ),
+        smp AS (
+          SELECT doc_id, k // {AUDIO_FRAME} AS frame_no,
+                 CAST(concat('0x', substr(hx, 2 * k + 1, 2)) AS INTEGER) - 128
+                     AS c
+          FROM pos
+        ),
+        frames AS (
+          SELECT doc_id, frame_no,
+                 CAST(SUM(c * c) AS BIGINT) // COUNT(*) AS mean_energy
+          FROM smp GROUP BY doc_id, frame_no
+        ),
+        lagged AS (
+          SELECT doc_id, frame_no, mean_energy,
+                 LAG(mean_energy) OVER (PARTITION BY doc_id
+                                        ORDER BY frame_no) AS prev
+          FROM frames
+        )
+        SELECT doc_id, frame_no AS cut_frame,
+               CAST(abs(mean_energy - prev) AS BIGINT) AS delta
+        FROM lagged
+        WHERE prev IS NOT NULL AND abs(mean_energy - prev) > {SCENE_DELTA}""",
+    doc="Scene-cut detection (the video segmentation shape): a cut is "
+    "where the mean per-sample frame energy jumps by more than "
+    f"{SCENE_DELTA} between consecutive frames — the feature-delta "
+    "thresholding every shot-boundary detector runs, here over the "
+    "deterministic frame contour so the whole chain (frame feature -> "
+    "lag -> threshold) is value-hash checked. Kernel extracts features "
+    "scan-side (Arrow, no shuffle); the lag window shuffles one small "
+    "(doc, frame) relation — frames, never samples, move. With real "
+    "codecs the per-frame feature swaps from PCM energy to a frame "
+    "histogram; the segmentation plan is unchanged.",
+)
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = docs.mapInPandas(audio_energy_batch, schema=AUDIO_SCHEMA).select(
+        "doc_id",
+        "frame_no",
+        F.expr("energy div n_samples").alias("mean_energy"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    lagged = frames.withColumn("prev", F.lag("mean_energy").over(w))
+    return (
+        lagged.filter(
+            F.col("prev").isNotNull()
+            & (F.abs(F.col("mean_energy") - F.col("prev")) > SCENE_DELTA)
+        )
+        .select(
+            "doc_id",
+            F.col("frame_no").alias("cut_frame"),
+            F.abs(F.col("mean_energy") - F.col("prev")).alias("delta"),
+        )
+    )

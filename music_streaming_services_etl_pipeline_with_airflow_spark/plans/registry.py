@@ -82,7 +82,8 @@ _PRIORITY: tuple[str, ...] = (
     # streaming_static_enrich (broadcast-dim stream enrichment) and
     # streaming_cdc_apply (change-feed apply into the snapshot format) and
     # similarity_hard_negatives (contrastive hard-negative mining) and
-    # curate_source_cap (per-source/domain document caps):
+    # curate_source_cap (per-source/domain document caps) and
+    # multimodal_scene_cuts (feature-delta shot-boundary detection):
     # all engine-exact by construction, parity-green locally, constructed-
     # case pinned in pytest; they wait for the round-7 head with the
     # entries below.)
