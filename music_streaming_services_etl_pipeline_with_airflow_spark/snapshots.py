@@ -248,6 +248,30 @@ class SnapshotTable:
                     shutil.rmtree(d)
         return expired
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """DESCRIBE HISTORY: the commit log as a DataFrame — one row per
+        version with its mode (overwrite/append/delete/restore), parent,
+        dir count and restore source. Pure manifest metadata (O(commits)),
+        no data files touched; the observability surface every table
+        format exposes for audits and incident forensics."""
+        rows = []
+        for v in self.versions():
+            m = self._manifest(v)
+            rows.append(
+                (
+                    v,
+                    m.get("mode", "overwrite"),
+                    m["parent"],
+                    len(m["dirs"]),
+                    m.get("restored_from"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version int, mode string, parent int, n_dirs int,"
+            " restored_from int",
+        )
+
     # -- read path -----------------------------------------------------------
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

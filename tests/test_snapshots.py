@@ -191,3 +191,23 @@ def test_restore_is_manifest_only(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.restore(99)
+
+
+def test_history_describes_every_commit(spark, tmp_path):
+    """DESCRIBE HISTORY: one row per version with mode lineage — commit,
+    append, delete, restore — from manifest metadata alone."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, 5)], "id long, v long"))
+    t.commit(spark.createDataFrame([(2, 95)], "id long, v long"), mode="append")
+    t.delete_where(spark, "v > 90")
+    t.restore(2)
+    got = sorted(
+        (r.version, r.mode, r.parent, r.restored_from)
+        for r in t.history(spark).collect()
+    )
+    assert got == [
+        (1, "overwrite", 0, None),
+        (2, "append", 1, None),
+        (3, "delete", 2, None),
+        (4, "restore", 3, 2),
+    ]
