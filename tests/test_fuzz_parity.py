@@ -207,6 +207,11 @@ DOC_FUZZ_QUERIES = [
     # 'söng') is the regression net for byte-vs-character indexing
     "multimodal_resize_thumbnail",
     "multimodal_feature_stats",
+    # round-6 second half: the audio/scene/dHash kernels share the same
+    # bytes-vs-hex contract (plus 32-bit hash packing and lag windows)
+    "multimodal_audio_energy",
+    "multimodal_scene_cuts",
+    "multimodal_phash_dedup",
     "gopher_repetition",
     "gopher_repetition_full",
     "corpus_trigram_novelty",
