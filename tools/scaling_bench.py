@@ -65,6 +65,7 @@ QUERIES = [
     "similarity_hard_negatives",
     "curate_source_cap",
     "streaming_cdc_apply",
+    "multimodal_scene_cuts",
     "decontam_semantic",
     "graph_triangle_counts",
     # TPC-H family: q1/q6/q18 are lineitem-driven so the 10x replica
