@@ -1596,9 +1596,9 @@ def q_j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w11_ohlc_resample",
-    """
+# shared with the streaming twin (streaming/hourly_stream.py) — ONE
+# definition so the two OHLC surfaces can never drift
+OHLC_ORACLE = """
     WITH b AS (
         -- value + 0.0 canonicalizes IEEE -0.0 to +0.0: MIN/MAX over a
         -- {-0.0, 0.0} tie returns an engine-arbitrary representative
@@ -1618,7 +1618,12 @@ def q_j14_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CASE WHEN rn_z = 1 THEN value END) AS close,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM b GROUP BY event_type, bucket
-    """,
+    """
+
+
+@register(
+    "w11_ohlc_resample",
+    OHLC_ORACLE,
     doc="OHLC downsampling (the market-data resample shape): per "
     "(event_type, hour) bucket, open/close by min_by/max_by over the total "
     "(ts, event_id) order, high/low by plain extremes. Every output is a "

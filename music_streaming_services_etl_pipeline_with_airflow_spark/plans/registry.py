@@ -83,7 +83,8 @@ _PRIORITY: tuple[str, ...] = (
     # streaming_cdc_apply (change-feed apply into the snapshot format) and
     # similarity_hard_negatives (contrastive hard-negative mining) and
     # curate_source_cap (per-source/domain document caps) and
-    # multimodal_scene_cuts (feature-delta shot-boundary detection):
+    # multimodal_scene_cuts (feature-delta shot-boundary detection) and
+    # streaming_ohlc_window (in-stream OHLC, oracle shared with w11):
     # all engine-exact by construction, parity-green locally, constructed-
     # case pinned in pytest; they wait for the round-7 head with the
     # entries below.)

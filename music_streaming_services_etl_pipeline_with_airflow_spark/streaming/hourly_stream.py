@@ -140,3 +140,64 @@ def q_streaming_topk_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("date", "hour", "top_event_type", "top_n")
     )
+
+
+@register(
+    "streaming_ohlc_window",
+    # Real oracle: SHARED with the batch w11_ohlc_resample (one constant,
+    # plans/breadth.OHLC_ORACLE) — with availableNow over a bounded staged
+    # folder, the complete-mode windowed min_by/max_by aggregate equals
+    # the batch per-(type, hour) selection exactly.
+    None,  # placeholder; replaced below to avoid an import cycle at module top
+    doc="Streaming OHLC: the market-data resample maintained IN-STREAM — "
+    "per (event_type, 1h window) open/close by min_by/max_by over the "
+    "total (ts, event_id) order, high/low extremes, complete mode. "
+    "Selection aggregates carry their argmax inside the streaming "
+    "partials, so the maintained state is O(windows), not O(events); "
+    "the batch twin (w11_ohlc_resample) and this stream share ONE "
+    "oracle string, so the two surfaces can never drift. The same "
+    "-0.0 canonicalization applies (a {-0.0, 0.0} tie would otherwise "
+    "pick an engine-arbitrary representative).",
+)
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .runner import run_stream_to_df, stage_events
+
+    d = stage_events(sf_dir, "events_ohlc")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(d)
+        .withColumn("value", F.col("value") + F.lit(0.0))
+    )
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return run_stream_to_df(agg, output_mode="complete")
+
+
+def _wire_ohlc_oracle() -> None:
+    """Attach the shared batch oracle post-registration (plans.breadth is
+    already imported by the registry before the streaming modules, but a
+    module-top import here would create a cycle on direct import)."""
+    from ..plans.breadth import OHLC_ORACLE
+    from ..plans.registry import _REGISTRY
+
+    _REGISTRY["streaming_ohlc_window"].oracle = OHLC_ORACLE
+
+
+_wire_ohlc_oracle()
