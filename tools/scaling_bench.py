@@ -66,6 +66,7 @@ QUERIES = [
     "curate_source_cap",
     "streaming_cdc_apply",
     "multimodal_scene_cuts",
+    "streaming_ohlc_window",
     "decontam_semantic",
     "graph_triangle_counts",
     # TPC-H family: q1/q6/q18 are lineitem-driven so the 10x replica
