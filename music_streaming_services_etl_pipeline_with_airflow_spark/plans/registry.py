@@ -71,23 +71,22 @@ _PRIORITY: tuple[str, ...] = (
     "warehouse_snapshot_time_travel",  # snapshot format MERGE + time travel
     "warehouse_snapshot_delete",  # copy-on-write DELETE w/ dir pruning
     "ivm_incremental_sessions",  # combine(state, delta) == recompute
-    # (w11_ohlc_resample — selection-only OHLC downsampling — plus
-    # decontam_semantic (broadcast eval-probe embedding decontamination)
-    # graph_triangle_counts (oriented wedge-closure triangle counting),
-    # multimodal_phash_dedup (dHash perceptual-hash image near-dup) and
-    # streaming_interval_join_full (both-direction watermark null-padding)
-    # similarity_ts_topk_subsequence (aggregate-then-search top-k
-    # time-series subsequence matching) and multimodal_audio_energy (PCM
-    # frame-energy kernel with a real RIFF container round-trip) and
-    # streaming_static_enrich (broadcast-dim stream enrichment) and
-    # streaming_cdc_apply (change-feed apply into the snapshot format) and
-    # similarity_hard_negatives (contrastive hard-negative mining) and
-    # curate_source_cap (per-source/domain document caps) and
-    # multimodal_scene_cuts (feature-delta shot-boundary detection) and
-    # streaming_ohlc_window (in-stream OHLC, oracle shared with w11):
-    # all engine-exact by construction, parity-green locally, constructed-
-    # case pinned in pytest; they wait for the round-7 head with the
-    # entries below.)
+    # (The round-6 second-half additions wait for the round-7 head with
+    # the entries below — all oracle-bearing, exact-parity green locally
+    # at sf0.001 AND sf0.01, and pinned in pytest/fuzz:
+    #   w11_ohlc_resample (selection-only OHLC downsampling),
+    #   streaming_ohlc_window (its in-stream twin, SAME oracle string),
+    #   decontam_semantic (broadcast eval-probe embedding decontam),
+    #   similarity_hard_negatives (contrastive hard-negative mining),
+    #   graph_triangle_counts (support-thresholded oriented triangles),
+    #   multimodal_phash_dedup (dHash perceptual-hash image near-dup),
+    #   multimodal_audio_energy (PCM frame energy, real RIFF round-trip),
+    #   multimodal_scene_cuts (feature-delta shot-boundary detection),
+    #   similarity_ts_topk_subsequence (aggregate-then-search TS top-k),
+    #   streaming_interval_join_full (both-direction outer null-padding),
+    #   streaming_static_enrich (broadcast-dim stream enrichment),
+    #   streaming_cdc_apply (change-feed apply into the snapshot format),
+    #   curate_source_cap (per-source/domain document caps).)
     # (corpus_dup_stats — a pure one-aggregate composition of the
     # head-checked curate_strip_shared_spans relation — and
     # bpe_tokenize_corpus — rows-only, already pinned EXACTLY against an
