@@ -246,12 +246,11 @@ def q_ivm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "O(commits) manifest cost.",
 )
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..snapshots import SnapshotTable
     from ..sources import load_table
+    from ..workdirs import fresh_work_dir
 
-    t = SnapshotTable(tempfile.mkdtemp(prefix="spark_engine_snap_") + "/customer_dim")
+    t = SnapshotTable(fresh_work_dir("snapshot_time_travel") + "/customer_dim")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     ).withColumn("order_cnt", F.lit(0).cast("bigint"))
@@ -395,11 +394,10 @@ _DELETE_PRED = "o_orderstatus = 'F' AND o_custkey % 10 < 3"
     "or of the delete into the old one, diverges the hash.",
 )
 def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
 
-    t = SnapshotTable(tempfile.mkdtemp(prefix="spark_engine_snapdel_") + "/orders_fact")
+    t = SnapshotTable(fresh_work_dir("snapshot_delete") + "/orders_fact")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )

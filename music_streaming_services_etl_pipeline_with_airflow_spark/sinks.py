@@ -229,10 +229,13 @@ def write_jsonl_sharded(
     dataloaders read the manifest to size epochs and validate delivery
     without scanning the data; a shard with count 0 writes NO shard=N
     directory (Spark partitionBy emits only present keys), so loaders
-    must consult the manifest, not the directory listing. Counts come
-    from the in-memory frame (no schema-inference re-read of the
-    delivered bytes) and every shard id 0..n-1 appears in the manifest,
-    zeros included. The manifest publish is atomic (temp file +
+    must consult the manifest, not the directory listing. The sharded
+    frame is persisted across the write and the count so BOTH read the
+    same materialization — without the cache a nondeterministic upstream
+    (sample(), unordered limit, RNG) could publish a manifest that
+    disagrees with the delivered shard bytes. Every shard id 0..n-1
+    appears in the manifest, zeros included. The manifest publish is
+    atomic (temp file +
     os.replace — the same protocol as snapshots._write_manifest).
     LOCAL-FS ONLY for the manifest side (like `compact`): the data write
     accepts any Hadoop path, but the manifest uses the local filesystem.
@@ -247,16 +250,20 @@ def write_jsonl_sharded(
     from .operators.sampling import hash_bucket
 
     sharded = df.withColumn("shard", hash_bucket(F.col(shard_key), n_shards))
-    (
-        sharded.repartition(n_shards, "shard")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .json(path)
-    )
-    counts = {
-        int(r["shard"]): r["n"]
-        for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()
-    }
+    sharded.persist()
+    try:
+        (
+            sharded.repartition(n_shards, "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .json(path)
+        )
+        counts = {
+            int(r["shard"]): r["n"]
+            for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()
+        }
+    finally:
+        sharded.unpersist()
     manifest = {
         "format": "jsonl",
         "n_shards": n_shards,

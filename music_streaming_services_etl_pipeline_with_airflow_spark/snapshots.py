@@ -116,16 +116,35 @@ class SnapshotTable:
         """MERGE INTO current snapshot: WHEN MATCHED update columns per the
         ``update`` expr map, WHEN NOT MATCHED insert with ``insert_defaults``
         filling target-only columns. Committed as a new overwrite version —
-        the pre-merge version stays readable (time travel)."""
+        the pre-merge version stays readable (time travel).
+
+        Precondition (enforced): delta keys are UNIQUE and NON-NULL — a
+        duplicate delta key would fan out its matched target row through
+        the full-outer join (ANSI MERGE raises on multi-match too), and a
+        NULL key can never match. Matched/inserted branches are decided by
+        JOIN-SIDE PRESENCE markers, not key nullability, so a NULL-keyed
+        *target* row rides through unchanged instead of being misread as
+        an insert."""
         from pyspark.sql import functions as F
 
-        tgt = self.read(spark)
-        d = delta.withColumnRenamed(on, "__mk")
+        base = self.read(spark)
+        chk = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(on)).alias("k"),
+        ).first()
+        if chk["n"] != chk["k"]:
+            raise ValueError(
+                f"merge delta must carry unique non-null {on!r} keys: "
+                f"{chk['n']} rows but {chk['k']} distinct non-null keys "
+                "(pre-compact the delta, e.g. latest-change-per-key)"
+            )
+        tgt = base.withColumn("__t", F.lit(1))
+        d = delta.withColumnRenamed(on, "__mk").withColumn("__d", F.lit(1))
         joined = tgt.join(d, tgt[on] == d["__mk"], "full_outer")
-        matched = tgt[on].isNotNull() & F.col("__mk").isNotNull()
-        inserted = tgt[on].isNull()
+        matched = F.col("__t").isNotNull() & F.col("__d").isNotNull()
+        inserted = F.col("__t").isNull()
         cols = []
-        for c in tgt.columns:
+        for c in base.columns:
             expr = F.col(c)
             if c in update:
                 expr = F.when(matched, F.expr(update[c])).otherwise(expr)

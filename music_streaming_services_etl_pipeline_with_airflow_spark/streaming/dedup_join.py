@@ -26,7 +26,11 @@ from .runner import (
 
 
 def dedup_stream(
-    spark: SparkSession, source_dir: str, schema: str, watermark: str = "1 hour"
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    watermark: str = "1 hour",
+    scratch: str | None = None,
 ) -> DataFrame:
     """At-least-once → exactly-once: drop replayed event_ids within the
     watermark horizon."""
@@ -34,7 +38,7 @@ def dedup_stream(
     deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    return run_stream_to_df(deduped)
+    return run_stream_to_df(deduped, scratch=scratch)
 
 
 def interval_join_streams(
@@ -44,6 +48,7 @@ def interval_join_streams(
     schema_left: str,
     schema_right: str,
     max_gap_minutes: int = 30,
+    scratch: str | None = None,
 ) -> DataFrame:
     """impressions ⋈ clicks: same user, click within [impression_ts,
     impression_ts + gap]."""
@@ -65,7 +70,7 @@ def interval_join_streams(
                 clk_ts <= imp_ts + interval {max_gap_minutes} minutes"""
         ),
     ).select("imp_user", "imp_id", "clk_id", "imp_ts", "clk_ts")
-    return run_stream_to_df(joined)
+    return run_stream_to_df(joined, scratch=scratch)
 
 
 # ---------------------------------------------------------------------------
@@ -101,7 +106,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    return run_stream_to_df(deduped)
+    return run_stream_to_df(deduped, scratch="streaming_dedup")
 
 
 @register(
@@ -158,7 +163,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                clk_ts <= imp_ts + interval 30 minutes"""
         ),
     ).select("imp_user", "imp_id", "clk_id")
-    return run_stream_to_df(joined)
+    return run_stream_to_df(joined, scratch="streaming_interval_join")
 
 
 @register(
@@ -227,7 +232,10 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     # equi-join key), dropping the sentinel rows before the watermark
     # nodes ever see them — which silently un-advances the final watermark
     # and strands the trailing outer rows in state.
-    return run_stream_to_df(joined.select("imp_user", "imp_id", "clk_id")).filter(
+    return run_stream_to_df(
+        joined.select("imp_user", "imp_id", "clk_id"),
+        scratch="streaming_interval_join_outer",
+    ).filter(
         F.col("imp_user") >= 0
     )
 
@@ -289,7 +297,10 @@ def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFram
         ),
         "fullOuter",
     )
-    out = run_stream_to_df(joined.select("imp_user", "imp_id", "clk_user", "clk_id"))
+    out = run_stream_to_df(
+        joined.select("imp_user", "imp_id", "clk_user", "clk_id"),
+        scratch="streaming_interval_join_full",
+    )
     # sentinel strip on the BATCH result — see the left-outer twin for why
     # this must not run inside the streaming plan
     return out.filter(

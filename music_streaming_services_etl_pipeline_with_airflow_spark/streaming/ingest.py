@@ -109,10 +109,13 @@ def dedup_ingest_each_batch(index_path: str):
     "the returned DataFrame is the final index read back lazily.",
 )
 def q_streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..workdirs import fresh_work_dir
+
     d = stage_documents(sf_dir, "dedup_ingest")
-    index = tempfile.mkdtemp(prefix="spark_engine_ingest_idx_") + "/content_index"
+    work = fresh_work_dir("streaming_dedup_ingest")
+    index = os.path.join(work, "content_index")
     os.makedirs(index, exist_ok=True)
-    ckpt = tempfile.mkdtemp(prefix="spark_engine_ingest_ck_")
+    ckpt = os.path.join(work, "ckpt")
     src = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -222,19 +225,19 @@ def make_cdc_applier(t):
     "change payloads never re-shuffle through history.",
 )
 def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
     from .runner import EVENTS_SCHEMA, stage_events
 
     d = stage_events(sf_dir, "events_cdc")
-    t = SnapshotTable(tempfile.mkdtemp(prefix="spark_engine_cdc_") + "/state")
+    work = fresh_work_dir("streaming_cdc_apply")
+    t = SnapshotTable(os.path.join(work, "state"))
     apply_batch = make_cdc_applier(t)
 
     src = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
     q = (
         src.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="spark_engine_cdc_ck_"))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )

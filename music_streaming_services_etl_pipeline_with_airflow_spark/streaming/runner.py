@@ -67,10 +67,20 @@ def _normalize_events_file(src: str, dst: str) -> None:
     pq.write_table(table, dst)
 
 
-def run_stream_to_df(df: DataFrame, output_mode: str = "append") -> DataFrame:
+def run_stream_to_df(
+    df: DataFrame, output_mode: str = "append", scratch: str | None = None
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) and return the
     emitted rows as a batch DataFrame with zero driver materialization on
-    the append path."""
+    the append path.
+
+    ``scratch`` names a stable per-query scratch dir (``workdirs.
+    fresh_work_dir``) for the append path's file sink + checkpoint, so
+    repeated invocations reuse instead of accumulating under /tmp; without
+    a name the dir is a one-shot mkdtemp (callers in the registry always
+    pass one)."""
+    from ..workdirs import fresh_work_dir
+
     spark = df.sparkSession
     _counter[0] += 1
     if output_mode == "complete":
@@ -85,7 +95,11 @@ def run_stream_to_df(df: DataFrame, output_mode: str = "append") -> DataFrame:
         q.awaitTermination()
         return spark.table(name)
 
-    out_dir = tempfile.mkdtemp(prefix="spark_engine_stream_out_")
+    out_dir = (
+        fresh_work_dir(f"stream_out_{scratch}")
+        if scratch
+        else tempfile.mkdtemp(prefix="spark_engine_stream_out_")
+    )
     data_dir = os.path.join(out_dir, "data")
     ckpt_dir = os.path.join(out_dir, "ckpt")
     q = (
@@ -119,17 +133,32 @@ def stage_events_with_watermark_sentinel(sf_dir: str, name: str) -> str:
     import pyarrow.parquet as pq
 
     d = stage_events(sf_dir, name)  # removes any stale sentinel as leftover
-    pf = pq.ParquetFile(f"{d}/copy0.v2.parquet")
-    md = pf.metadata
-    ts_idx = next(
-        i
-        for i in range(md.num_columns)
-        if md.row_group(0).column(i).path_in_schema == "ts"
-    )
-    mx = max(
-        md.row_group(rg).column(ts_idx).statistics.max
-        for rg in range(md.num_row_groups)
-    )
+    # derive the staged filenames from the folder instead of hardcoding
+    # stage_events' layout; parquet column statistics are OPTIONAL, so a
+    # stats-less writer falls back to one bounded read of the ts column
+    mx = None
+    for fname in sorted(os.listdir(d)):
+        if not fname.endswith(".parquet"):
+            continue
+        path = os.path.join(d, fname)
+        md = pq.ParquetFile(path).metadata
+        if md.num_row_groups == 0:
+            continue
+        ts_idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "ts"
+        )
+        stats = [md.row_group(rg).column(ts_idx).statistics for rg in range(md.num_row_groups)]
+        if all(st is not None and st.has_min_max for st in stats):
+            file_max = max(st.max for st in stats)
+        else:
+            import pyarrow.compute as pc
+
+            file_max = pc.max(pq.read_table(path, columns=["ts"])["ts"]).as_py()
+        mx = file_max if mx is None else max(mx, file_max)
+    if mx is None:
+        raise ValueError(f"{d}: no staged parquet rows to derive max(ts) from")
     if mx.tzinfo is None:
         mx = mx.replace(tzinfo=dt.timezone.utc)
     schema = pa.schema(

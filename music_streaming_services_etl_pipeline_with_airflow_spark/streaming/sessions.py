@@ -132,7 +132,9 @@ def _sessionize_group_timeout(
         )
 
 
-def sessionize_stream_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sessionize_stream_timeout(
+    spark: SparkSession, sf_dir: str, scratch: str | None = None
+) -> DataFrame:
     """availableNow run of the EventTimeTimeout sessionizer: gap-closed
     sessions emit as data arrives; open sessions whose ``last + gap`` falls
     behind the final watermark (``max(ts) - delay``) emit via the timeout
@@ -153,7 +155,7 @@ def sessionize_stream_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return run_stream_to_df(sessions)
+    return run_stream_to_df(sessions, scratch=scratch)
 
 
 def sessionize_stream(
@@ -161,6 +163,7 @@ def sessionize_stream(
     sf_dir: str,
     source_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    scratch: str | None = None,
 ) -> DataFrame:
     """Run the stateful streaming sessionizer to completion over the events
     drop-folder; returns the *closed* sessions (the trailing open session
@@ -183,7 +186,7 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_stream_to_df(sessions)
+    return run_stream_to_df(sessions, scratch=scratch)
 
 
 from ..plans.registry import register  # noqa: E402
@@ -226,7 +229,7 @@ from ..plans.registry import register  # noqa: E402
     "Cross-checked against the batch session_window operator in tests.",
 )
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessionize_stream(spark, sf_dir)
+    return sessionize_stream(spark, sf_dir, scratch="streaming_sessionize")
 
 
 # Oracle shared by the two EventTime-expiry variants (GroupState timeout
@@ -277,7 +280,7 @@ _TIMEOUT_ORACLE = f"""
     "state.",
 )
 def q_streaming_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sessionize_stream_timeout(spark, sf_dir)
+    return sessionize_stream_timeout(spark, sf_dir, scratch="streaming_sessionize_timeout")
 
 
 # ---------------------------------------------------------------------------
@@ -382,7 +385,7 @@ def sessionize_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Append",
         timeMode="EventTime",
     )
-    return run_stream_to_df(sessions)
+    return run_stream_to_df(sessions, scratch="streaming_sessionize_tws")
 
 
 def _has_tws_runtime() -> bool:

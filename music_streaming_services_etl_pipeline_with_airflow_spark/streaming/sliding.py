@@ -40,6 +40,7 @@ def run_sliding_stream(
     window: str = "1 hour",
     slide: str = "15 minutes",
     query_name: str = "sliding_counts",
+    scratch: str | None = None,
 ) -> DataFrame:
     """availableNow sliding-window aggregation with a watermark, append
     mode — returns the emitted (closed) windows."""
@@ -54,7 +55,7 @@ def run_sliding_stream(
             "n_events",
         )
     )
-    return run_stream_to_df(agg)
+    return run_stream_to_df(agg, scratch=scratch)
 
 
 from ..plans.registry import register  # noqa: E402
@@ -105,4 +106,4 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_stream_to_df(agg)
+    return run_stream_to_df(agg, scratch="streaming_sliding")

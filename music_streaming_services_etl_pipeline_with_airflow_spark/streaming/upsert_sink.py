@@ -31,7 +31,6 @@ def partition_overwrite_each_batch(path: str, partition_by: tuple[str, ...] = ("
 # ---------------------------------------------------------------------------
 
 import os
-import tempfile
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -63,9 +62,12 @@ from ..plans.registry import register
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .runner import EVENTS_SCHEMA, stage_events
 
+    from ..workdirs import fresh_work_dir
+
     d = stage_events(sf_dir, "events_upsert")
-    wh = tempfile.mkdtemp(prefix="spark_engine_stream_wh_") + "/daily_counts"
-    ckpt = tempfile.mkdtemp(prefix="spark_engine_stream_ck_")
+    work = fresh_work_dir("streaming_foreachbatch_upsert")
+    wh = os.path.join(work, "daily_counts")
+    ckpt = os.path.join(work, "ckpt")
     src = spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
     agg = src.groupBy(
         F.to_date("ts").alias("date"), "event_type"
