@@ -47,36 +47,55 @@ def rollup_uniques(daily: DataFrame) -> DataFrame:
 
 @register(
     "sketch_daily_uniques_rollup",
-    None,  # DataSketches HLL has no DuckDB twin; accuracy pinned by pytest
-    doc="Mergeable HLL sketches: per-day user_id sketches materialized once, "
-    "then per-day estimates AND the all-time rollup answered by sketch "
-    "union — the incremental-uniques pattern that replaces full rescans at "
-    "100 TB. Deterministic for a given input (order-independent register "
-    "updates); accuracy vs exact countDistinct pinned by pytest.",
+    # Error-band oracle: the DataSketches HLL estimate has no DuckDB twin,
+    # so the checked output carries the EXACT distincts plus a within-band
+    # boolean (|est-exact| <= max(2, 5% of exact); lgConfigK=12 bounds
+    # ~2.3%) the oracle asserts as literal TRUE.
+    """
+    WITH d AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id
+               FROM events)
+    SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uniques,
+           TRUE AS within_band
+    FROM d GROUP BY day
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE FROM d
+    """,
+    doc="Mergeable HLL sketches as a BAND AUDIT: per-day user_id sketches "
+    "materialized once, then per-day estimates AND the all-time rollup "
+    "answered by sketch union — the incremental-uniques pattern that "
+    "replaces full rescans at 100 TB. The checked output joins each "
+    "estimate to the exact countDistinct and asserts |est-exact| <= "
+    "max(2, 5% of exact) — hash-checked without hashing estimator "
+    "internals; raw estimates stay available via rollup_uniques (also "
+    "pinned by pytest).",
 )
 def q_sketch_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return rollup_uniques(daily_user_sketches(ev))
+    est = rollup_uniques(daily_user_sketches(ev))
+    per_day = ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.countDistinct("user_id").alias("exact_uniques")
+    )
+    overall = ev.agg(
+        F.lit("ALL").alias("day"),
+        F.countDistinct("user_id").alias("exact_uniques"),
+    )
+    exact = per_day.unionByName(overall)
+    return est.join(exact, "day").select(
+        "day",
+        "exact_uniques",
+        (
+            F.abs(F.col("est_uniques").cast("double") - F.col("exact_uniques"))
+            <= F.greatest(F.lit(2.0), F.col("exact_uniques") * 0.05)
+        ).alias("within_band"),
+    )
 
 
 KLL_K = 200  # sketch size parameter: ~1.7% max rank error
 
 
-@register(
-    "sketch_daily_quantiles_rollup",
-    None,  # DataSketches KLL has no DuckDB twin; rank error pinned by pytest
-    doc="Mergeable KLL quantile sketches (Spark 4 kll_sketch_agg_bigint / "
-    "kll_sketch_merge_bigint / kll_sketch_get_quantile_bigint): one "
-    "sketch of value-millis per day, then per-day p50/p90/p99 AND the "
-    "all-time quantiles answered by MERGING the stored sketches — the "
-    "quantile analog of the HLL uniques rollup. Exact percentiles cannot "
-    "roll up (a p99 of p99s is meaningless); KLL merges losslessly "
-    "within its rank-error bound (~1.7% at k=200, pinned by tests/"
-    "test_extensions.py::test_kll_daily_rollup_accuracy). A few KB per "
-    "day regardless of fact volume: the 100 TB incremental-percentile "
-    "pattern.",
-)
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw KLL estimate relation (day, p50/p90/p99_milli) — consumed by
+    the registered band audit below and the pytest rank-error pin."""
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"),
         F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
@@ -105,6 +124,85 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", *probe)
     )
     return per_day.unionByName(overall)
+
+
+# KLL at k=200 bounds normalized rank error by ~1.65%; the audit band asks
+# each estimate to lie between the exact interpolated quantiles at rank
+# q ± 0.035 (2x the bound, absorbing interpolation-vs-data-value edge
+# effects at small per-day group sizes).
+_KLL_BAND = 0.035
+
+
+@register(
+    "sketch_daily_quantiles_rollup",
+    # Error-band oracle: the DataSketches KLL estimate has no DuckDB twin,
+    # so the checked output carries the EXACT interpolated quantiles plus
+    # booleans asserting each KLL probe lies between the exact quantiles
+    # at rank q ± 0.035 — the oracle emits literal TRUE.
+    """
+    WITH d AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                      CAST(FLOOR(value * 1000) AS BIGINT) AS v_milli
+               FROM events)
+    SELECT day,
+           quantile_cont(v_milli, 0.5)  AS p50_exact_milli,
+           quantile_cont(v_milli, 0.9)  AS p90_exact_milli,
+           quantile_cont(v_milli, 0.99) AS p99_exact_milli,
+           TRUE AS p50_within_band,
+           TRUE AS p90_within_band,
+           TRUE AS p99_within_band
+    FROM d GROUP BY day
+    UNION ALL
+    SELECT 'ALL',
+           quantile_cont(v_milli, 0.5),
+           quantile_cont(v_milli, 0.9),
+           quantile_cont(v_milli, 0.99),
+           TRUE, TRUE, TRUE
+    FROM d
+    """,
+    doc="Mergeable KLL quantile sketches (kll_sketch_agg_bigint / "
+    "kll_sketch_merge_bigint / kll_sketch_get_quantile_bigint) as a BAND "
+    "AUDIT: one sketch of value-millis per day, per-day p50/p90/p99 AND "
+    "the all-time quantiles answered by MERGING the stored sketches (a "
+    "p99 of p99s is meaningless — KLL merges losslessly within its "
+    "~1.7% k=200 rank bound). The checked output joins each probe to the "
+    "exact interpolated quantiles and asserts it lies between the exact "
+    "quantiles at rank q ± 0.035 — hash-checked without hashing "
+    "estimator internals; raw estimates stay available via "
+    "q_kll_quantiles (rank error also pinned by pytest).",
+)
+def q_kll_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = q_kll_quantiles(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").cast("string").alias("day"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v_milli"),
+    )
+    qs = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+
+    def exact_aggs():
+        out = []
+        for q, name in qs:
+            lo, hi = max(0.0, q - _KLL_BAND), min(1.0, q + _KLL_BAND)
+            out += [
+                F.percentile("v_milli", q).alias(f"{name}_exact_milli"),
+                F.percentile("v_milli", lo).alias(f"_{name}_lo"),
+                F.percentile("v_milli", hi).alias(f"_{name}_hi"),
+            ]
+        return out
+
+    per_day = ev.groupBy("day").agg(*exact_aggs())
+    overall = ev.agg(F.lit("ALL").alias("day"), *exact_aggs())
+    exact = per_day.unionByName(overall)
+    joined = est.join(exact, "day")
+    bands = [
+        (
+            (F.col(f"{n}_milli").cast("double") >= F.col(f"_{n}_lo"))
+            & (F.col(f"{n}_milli").cast("double") <= F.col(f"_{n}_hi"))
+        ).alias(f"{n}_within_band")
+        for _, n in qs
+    ]
+    return joined.select(
+        "day", *[f"{n}_exact_milli" for _, n in qs], *bands
+    )
 
 
 @register(

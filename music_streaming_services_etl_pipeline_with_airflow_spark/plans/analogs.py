@@ -292,12 +292,54 @@ def q_hourly_kpis_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "a3_hourly_distinct_approx",
-    None,  # HLL estimates are engine-specific → rows-only check
-    doc="100-TB variant of A3: approx_count_distinct (HLL) instead of exact "
-    "two-phase distinct. No SQL oracle (estimator-specific values).",
+    # Error-band oracle (the sketch_topk_monthly_rollup play): the HLL
+    # estimate itself is engine-specific, so the checked output carries the
+    # EXACT distincts (recomputable in SQL) plus within-band booleans the
+    # oracle asserts as literal TRUE. A drifting estimator or a broken band
+    # flips a boolean and diverges the hash.
+    f"""
+    WITH {ENRICHED_HOURLY_CTE},
+    base AS (SELECT * FROM enriched WHERE date IS NOT NULL)
+    SELECT date, hour,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS exact_listeners,
+           CAST(COUNT(DISTINCT track_id) AS BIGINT) AS exact_tracks,
+           TRUE AS listeners_within_band,
+           TRUE AS tracks_within_band
+    FROM base GROUP BY date, hour
+    """,
+    doc="100-TB variant of A3 as a BAND AUDIT: approx_count_distinct (HLL, "
+    "rsd 0.05) and exact countDistinct computed in ONE aggregate over the "
+    "enriched hourly relation; the output carries the exact counts plus "
+    "|approx-exact| <= max(5, 20% of exact) booleans, which the oracle "
+    "recomputes/asserts — converting the formerly rows-only HLL query "
+    "into a hash-checked one without hashing estimator internals. The "
+    "band is 4x the rsd (measured worst case across sf0.001-0.1: 20% "
+    "rel on a 5-distinct group, 10.8% on a 139-distinct one) — per-hour "
+    "groups are SMALL-cardinality, where HLL's relative guarantee is at "
+    "its weakest and the absolute floor does the work.",
 )
 def q_hourly_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kpis.hourly_kpis(enriched_hourly(spark, sf_dir), approx=True)
+    base = enriched_hourly(spark, sf_dir).filter(F.col("date").isNotNull())
+    agg = base.groupBy("date", "hour").agg(
+        F.countDistinct("user_id").alias("exact_listeners"),
+        F.countDistinct("track_id").alias("exact_tracks"),
+        F.approx_count_distinct("user_id").alias("_al"),
+        F.approx_count_distinct("track_id").alias("_at"),
+    )
+
+    def band(est, exact):
+        return F.abs(F.col(est).cast("double") - F.col(exact)) <= F.greatest(
+            F.lit(5.0), F.col(exact) * 0.20
+        )
+
+    return agg.select(
+        "date",
+        "hour",
+        "exact_listeners",
+        "exact_tracks",
+        band("_al", "exact_listeners").alias("listeners_within_band"),
+        band("_at", "exact_tracks").alias("tracks_within_band"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -953,16 +953,10 @@ def q_a12_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "a13_approx_percentiles",
-    None,  # sketch-based (Greenwald-Khanna); tolerance pinned by pytest
-    doc="approx_percentile (Greenwald-Khanna sketch, accuracy parameter "
-    "10000): the 100 TB variant of a7's exact sort-based percentiles — "
-    "mergeable partial sketches, one pass, no global sort. Deterministic "
-    "for a given input; closeness to exact percentiles is pinned by "
-    "tests/test_extensions.py::test_approx_percentiles_tolerance.",
-)
-def q_a13_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def approx_percentile_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw Greenwald-Khanna estimates (accuracy 10000) per event_type —
+    the relation the band audit below and the pytest rank-tolerance pin
+    both consume."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") * 100).cast("long").alias("value_cents")
     )
@@ -971,6 +965,63 @@ def q_a13_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value_cents", 0.9, 10000).alias("p90_cents"),
         F.percentile_approx("value_cents", 0.99, 10000).alias("p99_cents"),
     )
+
+
+# GK with accuracy=10000 bounds RANK error by 1/10000; the audit band uses
+# ±0.005 in rank space — 50x the guarantee, tight enough that a broken
+# sketch cannot hide, loose enough that interpolation-vs-data-value edge
+# effects at small group sizes never flip a TRUE.
+_GK_BAND = 0.005
+
+
+@register(
+    "a13_approx_percentiles",
+    # Error-band oracle: exact interpolated percentiles (recomputable as
+    # quantile_cont) plus booleans asserting each GK estimate lies between
+    # the exact quantiles at q ± 0.005 — the oracle emits literal TRUE.
+    """SELECT event_type,
+              quantile_cont(value_cents, 0.5)  AS p50_exact_cents,
+              quantile_cont(value_cents, 0.9)  AS p90_exact_cents,
+              quantile_cont(value_cents, 0.99) AS p99_exact_cents,
+              TRUE AS p50_within_band,
+              TRUE AS p90_within_band,
+              TRUE AS p99_within_band
+       FROM (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+             FROM events)
+       GROUP BY event_type""",
+    doc="approx_percentile (Greenwald-Khanna, accuracy 10000) as a BAND "
+    "AUDIT: the checked output carries a7's exact interpolated "
+    "percentiles plus booleans asserting each GK estimate's value lies "
+    "between the exact quantiles at rank q ± 0.005 (50x the sketch's "
+    "1/10000 rank-error guarantee) — converting the formerly rows-only "
+    "sketch query into a hash-checked one. The raw-estimate relation "
+    "stays available as approx_percentile_estimates (rank tolerance "
+    "additionally pinned by tests/test_extensions.py).",
+)
+def q_a13_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    qs = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    aggs = []
+    for q, name in qs:
+        lo, hi = max(0.0, q - _GK_BAND), min(1.0, q + _GK_BAND)
+        aggs += [
+            F.percentile("value_cents", q).alias(f"{name}_exact_cents"),
+            F.percentile("value_cents", lo).alias(f"_{name}_lo"),
+            F.percentile("value_cents", hi).alias(f"_{name}_hi"),
+            F.percentile_approx("value_cents", q, 10000).alias(f"_{name}_est"),
+        ]
+    agg = ev.groupBy("event_type").agg(*aggs)
+    cols = ["event_type"] + [f"{n}_exact_cents" for _, n in qs]
+    bands = [
+        (
+            (F.col(f"_{n}_est") >= F.col(f"_{n}_lo"))
+            & (F.col(f"_{n}_est") <= F.col(f"_{n}_hi"))
+        ).alias(f"{n}_within_band")
+        for _, n in qs
+    ]
+    return agg.select(*cols, *bands)
 
 
 RANGE_JOIN_BIN_S = 1800  # bin width == window half-width -> <=3 bins/interval

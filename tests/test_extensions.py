@@ -318,12 +318,14 @@ def test_approx_percentiles_tolerance(spark):
     """Greenwald-Khanna guarantees RANK error <= eps*N (not value error —
     exact percentiles interpolate, GK returns a data value). Assert each
     approx value's rank is within 2% of the target rank per group."""
-    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.breadth import (
+        approx_percentile_estimates,
+    )
     from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
 
     approx = {
         r.event_type: (r.p50_cents, r.p90_cents, r.p99_cents)
-        for r in all_specs()["a13_approx_percentiles"].fn(spark, SF).collect()
+        for r in approx_percentile_estimates(spark, SF).collect()
     }
     ev = load_table(spark, SF, "events").select(
         "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
