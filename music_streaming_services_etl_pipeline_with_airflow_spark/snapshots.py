@@ -29,6 +29,17 @@ work unchanged because the files are ordinary parquet. Single-writer
 semantics (the reference's Airflow DAG is single-writer per table too);
 a concurrent-writer CAS on the manifest name is the documented seam, same
 category as the Derby-only JDBC surface (README "Known seams").
+
+KEYED-STATE BUCKETING (round 7): a table whose rows are keyed state (a
+CDC target, a MERGE-maintained dim) can map each key to one of N hash
+buckets and commit PER BUCKET — the manifest then carries a
+``buckets: {id: [dirs]}`` map (``dirs`` stays the flattened union, so
+``read``/``restore``/``expire``/``history`` work unchanged), and a write
+that touches a subset of buckets rewrites ONLY those buckets' dirs,
+carrying the rest over by reference — dir-granular copy-on-write, the
+same trick ``delete_where`` plays with probe-pruned dirs. This is what
+keeps a 100 TB keyed-state table writable from a change feed: per-batch
+write cost is O(touched buckets' bytes), never O(|state|).
 """
 
 from __future__ import annotations
@@ -155,6 +166,77 @@ class SnapshotTable:
             cols.append(expr.alias(c))
         merged = joined.select(*cols)
         return self.commit(merged, mode="overwrite")
+
+    # -- keyed-state bucketing ----------------------------------------------
+
+    @staticmethod
+    def bucket_of(key_col, n_buckets: int):
+        """The ONE bucket function both writers and readers must share:
+        pmod(xxhash64(key), n) — deterministic, seed-free, stable across
+        sessions. Returns an int column."""
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+
+    def _bucket_map(self, version: int) -> dict[str, list[str]]:
+        m = self._manifest(version)
+        if "buckets" not in m:
+            raise ValueError(
+                f"{self.path} v{version}: not a bucketed commit — "
+                "commit_buckets() must write every version of a bucketed table"
+            )
+        return m["buckets"]
+
+    def read_buckets(
+        self, spark: SparkSession, bucket_ids: list[int], schema: str
+    ) -> DataFrame:
+        """Read ONLY the given buckets' dirs from the current version — the
+        read half of bucket pruning: a change batch that touches 3 of 4096
+        buckets joins against 3 buckets' state, not the table. ``schema``
+        makes the empty case (no committed version yet, or all requested
+        buckets empty) a typed empty relation instead of an error."""
+        if self.latest_version() == 0:
+            return spark.createDataFrame([], schema)
+        bm = self._bucket_map(self.latest_version())
+        dirs = [d for b in bucket_ids for d in bm.get(str(b), [])]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*dirs)
+
+    def commit_buckets(
+        self,
+        df: DataFrame,
+        touched: list[int],
+        bucket_col: str = "_bucket",
+    ) -> int:
+        """Commit ``df`` as the FULL new content of the ``touched`` buckets
+        (``df`` carries ``bucket_col``, computed with :meth:`bucket_of`);
+        every other bucket carries over from the parent BY REFERENCE. One
+        partitioned write job; write bytes are O(touched buckets), never
+        O(|state|). A touched bucket with zero surviving rows becomes an
+        empty bucket (its manifest entry is an empty dir list — Spark's
+        partitionBy emits no dir for an absent key)."""
+        parent = self.latest_version()
+        version = parent + 1
+        data_dir = self._fresh_data_dir(version)
+        df.write.mode("error").partitionBy(bucket_col).parquet(data_dir)
+        buckets: dict[str, list[str]] = (
+            dict(self._bucket_map(parent)) if parent > 0 else {}
+        )
+        for b in touched:
+            d = f"{data_dir}/{bucket_col}={b}"
+            buckets[str(b)] = [d] if os.path.isdir(d) else []
+        dirs = sorted(d for ds in buckets.values() for d in ds)
+        self._write_manifest(
+            {
+                "version": version,
+                "parent": parent,
+                "mode": "bucketed",
+                "dirs": dirs,
+                "buckets": buckets,
+            }
+        )
+        return version
 
     def delete_where(self, spark: SparkSession, predicate: str) -> int:
         """Copy-on-write DELETE: remove rows where ``predicate`` is TRUE and

@@ -211,3 +211,94 @@ def test_history_describes_every_commit(spark, tmp_path):
         (3, "delete", 2, None),
         (4, "restore", 3, 2),
     ]
+
+
+def test_commit_buckets_rewrites_only_touched(spark, tmp_path):
+    """Bucketed copy-on-write: a commit that touches a subset of buckets
+    rewrites only those dirs; every other bucket's manifest entry is the
+    SAME path as the parent's (carried by reference, zero bytes written);
+    read() and time travel see the flat dir union with no phantom
+    partition column."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    n = 8
+    d = spark.range(0, 64).select(
+        F.col("id"), (F.col("id") * 10).alias("v")
+    ).withColumn("_bucket", SnapshotTable.bucket_of(F.col("id"), n))
+    v1 = t.commit_buckets(d, touched=list(range(n)))
+    m1 = t._bucket_map(v1)
+
+    # rewrite only key 7's bucket
+    b7 = (
+        spark.range(7, 8)
+        .select(F.col("id"), F.lit(999).alias("v"))
+        .withColumn("_bucket", SnapshotTable.bucket_of(F.col("id"), n))
+    )
+    touched = b7.select("_bucket").first()["_bucket"]
+    # new bucket content = old rows of that bucket with id 7 replaced
+    old = t.read_buckets(spark, [touched], "id long, v long").filter("id <> 7")
+    v2 = t.commit_buckets(
+        old.withColumn("_bucket", SnapshotTable.bucket_of(F.col("id"), n))
+        .unionByName(b7),
+        touched=[touched],
+    )
+    m2 = t._bucket_map(v2)
+    for b in map(str, range(n)):
+        if int(b) == touched:
+            assert m2[b] != m1[b]
+        else:
+            assert m2[b] == m1[b], f"untouched bucket {b} was rewritten"
+
+    got = dict(_rows(t.read(spark)))
+    assert got[7] == 999 and got[6] == 60 and len(got) == 64
+    assert "_bucket" not in t.read(spark).columns  # partition col stays out
+    # time travel to v1 still shows the old value
+    assert dict(_rows(t.read(spark, v1)))[7] == 70
+    # an emptied touched bucket becomes an empty entry, not a dangling dir
+    empty = spark.createDataFrame([], "id long, v long").withColumn(
+        "_bucket", SnapshotTable.bucket_of(F.col("id"), n)
+    )
+    v3 = t.commit_buckets(empty, touched=[touched])
+    assert t._bucket_map(v3)[str(touched)] == []
+    assert 7 not in dict(_rows(t.read(spark)))
+
+
+def test_cdc_applier_prunes_buckets(spark, tmp_path):
+    """The CDC applier's per-batch work is bucket-pruned: a batch touching
+    one key rewrites exactly that key's bucket dir and reads no other
+    bucket; results stay equal to latest-change-per-key semantics."""
+    import datetime as dt
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_cdc_applier,
+    )
+
+    t = SnapshotTable(str(tmp_path / "state"))
+    n = 8
+    apply_batch = make_cdc_applier(t, n_buckets=n)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def _ev(eid, minute, u, typ, v):
+        return (eid, dt.datetime(2024, 1, 1, 10, minute), u, typ, v, None)
+
+    apply_batch(
+        spark.createDataFrame(
+            [_ev(i, 0, u, "view", float(u)) for i, u in enumerate(range(1, 33))],
+            schema,
+        ),
+        0,
+    )
+    m1 = t._bucket_map(t.latest_version())
+    assert sum(len(ds) for ds in m1.values()) >= 2  # state spans buckets
+
+    apply_batch(spark.createDataFrame([_ev(100, 5, 1, "click", 42.0)], schema), 1)
+    m2 = t._bucket_map(t.latest_version())
+    changed = [b for b in m1 if m2[b] != m1[b]]
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+    live = {
+        r.user_id: r.value_milli
+        for r in t.read(spark).filter("NOT deleted").collect()
+    }
+    assert live[1] == 42000 and live[2] == 2000 and len(live) == 32
