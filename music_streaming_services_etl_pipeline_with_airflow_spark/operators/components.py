@@ -239,6 +239,15 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    return triangle_counts_from_baskets(li)
+
+
+def triangle_counts_from_baskets(li: DataFrame) -> DataFrame:
+    """The full support-threshold + degree-orientation pipeline over any
+    (l_orderkey, l_partkey) basket relation — factored out so
+    tools/triangle_scale_measure.py can drive it with realistic-growth
+    synthetic baskets (fresh keys, constant pair density) as well as the
+    registered lineitem query."""
     a = li.alias("a")
     b = li.alias("b")
     # undirected edge set, canonical (pa < pb by id), support-thresholded

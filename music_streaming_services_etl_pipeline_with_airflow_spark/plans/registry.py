@@ -50,113 +50,81 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # or oracle-less name fails loudly instead of silently burning a driver
 # slot.
 _PRIORITY: tuple[str, ...] = (
-    # -- new oracles or behavior changed in round 6: need fresh driver rows --
-    "dedup_embedding_lsh",  # NEW oracle: pair set vs exact-cosine threshold
-    "sketch_topk_monthly_rollup",  # NEW oracle: exact-under-capacity top-10
-    "dedup_containment_banded",  # integer-safe prefix bound fix
-    "dedup_chunks_cross_doc",  # integral-div canonical-occurrence unpack
-    "streaming_sessionize_timeout",  # ceil-to-ms timeout fix
-    "multimodal_decode_metadata",  # JPEG fill-byte walk fix
-    # -- brand-new round-6 queries: zero driver rows yet --
-    "streaming_interval_join_outer",  # LEFT OUTER stream-stream interval join
-    "sample_reservoir_topk",  # exact-k hash-rank sample, TakeOrderedAndProject
-    "warehouse_zorder_locality",  # Morton-layout bucket rectangles
-    "dedup_winnowed_shingles",  # any-alignment winnowed fingerprint dedup
-    "dedup_shared_spans",  # exact duplicated token-range extraction
-    "curate_strip_shared_spans",  # surgical strip w/ canonical preservation
-    "streaming_topk_event_type",  # windowed top-k, serving-side rank
-    "text_unigram_logprob",  # LM-proxy quality score, exact milli-bits
-    "tpch_q1_pricing_summary",  # canonical TPC-H flagships (plans/tpch.py)
-    "tpch_q5_local_supplier_volume",
-    "warehouse_snapshot_time_travel",  # snapshot format MERGE + time travel
-    "warehouse_snapshot_delete",  # copy-on-write DELETE w/ dir pruning
-    "ivm_incremental_sessions",  # combine(state, delta) == recompute
-    # (The round-6 second-half additions wait for the round-7 head with
-    # the entries below — all oracle-bearing, exact-parity green locally
-    # at sf0.001 AND sf0.01, and pinned in pytest/fuzz:
-    #   w11_ohlc_resample (selection-only OHLC downsampling),
-    #   streaming_ohlc_window (its in-stream twin, SAME oracle string),
-    #   decontam_semantic (broadcast eval-probe embedding decontam),
-    #   similarity_hard_negatives (contrastive hard-negative mining),
-    #   graph_triangle_counts (support-thresholded oriented triangles),
-    #   multimodal_phash_dedup (dHash perceptual-hash image near-dup),
-    #   multimodal_audio_energy (PCM frame energy, real RIFF round-trip),
-    #   multimodal_scene_cuts (feature-delta shot-boundary detection),
-    #   similarity_ts_topk_subsequence (aggregate-then-search TS top-k),
-    #   streaming_interval_join_full (both-direction outer null-padding),
-    #   streaming_static_enrich (broadcast-dim stream enrichment),
-    #   streaming_cdc_apply (change-feed apply into the snapshot format),
-    #   curate_source_cap (per-source/domain document caps).)
-    # (corpus_dup_stats — a pure one-aggregate composition of the
-    # head-checked curate_strip_shared_spans relation — and
-    # bpe_tokenize_corpus — rows-only, already pinned EXACTLY against an
-    # independent reference implementation in pytest — and
-    # dedup_incremental_batch and dedup_minhash_incremental (both with
-    # constructed/lossless pytest pins + local parity) wait for the
-    # round-7 head rather than displacing more stale rotation slots.
-    # Likewise the late-round-6 additions a17_grouping_sets,
-    # w10_mad_outliers, j14_asof_tolerance_join, dedup_normalized_exact,
-    # similarity_int8_topk, multimodal_resize_thumbnail,
-    # multimodal_feature_stats, gopher_repetition_full,
-    # text_bigram_logprob, corpus_trigram_novelty,
-    # corpus_temperature_mixture, dedup_source_overlap and
-    # streaming_dedup_ingest and curate_quality_verdicts: all oracle-bearing,
-    # exact-parity green locally (tools/check_parity.py at sf0.01) and
-    # pytest-pinned, and lead the round-7 head together with the queries
-    # above. The canonical TPC-H family (plans/tpch.py: all 12 schema-
-    # expressible queries, exact-integer money math, hash-exact parity at
-    # sf0.01, plan shapes pinned in test_plans_explain — q1/q5 head-checked
-    # this round, the other ten lead round 7) and
-    # warehouse_snapshot_time_travel (snapshot-format MERGE + time-travel
-    # diff, hash-exact, head-checked this round) are covered likewise;
-    # dedup_semantic_prune (rows-only, invariant-pinned) joins the
-    # rows-only tail.)
-    # -- rotation: oracle-green queries whose last driver row is r1/r2
-    #    (42 such after round 5 re-checked the r3/r4 head; 28 here, the
-    #    remaining 14 -- sampling, product-analytics, UDF-surface,
-    #    entity_mask and the similarity family (the latter exercised every
-    #    round by bench and pytest recall pins) -- lead the round-7 head,
-    #    after which zero stale-since-r2 oracle queries remain) --
-    "a7_exact_percentiles",
-    "a8_hypertable_rollup",
-    "a9_exact_correlation",
-    # (j8_bloom_prefilter_join yields its slot to ivm_incremental_sessions
-    # and rejoins the round-7 rotation — its no-false-negative pruning is
-    # pinned in test_bloom_prefilter_prunes_without_false_negatives.)
-    "j9_fuzzy_name_pairs",
-    "p15_array_collect_transform",
-    "p16_unpivot_melt",
-    "s3_scalar_subquery_having",
-    "s4_correlated_not_exists",
-    "q1_total_listens_per_genre",
-    "q2_avg_duration_per_genre",
-    "q3_avg_popularity_per_genre",
-    "q5_unique_listeners_per_hour",
-    "q7_avg_diversity_per_hour",
-    # (dedup_simhash, pack_sequences_greedy, pack_sequences_hierarchical
-    # move to the round-7 rotation slice to make room for the three
-    # round-6 flagships above — each is pinned independently: the simhash
-    # family by pytest + the every-round simhash_banded bench entry, the
-    # packing kernels by recursive-CTE-proved pytest twins)
-    "dq_expectations_lineitem",
-    "dq_referential_integrity",
-    "multimodal_frame_sample",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_tfidf_top_terms",
-    # (gopher_repetition yields its slot to warehouse_snapshot_delete —
-    # its zero-shuffle plan is pinned in test_gopher_repetition_is_shuffle
-    # _free and the head-checked gopher_repetition_full supersets its
-    # signal family; it rejoins the round-7 rotation.)
-    # (text_chunk_fixed, text_fingerprint and decontam_ngram_overlap yield
-    # their slots to the three late-round-6 queries above and lead the
-    # round-7 rotation instead — each carries an independent pin meanwhile:
-    # text_chunk_fixed is bit-identical to the head-adjacent
-    # udtf_text_chunks twin by pytest, text_fingerprint's winnowed kernel
-    # is exercised by the head-checked dedup_winnowed_shingles, and
-    # decontam_ngram_overlap's broadcast probe is plan-pinned in
-    # test_decontam_probe_is_broadcast.)
+    # ---- ROUND-7 HEAD: zero out the driver-verification backlog ----
+    # Budget math (the driver checks the FIRST 50 registry entries): after
+    # round 6 the backlog was 40 never-driver-checked oracle queries + 22
+    # stale (latest row r1/r2) + Q4/Q6 (latest row r4) + 2 never-checked
+    # rows-only = 68 candidates for 50 slots. This head spends them as:
+    #   5  behavior changed THIS round (bucketed CDC write path + the four
+    #      approx->error-band oracle conversions) — must be re-checked;
+    #   39 never-checked oracle queries (every remaining round-6 addition);
+    #   2  Q4/Q6 (the only SURVEY-core entries older than r5);
+    #   2  stalest rotation picks (j8: r1; similarity anchor: r2);
+    #   2  never-checked rows-only (the tail below).
+    # The 20 remaining r2-stale queries (build_vocab, corpus_mixture_sample,
+    # decontam_ngram_overlap, dedup_simhash, entity_mask,
+    # evt_transition_matrix, funnel_signup_click_purchase,
+    # gopher_repetition, pack_sequences_greedy, pack_sequences_hierarchical,
+    # retention_weekly_cohorts, sample_class_balanced, sample_hash_bucket,
+    # sample_train_val_test_split, similarity_ivf_multiprobe,
+    # similarity_ivf_topk, text_chunk_fixed, text_fingerprint,
+    # udaf_geometric_mean, udtf_text_chunks) do not fit and lead the
+    # ROUND-8 head; each was re-verified locally this round via
+    # tools/check_parity.py at sf0.01 (exact value equality — see
+    # README verification notes), and seven of them were additionally
+    # judge-parity-checked green in the round-6 session.
+    # -- behavior changed in round 7: need fresh driver rows --
+    "streaming_cdc_apply",  # bucketed O(touched-buckets) write path
+    "a3_hourly_distinct_approx",  # NEW error-band oracle
+    "a13_approx_percentiles",  # NEW error-band oracle
+    "sketch_daily_uniques_rollup",  # NEW error-band oracle
+    "sketch_daily_quantiles_rollup",  # NEW error-band oracle
+    # -- never-driver-checked round-6 additions (oracle-bearing) --
+    "a17_grouping_sets",
+    "w10_mad_outliers",
+    "j14_asof_tolerance_join",
+    "w11_ohlc_resample",
+    "streaming_ohlc_window",  # in-stream twin, SAME oracle string
+    "dedup_incremental_batch",
+    "dedup_minhash_incremental",
+    "dedup_normalized_exact",
+    "dedup_source_overlap",
+    "graph_triangle_counts",
+    "corpus_temperature_mixture",
+    "decontam_semantic",
+    "similarity_hard_negatives",
+    "curate_source_cap",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_national_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_count_distribution",
+    "tpch_q14_promotion_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "multimodal_resize_thumbnail",
+    "multimodal_feature_stats",
+    "multimodal_phash_dedup",
+    "multimodal_audio_energy",
+    "multimodal_scene_cuts",
+    "corpus_dup_stats",
+    "gopher_repetition_full",
+    "text_bigram_logprob",
+    "corpus_trigram_novelty",
+    "curate_quality_verdicts",
+    "similarity_int8_topk",
+    "similarity_ts_topk_subsequence",
+    "streaming_interval_join_full",
+    "streaming_static_enrich",
+    "streaming_dedup_ingest",
+    # -- SURVEY-core freshness: the only Q-surface rows older than r5 --
+    "q4_most_popular_track_per_day_genre",
+    "q6_top_artist_per_hour",
+    # -- stalest rotation picks --
+    "j8_bloom_prefilter_join",  # latest row r1 (oldest in the repo)
+    "similarity_topk_bruteforce",  # r2; anchor of the ANN family
 )
 
 # Rows-only queries (no SQL-expressible oracle) that have never had a driver
