@@ -69,10 +69,13 @@ _PRIORITY: tuple[str, ...] = (
     # sample_train_val_test_split, similarity_ivf_multiprobe,
     # similarity_ivf_topk, text_chunk_fixed, text_fingerprint,
     # udaf_geometric_mean, udtf_text_chunks) do not fit and lead the
-    # ROUND-8 head; each was re-verified locally this round via
-    # tools/check_parity.py at sf0.01 (exact value equality — see
-    # README verification notes), and seven of them were additionally
-    # judge-parity-checked green in the round-6 session.
+    # ROUND-8 head — together with the round-7 additions
+    # s5_jsonl_roundtrip, s6_orc_roundtrip and ivm_incremental_join_enrich
+    # (23 total, well within round 8's ~45 free oracle slots). Each was
+    # re-verified locally this round via tools/check_parity.py at sf0.01
+    # (exact value equality — see README verification notes), and seven
+    # of the stale set were additionally judge-parity-checked green in
+    # the round-6 session.
     # -- behavior changed in round 7: need fresh driver rows --
     "streaming_cdc_apply",  # bucketed O(touched-buckets) write path
     "a3_hourly_distinct_approx",  # NEW error-band oracle
