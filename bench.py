@@ -56,6 +56,9 @@ HEADLINE = [
     # as does the new any-alignment winnowed-fingerprint dedup
     "similarity_pq_topk",
     "dedup_winnowed_shingles",
+    # round 7: the composed IVF-PQ production ANN shape (trained coarse
+    # quantizer + residual PQ + exact rerank) joins the headline
+    "similarity_ivfpq_topk",
     # late round 6: the two new scale-path flagships — int8-quantized ANN
     # (4× index-byte reduction + exact rerank) and canonicalized exact
     # dedup (normalization scan-side, 32-byte keys shuffle)

@@ -508,6 +508,186 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: trained coarse quantizer + residual product quantization — the
+# composed production ANN architecture (FAISS IVFPQ / ScaNN shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_ivfpq_topk",
+    None,  # trained quantizers — rows-only; recall + probe-containment
+    # pinned in tests/test_extensions.py::test_ivfpq_recall_and_probes
+    doc=f"IVF-PQ ANN — the composed billion-vector architecture: a trained "
+    f"spherical-k-means coarse quantizer ({N_LIST} lists) prunes the scan "
+    f"to each query's nprobe={N_PROBE} inverted lists, and RESIDUAL "
+    f"product quantization (v = centroid + residual; the residual "
+    f"compresses to {M_SUB}×{K_PQ}-codeword codes) scores candidates "
+    "asymmetrically: approx q·v = q·centroid (exact, one number per "
+    "probed list) + the map-side ADC fold over the query's residual "
+    "lookup table — residual PQ concentrates codeword mass around the "
+    "list centroid, the classic reason IVFPQ beats flat PQ at equal "
+    "bits. Both quantizers train on bounded samples with local solvers "
+    "(training O(sample), independent of corpus size); assignment, "
+    "residual computation, Arrow residual encoding, ADC scoring and the "
+    f"exact-cosine rerank of the top {RERANK_FACTOR}×{TOP_K} shortlist "
+    "are all distributed with nothing but broadcasts and per-query "
+    "top-k windows — scan 1/4 of the corpus at 40 bits/vector, then "
+    "touch full vectors only for the shortlist.",
+)
+def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    corpus = _corpus(spark, sf_dir)
+    nv = corpus.select(
+        "vec_id",
+        F.transform("v", lambda x: x / V.norm(F.col("v"))).alias("v"),
+    )
+    centroids = _train_coarse_centroids(spark, nv)
+    # nearest-centroid assignment (unit vectors x unit centroids: cosine
+    # IS the dot product, so search assignment == training criterion)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    ranked = (
+        nv.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "cid", "cv",
+            V.cosine(F.col("v"), F.col("cv")).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = ranked.filter(F.col("rn") == 1)
+    # residual r = v - assigned centroid, computed from full precision:
+    # q·v = q·c + q·r EXACTLY; quantization error lives only in r's codes
+    resid = assign.select(
+        "vec_id",
+        "cid",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+    )
+    codebook, cb_np = _train_pq_codebook(spark, resid)
+    bc_cb = spark.sparkContext.broadcast(cb_np)
+
+    def _encode(batches):
+        cb = bc_cb.value  # (M_SUB, K_PQ, SUB_DIM)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["v"].to_numpy()).reshape(-1, M_SUB, SUB_DIM)
+            codes = np.empty((len(mat), M_SUB), dtype=np.int32)
+            for m in range(M_SUB):
+                xm, cm = mat[:, m, :], cb[m]
+                d2 = (
+                    (xm * xm).sum(1, keepdims=True)
+                    - 2.0 * xm @ cm.T
+                    + (cm * cm).sum(1)
+                )
+                codes[:, m] = d2.argmin(1)  # ties -> lowest code
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cid": pdf["cid"], "codes": list(codes)}
+            )
+
+    codes = resid.mapInPandas(_encode, "vec_id long, cid int, codes array<integer>")
+
+    # query probes: nprobe nearest centroids, carrying the EXACT q·c term
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
+    ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        "cid", F.col("cos_c").alias("q_dot_c"),
+    )
+    # per-query residual ADC table: tbl[sub][code] = q_sub · codeword_sub
+    qsubs = (
+        nv.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("sub"),
+                            F.slice("v", m * SUB_DIM + 1, SUB_DIM).alias("sv"),
+                        )
+                        for m in range(M_SUB)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("vec_id", F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv"))
+    )
+    qtbl = (
+        qsubs.join(F.broadcast(codebook), "sub")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "sub",
+            "code",
+            V.dot(F.col("sv"), F.col("cw")).alias("part_ip"),
+        )
+        .groupBy("qid", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "part_ip"))),
+                lambda s: s["part_ip"],
+            ).alias("row")
+        )
+        .groupBy("qid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "row"))),
+                lambda s: s["row"],
+            ).alias("tbl")
+        )
+    )
+    probe_tbl = probes.join(qtbl, "qid").select("qid", "cid", "q_dot_c", "tbl")
+    # candidates: probed lists only; approx q·v = q·c + ADC fold on codes
+    approx = (
+        codes.join(
+            F.broadcast(probe_tbl),
+            (codes.cid == probe_tbl.cid) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            (
+                F.col("q_dot_c")
+                + F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        "tbl",
+                        lambda c, t: F.element_at(t, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("approx_cos"),
+        )
+    )
+    w_approx = Window.partitionBy("qid").orderBy(
+        F.desc("approx_cos"), F.asc("vec_id")
+    )
+    shortlist = (
+        approx.withColumn("srn", F.row_number().over(w_approx))
+        .filter(F.col("srn") <= RERANK_FACTOR * TOP_K)
+        .select("qid", "vec_id")
+    )
+    qv = nv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qvec")
+    )
+    cv = nv.select("vec_id", F.col("v").alias("nvec"))
+    w_exact = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        shortlist.join(cv, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            V.dot(F.col("qvec"), F.col("nvec")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # int8 scalar quantization + exact rerank
 # ---------------------------------------------------------------------------
 

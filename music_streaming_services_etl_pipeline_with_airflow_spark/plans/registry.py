@@ -146,6 +146,9 @@ _PRIORITY_ROWS_ONLY: tuple[str, ...] = (
     # useful output IS the estimate structure.)
     # Every other rows-only query already has its r6 driver row; only the
     # two never-checked round-6 additions get tail slots this round.
+    # (similarity_ivfpq_topk — new in round 7, trained quantizers so
+    # rows-only, recall + rerank contract pinned in pytest — waits for a
+    # round-8 tail slot rather than displacing these two.)
     "dedup_semantic_prune",  # SemDeDup prune; invariant-pinned in pytest
     "bpe_tokenize_corpus",  # pinned EXACTLY vs a reference impl in pytest
 )

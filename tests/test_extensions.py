@@ -1705,3 +1705,53 @@ def test_cdc_apply_cross_batch_semantics(spark, tmp_path):
     )
     apply_batch(b3, 2)
     assert live() == [(2, 7000), (3, 4250)]
+
+
+def test_ivfpq_recall_and_probes(spark):
+    """IVF-PQ (trained coarse quantizer + residual PQ + exact rerank):
+    valid per-query top-k structure, recall@5 vs brute force at or above
+    the 8-list/2-probe floor (the coarse pruning, not PQ, is the recall
+    bound at this configuration — measured 0.57 at both sf0.001 and
+    sf0.01), and exact-cosine scores on every returned row (the rerank
+    contract: approximate ORDERING may cost recall, returned SCORES never
+    degrade)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.functions import vectors as V
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.similarity import (
+        TOP_K,
+        q_topk_brute,
+        q_topk_ivfpq,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    got = q_topk_ivfpq(spark, SF).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    for rows in by_q.values():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOP_K
+    brute = {(r.qid, r.neighbor_id) for r in q_topk_brute(spark, SF).collect()}
+    mine = {(r.qid, r.neighbor_id) for r in got}
+    assert len(mine & brute) / len(brute) >= 0.5
+    # rerank contract: every returned cos is the exact normalized dot
+    emb = {
+        r.vec_id: r.v
+        for r in load_table(spark, SF, "embeddings")
+        .select("vec_id", V.to_double_array("embedding").alias("v"))
+        .filter(F.col("vec_id") < 2000)
+        .collect()
+    }
+
+    def ncos(a, b):
+        import math
+
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    checked = 0
+    for r in got:
+        if r.qid in emb and r.neighbor_id in emb:
+            assert abs(r.cos - ncos(emb[r.qid], emb[r.neighbor_id])) < 1e-9
+            checked += 1
+    assert checked > 0
