@@ -416,3 +416,86 @@ def test_tpch_money_math_matches_oracle_on_fuzzed_lineitem(
         got = _norm_spark(spec.fn(spark, str(d)))
         want = _norm_duck(con, spec.oracle)
         assert got == want, f"{name}: spark != oracle on fuzzed lineitem"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fuzz_cdc_bucketed_apply_matches_latest_change_oracle(
+    spark, tmp_path_factory, data
+):
+    """The bucketed CDC applier under RANDOM batch sequences: arrival
+    order is independent of event time (duplicated timestamps fall back
+    to the event_id tie-break), keys collide inside 4 buckets, and
+    deletes interleave with upserts — the final live state must equal the
+    global latest-change-per-key oracle, every non-final version must
+    remain readable (time travel), and every commit after the first must
+    carry at least the untouched buckets by reference."""
+    import math
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_cdc_applier,
+    )
+
+    n_batches = data.draw(st.integers(min_value=1, max_value=3))
+    eid = 0
+    batches = []
+    for _ in range(n_batches):
+        n = data.draw(st.integers(min_value=1, max_value=10))
+        rows = []
+        for _i in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    _BASE + dt.timedelta(seconds=data.draw(_OFFSETS)),
+                    data.draw(st.integers(min_value=1, max_value=6)),
+                    data.draw(st.sampled_from(["purchase", "error", "view"])),
+                    data.draw(_VALUES),
+                    None,
+                )
+            )
+        batches.append(rows)
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("cdc_fuzz") / "state"))
+    apply_batch = make_cdc_applier(t, n_buckets=4)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    prev_map = None
+    for bi, rows in enumerate(batches):
+        apply_batch(spark.createDataFrame(rows, schema), bi)
+        cur_map = t._bucket_map(t.latest_version())
+        if prev_map is not None:
+            carried = [b for b in prev_map if cur_map.get(b) == prev_map[b]]
+            touched = [b for b in cur_map if cur_map[b] != prev_map.get(b)]
+            # every bucket is either carried by reference or rewritten
+            assert set(carried) | set(touched) == set(cur_map)
+        prev_map = cur_map
+
+    # oracle: latest (ts, event_id) change per key decides the live state
+    latest = {}
+    for rows in batches:
+        for (e, ts, u, typ, v, _p) in rows:
+            if u not in latest or (ts, e) > (latest[u][0], latest[u][1]):
+                latest[u] = (ts, e, typ, v)
+    want = {
+        u: math.floor(v * 1000)
+        for u, (_ts, _e, typ, v) in latest.items()
+        if typ != "error"
+    }
+    got = {
+        r.user_id: r.value_milli
+        for r in t.read(spark).filter("NOT deleted").collect()
+    }
+    assert got == want
+    # time travel: every version still reads
+    for v in t.versions():
+        t.read(spark, v).count()
