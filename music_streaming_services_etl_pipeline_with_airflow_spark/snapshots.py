@@ -219,6 +219,11 @@ class SnapshotTable:
         parent = self.latest_version()
         version = parent + 1
         data_dir = self._fresh_data_dir(version)
+        # bucket-aligned repartition: without it every upstream partition
+        # spills a file into every touched bucket dir (partitions x buckets
+        # small files per commit); with it each bucket lands ~1 file and
+        # the write is one hash shuffle on the bucket id
+        df = df.repartition(max(len(touched), 1), bucket_col)
         df.write.mode("error").partitionBy(bucket_col).parquet(data_dir)
         buckets: dict[str, list[str]] = (
             dict(self._bucket_map(parent)) if parent > 0 else {}

@@ -72,6 +72,11 @@ QUERIES = [
     # TPC-H family: q1/q6/q18 are lineitem-driven so the 10x replica
     # (shifted l_orderkey) scales their full input; the join queries keep
     # sf0.1-sized dimension sides, stressing the fact scan alone
+    # round 7
+    "s5_jsonl_roundtrip",
+    "s6_orc_roundtrip",
+    "ivm_incremental_join_enrich",
+    "similarity_ivfpq_topk",
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
