@@ -217,8 +217,11 @@ def _train_coarse_centroids(
     """
     import numpy as np
 
-    rows = corpus.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("v").collect()
-    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    # Arrow-batched toPandas: the sample is ~33 MB of doubles at the cap,
+    # where row-based collect() pays seconds of py4j/Row conversion that
+    # the Arrow path doesn't
+    pdf = corpus.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("v").toPandas()
+    x = np.array(list(pdf["v"]), dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-300)
     # k-means++ init with a FIXED seed (deterministic across runs): next
     # seed drawn with probability ∝ spherical D² = 2(1 - maxsim). Mass-
@@ -322,10 +325,9 @@ def _train_pq_codebook(
     """
     import numpy as np
 
-    rows = (
-        nv.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("v").collect()
-    )
-    x = np.array([r["v"] for r in rows], dtype=np.float64)  # (n, dim)
+    # Arrow-batched toPandas (same rationale as _train_coarse_centroids)
+    pdf = nv.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).select("v").toPandas()
+    x = np.array(list(pdf["v"]), dtype=np.float64)  # (n, dim)
     n = len(x)
     xs = x.reshape(n, M_SUB, SUB_DIM)  # (n, sub, subdim)
     cb = xs[: min(K_PQ, n)].copy()  # (K, sub, subdim) init: first K vectors
