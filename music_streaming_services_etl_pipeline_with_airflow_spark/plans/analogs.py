@@ -391,22 +391,24 @@ def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "s5_jsonl_roundtrip",
+    "sink_jsonl_sharded_roundtrip",
     "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
     "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
     "CAST(SUM(event_id) AS BIGINT) AS id_sum FROM events GROUP BY event_type",
-    doc="JSON-lines round-trip through the TRAINING-DELIVERY sink: events "
-    "goes out via sinks.write_jsonl_sharded (deterministic key-hash "
-    "shards + atomic _manifest.json) and comes back through Spark's JSON "
-    "source with an explicit schema (never schema inference — one pass, "
-    "no sampling job) — then aggregates must match the original relation "
-    "exactly, proving the sink/source pair is lossless for the delivered "
-    "columns. pathGlobFilter pins the read to data files; the manifest "
-    "(underscore-prefixed) is invisible to the FileIndex by convention. "
-    "At 100 TB this is the dataloader-facing contract: shards land "
-    "hash-stable so loaders resume reproducibly.",
+    doc="Round-trip through the TRAINING-DELIVERY sink specifically "
+    "(src_json_roundtrip covers the plain JSONL source; this covers the "
+    "production delivery path): events goes out via "
+    "sinks.write_jsonl_sharded (deterministic key-hash shard=NNN/ "
+    "partition dirs + atomic _manifest.json) and comes back through "
+    "Spark's JSON source with an explicit schema (no inference pass), "
+    "reading THROUGH the shard partition layout — aggregates must match "
+    "the original relation exactly, proving the delivery is lossless and "
+    "complete across shards. pathGlobFilter pins the read to data files; "
+    "the underscore-prefixed manifest is invisible to the FileIndex by "
+    "convention. At 100 TB this is the dataloader-facing contract: "
+    "shards land hash-stable so loaders resume reproducibly.",
 )
-def q_s5_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sink_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import sinks
 
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -428,35 +430,6 @@ def q_s5_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("id_sum"),
     )
 
-
-@register(
-    "s6_orc_roundtrip",
-    """SELECT CAST(ts AS DATE) AS date,
-              CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
-                AS vmilli
-       FROM events GROUP BY 1""",
-    doc="ORC round-trip: events re-lands as ORC (the second columnar "
-    "format large lakes actually mix with parquet) and is read back "
-    "through Spark's native vectorized ORC reader — predicate pushdown, "
-    "column pruning and partitioning semantics identical to the parquet "
-    "path, so the engine is storage-format-plural with zero operator "
-    "changes. Timestamps survive the round-trip (ORC stores them "
-    "natively); the per-day aggregate must match the source relation "
-    "exactly.",
-)
-def q_s6_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    tmp = f"/tmp/spark_engine_orc/{tag}/events"
-    marker = os.path.join(tmp, "_SUCCESS")
-    if not os.path.exists(marker):
-        ev = load_table(spark, sf_dir, "events").select("ts", "value")
-        ev.repartition(4).write.mode("overwrite").orc(tmp)
-    df = spark.read.schema("ts timestamp, value double").orc(tmp)
-    return df.groupBy(F.to_date("ts").alias("date")).agg(
-        F.count("*").alias("n"),
-        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("vmilli"),
-    )
 
 
 # --------------------------------------------------------------------------

@@ -73,8 +73,7 @@ QUERIES = [
     # (shifted l_orderkey) scales their full input; the join queries keep
     # sf0.1-sized dimension sides, stressing the fact scan alone
     # round 7
-    "s5_jsonl_roundtrip",
-    "s6_orc_roundtrip",
+    "sink_jsonl_sharded_roundtrip",
     "ivm_incremental_join_enrich",
     "similarity_ivfpq_topk",
     "tpch_q1_pricing_summary",
