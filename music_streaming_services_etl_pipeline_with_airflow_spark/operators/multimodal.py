@@ -9,8 +9,12 @@ to SOF0/1/2 + EOI) headers are parsed in pure Python with strict
 structural validation (magic + declared sizes/CRCs must match the payload
 exactly), yielding actual width/height/channels (for audio:
 sample_rate/n_frames/n_channels). Payloads matching no format fall back
-to a deterministic stub (header fields derived from the payload bytes);
-only PIXEL decode of compressed formats raises behind an import-try for
+to a deterministic stub (header fields derived from the payload bytes).
+PIXEL decode is real for BMP/PNM (raw rasters) AND — since round 7 — for
+8-bit grayscale PNG (``png_decode_gray``: stdlib-zlib inflate + the full
+five-filter unfilter set, CRC-strict; twin encoder ``png_encode_gray``
+proves it end-to-end under the ``multimodal_png_pixel_roundtrip``
+oracle). Only JPEG entropy decode still raises behind an import-try for
 PIL, which this container ships without. The
 distributed plan (columnar scan → Arrow-batched ``mapInPandas`` → typed
 struct output) is exactly what a 100 TB image pipeline runs, with
@@ -306,9 +310,11 @@ def decode_image_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 def _decode_real(payload: bytes):  # pragma: no cover — no codecs in container
     raise NotImplementedError(
-        "compressed-format decode (JPEG/PNG) requires PIL/libvips; this "
-        "container ships none — BMP/PNM decode is real (pure Python) and "
-        "everything else takes the deterministic stub"
+        "JPEG entropy decode requires PIL/libvips; this container ships "
+        "none — BMP/PNM pixel decode is real (pure Python), PNG pixel "
+        "decode is real since round 7 (png_decode_gray: stdlib zlib + "
+        "full unfilter set), and everything else takes the deterministic "
+        "stub"
     )
 
 
@@ -874,3 +880,236 @@ def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("mean_energy") - F.col("prev")).alias("delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG pixel codec — stdlib zlib + all five scanline filters, no codec
+# libraries. Closes the "compressed decode requires PIL" seam for PNG:
+# only JPEG entropy decode remains gated.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/upper-left to
+    the linear estimate a + b - c, ties resolved left → up → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode_gray(img) -> bytes:
+    """REAL PNG encoder for 8-bit grayscale: IHDR + one zlib IDAT + IEND
+    with correct CRC32s, scanlines filtered with type (row % 5) — every
+    PNG filter (None/Sub/Up/Average/Paeth) appears in any image of >= 5
+    rows, so a round-trip exercises the decoder's full unfilter set."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bit depth 8, gray
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for r in range(h):
+        row = img[r].astype(np.int64)
+        left = np.concatenate(([0], row[:-1]))
+        upleft = np.concatenate(([0], prev[:-1]))
+        ft = r % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            filt = row - (left + prev) // 2
+        else:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, upleft)],
+                dtype=np.int64,
+            )
+            filt = row - pred
+        raw.append(ft)
+        raw.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode_gray(payload: bytes):
+    """REAL PNG pixel decoder for the 8-bit grayscale non-interlaced
+    subset: strict CRC-checked chunk walk, zlib inflate of the
+    concatenated IDAT stream, and full scanline UNFILTERING (all five
+    filter types). Returns the (h, w) uint8 array, or None when the
+    payload is not a PNG in this subset (palette/RGB/16-bit/interlaced —
+    a production decoder adds those branches; the hard part, filters +
+    inflate, is here). Rows are short (<= a few KB) so the sequential
+    Sub/Average/Paeth recurrences are cheap Python; the kernel is still
+    Arrow-batched per partition like every other multimodal op."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    if len(payload) < 45 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            return None
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if _z.crc32(tag + data) & 0xFFFFFFFF != crc:
+            return None
+        if tag == b"IHDR":
+            if length != 13:
+                return None
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color != 0 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            pos += 12 + length
+            break
+        pos += 12 + length
+    if w is None or w == 0 or h == 0 or pos != len(payload):
+        return None
+    try:
+        data = _z.decompress(bytes(idat))
+    except _z.error:
+        return None
+    if len(data) != h * (w + 1):
+        return None
+    out = np.zeros((h, w), dtype=np.int64)
+    prev = np.zeros(w, dtype=np.int64)
+    for r in range(h):
+        line = np.frombuffer(
+            data[r * (w + 1) + 1 : (r + 1) * (w + 1)], dtype=np.uint8
+        ).astype(np.int64)
+        ft = data[r * (w + 1)]
+        if ft == 0:
+            recon = line
+        elif ft == 1:  # Sub: recon[i] = line[i] + recon[i-1] == prefix sum
+            recon = np.cumsum(line) & 0xFF
+        elif ft == 2:  # Up
+            recon = (line + prev) & 0xFF
+        elif ft == 3:  # Average — sequential recurrence on the left term
+            recon = np.zeros(w, dtype=np.int64)
+            left = 0
+            for i in range(w):
+                left = (line[i] + (left + prev[i]) // 2) & 0xFF
+                recon[i] = left
+        elif ft == 4:  # Paeth — sequential recurrence
+            recon = np.zeros(w, dtype=np.int64)
+            left = upleft = 0
+            for i in range(w):
+                left = (line[i] + _paeth(left, int(prev[i]), upleft)) & 0xFF
+                upleft = int(prev[i])
+                recon[i] = left
+        else:
+            return None
+        out[r] = recon
+        prev = recon
+    return out.astype(np.uint8)
+
+
+PNG_RT_SCHEMA = (
+    "doc_id long, width long, height long, pix_sum long, pix_xor long,"
+    " roundtrip_ok boolean"
+)
+
+
+def png_roundtrip_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: text → synthetic grayscale → REAL PNG encode
+    (mixed filters) → REAL PNG decode → stats OF THE DECODED PIXELS. Any
+    codec defect (filter math, CRC, inflate framing) lands in the stats
+    and diverges the SQL oracle, which recomputes them from the text."""
+    import numpy as np
+
+    for pdf in frames:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            img = _synthetic_gray(text.encode("utf-8"))
+            if img is None:
+                continue
+            dec = png_decode_gray(png_encode_gray(img))
+            ok = dec is not None and bool(np.array_equal(dec, img))
+            use = dec if dec is not None else np.zeros_like(img)
+            flat = use.astype(np.int64).ravel()
+            x = 0
+            for v in flat:
+                x ^= int(v)
+            rows.append(
+                (doc_id, use.shape[1], use.shape[0], int(flat.sum()), x, ok)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "pix_sum", "pix_xor", "roundtrip_ok",
+            ],
+        )
+
+
+@register(
+    "multimodal_png_pixel_roundtrip",
+    f"""WITH d AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n,
+                 least(octet_length(encode(text)), {SYN_W_MAX}) AS w
+          FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        px AS (
+          SELECT doc_id, w,
+                 CAST(concat('0x', substr(hx,
+                      2 * (((r.r * w + c.c) % n)) + 1, 2)) AS INTEGER) AS pix
+          FROM d,
+               (SELECT unnest(generate_series(0, {SYN_H - 1})) AS r) r,
+               (SELECT unnest(generate_series(0, {SYN_W_MAX - 1})) AS c) c
+          WHERE c.c < w
+        )
+        SELECT doc_id,
+               CAST(MAX(w) AS BIGINT) AS width,
+               CAST({SYN_H} AS BIGINT) AS height,
+               CAST(SUM(pix) AS BIGINT) AS pix_sum,
+               CAST(bit_xor(pix) AS BIGINT) AS pix_xor,
+               TRUE AS roundtrip_ok
+        FROM px GROUP BY doc_id""",
+    doc="REAL compressed-image pixel round-trip, zero codec libraries: "
+    "each document's synthetic grayscale image is encoded as a genuine "
+    "PNG (stdlib-zlib IDAT, CRC32-correct chunks, scanline filter type "
+    "row%5 so all five PNG filters appear) and decoded back by the "
+    "pure-Python decoder (strict chunk walk, inflate, full unfilter "
+    "set). The emitted stats are computed FROM THE DECODED PIXELS and "
+    "the oracle recomputes them from the source text, so any filter/"
+    "CRC/framing defect diverges the hash; roundtrip_ok additionally "
+    "pins bit-exact array equality per image. Closes the round-6 seam "
+    "for PNG — only JPEG entropy decode remains PIL-gated.",
+)
+def q_png_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(png_roundtrip_batch, schema=PNG_RT_SCHEMA)

@@ -479,3 +479,35 @@ def test_audio_energy_constructed(spark, tmp_path):
         for r in q_audio_energy(spark, str(tmp_path)).collect()
     )
     assert got == [(1, 0, 2, 1861), (2, 0, 3, 2702)]
+
+
+def test_png_pixel_codec_roundtrips_and_rejects_corruption(spark):
+    """The REAL PNG pixel codec (stdlib zlib, all five filters): bit-exact
+    round-trip on adversarial images (flat, extreme, random, thin, large),
+    and strict rejection — never misdecode — of CRC corruption and
+    truncation."""
+    import numpy as np
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        png_decode_gray,
+        png_encode_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.zeros((16, 32), dtype=np.uint8),
+        np.full((16, 32), 255, dtype=np.uint8),
+        rng.integers(0, 256, (16, 32), dtype=np.uint8),
+        rng.integers(0, 256, (5, 1), dtype=np.uint8),
+        rng.integers(0, 256, (1, 7), dtype=np.uint8),
+        rng.integers(0, 256, (100, 200), dtype=np.uint8),
+    ]
+    for i, img in enumerate(cases):
+        dec = png_decode_gray(png_encode_gray(img))
+        assert dec is not None and np.array_equal(dec, img), f"case {i}"
+    good = png_encode_gray(cases[2])
+    bad = bytearray(good)
+    bad[60] ^= 0xFF
+    assert png_decode_gray(bytes(bad)) is None  # CRC mismatch -> reject
+    assert png_decode_gray(good[:-5]) is None  # truncation -> reject
+    assert png_decode_gray(b"\x89PNG\r\n\x1a\n" + b"x" * 64) is None
