@@ -212,6 +212,10 @@ DOC_FUZZ_QUERIES = [
     "multimodal_audio_energy",
     "multimodal_scene_cuts",
     "multimodal_phash_dedup",
+    # round 7: the real PNG codec round-trip — adversarial unicode bytes
+    # flow through encode(filters)+deflate and back; the oracle recomputes
+    # the decoded-pixel stats straight from the text
+    "multimodal_png_pixel_roundtrip",
     "gopher_repetition",
     "gopher_repetition_full",
     "corpus_trigram_novelty",
@@ -499,3 +503,81 @@ def test_fuzz_cdc_bucketed_apply_matches_latest_change_oracle(
     # time travel: every version still reads
     for v in t.versions():
         t.read(spark, v).count()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fuzz_snapshot_format_against_model(spark, tmp_path_factory, data):
+    """Model-based fuzz of the snapshot table format: a random sequence of
+    commit(overwrite|append) / delete_where / restore / compact / expire
+    ops runs against both the real table and an in-memory model; after
+    every op the table's current read — and every surviving historical
+    version — must equal the model exactly. Catches lineage bugs (append
+    chains, restore-by-reference, refcounted expiration) that single-op
+    tests can't reach."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("snap_fuzz") / "tbl"))
+    model: dict[int, list[tuple]] = {}  # version -> rows
+    next_id = [0]
+
+    def fresh_rows():
+        n = data.draw(st.integers(min_value=0, max_value=6))
+        rows = []
+        for _ in range(n):
+            next_id[0] += 1
+            rows.append((next_id[0], data.draw(st.integers(0, 99))))
+        return rows
+
+    def table_rows(version=None):
+        if (version or t.latest_version()) == 0:
+            return []
+        return sorted(map(tuple, t.read(spark, version).collect()))
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "id long, v long")
+
+    n_ops = data.draw(st.integers(min_value=3, max_value=7))
+    for _ in range(n_ops):
+        cur = t.latest_version()
+        choices = ["overwrite", "append"]
+        if cur > 0:
+            choices += ["delete", "restore", "compact", "expire"]
+        op = data.draw(st.sampled_from(choices))
+        if op == "overwrite":
+            rows = fresh_rows()
+            v = t.commit(to_df(rows), mode="overwrite")
+            model[v] = list(rows)
+        elif op == "append":
+            rows = fresh_rows()
+            v = t.commit(to_df(rows), mode="append")
+            model[v] = (model.get(cur, []) if cur > 0 else []) + list(rows)
+        elif op == "delete":
+            cut = data.draw(st.integers(0, 99))
+            v = t.delete_where(spark, f"v >= {cut}")
+            model[v] = [r for r in model[cur] if r[1] < cut]
+        elif op == "restore":
+            target = data.draw(st.sampled_from(sorted(model)))
+            v = t.restore(target)
+            model[v] = list(model[target])
+        elif op == "compact":
+            v = t.compact(spark)
+            if v != cur:
+                model[v] = list(model[cur])
+        else:  # expire
+            keep = data.draw(st.integers(1, max(1, len(model))))
+            expired = t.expire(keep_last=keep)
+            for v in expired:
+                del model[v]
+        live = t.latest_version()
+        assert sorted(model[live]) == table_rows(), f"after {op}"
+    # every surviving historical version must still reconstruct exactly
+    assert sorted(t.versions()) == sorted(model)
+    for v, rows in model.items():
+        assert sorted(rows) == table_rows(v), f"version {v}"
