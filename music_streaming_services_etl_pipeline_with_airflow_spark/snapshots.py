@@ -101,7 +101,15 @@ class SnapshotTable:
         """Write df as the next version. ``overwrite`` replaces the visible
         file set; ``append`` extends the parent's. Returns the new version.
         The data write happens BEFORE the manifest publish — a failure in
-        between leaves an invisible orphan, never a torn table."""
+        between leaves an invisible orphan, never a torn table.
+
+        SCHEMA EVOLUTION (additive): every manifest records its commit's
+        schema; an append whose schema differs from the parent's marks the
+        version ``mixed_schemas`` and readers merge parquet footers
+        (missing columns surface as NULL — Delta/Iceberg ADD COLUMN
+        semantics). Time-traveling to a pre-evolution version reads the
+        old schema untouched. An overwrite resets the flag: the visible
+        file set is single-schema again."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = self.latest_version()
@@ -109,10 +117,22 @@ class SnapshotTable:
         data_dir = self._fresh_data_dir(version)
         df.write.mode("error").parquet(data_dir)
         dirs = [data_dir]
+        mixed = False
         if mode == "append" and parent > 0:
-            dirs = self._manifest(parent)["dirs"] + dirs
+            pm = self._manifest(parent)
+            dirs = pm["dirs"] + dirs
+            mixed = pm.get("mixed_schemas", False) or (
+                "schema" in pm and pm["schema"] != df.schema.jsonValue()
+            )
         self._write_manifest(
-            {"version": version, "parent": parent, "mode": mode, "dirs": dirs}
+            {
+                "version": version,
+                "parent": parent,
+                "mode": mode,
+                "dirs": dirs,
+                "schema": df.schema.jsonValue(),
+                "mixed_schemas": mixed,
+            }
         )
         return version
 
@@ -266,21 +286,35 @@ class SnapshotTable:
         parent = self.latest_version()
         if parent == 0:
             raise ValueError(f"{self.path}: no committed versions")
+        pm = self._manifest(parent)
+        mixed = pm.get("mixed_schemas", False)
         untouched, touched = [], []
-        for d in self._manifest(parent)["dirs"]:
+        for d in pm["dirs"]:
             hit = spark.read.parquet(d).filter(predicate).limit(1).count() > 0
             (touched if hit else untouched).append(d)
         version = parent + 1
         dirs = list(untouched)
         if touched:
-            kept = spark.read.parquet(*touched).filter(
+            reader = spark.read
+            if mixed:
+                reader = reader.option("mergeSchema", "true")
+            kept = reader.parquet(*touched).filter(
                 ~F.coalesce(F.expr(predicate), F.lit(False))
             )
             data_dir = self._fresh_data_dir(version)
             kept.write.mode("error").parquet(data_dir)
             dirs.append(data_dir)
         self._write_manifest(
-            {"version": version, "parent": parent, "mode": "delete", "dirs": dirs}
+            {
+                "version": version,
+                "parent": parent,
+                "mode": "delete",
+                "dirs": dirs,
+                "schema": pm.get("schema"),
+                # the rewrite may have unified the touched dirs, but any
+                # untouched pre-evolution dir still carries its old schema
+                "mixed_schemas": mixed,
+            }
         )
         return version
 
@@ -295,14 +329,16 @@ class SnapshotTable:
         if version not in self.versions():
             raise ValueError(f"{self.path}: no version {version}")
         parent = self.latest_version()
-        target_dirs = self._manifest(version)["dirs"]
+        tm = self._manifest(version)
         self._write_manifest(
             {
                 "version": parent + 1,
                 "parent": parent,
                 "mode": "restore",
                 "restored_from": version,
-                "dirs": list(target_dirs),
+                "dirs": list(tm["dirs"]),
+                "schema": tm.get("schema"),
+                "mixed_schemas": tm.get("mixed_schemas", False),
             }
         )
         return parent + 1
@@ -384,4 +420,12 @@ class SnapshotTable:
         v = self.latest_version() if version is None else version
         if v == 0:
             raise ValueError(f"{self.path}: no committed versions")
-        return spark.read.parquet(*self._manifest(v)["dirs"])
+        m = self._manifest(v)
+        reader = spark.read
+        if m.get("mixed_schemas"):
+            # append lineage spans a schema change: merge footers so the
+            # union schema applies and pre-evolution rows read as NULL in
+            # the added columns (paid only on evolved lineages — a
+            # single-schema table reads with no footer merge)
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*m["dirs"])

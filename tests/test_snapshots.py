@@ -302,3 +302,37 @@ def test_cdc_applier_prunes_buckets(spark, tmp_path):
         for r in t.read(spark).filter("NOT deleted").collect()
     }
     assert live[1] == 42000 and live[2] == 2000 and len(live) == 32
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Additive schema evolution: an append whose schema adds a column
+    flips the lineage to merged reads — old rows surface NULL in the new
+    column (Delta/Iceberg ADD COLUMN semantics), time travel to the
+    pre-evolution version keeps the OLD schema untouched, delete/restore
+    carry the evolution flag, and an overwrite resets the table to
+    single-schema reads."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    v1 = t.commit(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    v2 = t.commit(
+        spark.createDataFrame([(3, 30, "x")], "id long, v long, tag string"),
+        mode="append",
+    )
+    cur = t.read(spark)
+    assert set(cur.columns) == {"id", "v", "tag"}
+    got = {r.id: r.tag for r in cur.collect()}
+    assert got == {1: None, 2: None, 3: "x"}
+    # pre-evolution version: old schema, no phantom column
+    assert set(t.read(spark, v1).columns) == {"id", "v"}
+    # delete on the evolved lineage keeps merged reads working
+    v3 = t.delete_where(spark, "v = 20")
+    assert {r.id for r in t.read(spark, v3).collect()} == {1, 3}
+    assert set(t.read(spark, v3).columns) == {"id", "v", "tag"}
+    # restore to the evolved version carries the flag
+    v4 = t.restore(v2)
+    assert {r.id: r.tag for r in t.read(spark, v4).collect()} == {
+        1: None, 2: None, 3: "x"
+    }
+    # overwrite resets: single schema again, flag off
+    v5 = t.commit(spark.createDataFrame([(9, 90)], "id long, v long"))
+    assert not t._manifest(v5)["mixed_schemas"]
+    assert set(t.read(spark).columns) == {"id", "v"}
