@@ -14,8 +14,12 @@ PIXEL decode is real for BMP/PNM (raw rasters) AND — since round 7 — for
 8-bit grayscale PNG (``png_decode_gray``: stdlib-zlib inflate + the full
 five-filter unfilter set, CRC-strict; twin encoder ``png_encode_gray``
 proves it end-to-end under the ``multimodal_png_pixel_roundtrip``
-oracle). Only JPEG entropy decode still raises behind an import-try for
-PIL, which this container ships without. The
+oracle) and baseline grayscale JPEG (``operators/jpegcodec.py``: real
+DCT/quantize/zigzag/Huffman encode + exact entropy decode back to
+quantized coefficients, pixel IDCT path PSNR-pinned — proved under the
+``multimodal_jpeg_entropy_roundtrip`` oracle). The PIL import-try now
+guards only arbitrary wild files outside these subsets (chroma planes,
+progressive scans, palettes). The
 distributed plan (columnar scan → Arrow-batched ``mapInPandas`` → typed
 struct output) is exactly what a 100 TB image pipeline runs, with
 ``spark.sql.files.maxPartitionBytes`` sizing the batches and no driver
@@ -310,11 +314,13 @@ def decode_image_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 
 def _decode_real(payload: bytes):  # pragma: no cover — no codecs in container
     raise NotImplementedError(
-        "JPEG entropy decode requires PIL/libvips; this container ships "
-        "none — BMP/PNM pixel decode is real (pure Python), PNG pixel "
-        "decode is real since round 7 (png_decode_gray: stdlib zlib + "
-        "full unfilter set), and everything else takes the deterministic "
-        "stub"
+        "general-purpose decode of arbitrary wild files (chroma planes, "
+        "progressive JPEG, PNG palettes/16-bit) requires PIL/libvips; "
+        "this container ships none — BMP/PNM pixel decode is real (pure "
+        "Python), and since round 7 so are 8-bit-gray PNG "
+        "(png_decode_gray) and baseline-gray JPEG (operators/jpegcodec: "
+        "exact entropy layer + IDCT pixel path); everything else takes "
+        "the deterministic stub"
     )
 
 
@@ -1113,3 +1119,75 @@ def png_roundtrip_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def q_png_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(png_roundtrip_batch, schema=PNG_RT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG entropy round-trip — see operators/jpegcodec.py
+# ---------------------------------------------------------------------------
+
+JPEG_RT_SCHEMA = (
+    "doc_id long, width long, height long, n_blocks long, entropy_exact boolean"
+)
+
+
+def jpeg_roundtrip_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: text → synthetic grayscale → REAL baseline JPEG
+    encode (DCT, quantization, zigzag, Huffman with byte stuffing) →
+    entropy decode back to quantized coefficients → compare bit-for-bit
+    with the encoder's coefficient array. JPEG is pixel-lossy by design,
+    but the entropy layer is exact — entropy_exact pins it per document,
+    and the SQL oracle recomputes the dims/block-count from the text."""
+    import numpy as np
+
+    from .jpegcodec import (
+        decode_gray_coefficients,
+        encode_gray_jpeg,
+        quantized_blocks,
+    )
+
+    for pdf in frames:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            img = _synthetic_gray(text.encode("utf-8"))
+            if img is None:
+                continue
+            dec = decode_gray_coefficients(encode_gray_jpeg(img))
+            ok = dec is not None and bool(
+                np.array_equal(dec[0], quantized_blocks(img))
+            )
+            h, w = img.shape
+            n_blocks = (-(-h // 8)) * (-(-w // 8))
+            rows.append((doc_id, w, h, n_blocks, ok))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_blocks", "entropy_exact"],
+        )
+
+
+@register(
+    "multimodal_jpeg_entropy_roundtrip",
+    f"""SELECT doc_id,
+           CAST(least(octet_length(encode(text)), {SYN_W_MAX}) AS BIGINT)
+             AS width,
+           CAST({SYN_H} AS BIGINT) AS height,
+           CAST({SYN_H // 8} *
+                CAST(ceil(least(octet_length(encode(text)), {SYN_W_MAX})
+                          / 8.0) AS BIGINT) AS BIGINT) AS n_blocks,
+           TRUE AS entropy_exact
+       FROM documents WHERE octet_length(encode(text)) > 0""",
+    doc="REAL baseline JPEG entropy coding, zero codec libraries "
+    "(operators/jpegcodec.py): each document's synthetic grayscale "
+    "image is encoded as a genuine JFIF baseline JPEG — 8x8 DCT, Annex-K "
+    "luminance quantization, zigzag, DC-prediction + run/size AC Huffman "
+    "with byte stuffing — and the scan is entropy-DECODED back to "
+    "quantized coefficients that must be bit-identical to the encoder's "
+    "(the exact layer of a lossy codec). The oracle recomputes "
+    "width/height/block-count from the text and asserts entropy_exact as "
+    "literal TRUE; pixel fidelity (IDCT path) is pinned in pytest via "
+    "PSNR floors. With the PNG codec this closes the compressed-decode "
+    "seam for the engine's subset formats — PIL remains only for "
+    "arbitrary wild files (chroma planes, progressive scans).",
+)
+def q_jpeg_entropy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(jpeg_roundtrip_batch, schema=JPEG_RT_SCHEMA)

@@ -216,6 +216,7 @@ DOC_FUZZ_QUERIES = [
     # flow through encode(filters)+deflate and back; the oracle recomputes
     # the decoded-pixel stats straight from the text
     "multimodal_png_pixel_roundtrip",
+    "multimodal_jpeg_entropy_roundtrip",
     "gopher_repetition",
     "gopher_repetition_full",
     "corpus_trigram_novelty",

@@ -511,3 +511,51 @@ def test_png_pixel_codec_roundtrips_and_rejects_corruption(spark):
     assert png_decode_gray(bytes(bad)) is None  # CRC mismatch -> reject
     assert png_decode_gray(good[:-5]) is None  # truncation -> reject
     assert png_decode_gray(b"\x89PNG\r\n\x1a\n" + b"x" * 64) is None
+
+
+def test_jpeg_codec_entropy_exact_and_psnr(spark):
+    """The REAL baseline JPEG codec: entropy round-trip returns BIT-EXACT
+    quantized coefficients on adversarial images (flat, extreme, noise,
+    odd dims, 1x1, large, smooth ramp); pixel decode meets PSNR floors
+    (lossless on flat, high on smooth content, bounded on noise — the
+    JPEG-characteristic profile); corrupted scans are rejected."""
+    import numpy as np
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.jpegcodec import (
+        decode_gray_coefficients,
+        decode_gray_jpeg,
+        encode_gray_jpeg,
+        quantized_blocks,
+    )
+
+    rng = np.random.default_rng(11)
+    ramp = np.tile(np.arange(256, dtype=np.uint8), (32, 1))[:, :80]
+    cases = {
+        "flat0": np.zeros((16, 32), dtype=np.uint8),
+        "flat255": np.full((16, 32), 255, dtype=np.uint8),
+        "noise": rng.integers(0, 256, (16, 32), dtype=np.uint8),
+        "odd": rng.integers(0, 256, (7, 5), dtype=np.uint8),
+        "one": rng.integers(0, 256, (1, 1), dtype=np.uint8),
+        "big": rng.integers(0, 256, (64, 96), dtype=np.uint8),
+        "ramp": ramp,
+    }
+    floors = {"flat0": 99, "flat255": 99, "noise": 18, "odd": 15,
+              "one": 99, "big": 18, "ramp": 40}
+    for name, img in cases.items():
+        payload = encode_gray_jpeg(img)
+        dec = decode_gray_coefficients(payload)
+        assert dec is not None, name
+        assert np.array_equal(dec[0], quantized_blocks(img)), name
+        pix = decode_gray_jpeg(payload)
+        assert pix is not None and pix.shape == img.shape, name
+        mse = float(np.mean((pix.astype(float) - img.astype(float)) ** 2))
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+        assert psnr >= floors[name], (name, psnr)
+    good = encode_gray_jpeg(cases["noise"])
+    assert decode_gray_coefficients(good[:-4]) is None  # missing EOI
+    assert decode_gray_coefficients(b"\xff\xd8" + b"A" * 40) is None
+    # non-baseline SOF (progressive) must be rejected, not misdecoded
+    bad = bytearray(good)
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2
+    assert decode_gray_coefficients(bytes(bad)) is None
