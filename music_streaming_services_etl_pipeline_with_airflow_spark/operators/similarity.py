@@ -165,16 +165,28 @@ def _ivf_search(
             F.col("vec_id").alias("cid"), F.col("v").alias("cv")
         )
     # nearest-centroid assignment: corpus × broadcast(centroids) → argmax
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
-    ranked = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "v", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w_assign))
+    # as a HASH AGGREGATE (max_by over (cos, -cid)) — a row_number window
+    # over N single-vector partitions is a full sort-shuffle of the
+    # corpus; the aggregate folds map-side (same row_number==1 semantics:
+    # highest cos, lowest cid on ties)
+    scored_c = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cos_c")
     )
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
-    # probe set: the query's nprobe nearest centroids (same ordering)
+    assign = (
+        scored_c.groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),  # constant within the group
+            F.max_by("cid", F.struct(F.col("cos_c"), -F.col("cid"))).alias("cid"),
+        )
+        .select("vec_id", "v", "cid")
+    )
+    # probe set: the query's nprobe nearest centroids (window is fine on
+    # the N_QUERIES x N_LIST query slice)
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
     probes = (
-        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= nprobe))
+        scored_c.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cid")
     )
     scored = (
@@ -547,17 +559,25 @@ def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centroids = _train_coarse_centroids(spark, nv)
     # nearest-centroid assignment (unit vectors x unit centroids: cosine
-    # IS the dot product, so search assignment == training criterion)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
-    ranked = (
-        nv.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id", "v", "cid", "cv",
-            V.cosine(F.col("v"), F.col("cv")).alias("cos_c"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
+    # IS the dot product, so search assignment == training criterion).
+    # Argmax as a HASH AGGREGATE (max_by over (cos, -cid)), not a window:
+    # a row_number window over N single-vector partitions is a full
+    # sort-shuffle of the corpus — the aggregate folds map-side and was
+    # measured 2x faster at the 1M-vector 100x point.
+    scored = nv.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid", "cv",
+        V.cosine(F.col("v"), F.col("cv")).alias("cos_c"),
     )
-    assign = ranked.filter(F.col("rn") == 1)
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),  # constant within the group
+            F.max_by(
+                F.struct("cid", "cv"), F.struct(F.col("cos_c"), -F.col("cid"))
+            ).alias("_bc"),
+        )
+        .select("vec_id", "v", F.col("_bc.cid").alias("cid"), F.col("_bc.cv").alias("cv"))
+    )
     # residual r = v - assigned centroid, computed from full precision:
     # q·v = q·c + q·r EXACTLY; quantization error lives only in r's codes
     resid = assign.select(
@@ -590,11 +610,16 @@ def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = resid.mapInPandas(_encode, "vec_id long, cid int, codes array<integer>")
 
     # query probes: nprobe nearest centroids, carrying the EXACT q·c term
-    probes = ranked.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
-    ).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
-        "cid", F.col("cos_c").alias("q_dot_c"),
+    # (a window is fine HERE — N_QUERIES x N_LIST rows, not the corpus)
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+            "cid", F.col("cos_c").alias("q_dot_c"),
+        )
     )
     # per-query residual ADC table: tbl[sub][code] = q_sub · codeword_sub
     qsubs = (

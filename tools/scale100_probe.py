@@ -43,6 +43,10 @@ QUERIES = [
     "dedup_minhash_lsh",
     # ANN over 1M vectors
     "similarity_topk_bruteforce",
+    # round 7: the composed IVF-PQ path at 1M vectors (sample-capped
+    # training + pruned scan) and delta-join IVM over the 100M-event fact
+    "similarity_ivfpq_topk",
+    "ivm_incremental_join_enrich",
 ]
 
 
