@@ -36,16 +36,28 @@ def _sq_dist(a, b):
 
 
 def _assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, v, cluster, sq_dist) — nearest centroid, ties by cid."""
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    """(vec_id, v, cluster, sq_dist) — nearest centroid, ties by cid.
+
+    Argmin as a map-side ``min_by`` hash aggregate over (d2, cid) — a
+    row_number window over N single-vector partitions is a full
+    sort-shuffle of the corpus, and this runs INSIDE the Lloyd loop, so
+    the window cost multiplied by the iteration count (same fix as the
+    IVF family, round 7)."""
+    scored = points.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("d2")
+    )
     return (
-        points.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id", "v", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("d2")
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),  # constant within the group
+            F.min_by(
+                F.struct(
+                    F.col("cid").alias("cluster"), F.col("d2").alias("sq_dist")
+                ),
+                F.struct("d2", "cid"),
+            ).alias("_b"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("cluster"), F.col("d2").alias("sq_dist"))
+        .select("vec_id", "v", F.col("_b.cluster"), F.col("_b.sq_dist"))
     )
 
 
