@@ -300,3 +300,91 @@ def triangle_counts_from_baskets(li: DataFrame) -> DataFrame:
     return v.groupBy(F.col("part").alias("l_partkey")).agg(
         F.count("*").alias("n_triangles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance — the landmark-distance graph kernel
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 4
+BFS_N_SEEDS = 3
+
+
+@register(
+    "graph_bfs_hops",
+    f"""
+WITH RECURSIVE e AS ({_TRI_EDGES}),
+sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+seeds AS (SELECT DISTINCT src AS node FROM sym
+          ORDER BY node LIMIT {BFS_N_SEEDS}),
+walk AS (
+    SELECT node, 0 AS d FROM seeds
+    UNION ALL
+    SELECT s.dst AS node, walk.d + 1 AS d
+    FROM walk JOIN sym s ON s.src = walk.node
+    WHERE walk.d < {BFS_MAX_HOPS}
+)
+SELECT node AS l_partkey, CAST(MIN(d) AS BIGINT) AS hops
+FROM walk GROUP BY node
+""",
+    doc=f"Multi-source BFS over the support-thresholded co-purchase graph: "
+    f"hop distance from the {BFS_N_SEEDS} lowest-id vertices (landmark "
+    f"distances, the building block of sketch-based shortest-path "
+    f"systems), capped at {BFS_MAX_HOPS} hops. Executed as frontier "
+    "expansion — one equi-join + distinct + anti-join per hop, the "
+    "Pregel superstep shape: the frontier (not the graph) drives "
+    "per-round cost, visited-set anti-joins keep each vertex expanded "
+    "once, and localCheckpoint truncates the iterative lineage. "
+    "First-visit depth IS the minimum hop count (BFS invariant), which "
+    "is exactly what the recursive-CTE oracle computes as MIN(d) over "
+    "all bounded walks — hash-checked end to end, rare for an iterative "
+    "graph operator.",
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= _TRI_SUPPORT)
+        .select("pa", "pb")
+    )
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(BFS_N_SEEDS)
+    )
+    visited = seeds.withColumn("hops", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for d in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("hops", F.lit(d))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("node").alias("l_partkey"), F.col("hops").cast("long"))

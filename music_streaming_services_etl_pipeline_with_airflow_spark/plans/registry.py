@@ -71,8 +71,9 @@ _PRIORITY: tuple[str, ...] = (
     # udaf_geometric_mean, udtf_text_chunks) do not fit and lead the
     # ROUND-8 head — together with the round-7 additions
     # sink_jsonl_sharded_roundtrip, ivm_incremental_join_enrich,
-    # multimodal_png_pixel_roundtrip and multimodal_jpeg_entropy_roundtrip
-    # (24 total, well within round 8's ~45 free oracle slots). Each was
+    # multimodal_png_pixel_roundtrip, multimodal_jpeg_entropy_roundtrip
+    # and graph_bfs_hops (25 total, well within round 8's ~45 free
+    # oracle slots). Each was
     # re-verified locally this round via tools/check_parity.py at sf0.01
     # (exact value equality — see README verification notes), and seven
     # of the stale set were additionally judge-parity-checked green in
