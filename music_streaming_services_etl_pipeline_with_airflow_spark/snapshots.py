@@ -343,6 +343,37 @@ class SnapshotTable:
             hit = spark.read.parquet(d).filter(predicate).limit(1).count() > 0
             (touched if hit else untouched).append(d)
         version = parent + 1
+        if "buckets" in pm:
+            # BUCKETED parent: preserve the bucket map — rewrite each
+            # touched dir under ITS bucket (dir identity carries the
+            # bucket; the key column/bucket count are not needed), so
+            # read_buckets keeps pruning correctly after the delete
+            buckets: dict[str, list[str]] = {}
+            for b, ds in pm["buckets"].items():
+                out = []
+                for d in ds:
+                    if d in untouched:
+                        out.append(d)
+                        continue
+                    kept = spark.read.parquet(d).filter(
+                        ~F.coalesce(F.expr(predicate), F.lit(False))
+                    )
+                    nd = self._fresh_data_dir(version)
+                    kept.write.mode("error").parquet(nd)
+                    out.append(nd)
+                buckets[b] = out
+            self._write_manifest(
+                {
+                    "version": version,
+                    "parent": parent,
+                    "mode": "delete",
+                    "dirs": sorted(d for ds in buckets.values() for d in ds),
+                    "buckets": buckets,
+                    "schema": pm.get("schema"),
+                    "mixed_schemas": mixed,
+                }
+            )
+            return version
         dirs = list(untouched)
         if touched:
             reader = spark.read
@@ -380,17 +411,18 @@ class SnapshotTable:
             raise ValueError(f"{self.path}: no version {version}")
         parent = self.latest_version()
         tm = self._manifest(version)
-        self._write_manifest(
-            {
-                "version": parent + 1,
-                "parent": parent,
-                "mode": "restore",
-                "restored_from": version,
-                "dirs": list(tm["dirs"]),
-                "schema": tm.get("schema"),
-                "mixed_schemas": tm.get("mixed_schemas", False),
-            }
-        )
+        m = {
+            "version": parent + 1,
+            "parent": parent,
+            "mode": "restore",
+            "restored_from": version,
+            "dirs": list(tm["dirs"]),
+            "schema": tm.get("schema"),
+            "mixed_schemas": tm.get("mixed_schemas", False),
+        }
+        if "buckets" in tm:  # bucketed lineage keeps its bucket map
+            m["buckets"] = tm["buckets"]
+        self._write_manifest(m)
         return parent + 1
 
     # -- maintenance ---------------------------------------------------------
@@ -407,7 +439,18 @@ class SnapshotTable:
         parent = self.latest_version()
         if parent == 0:
             raise ValueError(f"{self.path}: no committed versions")
-        if len(self._manifest(parent)["dirs"]) <= max_dirs:
+        pm = self._manifest(parent)
+        if "buckets" in pm:
+            # commit_buckets keeps each bucket at one dir per rewrite, so
+            # bucketed lineages don't fragment the way append chains do;
+            # a plain compact would flatten the bucket map and break
+            # read_buckets — refuse loudly instead of corrupting
+            raise ValueError(
+                f"{self.path}: compact() does not apply to bucketed "
+                "tables (per-bucket commits already keep one dir per "
+                "touched bucket; delete_where preserves the map)"
+            )
+        if len(pm["dirs"]) <= max_dirs:
             return parent
         return self.commit(self.read(spark, parent), mode="overwrite")
 

@@ -402,3 +402,42 @@ def test_merge_bucketed_rewrites_only_touched(spark, tmp_path):
             spark, dup, on="id", update={"v": "dv"},
             insert_defaults={"v": "dv"}, n_buckets=n, schema=schema,
         )
+
+
+def test_bucketed_lineage_survives_delete_and_restore(spark, tmp_path):
+    """Cross-op interactions on a BUCKETED table: delete_where rewrites
+    only match-bearing bucket dirs while preserving the bucket map (dir
+    identity carries the bucket — no key column needed), restore carries
+    the map forward, compact refuses instead of flattening it, and
+    read_buckets keeps pruning correctly through the whole lineage."""
+    import pytest as _pytest
+
+    n = 4
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d = spark.range(0, 40).select(
+        F.col("id"), (F.col("id") % 100).alias("v")
+    ).withColumn("_bucket", SnapshotTable.bucket_of(F.col("id"), n))
+    v1 = t.commit_buckets(d, touched=list(range(n)))
+    m1 = t._bucket_map(v1)
+
+    # delete rows with id in exactly one bucket; that bucket's dir is
+    # rewritten, match-free buckets carry over by reference
+    target = d.filter("id = 7").select("_bucket").first()["_bucket"]
+    v2 = t.delete_where(spark, "id = 7")
+    m2 = t._bucket_map(v2)
+    assert m2[str(target)] != m1[str(target)]
+    carried = [b for b in m2 if m2[b] == m1[b]]
+    assert len(carried) >= 1  # buckets with no id=7 row are untouched
+    assert 7 not in {r.id for r in t.read(spark).collect()}
+    # read_buckets still prunes correctly post-delete
+    got = {r.id for r in t.read_buckets(spark, [target], "id long, v long").collect()}
+    assert 7 not in got and got  # the bucket still has its other rows
+
+    # restore to v1 keeps the bucket map; read_buckets works on the head
+    v3 = t.restore(v1)
+    assert t._bucket_map(v3) == m1
+    assert 7 in {r.id for r in t.read(spark).collect()}
+    assert t.read_buckets(spark, list(range(n)), "id long, v long").count() == 40
+
+    with _pytest.raises(ValueError):
+        t.compact(spark)
