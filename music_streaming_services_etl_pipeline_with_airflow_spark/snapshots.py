@@ -51,6 +51,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the same version first (lost the CAS);
+    re-read the table and retry the commit on top of its new latest."""
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path.rstrip("/")
@@ -75,12 +80,29 @@ class SnapshotTable:
             return json.load(fh)
 
     def _write_manifest(self, manifest: dict) -> None:
-        """Atomic publish: temp file in the same directory + os.replace."""
+        """Atomic COMPARE-AND-SWAP publish: the manifest is linked into
+        place with an EXCLUSIVE create (``os.link`` fails with EEXIST if
+        the version was already committed), so two writers racing to the
+        same version cannot silently overwrite each other — exactly one
+        wins, the loser gets :class:`ConcurrentWriteError` and must
+        re-read the table (its new latest_version) and retry its commit
+        on top. This is the Delta/Iceberg optimistic-concurrency protocol
+        over a filesystem's atomic exclusive create; on an object store
+        the same call maps to a conditional put (If-None-Match)."""
         final = f"{self._mdir}/v{manifest['version']:06d}.json"
         fd, tmp = tempfile.mkstemp(dir=self._mdir, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, final)
+        try:
+            os.link(tmp, final)  # atomic exclusive create — the CAS
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"{self.path}: version {manifest['version']} was committed "
+                "by another writer — re-read the table and retry the "
+                "commit on top of the new latest version"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     # -- write path ----------------------------------------------------------
 

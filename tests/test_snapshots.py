@@ -441,3 +441,37 @@ def test_bucketed_lineage_survives_delete_and_restore(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.compact(spark)
+
+
+def test_concurrent_commit_loses_cas_not_data(spark, tmp_path):
+    """Two writers racing to the same version: the manifest publish is an
+    exclusive-create CAS, so exactly one wins; the loser raises
+    ConcurrentWriteError, the winner's state is intact, and the loser's
+    retry (on the new latest) succeeds as the NEXT version."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        ConcurrentWriteError,
+    )
+
+    t1 = SnapshotTable(str(tmp_path / "tbl"))
+    t2 = SnapshotTable(str(tmp_path / "tbl"))  # second handle, same table
+    t1.commit(spark.createDataFrame([(1, 10)], "id long, v long"))
+    # both handles see v1 and race to commit v2; t1 wins
+    t1.commit(spark.createDataFrame([(2, 20)], "id long, v long"))
+    # simulate t2 having computed against the stale parent: force its
+    # next manifest to collide by replaying a commit for version 2
+    df = spark.createDataFrame([(3, 30)], "id long, v long")
+    data_dir = t2._fresh_data_dir(2)
+    df.write.mode("error").parquet(data_dir)
+    with _pytest.raises(ConcurrentWriteError):
+        t2._write_manifest(
+            {"version": 2, "parent": 1, "mode": "overwrite", "dirs": [data_dir]}
+        )
+    # winner's state intact
+    assert _rows(t1.read(spark)) == [(2, 20)]
+    # loser retries on the new latest and lands as v3
+    v3 = t2.commit(df)
+    assert v3 == 3
+    assert _rows(t2.read(spark)) == [(3, 30)]
+    assert _rows(t2.read(spark, 2)) == [(2, 20)]  # history intact
