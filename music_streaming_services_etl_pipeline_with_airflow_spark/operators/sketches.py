@@ -205,19 +205,9 @@ def q_kll_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sketch_heavy_hitters_topk",
-    None,  # frequent-items sketch has no DuckDB twin; pinned by pytest
-    doc="Heavy hitters via approx_top_k (DataSketches frequent-items): "
-    "top-20 l_partkey of lineitem from one mergeable sketch pass — no "
-    "full groupBy materialization of the key universe. Guarantees: every "
-    "true heavy hitter above the sketch's error floor appears; counts "
-    "bounded by [exact - eps*N, exact]. Pinned against the exact top-k by "
-    "tests/test_extensions.py::test_topk_sketch_contains_exact_heavies. "
-    "The 100 TB pattern for 'most frequent' over high-cardinality keys: "
-    "sketch partials merge associatively, shuffle is a few KB.",
-)
-def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def topk_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw frequent-items estimates (l_partkey, est_cnt) — consumed by
+    the registered guarantee audit below and the pytest containment pin."""
     li = load_table(spark, sf_dir, "lineitem")
     sk = li.agg(F.expr("approx_top_k(l_partkey, 20, 4096)").alias("tk"))
     return sk.select(F.explode("tk").alias("e")).select(
@@ -227,17 +217,85 @@ def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_heavy_hitters_topk",
+    # Guarantee audit: WHICH keys come back is data-dependent (on
+    # near-uniform data above the 4096-entry map the sketch correctly
+    # returns NOTHING — there are no heavy hitters; at the tie-heavy toy
+    # scales the 20-of-many-tied cut is implementation-defined), so the
+    # checked output is the sketch's UNCONDITIONAL contract — at most k
+    # items, every estimate bounded by [exact - max(1, N/1000), exact] —
+    # asserted as literal TRUE by the oracle at every scale.
+    """SELECT TRUE AS returned_at_most_k,
+              TRUE AS never_over_counts,
+              TRUE AS under_count_bounded""",
+    doc="Heavy hitters via approx_top_k (DataSketches frequent-items) as "
+    "a GUARANTEE AUDIT: top-20 l_partkey of lineitem from one mergeable "
+    "sketch pass, checked against the sketch's unconditional contract — "
+    "at most k items return; every estimated count is <= the exact count "
+    "(frequent-items over-subtracts, never over-counts) and >= exact - "
+    "max(1, N/1000). On near-uniform data above the map capacity the "
+    "sketch honestly returns an EMPTY set (no key clears the error "
+    "floor, i.e. there are no heavy hitters) — the audit is vacuously "
+    "green there, and the stronger exact-top-5 containment is pinned in "
+    "pytest at the fixture scale where heavies exist. Raw estimates stay "
+    "available via topk_sketch_estimates. The 100 TB pattern for 'most "
+    "frequent' over high-cardinality keys: sketch partials merge "
+    "associatively, shuffle is a few KB.",
+)
+def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = topk_sketch_estimates(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_partkey").agg(F.count("*").alias("exact_cnt"))
+    n_total = li.count()
+    floor = max(1, n_total // 1000)
+    joined = est.join(exact, "l_partkey", "left")
+    row = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.min(F.col("est_cnt") <= F.col("exact_cnt")), F.lit(True)
+        ).alias("no_over"),
+        F.coalesce(
+            F.min(F.col("est_cnt") >= F.col("exact_cnt") - F.lit(floor)),
+            F.lit(True),
+        ).alias("bounded"),
+    ).first()
+    return spark.createDataFrame(
+        [(int(row["n"]) <= 20, bool(row["no_over"]), bool(row["bounded"]))],
+        "returned_at_most_k boolean, never_over_counts boolean,"
+        " under_count_bounded boolean",
+    )
+
+
+@register(
     "sketch_theta_user_overlap",
-    None,  # theta sketches have no DuckDB twin; pinned by pytest
+    # EXACT-UNDER-CAPACITY oracle (the sketch_topk_monthly_rollup play):
+    # theta's default nominal 4096 entries exceeds the click/purchase
+    # user cardinality at every test scale (15 / 150 / 1500 at
+    # sf0.001/0.01/0.1), so the sketch retains every hash and each
+    # estimate equals the exact set-op count — SQL-recomputable.
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS est_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS est_purchase,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p))
+                AS BIGINT) AS est_both,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p))
+                AS BIGINT) AS est_either,
+           CAST((SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p))
+                AS BIGINT) AS est_click_only
+    """,
     doc="Theta sketches with SET OPERATIONS: distinct-user sketches per "
     "event_type, then |click ∩ purchase|, |click ∪ purchase| and "
     "|click \\ purchase| estimated purely from the sketches — the "
     "audience-overlap computation that exact countDistinct cannot answer "
-    "from per-segment aggregates (distincts don't intersect). Accuracy "
-    "vs the exact set ops pinned by tests/test_extensions.py::"
-    "test_theta_overlap_accuracy. At 100 TB: one sketch per segment, "
-    "KBs each; any boolean audience combination answered without "
-    "rescanning facts.",
+    "from per-segment aggregates (distincts don't intersect). "
+    "ORACLE-CHECKED since r7: below theta's 4096-entry nominal capacity "
+    "the sketch is lossless, so every estimate equals the exact set-op "
+    "count the oracle recomputes (accuracy at any scale additionally "
+    "pinned by tests/test_extensions.py::test_theta_overlap_accuracy). "
+    "At 100 TB: one sketch per segment, KBs each; any boolean audience "
+    "combination answered without rescanning facts.",
 )
 def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -71,14 +71,22 @@ _PRIORITY: tuple[str, ...] = (
     # udaf_geometric_mean, udtf_text_chunks) do not fit and lead the
     # ROUND-8 head — together with the round-7 additions
     # sink_jsonl_sharded_roundtrip, ivm_incremental_join_enrich,
-    # multimodal_png_pixel_roundtrip, multimodal_jpeg_entropy_roundtrip
-    # and graph_bfs_hops (25 total, well within round 8's ~45 free
-    # oracle slots). Each was
+    # multimodal_png_pixel_roundtrip, multimodal_jpeg_entropy_roundtrip,
+    # graph_bfs_hops, and the two late-r7 sketch conversions
+    # sketch_theta_user_overlap (exact-under-capacity oracle) and
+    # sketch_heavy_hitters_topk (unconditional-contract audit) — 27
+    # total, well within round 8's ~45 free oracle slots. Each was
     # re-verified locally this round via tools/check_parity.py at sf0.01
     # (exact value equality — see README verification notes), and seven
     # of the stale set were additionally judge-parity-checked green in
     # the round-6 session.
     # -- behavior changed in round 7: need fresh driver rows --
+    # (warehouse_snapshot_time_travel/_delete also changed INTERNALS this
+    # round — presence-marker merge branches, manifest schema fields, CAS
+    # commits, bucketed-lineage delete — but their RESULTS are
+    # point-for-point identical: exact-value parity re-verified at sf0.01
+    # after every one of those commits, so they keep their r6 hash-green
+    # rows rather than displacing stale-rotation slots.)
     "streaming_cdc_apply",  # bucketed O(touched-buckets) write path
     "a3_hourly_distinct_approx",  # NEW error-band oracle
     "a13_approx_percentiles",  # NEW error-band oracle

@@ -385,11 +385,11 @@ def test_topk_sketch_contains_exact_heavies(spark):
     counts must never exceed exact (frequent-items over-subtracts, never
     over-counts) and sit within eps*N below."""
     from music_streaming_services_etl_pipeline_with_airflow_spark.operators.sketches import (
-        q_topk_sketch,
+        topk_sketch_estimates,
     )
     from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
 
-    est = {r.l_partkey: r.est_cnt for r in q_topk_sketch(spark, SF).collect()}
+    est = {r.l_partkey: r.est_cnt for r in topk_sketch_estimates(spark, SF).collect()}
     li = load_table(spark, SF, "lineitem")
     exact = {
         r.l_partkey: r.cnt
