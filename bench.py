@@ -76,6 +76,12 @@ HEADLINE = [
     "ivm_incremental_sessions",
     "graph_triangle_counts",
     "multimodal_phash_dedup",
+    # round 7: the real PNG/JPEG codec round-trips (CPU-bound Arrow
+    # kernels — the cost to watch is Python-side codec throughput) and
+    # the snapshot-format MERGE + time-travel path
+    "multimodal_png_pixel_roundtrip",
+    "multimodal_jpeg_entropy_roundtrip",
+    "warehouse_snapshot_time_travel",
 ]
 
 

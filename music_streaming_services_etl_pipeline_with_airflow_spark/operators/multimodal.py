@@ -50,6 +50,21 @@ except ImportError:
     _HAS_PIL = False
 
 
+
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """CPU-bound Arrow kernels want one batch per core. A small-file scan
+    yields fewer splits than cores (the toy fixtures are ONE split), so
+    every kernel would run on a single executor thread; spread rows by
+    key hash first. No-op at real scale, where the scan already has more
+    splits than cores — the repartition only fires when the input is
+    UNDER-partitioned, so no 100 TB plan pays an extra shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def _decode_stub(payload: bytes) -> tuple[int, int, int, str]:
     """Deterministic fake 'image decode': header fields derived from the
     payload bytes (first/last byte, length mod). The fallback for payloads
@@ -351,7 +366,7 @@ def binarize_documents(docs: DataFrame) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     binary = binarize_documents(docs)
-    return binary.mapInPandas(decode_image_batch, schema=DECODED_SCHEMA)
+    return _spread(binary).mapInPandas(decode_image_batch, schema=DECODED_SCHEMA)
 
 
 @register(
@@ -538,7 +553,7 @@ _SYN_PIX_SQL = (
 )
 def q_resize_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
+    return _spread(docs).mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
 
 
 FEAT_SCHEMA = (
@@ -617,7 +632,7 @@ def feature_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def q_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(feature_batch, schema=FEAT_SCHEMA)
+    return _spread(docs).mapInPandas(feature_batch, schema=FEAT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -713,7 +728,7 @@ _DH_PIX_SQL_R = (
 )
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    hashes = docs.mapInPandas(phash_batch, schema=PHASH_SCHEMA)
+    hashes = _spread(docs).mapInPandas(phash_batch, schema=PHASH_SCHEMA)
     return (
         hashes.groupBy("dhash_hi", "dhash_lo")
         .agg(
@@ -810,7 +825,7 @@ def audio_energy_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 )
 def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(audio_energy_batch, schema=AUDIO_SCHEMA)
+    return _spread(docs).mapInPandas(audio_energy_batch, schema=AUDIO_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -868,7 +883,7 @@ def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    frames = docs.mapInPandas(audio_energy_batch, schema=AUDIO_SCHEMA).select(
+    frames = _spread(docs).mapInPandas(audio_energy_batch, schema=AUDIO_SCHEMA).select(
         "doc_id",
         "frame_no",
         F.expr("energy div n_samples").alias("mean_energy"),
@@ -1118,7 +1133,7 @@ def png_roundtrip_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 )
 def q_png_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(png_roundtrip_batch, schema=PNG_RT_SCHEMA)
+    return _spread(docs).mapInPandas(png_roundtrip_batch, schema=PNG_RT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1190,4 +1205,4 @@ def jpeg_roundtrip_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 )
 def q_jpeg_entropy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(jpeg_roundtrip_batch, schema=JPEG_RT_SCHEMA)
+    return _spread(docs).mapInPandas(jpeg_roundtrip_batch, schema=JPEG_RT_SCHEMA)
