@@ -559,3 +559,21 @@ def test_jpeg_codec_entropy_exact_and_psnr(spark):
     i = bad.find(b"\xff\xc0")
     bad[i + 1] = 0xC2
     assert decode_gray_coefficients(bytes(bad)) is None
+
+
+def test_spread_is_noop_when_already_partitioned(spark):
+    """_spread only fires on under-partitioned scans: a frame with >=
+    defaultParallelism partitions passes through IDENTICALLY (no extra
+    shuffle in any real-scale plan), a single-split frame is spread to
+    one partition per core."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
+        _spread,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000).withColumnRenamed("id", "doc_id").repartition(
+        max(target, 2)
+    )
+    assert _spread(wide) is wide
+    narrow = spark.range(0, 10).withColumnRenamed("id", "doc_id").coalesce(1)
+    assert _spread(narrow).rdd.getNumPartitions() == target
