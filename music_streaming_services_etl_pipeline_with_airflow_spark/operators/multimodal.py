@@ -994,9 +994,12 @@ def png_decode_gray(payload: bytes):
     if len(payload) < 45 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     pos, w = 8, None
+    saw_iend = False
     idat = bytearray()
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        if pos + 12 + length > len(payload):
+            return None  # chunk data or its CRC field truncated
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         if len(data) != length:
@@ -1015,10 +1018,11 @@ def png_decode_gray(payload: bytes):
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
+            saw_iend = True
             pos += 12 + length
             break
         pos += 12 + length
-    if w is None or w == 0 or h == 0 or pos != len(payload):
+    if w is None or w == 0 or h == 0 or not saw_iend or pos != len(payload):
         return None
     try:
         data = _z.decompress(bytes(idat))
@@ -1082,9 +1086,7 @@ def png_roundtrip_batch(frames: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             ok = dec is not None and bool(np.array_equal(dec, img))
             use = dec if dec is not None else np.zeros_like(img)
             flat = use.astype(np.int64).ravel()
-            x = 0
-            for v in flat:
-                x ^= int(v)
+            x = int(np.bitwise_xor.reduce(flat)) if flat.size else 0
             rows.append(
                 (doc_id, use.shape[1], use.shape[0], int(flat.sum()), x, ok)
             )

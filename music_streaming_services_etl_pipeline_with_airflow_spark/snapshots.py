@@ -135,6 +135,16 @@ class SnapshotTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = self.latest_version()
+        if parent > 0 and "buckets" in self._manifest(parent):
+            # fail FAST, like compact(): a plain commit would publish a
+            # bucket-less manifest and strand the bucketed lineage — the
+            # next read_buckets/merge_bucketed would then fail mid-stream
+            # after the table was already mutated
+            raise ValueError(
+                f"{self.path}: parent version is bucketed — use "
+                "commit_buckets()/merge_bucketed() so the bucket map "
+                "survives (a plain commit would strand it)"
+            )
         version = parent + 1
         data_dir = self._fresh_data_dir(version)
         df.write.mode("error").parquet(data_dir)
@@ -360,9 +370,24 @@ class SnapshotTable:
             raise ValueError(f"{self.path}: no committed versions")
         pm = self._manifest(parent)
         mixed = pm.get("mixed_schemas", False)
+
+        def read_dir(d: str):
+            # on a schema-evolved lineage every per-dir read must see the
+            # UNION schema (the current commit's, recorded in the
+            # manifest), or a predicate on an added column crashes with
+            # UNRESOLVED_COLUMN on pre-evolution dirs instead of reading
+            # NULL (ADD COLUMN semantics)
+            if mixed and pm.get("schema"):
+                from pyspark.sql.types import StructType
+
+                return spark.read.schema(
+                    StructType.fromJson(pm["schema"])
+                ).parquet(d)
+            return spark.read.parquet(d)
+
         untouched, touched = [], []
         for d in pm["dirs"]:
-            hit = spark.read.parquet(d).filter(predicate).limit(1).count() > 0
+            hit = read_dir(d).filter(predicate).limit(1).count() > 0
             (touched if hit else untouched).append(d)
         version = parent + 1
         if "buckets" in pm:
@@ -377,7 +402,7 @@ class SnapshotTable:
                     if d in untouched:
                         out.append(d)
                         continue
-                    kept = spark.read.parquet(d).filter(
+                    kept = read_dir(d).filter(
                         ~F.coalesce(F.expr(predicate), F.lit(False))
                     )
                     nd = self._fresh_data_dir(version)

@@ -9,6 +9,14 @@ name, and the previous invocation's files survive exactly until the next
 claim — long enough for any still-lazy DataFrame returned by the previous
 invocation to have been consumed (the harness always materializes one
 query's result before re-invoking it).
+
+Known limit (accepted): the per-name path is shared ACROSS processes, so
+two concurrent harness processes invoking the same query race the wipe.
+Every harness here (driver, bench, parity, pytest) is single-process per
+query; per-process roots would reintroduce the unbounded-leak problem
+this module exists to fix (one live dir per dead pid instead of one per
+name). If cross-process concurrency ever matters, add a per-name lock
+file, not a pid suffix.
 """
 
 from __future__ import annotations

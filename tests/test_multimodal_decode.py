@@ -511,6 +511,10 @@ def test_png_pixel_codec_roundtrips_and_rejects_corruption(spark):
     assert png_decode_gray(bytes(bad)) is None  # CRC mismatch -> reject
     assert png_decode_gray(good[:-5]) is None  # truncation -> reject
     assert png_decode_gray(b"\x89PNG\r\n\x1a\n" + b"x" * 64) is None
+    # every truncation point must reject cleanly, never raise — including
+    # cuts that land inside a chunk's 4-byte CRC field
+    for cut in range(8, len(good)):
+        assert png_decode_gray(good[:cut]) is None, cut
 
 
 def test_jpeg_codec_entropy_exact_and_psnr(spark):

@@ -332,6 +332,10 @@ def test_schema_evolution_additive(spark, tmp_path):
     assert {r.id: r.tag for r in t.read(spark, v4).collect()} == {
         1: None, 2: None, 3: "x"
     }
+    # delete with a predicate on the ADDED column: pre-evolution dirs
+    # must read NULL there (ADD COLUMN semantics), not crash
+    v4b = t.delete_where(spark, "tag = 'x'")
+    assert {r.id for r in t.read(spark, v4b).collect()} == {1, 2}
     # overwrite resets: single schema again, flag off
     v5 = t.commit(spark.createDataFrame([(9, 90)], "id long, v long"))
     assert not t._manifest(v5)["mixed_schemas"]
@@ -441,6 +445,10 @@ def test_bucketed_lineage_survives_delete_and_restore(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.compact(spark)
+    # a plain commit against a bucketed parent must fail FAST, not strand
+    # the bucket map for the next read_buckets to trip over
+    with _pytest.raises(ValueError):
+        t.commit(spark.createDataFrame([(1, 1)], "id long, v long"))
 
 
 def test_concurrent_commit_loses_cas_not_data(spark, tmp_path):
