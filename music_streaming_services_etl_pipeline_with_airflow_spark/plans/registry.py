@@ -72,10 +72,12 @@ _PRIORITY: tuple[str, ...] = (
     # ROUND-8 head — together with the round-7 additions
     # sink_jsonl_sharded_roundtrip, ivm_incremental_join_enrich,
     # multimodal_png_pixel_roundtrip, multimodal_jpeg_entropy_roundtrip,
-    # graph_bfs_hops, and the two late-r7 sketch conversions
-    # sketch_theta_user_overlap (exact-under-capacity oracle) and
-    # sketch_heavy_hitters_topk (unconditional-contract audit) — 27
-    # total, well within round 8's ~45 free oracle slots. Each was
+    # graph_bfs_hops, streaming_matview_join_enrich (merge_bucketed
+    # driven from foreachBatch; shares the delta-join IVM oracle), and
+    # the two late-r7 sketch conversions sketch_theta_user_overlap
+    # (exact-under-capacity oracle) and sketch_heavy_hitters_topk
+    # (unconditional-contract audit) — 28 total, well within round 8's
+    # ~45 free oracle slots. Each was
     # re-verified locally this round via tools/check_parity.py at sf0.01
     # (exact value equality — see README verification notes), and seven
     # of the stale set were additionally judge-parity-checked green in

@@ -280,3 +280,153 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return t.read(spark).filter("NOT deleted").select("user_id", "value_milli")
+
+
+# ---------------------------------------------------------------------------
+# Streaming materialized view — foreachBatch partial-agg MERGE into the
+# bucketed snapshot format (the production "streaming matview" shape)
+# ---------------------------------------------------------------------------
+
+MATVIEW_SCHEMA = (
+    "mv_key string, date date, segment string, n_events long, value_cents long"
+)
+MATVIEW_N_BUCKETS = 16
+
+
+def stage_events_ranges(sf_dir: str, name: str, n_files: int = 4) -> str:
+    """Split the (ts-normalized) events staging file into ``n_files``
+    row-range drop files with strictly increasing mtimes — the events
+    sibling of stage_documents, so a file-stream source replays them as
+    ``n_files`` micro-batches."""
+    import pyarrow.parquet as pq
+
+    from .runner import stage_events
+
+    src_dir = stage_events(sf_dir, f"{name}_src")
+    src = os.path.join(src_dir, "copy0.v2.parquet")
+    d = f"/tmp/spark_engine_stream/{os.path.basename(os.path.normpath(sf_dir))}/{name}_ranges"
+    os.makedirs(d, exist_ok=True)
+    src_mtime = os.path.getmtime(src)
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done) and os.path.getmtime(done) >= src_mtime:
+        return d
+    for leftover in os.listdir(d):
+        os.remove(os.path.join(d, leftover))
+    table = pq.read_table(src)
+    n = table.num_rows
+    for i in range(n_files):
+        lo, hi = i * n // n_files, (i + 1) * n // n_files
+        path = os.path.join(d, f"part-{i:03d}.parquet")
+        pq.write_table(table.slice(lo, hi - lo), path)
+        os.utime(path, (src_mtime + 10 * i, src_mtime + 10 * i))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+def make_matview_applier(t, dim, n_buckets: int = MATVIEW_N_BUCKETS):
+    """foreachBatch callback: batch → broadcast-dim enrich → partial
+    aggregate → merge_bucketed into the stored view, summing partials
+    into matched groups and inserting new ones. Per-batch cost is
+    O(batch) + O(touched buckets' bytes) — history is never rescanned OR
+    re-joined, and only the buckets holding the batch's (date, segment)
+    groups rewrite. The streaming twin of ivm_incremental_join_enrich
+    (same self-maintainability algebra), materialized through the
+    snapshot format so every intermediate view state stays time-travel
+    readable."""
+
+    def apply_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        spark_ = batch.sparkSession
+        delta = (
+            batch.join(F.broadcast(dim), "user_id", "left")
+            .groupBy(
+                F.to_date("ts").alias("d_date"),
+                F.coalesce("segment", F.lit("UNKNOWN")).alias("d_segment"),
+            )
+            .agg(
+                F.count("*").alias("d_n"),
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias("d_cents"),
+            )
+            .select(
+                F.concat_ws("|", F.col("d_date").cast("string"), "d_segment").alias(
+                    "mv_key"
+                ),
+                "d_date",
+                "d_segment",
+                "d_n",
+                "d_cents",
+            )
+        )
+        t.merge_bucketed(
+            spark_,
+            delta,
+            on="mv_key",
+            update={
+                "n_events": "n_events + d_n",
+                "value_cents": "value_cents + d_cents",
+            },
+            insert_defaults={
+                "date": "d_date",
+                "segment": "d_segment",
+                "n_events": "d_n",
+                "value_cents": "d_cents",
+            },
+            n_buckets=n_buckets,
+            schema=MATVIEW_SCHEMA,
+        )
+
+    return apply_batch
+
+
+@register(
+    "streaming_matview_join_enrich",
+    # SAME oracle as ivm_incremental_join_enrich: the maintained view must
+    # equal the full recompute regardless of how the stream was batched.
+    """SELECT CAST(e.ts AS DATE) AS date,
+              COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+              CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(SUM(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+                AS value_cents
+       FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1, 2""",
+    doc="STREAMING materialized view over a join (the DLT/matview "
+    "production shape): the events file stream replays as 4 micro-"
+    "batches; each batch broadcast-joins the customer dim, partially "
+    "aggregates to (date, segment), and MERGEs into the bucketed "
+    "snapshot table — matched groups SUM the partials, new groups "
+    "insert (merge_bucketed: only the touched key-hash buckets are "
+    "read/rewritten per batch). Shares ivm_incremental_join_enrich's "
+    "oracle verbatim: combine-of-partials must equal the full "
+    "recompute for ANY batching of the stream. Every intermediate view "
+    "state stays time-travel readable; per-batch cost is O(batch + "
+    "touched buckets), never O(history).",
+)
+def q_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotTable
+    from ..sources import load_table
+    from ..workdirs import fresh_work_dir
+    from .runner import EVENTS_SCHEMA
+
+    d = stage_events_ranges(sf_dir, "matview")
+    work = fresh_work_dir("streaming_matview")
+    t = SnapshotTable(os.path.join(work, "matview"))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    apply_batch = make_matview_applier(t, dim)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t.read(spark).select("date", "segment", "n_events", "value_cents")

@@ -483,3 +483,40 @@ def test_concurrent_commit_loses_cas_not_data(spark, tmp_path):
     assert v3 == 3
     assert _rows(t2.read(spark)) == [(3, 30)]
     assert _rows(t2.read(spark, 2)) == [(2, 20)]  # history intact
+
+
+def test_streaming_matview_accumulates_and_time_travels(spark):
+    """The streaming materialized view: 4 micro-batches MERGE partial
+    aggregates into the bucketed snapshot table; every intermediate view
+    state stays time-travel readable, versions grow per batch, and the
+    final state equals the one-shot batch recompute."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import (
+        all_specs,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.workdirs import (
+        _ROOT,
+    )
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    specs = all_specs()
+    got = {
+        (str(r.date), r.segment): (r.n_events, r.value_cents)
+        for r in specs["streaming_matview_join_enrich"].fn(spark, sf).collect()
+    }
+    want = {
+        (str(r.date), r.segment): (r.n_events, r.value_cents)
+        for r in specs["ivm_incremental_join_enrich"].fn(spark, sf).collect()
+    }
+    assert got == want
+    # the view's history: one bucketed version per non-empty batch, all
+    # readable, monotonically growing row counts
+    t = SnapshotTable(os.path.join(_ROOT, "streaming_matview", "matview"))
+    vs = t.versions()
+    assert len(vs) >= 2  # several micro-batches committed
+    counts = [t.read(spark, v).count() for v in vs]
+    assert counts == sorted(counts)
+    assert t._bucket_map(vs[-1])  # bucketed lineage end to end
