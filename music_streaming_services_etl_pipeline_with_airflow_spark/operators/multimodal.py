@@ -1002,8 +1002,6 @@ def png_decode_gray(payload: bytes):
             return None  # chunk data or its CRC field truncated
         tag = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
-            return None
         (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
         if _z.crc32(tag + data) & 0xFFFFFFFF != crc:
             return None

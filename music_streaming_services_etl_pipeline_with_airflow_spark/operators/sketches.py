@@ -205,11 +205,14 @@ def q_kll_quantiles_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_SKETCH_K = 20
+
+
 def topk_sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw frequent-items estimates (l_partkey, est_cnt) — consumed by
     the registered guarantee audit below and the pytest containment pin."""
     li = load_table(spark, sf_dir, "lineitem")
-    sk = li.agg(F.expr("approx_top_k(l_partkey, 20, 4096)").alias("tk"))
+    sk = li.agg(F.expr(f"approx_top_k(l_partkey, {TOPK_SKETCH_K}, 4096)").alias("tk"))
     return sk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("l_partkey"),
         F.col("e.count").alias("est_cnt"),
@@ -246,7 +249,8 @@ def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = topk_sketch_estimates(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     exact = li.groupBy("l_partkey").agg(F.count("*").alias("exact_cnt"))
-    n_total = li.count()
+    # N = sum of the per-key exact counts — no third lineitem scan
+    n_total = exact.agg(F.sum("exact_cnt")).first()[0] or 0
     floor = max(1, n_total // 1000)
     joined = est.join(exact, "l_partkey", "left")
     row = joined.agg(
@@ -260,7 +264,13 @@ def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bounded"),
     ).first()
     return spark.createDataFrame(
-        [(int(row["n"]) <= 20, bool(row["no_over"]), bool(row["bounded"]))],
+        [
+            (
+                int(row["n"]) <= TOPK_SKETCH_K,
+                bool(row["no_over"]),
+                bool(row["bounded"]),
+            )
+        ],
         "returned_at_most_k boolean, never_over_counts boolean,"
         " under_count_bounded boolean",
     )

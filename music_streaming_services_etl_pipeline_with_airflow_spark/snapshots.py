@@ -91,9 +91,11 @@ class SnapshotTable:
         the same call maps to a conditional put (If-None-Match)."""
         final = f"{self._mdir}/v{manifest['version']:06d}.json"
         fd, tmp = tempfile.mkstemp(dir=self._mdir, suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
         try:
+            # dump inside the try so a failed write (ENOSPC, serialization
+            # error) cannot leak the .tmp file into _manifests/
+            with os.fdopen(fd, "w") as fh:
+                json.dump(manifest, fh)
             os.link(tmp, final)  # atomic exclusive create — the CAS
         except FileExistsError:
             raise ConcurrentWriteError(
@@ -423,9 +425,17 @@ class SnapshotTable:
             return version
         dirs = list(untouched)
         if touched:
-            reader = spark.read
-            if mixed:
-                reader = reader.option("mergeSchema", "true")
+            # the rewrite must read under the UNION schema too (same
+            # read_dir logic): mergeSchema over just the touched dirs is
+            # NOT enough — if only pre-evolution dirs matched, their
+            # merged schema lacks the added column and the predicate
+            # crashes with UNRESOLVED_COLUMN instead of seeing NULL
+            if mixed and pm.get("schema"):
+                from pyspark.sql.types import StructType
+
+                reader = spark.read.schema(StructType.fromJson(pm["schema"]))
+            else:
+                reader = spark.read
             kept = reader.parquet(*touched).filter(
                 ~F.coalesce(F.expr(predicate), F.lit(False))
             )

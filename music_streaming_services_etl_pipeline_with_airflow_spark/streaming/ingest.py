@@ -429,4 +429,8 @@ def q_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if t.latest_version() == 0:  # every micro-batch empty: empty view
+        return spark.createDataFrame([], MATVIEW_SCHEMA).select(
+            "date", "segment", "n_events", "value_cents"
+        )
     return t.read(spark).select("date", "segment", "n_events", "value_cents")

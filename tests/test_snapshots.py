@@ -520,3 +520,27 @@ def test_streaming_matview_accumulates_and_time_travels(spark):
     counts = [t.read(spark, v).count() for v in vs]
     assert counts == sorted(counts)
     assert t._bucket_map(vs[-1])  # bucketed lineage end to end
+
+
+def test_schema_evolved_delete_on_added_column_predicate(spark, tmp_path):
+    """The second-review repro: delete_where with a predicate on the ADDED
+    column must read pre-evolution dirs under the union schema on BOTH
+    the probe AND the rewrite — 'tag IS NULL' matches every pre-evolution
+    row (NULL there), deletes them, and keeps the evolved rows."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    t.commit(
+        spark.createDataFrame([(3, 30, "x")], "id long, v long, tag string"),
+        mode="append",
+    )
+    v = t.delete_where(spark, "tag IS NULL")
+    assert {r.id for r in t.read(spark, v).collect()} == {3}
+    # and the inverse predicate keeps the pre-evolution rows
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    t2.commit(spark.createDataFrame([(1, 10)], "id long, v long"))
+    t2.commit(
+        spark.createDataFrame([(3, 30, "x")], "id long, v long, tag string"),
+        mode="append",
+    )
+    v2 = t2.delete_where(spark, "tag = 'x'")
+    assert {r.id for r in t2.read(spark, v2).collect()} == {1}
