@@ -582,3 +582,97 @@ def test_fuzz_snapshot_format_against_model(spark, tmp_path_factory, data):
     assert sorted(t.versions()) == sorted(model)
     for v, rows in model.items():
         assert sorted(rows) == table_rows(v), f"version {v}"
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fuzz_bucketed_lineage_against_model(spark, tmp_path_factory, data):
+    """Model-based fuzz of the BUCKETED snapshot lineage: random sequences
+    of merge_bucketed (upserts with summing updates), delete_where,
+    restore and expire against an in-memory dict model — after every op
+    the live table equals the model, the bucket map stays readable
+    (read_buckets over all buckets == full read), and plain commit()
+    keeps refusing to strand the lineage."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+
+    n_buckets = 4
+    schema = "id long, v long"
+    t = SnapshotTable(str(tmp_path_factory.mktemp("bfuzz") / "tbl"))
+    versions: dict[int, dict[int, int]] = {}  # version -> {id: v}
+
+    def seed_delta():
+        n = data.draw(st.integers(min_value=1, max_value=8))
+        ids = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=20),
+                min_size=n, max_size=n, unique=True,
+            )
+        )
+        return {i: data.draw(st.integers(min_value=1, max_value=9)) for i in ids}
+
+    def table_state():
+        if t.latest_version() == 0:
+            return {}
+        return {r.id: r.v for r in t.read(spark).collect()}
+
+    n_ops = data.draw(st.integers(min_value=3, max_value=6))
+    for _ in range(n_ops):
+        cur = t.latest_version()
+        ops = ["merge"]
+        if cur > 0:
+            ops += ["delete", "restore", "expire"]
+        op = data.draw(st.sampled_from(ops))
+        if op == "merge":
+            delta = seed_delta()
+            df = spark.createDataFrame(
+                [(k, dv) for k, dv in delta.items()], "id long, dv long"
+            )
+            v = t.merge_bucketed(
+                spark, df, on="id",
+                update={"v": "v + dv"},
+                insert_defaults={"v": "dv"},
+                n_buckets=n_buckets, schema=schema,
+            )
+            m = dict(versions.get(cur, {}))
+            for k, dv in delta.items():
+                m[k] = m.get(k, 0) + dv
+            versions[v] = m
+        elif op == "delete":
+            cut = data.draw(st.integers(min_value=1, max_value=9))
+            v = t.delete_where(spark, f"v >= {cut}")
+            versions[v] = {
+                k: x for k, x in versions[cur].items() if x < cut
+            }
+        elif op == "restore":
+            target = data.draw(st.sampled_from(sorted(versions)))
+            v = t.restore(target)
+            versions[v] = dict(versions[target])
+        else:  # expire
+            keep = data.draw(st.integers(1, max(1, len(versions))))
+            for dead in t.expire(keep_last=keep):
+                del versions[dead]
+        live = t.latest_version()
+        assert table_state() == versions[live], f"after {op}"
+        # bucket map stays complete and readable
+        via_buckets = {
+            r.id: r.v
+            for r in t.read_buckets(
+                spark, list(range(n_buckets)), schema
+            ).collect()
+        }
+        assert via_buckets == versions[live]
+    if t.latest_version() > 0:
+        with _pytest.raises(ValueError):
+            t.commit(spark.createDataFrame([(1, 1)], schema))
+    # every surviving historical version reconstructs
+    for v, m in versions.items():
+        got = {r.id: r.v for r in t.read(spark, v).collect()}
+        assert got == m, f"version {v}"
