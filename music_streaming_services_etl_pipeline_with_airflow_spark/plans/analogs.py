@@ -359,6 +359,18 @@ def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(n > 0, n)], "has_data boolean, n_objects long")
 
 
+def _fixture_fresh(marker: str, sf_dir: str, table: str) -> bool:
+    """Staleness guard for /tmp-cached sink fixtures (the _STAGED pattern
+    from streaming.runner.stage_events): the cached sink is served ONLY
+    when its completion marker is at least as new as the source table —
+    regenerating the driver testdata in place invalidates the cache
+    instead of silently serving stale shards and diverging the oracle."""
+    src = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    return os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(
+        src
+    )
+
+
 @register(
     "s2_multifile_csv_union",
     "SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids, "
@@ -374,7 +386,7 @@ def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     tmp = f"/tmp/spark_engine_csv/{tag}/events"
     marker = os.path.join(tmp, "_SUCCESS")
-    if not os.path.exists(marker):
+    if not _fixture_fresh(marker, sf_dir, "events"):
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", F.col("event_type")
         )
@@ -414,7 +426,7 @@ def q_sink_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     tmp = f"/tmp/spark_engine_jsonl/{tag}/events"
     marker = os.path.join(tmp, "_manifest.json")
-    if not os.path.exists(marker):
+    if not _fixture_fresh(marker, sf_dir, "events"):
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "user_id"
         )

@@ -79,6 +79,17 @@ class SnapshotTable:
         with open(f"{self._mdir}/v{version:06d}.json") as fh:
             return json.load(fh)
 
+    def latest_manifest_field(self, key: str, default=None):
+        """Read one metadata field off the CURRENT manifest (``default`` if
+        the table has no commits or the field is absent). The read half of
+        ``commit_buckets(extra=...)`` — e.g. a streaming sink checks the
+        stored ``last_batch_id`` here to make at-least-once micro-batch
+        replays idempotent."""
+        v = self.latest_version()
+        if v == 0:
+            return default
+        return self._manifest(v).get(key, default)
+
     def _write_manifest(self, manifest: dict) -> None:
         """Atomic COMPARE-AND-SWAP publish: the manifest is linked into
         place with an EXCLUSIVE create (``os.link`` fails with EEXIST if
@@ -248,6 +259,7 @@ class SnapshotTable:
         insert_defaults: dict[str, str],
         n_buckets: int,
         schema: str,
+        extra: dict | None = None,
     ) -> int:
         """MERGE with bucket-granular copy-on-write — the same WHEN
         MATCHED/NOT MATCHED semantics as :meth:`merge`, against a table
@@ -257,19 +269,26 @@ class SnapshotTable:
         write cost per merge are O(touched buckets' bytes), never
         O(|table|) — the MERGE that stays usable when the dim table is
         itself 100 TB. ``schema`` types the empty-table first merge
-        (everything inserts)."""
+        (everything inserts). ``extra`` rides into the committed manifest
+        (see :meth:`commit_buckets`)."""
         from pyspark.sql import functions as F
 
         self._check_delta_keys(delta, on)
+        self._check_n_buckets(n_buckets)  # fail before any compute
         bucket = self.bucket_of(F.col(on), n_buckets)
         touched = sorted(
             r["_b"] for r in delta.select(bucket.alias("_b")).distinct().collect()
         )
         if not touched:
             return self.latest_version()
-        base = self.read_buckets(spark, touched, schema)
+        base = self.read_buckets(spark, touched, schema, n_buckets=n_buckets)
         merged = self._merge_frames(base, delta, on, update, insert_defaults)
-        return self.commit_buckets(merged.withColumn("_bucket", bucket), touched)
+        return self.commit_buckets(
+            merged.withColumn("_bucket", bucket),
+            touched,
+            n_buckets=n_buckets,
+            extra=extra,
+        )
 
     # -- keyed-state bucketing ----------------------------------------------
 
@@ -291,16 +310,44 @@ class SnapshotTable:
             )
         return m["buckets"]
 
+    def _check_n_buckets(self, n_buckets: int | None) -> None:
+        """Guard the ONE invariant that makes bucket pruning sound: every
+        reader and writer of a bucketed table must hash keys with the SAME
+        bucket count the table was built with. The count is recorded in the
+        manifest on the first bucketed commit; a caller who later passes a
+        different ``n_buckets`` would compute touched buckets under a
+        different hash-mod — reading the wrong buckets and silently
+        inserting a key into a new bucket while its stale twin rides over
+        by reference in the old one. Fail loudly instead."""
+        v = self.latest_version()
+        if v == 0 or n_buckets is None:
+            return
+        stored = self._manifest(v).get("n_buckets")
+        if stored is not None and stored != n_buckets:
+            raise ValueError(
+                f"{self.path}: table was bucketed with n_buckets={stored} "
+                f"but caller passed n_buckets={n_buckets} — bucket ids "
+                "would be computed under a different hash-mod, producing "
+                "silent duplicate keys; use the stored count"
+            )
+
     def read_buckets(
-        self, spark: SparkSession, bucket_ids: list[int], schema: str
+        self,
+        spark: SparkSession,
+        bucket_ids: list[int],
+        schema: str,
+        n_buckets: int | None = None,
     ) -> DataFrame:
         """Read ONLY the given buckets' dirs from the current version — the
         read half of bucket pruning: a change batch that touches 3 of 4096
         buckets joins against 3 buckets' state, not the table. ``schema``
         makes the empty case (no committed version yet, or all requested
-        buckets empty) a typed empty relation instead of an error."""
+        buckets empty) a typed empty relation instead of an error. Pass
+        ``n_buckets`` (the count used to compute ``bucket_ids``) to have it
+        validated against the table's recorded bucket count."""
         if self.latest_version() == 0:
             return spark.createDataFrame([], schema)
+        self._check_n_buckets(n_buckets)
         bm = self._bucket_map(self.latest_version())
         dirs = [d for b in bucket_ids for d in bm.get(str(b), [])]
         if not dirs:
@@ -312,6 +359,8 @@ class SnapshotTable:
         df: DataFrame,
         touched: list[int],
         bucket_col: str = "_bucket",
+        n_buckets: int | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Commit ``df`` as the FULL new content of the ``touched`` buckets
         (``df`` carries ``bucket_col``, computed with :meth:`bucket_of`);
@@ -319,8 +368,24 @@ class SnapshotTable:
         partitioned write job; write bytes are O(touched buckets), never
         O(|state|). A touched bucket with zero surviving rows becomes an
         empty bucket (its manifest entry is an empty dir list — Spark's
-        partitionBy emits no dir for an absent key)."""
+        partitionBy emits no dir for an absent key).
+
+        ``n_buckets`` is recorded in the manifest on the first bucketed
+        commit and validated on every later one (see
+        :meth:`_check_n_buckets`). ``extra`` merges caller metadata into
+        the manifest (e.g. a streaming sink's last-applied batch id for
+        replay idempotency); reserved manifest keys cannot be shadowed."""
         parent = self.latest_version()
+        # resolve the parent's bucket map BEFORE writing any data: a
+        # wrong-lineage call (non-bucketed parent) must fail fast like
+        # commit() does, not leave an orphan data dir on every retry
+        buckets: dict[str, list[str]] = (
+            dict(self._bucket_map(parent)) if parent > 0 else {}
+        )
+        self._check_n_buckets(n_buckets)
+        stored_n = (
+            self._manifest(parent).get("n_buckets") if parent > 0 else None
+        )
         version = parent + 1
         data_dir = self._fresh_data_dir(version)
         # bucket-aligned repartition: without it every upstream partition
@@ -329,22 +394,26 @@ class SnapshotTable:
         # the write is one hash shuffle on the bucket id
         df = df.repartition(max(len(touched), 1), bucket_col)
         df.write.mode("error").partitionBy(bucket_col).parquet(data_dir)
-        buckets: dict[str, list[str]] = (
-            dict(self._bucket_map(parent)) if parent > 0 else {}
-        )
         for b in touched:
             d = f"{data_dir}/{bucket_col}={b}"
             buckets[str(b)] = [d] if os.path.isdir(d) else []
         dirs = sorted(d for ds in buckets.values() for d in ds)
-        self._write_manifest(
+        manifest = dict(extra or {})
+        reserved = {"version", "parent", "mode", "dirs", "buckets", "n_buckets"}
+        clash = reserved & manifest.keys()
+        if clash:
+            raise ValueError(f"extra manifest fields shadow reserved keys: {clash}")
+        manifest.update(
             {
                 "version": version,
                 "parent": parent,
                 "mode": "bucketed",
                 "dirs": dirs,
                 "buckets": buckets,
+                "n_buckets": n_buckets if n_buckets is not None else stored_n,
             }
         )
+        self._write_manifest(manifest)
         return version
 
     def delete_where(self, spark: SparkSession, predicate: str) -> int:
@@ -407,9 +476,19 @@ class SnapshotTable:
                     kept = read_dir(d).filter(
                         ~F.coalesce(F.expr(predicate), F.lit(False))
                     )
-                    nd = self._fresh_data_dir(version)
-                    kept.write.mode("error").parquet(nd)
-                    out.append(nd)
+                    kept.persist()
+                    try:
+                        if kept.count() == 0:
+                            # full-bucket delete: record the empty bucket as
+                            # [] (commit_buckets' convention) instead of
+                            # writing a rows-free parquet dir that every
+                            # later read/carry-over would keep touching
+                            continue
+                        nd = self._fresh_data_dir(version)
+                        kept.write.mode("error").parquet(nd)
+                        out.append(nd)
+                    finally:
+                        kept.unpersist()
                 buckets[b] = out
             self._write_manifest(
                 {
@@ -418,6 +497,7 @@ class SnapshotTable:
                     "mode": "delete",
                     "dirs": sorted(d for ds in buckets.values() for d in ds),
                     "buckets": buckets,
+                    "n_buckets": pm.get("n_buckets"),
                     "schema": pm.get("schema"),
                     "mixed_schemas": mixed,
                 }
@@ -477,8 +557,9 @@ class SnapshotTable:
             "schema": tm.get("schema"),
             "mixed_schemas": tm.get("mixed_schemas", False),
         }
-        if "buckets" in tm:  # bucketed lineage keeps its bucket map
+        if "buckets" in tm:  # bucketed lineage keeps its bucket map + count
             m["buckets"] = tm["buckets"]
+            m["n_buckets"] = tm.get("n_buckets")
         self._write_manifest(m)
         return parent + 1
 

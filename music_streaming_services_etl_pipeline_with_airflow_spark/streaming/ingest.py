@@ -209,7 +209,7 @@ def make_cdc_applier(t, n_buckets: int = CDC_N_BUCKETS):
         )
         if not touched:
             return
-        state = t.read_buckets(spark_, touched, CDC_STATE_SCHEMA)
+        state = t.read_buckets(spark_, touched, CDC_STATE_SCHEMA, n_buckets=n_buckets)
         joined = state.join(latest, "user_id", "full_outer")
         batch_wins = F.col("cts").isNull() | (
             F.struct("b_cts", "b_cid") > F.struct("cts", "cid")
@@ -224,7 +224,7 @@ def make_cdc_applier(t, n_buckets: int = CDC_N_BUCKETS):
             take("b_cid", "cid").alias("cid"),
             take("b_deleted", "deleted").alias("deleted"),
         ).withColumn("_bucket", bucket)
-        t.commit_buckets(merged, touched)
+        t.commit_buckets(merged, touched, n_buckets=n_buckets)
 
     return apply_batch
 
@@ -338,6 +338,15 @@ def make_matview_applier(t, dim, n_buckets: int = MATVIEW_N_BUCKETS):
     def apply_batch(batch, batch_id):
         if batch.isEmpty():
             return
+        # foreachBatch is at-least-once: a crash between merge_bucketed's
+        # manifest commit and the checkpoint commit replays this batch_id.
+        # The merge is NOT idempotent (matched groups SUM partials), so the
+        # last-applied batch_id rides in the snapshot manifest — the data
+        # commit and the replay guard advance atomically — and a replayed
+        # (<=) batch is skipped instead of double-summed.
+        last = t.latest_manifest_field("last_batch_id")
+        if last is not None and batch_id <= last:
+            return
         spark_ = batch.sparkSession
         delta = (
             batch.join(F.broadcast(dim), "user_id", "left")
@@ -375,6 +384,7 @@ def make_matview_applier(t, dim, n_buckets: int = MATVIEW_N_BUCKETS):
             },
             n_buckets=n_buckets,
             schema=MATVIEW_SCHEMA,
+            extra={"last_batch_id": batch_id},
         )
 
     return apply_batch

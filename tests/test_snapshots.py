@@ -544,3 +544,131 @@ def test_schema_evolved_delete_on_added_column_predicate(spark, tmp_path):
     )
     v2 = t2.delete_where(spark, "tag = 'x'")
     assert {r.id for r in t2.read(spark, v2).collect()} == {1}
+
+
+def test_n_buckets_recorded_and_mismatch_raises(spark, tmp_path):
+    """The bucket count is part of the table's identity: recorded in the
+    manifest on the first bucketed commit, carried through delete/restore,
+    and any reader/writer passing a DIFFERENT count fails loudly instead
+    of hashing keys under the wrong mod (which would silently duplicate
+    keys across buckets)."""
+    import pytest as _pytest
+
+    n = 8
+    schema = "id long, v long"
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d = spark.createDataFrame(
+        [(i, i * 10) for i in range(16)], "id long, d_v long"
+    )
+    t.merge_bucketed(
+        spark, d, on="id", update={"v": "d_v"}, insert_defaults={"v": "d_v"},
+        n_buckets=n, schema=schema,
+    )
+    assert t.latest_manifest_field("n_buckets") == n
+    delta = spark.createDataFrame([(1, 999)], "id long, d_v long")
+    with _pytest.raises(ValueError, match="n_buckets"):
+        t.merge_bucketed(
+            spark, delta, on="id", update={"v": "d_v"},
+            insert_defaults={"v": "d_v"}, n_buckets=16, schema=schema,
+        )
+    with _pytest.raises(ValueError, match="n_buckets"):
+        t.read_buckets(spark, [0], schema, n_buckets=4)
+    # the count survives delete_where and restore
+    v = t.delete_where(spark, "id = 3")
+    assert t._manifest(v)["n_buckets"] == n
+    v2 = t.restore(v)
+    assert t._manifest(v2)["n_buckets"] == n
+    # and the correct count still works after both
+    t.merge_bucketed(
+        spark, delta, on="id", update={"v": "d_v"},
+        insert_defaults={"v": "d_v"}, n_buckets=n, schema=schema,
+    )
+    got = dict(_rows(t.read(spark)))
+    assert got[1] == 999 and 3 not in got
+
+
+def test_commit_buckets_fails_fast_on_nonbucketed_parent(spark, tmp_path):
+    """Wrong-lineage commit_buckets (parent written by plain commit) must
+    fail BEFORE writing any data — no orphan data dir per retry."""
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, 10)], "id long, v long"))
+    d = spark.createDataFrame([(2, 20)], "id long, v long").withColumn(
+        "_bucket", SnapshotTable.bucket_of(F.col("id"), 4)
+    )
+    data_root = str(tmp_path / "tbl" / "data")
+    before = set(os.listdir(data_root))
+    with _pytest.raises(ValueError, match="not a bucketed commit"):
+        t.commit_buckets(d, touched=[0, 1, 2, 3], n_buckets=4)
+    assert set(os.listdir(data_root)) == before  # zero bytes written
+
+
+def test_bucketed_delete_full_bucket_records_empty_list(spark, tmp_path):
+    """A delete that empties a bucket records [] for it (commit_buckets'
+    empty-bucket convention), not a rows-free parquet dir that every later
+    read and carry-over keeps touching."""
+    n = 4
+    schema = "id long, v long"
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d = spark.createDataFrame(
+        [(i, i * 10) for i in range(16)], "id long, d_v long"
+    )
+    t.merge_bucketed(
+        spark, d, on="id", update={"v": "d_v"}, insert_defaults={"v": "d_v"},
+        n_buckets=n, schema=schema,
+    )
+    # find one key's bucket and delete EVERY key in that bucket
+    bdf = d.withColumn("_b", SnapshotTable.bucket_of(F.col("id"), n))
+    b0 = bdf.select("_b").first()["_b"]
+    ids = [r.id for r in bdf.filter(F.col("_b") == b0).collect()]
+    v = t.delete_where(spark, f"id IN ({','.join(map(str, ids))})")
+    bm = t._bucket_map(v)
+    assert bm[str(b0)] == []
+    # dirs list carries no empty-bucket dir; reads stay correct
+    assert all(os.path.isdir(p) for p in t._manifest(v)["dirs"])
+    got = dict(_rows(t.read(spark)))
+    assert set(got) == {i for i in range(16)} - set(ids)
+    # and the emptied bucket reads as a typed empty relation
+    assert t.read_buckets(spark, [b0], schema, n_buckets=n).count() == 0
+
+
+def test_matview_replay_skips_applied_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an already-applied batch_id
+    must be a no-op (the merge SUMs partials, so a replay would otherwise
+    double-count). The guard rides in the snapshot manifest so data commit
+    and replay cursor advance atomically."""
+    import datetime as dt
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_matview_applier,
+    )
+
+    t = SnapshotTable(str(tmp_path / "mv"))
+    dim = spark.createDataFrame([(1, "SEG-A"), (2, "SEG-B")],
+                                "user_id long, segment string")
+    apply_batch = make_matview_applier(t, dim, n_buckets=4)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    b0 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 1, "view", 2.5, None),
+         (2, dt.datetime(2024, 1, 1, 11), 2, "view", 1.0, None)], schema
+    )
+    apply_batch(b0, 0)
+    state1 = _rows(t.read(spark))
+    v1 = t.latest_version()
+    # replay of batch 0 (crash between manifest and checkpoint commit)
+    apply_batch(b0, 0)
+    assert t.latest_version() == v1  # no new version
+    assert _rows(t.read(spark)) == state1  # not double-summed
+    # the NEXT batch still applies and accumulates
+    b1 = spark.createDataFrame(
+        [(3, dt.datetime(2024, 1, 1, 12), 1, "view", 1.5, None)], schema
+    )
+    apply_batch(b1, 1)
+    got = {(str(r.date), r.segment): (r.n_events, r.value_cents)
+           for r in t.read(spark).collect()}
+    assert got[("2024-01-01", "SEG-A")] == (2, 400)
+    assert got[("2024-01-01", "SEG-B")] == (1, 100)
