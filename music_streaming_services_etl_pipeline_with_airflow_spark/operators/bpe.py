@@ -100,8 +100,26 @@ def apply_bpe(
 
 @register(
     "bpe_tokenize_corpus",
-    None,  # iterative string rewriting — no SQL twin; exactness pinned by
-    # tests/test_extensions.py::test_bpe_matches_reference_implementation
+    # Contract oracle (r8 conversion; VERDICT r7 #4). Iterative BPE string
+    # rewriting has no SQL twin, so the CHECKED output is the
+    # SQL-recomputable per-doc facts — whitespace token count and char
+    # count, hash-checked exactly — plus two booleans the oracle asserts
+    # as literal TRUE: bounds_ok (each word of length L tokenizes to
+    # between 1 and L+1 subwords, so per doc n_ws_tokens <= n_bpe_tokens
+    # <= n_chars + 1 under single-space splitting) and paths_agree (the
+    # production distinct-word-join path and an independent whole-doc
+    # re-tokenization path produce the SAME n_bpe_tokens — catching the
+    # join/dedup bug class end to end). Merge-sequence exactness is
+    # separately pinned against an independently-coded reference in
+    # tests/test_extensions.py::test_bpe_matches_reference_implementation;
+    # the raw (doc_id, n_ws_tokens, n_bpe_tokens) relation stays available
+    # as q_bpe_tokenize_corpus.
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       TRUE AS bounds_ok,
+       TRUE AS paths_agree
+FROM documents""",
     doc=f"Tokenizer induction + corpus tokenization: distributed word-"
     f"frequency aggregate → local Sennrich BPE training ({N_MERGES} merges "
     f"on the top {TRAIN_WORDS_CAP} words; total-order tie-breaks) → "
@@ -109,10 +127,62 @@ def apply_bpe(
     "ranks; duplicate words never re-tokenize) → per-doc BPE token counts "
     "via one join + hash aggregate. The 100 TB shape: corpus-sized work is "
     "two hash aggregates and a words join; training cost is bounded by "
-    "vocabulary regardless of corpus size. Emits (doc_id, n_ws_tokens, "
-    "n_bpe_tokens) — the token-budget table a packing/pricing stage "
-    "consumes.",
+    "vocabulary regardless of corpus size. Raw relation (doc_id, "
+    "n_ws_tokens, n_bpe_tokens) — the token-budget table a "
+    "packing/pricing stage consumes; CHECKED OUTPUT is the contract "
+    "audit described in the oracle comment.",
 )
+def q_bpe_tokenize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    raw = q_bpe_tokenize_corpus(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # independent second path: re-tokenize WHOLE documents in one Arrow
+    # kernel (no distinct-word dedup, no join) — same trained merges
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wf = tok.groupBy("w").agg(F.count("*").alias("freq"))
+    train_rows = (
+        wf.orderBy(F.desc("freq"), "w").limit(TRAIN_WORDS_CAP).collect()
+    )
+    merges = train_bpe_merges([(r["w"], r["freq"]) for r in train_rows])
+    ranks = {m: i for i, m in enumerate(merges)}
+    bc = spark.sparkContext.broadcast((merges, ranks))
+
+    def _doc_tokens(batches):
+        mg, rk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_bpe = [
+                sum(len(apply_bpe(w, mg, rk)) for w in t.split(" "))
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_bpe2": n_bpe})
+
+    second = docs.select("doc_id", "text").mapInPandas(
+        _doc_tokens, "doc_id long, n_bpe2 long"
+    )
+    facts = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        facts.join(raw.select("doc_id", "n_bpe_tokens"), "doc_id")
+        .join(second, "doc_id")
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_chars",
+            (
+                (F.col("n_bpe_tokens") >= F.col("n_ws_tokens"))
+                & (F.col("n_bpe_tokens") <= F.col("n_chars") + 1)
+            ).alias("bounds_ok"),
+            (F.col("n_bpe_tokens") == F.col("n_bpe2")).alias("paths_agree"),
+        )
+    )
+
+
 def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 

@@ -50,6 +50,87 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # or oracle-less name fails loudly instead of silently burning a driver
 # slot.
 _PRIORITY: tuple[str, ...] = (
+    # ---- ROUND-8 HEAD ----
+    # Budget math (the driver checks the FIRST 50 registry entries): the
+    # candidates after round 7 are 5 contract-oracle conversions made THIS
+    # round (the rows-only similarity trio + SemDeDup + BPE — each now
+    # emits SQL-recomputable exact values plus contract booleans the
+    # oracle asserts TRUE), 1 behavior change this round
+    # (streaming_matview_join_enrich gained the batch-replay idempotency
+    # guard), the 2 late-r7 sketch conversions whose oracle has never seen
+    # a driver row, the 5 remaining never-driver-checked r7 additions, the
+    # 20 r2-stale queries deferred from the r7 head, and 41 queries whose
+    # latest row is r4. Spent as:
+    #   6  changed/converted this round (must be re-checked);
+    #   2  late-r7 sketch conversions (sketch_theta_user_overlap,
+    #      sketch_heavy_hitters_topk);
+    #   5  never-driver-checked r7 oracle additions;
+    #   20 r2-stale (completes the VERDICT r7 #1 ask: after this round no
+    #      oracle query's latest driver row predates r4);
+    #   17 oldest r4 rotation picks (alphabetical head of that set; the
+    #      remaining 24 r4 rows lead the ROUND-9 head).
+    # All re-verified locally via tools/check_parity.py at sf0.01 (exact
+    # value equality) before shipping this head.
+    # -- changed/converted in round 8 --
+    "streaming_matview_join_enrich",  # + replay-idempotency guard (r8)
+    "similarity_pq_topk",  # NEW contract oracle: exact top-k + recall_ok
+    "similarity_ivf_kmeans",  # NEW contract oracle
+    "similarity_ivfpq_topk",  # NEW contract oracle
+    "dedup_semantic_prune",  # NEW contract oracle: dup groups + nbr counts
+    "bpe_tokenize_corpus",  # NEW contract oracle: facts + 2-path agreement
+    # -- late-r7 sketch conversions, oracle never driver-checked --
+    "sketch_theta_user_overlap",
+    "sketch_heavy_hitters_topk",
+    # -- never-driver-checked r7 oracle additions --
+    "sink_jsonl_sharded_roundtrip",
+    "ivm_incremental_join_enrich",
+    "multimodal_png_pixel_roundtrip",
+    "multimodal_jpeg_entropy_roundtrip",
+    "graph_bfs_hops",
+    # -- r2-stale (deferred from the r7 head) --
+    "build_vocab",
+    "corpus_mixture_sample",
+    "decontam_ngram_overlap",
+    "dedup_simhash",
+    "entity_mask",
+    "evt_transition_matrix",
+    "funnel_signup_click_purchase",
+    "gopher_repetition",
+    "pack_sequences_greedy",
+    "pack_sequences_hierarchical",
+    "retention_weekly_cohorts",
+    "sample_class_balanced",
+    "sample_hash_bucket",
+    "sample_train_val_test_split",
+    "similarity_ivf_multiprobe",
+    "similarity_ivf_topk",
+    "text_chunk_fixed",
+    "text_fingerprint",
+    "udaf_geometric_mean",
+    "udtf_text_chunks",
+    # -- r4 rotation picks (oldest remaining rows) --
+    "a10_cube_returnflag_status",
+    "a11_median_mode",
+    "a12_pivot_multi_agg",
+    "a14_filtered_agg",
+    "a15_zscore_outliers",
+    "a16_value_histogram",
+    "corpus_source_mix",
+    "curate_training_corpus",
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_banded",
+    "dedup_simhash_pairs",
+    "f1_pushdown_filtered_scan",
+    "genre_kpis_daily_twopass",
+    "hourly_kpis",
+)
+
+# The ROUND-7 head, kept for the audit trail (every entry below got its
+# hash-green row in CORRECTNESS_r07.json):
+_R7_HEAD_ARCHIVE: tuple[str, ...] = (
     # ---- ROUND-7 HEAD: zero out the driver-verification backlog ----
     # Budget math (the driver checks the FIRST 50 registry entries): after
     # round 6 the backlog was 40 never-driver-checked oracle queries + 22
@@ -148,21 +229,17 @@ _PRIORITY: tuple[str, ...] = (
 # registered AND oracle-less (an entry that later gains an oracle belongs in
 # _PRIORITY instead).
 _PRIORITY_ROWS_ONLY: tuple[str, ...] = (
-    # (round 7: a13_approx_percentiles, a3_hourly_distinct_approx,
-    # sketch_daily_uniques_rollup and sketch_daily_quantiles_rollup left
-    # this tail — each converted to an error-band oracle (exact values +
-    # within-band booleans the oracle asserts as TRUE, the
-    # sketch_topk_monthly_rollup play) and promoted into _PRIORITY. The
-    # remaining tail is the genuinely nondeterministic / not-SQL-auditable
-    # set: RNG sampling, trained quantizers, and sketch families whose
-    # useful output IS the estimate structure.)
-    # Every other rows-only query already has its r6 driver row; only the
-    # two never-checked round-6 additions get tail slots this round.
-    # (similarity_ivfpq_topk — new in round 7, trained quantizers so
-    # rows-only, recall + rerank contract pinned in pytest — waits for a
-    # round-8 tail slot rather than displacing these two.)
-    "dedup_semantic_prune",  # SemDeDup prune; invariant-pinned in pytest
-    "bpe_tokenize_corpus",  # pinned EXACTLY vs a reference impl in pytest
+    # (round 8: dedup_semantic_prune and bpe_tokenize_corpus left this
+    # tail — converted to contract oracles (assignment-independent audits:
+    # SQL-recomputable exact values + contract booleans the oracle asserts
+    # TRUE) and promoted into _PRIORITY, alongside the similarity trio
+    # (pq / ivf_kmeans / ivfpq), which now check the exact brute-force
+    # top-k + a recall-floor flag. The remaining rows-only set —
+    # graph_pagerank_parts, kmeans_embeddings, sample_bernoulli_rng —
+    # is the genuinely non-SQL-auditable tail (RNG sampling, float-mean
+    # iterative fixpoints whose useful output IS the trained structure);
+    # each already carries an r6 driver row and pytest invariant pins, so
+    # no head slot is spent on them this round.)
 )
 
 
