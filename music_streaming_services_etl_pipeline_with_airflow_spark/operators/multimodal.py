@@ -728,7 +728,13 @@ _DH_PIX_SQL_R = (
 )
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    hashes = _spread(docs).mapInPandas(phash_batch, schema=PHASH_SCHEMA)
+    # no _spread here (the r7 +26% bench regression): the dHash kernel is
+    # one 9x8 numpy gradient per row — ~10x lighter than the codec
+    # kernels _spread exists for — so the under-partitioned-input exchange
+    # costs more than the parallelism recovers, and the downstream 8-byte
+    # hash aggregate already re-parallelizes on its own shuffle. At real
+    # scale the scan has more splits than cores and the question is moot.
+    hashes = docs.mapInPandas(phash_batch, schema=PHASH_SCHEMA)
     return (
         hashes.groupBy("dhash_hi", "dhash_lo")
         .agg(

@@ -592,15 +592,31 @@ class SnapshotTable:
             return parent
         return self.commit(self.read(spark, parent), mode="overwrite")
 
-    def expire(self, keep_last: int = 1) -> list[int]:
+    def expire(
+        self,
+        keep_last: int = 1,
+        orphan_ttl_s: float = 24 * 3600,
+    ) -> list[int]:
         """Expire all but the newest ``keep_last`` versions: delete their
         manifests, then delete any data directory no surviving manifest
         references (append lineage means an old dir can still back a live
         version — refcount before delete). Returns the expired versions.
         Manifests are removed OLDEST-FIRST and each data dir only after
         every manifest that references it is gone, so a reader of a
-        surviving version never loses a file out from under it."""
+        surviving version never loses a file out from under it.
+
+        ORPHAN SWEEP: a crash between the data write and the manifest
+        publish leaves an invisible ``v*``/``v*-r*`` attempt dir that no
+        manifest ever references — harmless to readers but a permanent
+        disk leak. After the version expiry, any ``data/`` entry that
+        backs no surviving manifest (directly or via bucket
+        subdirectories) AND is older than ``orphan_ttl_s`` is removed.
+        The TTL is the same guard Delta's VACUUM retention provides: a
+        CONCURRENT writer's data dir legitimately exists before its
+        manifest does, so only dirs old enough that no in-flight commit
+        can still own them are swept (tests pass ``orphan_ttl_s=0``)."""
         import shutil
+        import time
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
@@ -618,6 +634,23 @@ class SnapshotTable:
                 # expired manifests can't resurrect them (append lineage
                 # only ever carries dirs forward, and we walk oldest-first)
                 if os.path.isdir(d):
+                    shutil.rmtree(d)
+        # orphan sweep: unreferenced + old enough = no manifest will ever
+        # publish it (commits publish immediately after writing)
+        data_root = f"{self.path}/data"
+        if os.path.isdir(data_root):
+            now = time.time()
+            for name in os.listdir(data_root):
+                d = f"{data_root}/{name}"
+                if not os.path.isdir(d):
+                    continue
+                # live directly, or live through a bucket subdir
+                # (commit_buckets manifests list data/vN/_bucket=B paths)
+                if d in live_dirs or any(
+                    ld.startswith(d + "/") for ld in live_dirs
+                ):
+                    continue
+                if now - os.path.getmtime(d) >= orphan_ttl_s:
                     shutil.rmtree(d)
         return expired
 

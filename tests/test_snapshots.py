@@ -672,3 +672,111 @@ def test_matview_replay_skips_applied_batch(spark, tmp_path):
            for r in t.read(spark).collect()}
     assert got[("2024-01-01", "SEG-A")] == (2, 400)
     assert got[("2024-01-01", "SEG-B")] == (1, 100)
+
+
+def test_expire_sweeps_crashed_attempt_orphans(spark, tmp_path):
+    """A crash between data write and manifest publish leaves an invisible
+    v*/v*-r* attempt dir; expire's orphan sweep removes it once it is
+    older than the TTL, while live data (including dirs referenced only
+    through bucket subdirs) survives."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(3).select("id"))
+    t.commit(spark.range(5).select("id"))
+    data_root = str(tmp_path / "tbl" / "data")
+    # crashed attempt at v3 plus a crashed RETRY sibling — no manifest
+    for orphan in ("v000003", "v000003-r1"):
+        spark.range(9).select("id").write.parquet(os.path.join(data_root, orphan))
+    assert t.latest_version() == 2
+    # fresh orphans survive a default-TTL expire (concurrent-writer guard)
+    t.expire(keep_last=2)
+    assert os.path.isdir(os.path.join(data_root, "v000003"))
+    # ttl=0 sweeps them and keeps every live dir
+    t.expire(keep_last=1, orphan_ttl_s=0)
+    assert not os.path.isdir(os.path.join(data_root, "v000003"))
+    assert not os.path.isdir(os.path.join(data_root, "v000003-r1"))
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(5))
+
+    # bucketed table: the manifest references data/vN/_bucket=B subdirs —
+    # the sweep must see the parent vN dir as live through its children
+    tb = SnapshotTable(str(tmp_path / "btbl"))
+    d = spark.createDataFrame([(i, i) for i in range(8)], "id long, d_v long")
+    tb.merge_bucketed(
+        spark, d, on="id", update={"v": "d_v"}, insert_defaults={"v": "d_v"},
+        n_buckets=4, schema="id long, v long",
+    )
+    broot = str(tmp_path / "btbl" / "data")
+    spark.range(2).select("id").write.parquet(os.path.join(broot, "v000099"))
+    tb.expire(keep_last=1, orphan_ttl_s=0)
+    assert not os.path.isdir(os.path.join(broot, "v000099"))
+    assert sorted(r.id for r in tb.read(spark).collect()) == list(range(8))
+
+
+def _race_commit(args):
+    """Worker for the two-process CAS race: try to publish a manifest for
+    the given version; on losing the CAS, retry on the next version until
+    one sticks. Returns (worker_id, won_version, n_cas_losses)."""
+    path, worker_id = args
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        ConcurrentWriteError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(path)
+    losses = 0
+    while True:
+        version = t.latest_version() + 1
+        data_dir = t._fresh_data_dir(version)
+        try:
+            # stand-in for the parquet write: Spark's mode="error" write
+            # fails exactly like this when two writers race to the same
+            # attempt dir — safely, BEFORE any manifest exists — and the
+            # loser retries the commit, probing a fresh sibling
+            os.makedirs(data_dir)
+        except FileExistsError:
+            losses += 1
+            continue
+        with open(os.path.join(data_dir, f"part-{worker_id}.txt"), "w") as fh:
+            fh.write(str(worker_id))
+        try:
+            t._write_manifest(
+                {
+                    "version": version,
+                    "parent": version - 1,
+                    "mode": "overwrite",
+                    "dirs": [data_dir],
+                    "writer": worker_id,
+                }
+            )
+            return (worker_id, version, losses)
+        except ConcurrentWriteError:
+            losses += 1
+
+
+def test_concurrent_commit_two_process_race(tmp_path):
+    """TRUE multi-process CAS race: 6 processes hammer one table
+    concurrently (each publish is an os.link exclusive create). Exactly
+    one writer wins each version, every loser retries onto a later
+    version, no version is double-committed, and every surviving manifest
+    names exactly one writer's data dir."""
+    import json
+    from multiprocessing import Pool
+
+    path = str(tmp_path / "tbl")
+    SnapshotTable(path)  # create layout
+    n = 6
+    with Pool(n) as pool:
+        results = pool.map(_race_commit, [(path, w) for w in range(n)])
+    t = SnapshotTable(path)
+    won_versions = sorted(v for _, v, _ in results)
+    # every worker landed, on a distinct version, and versions are gapless
+    assert won_versions == list(range(1, n + 1))
+    assert t.versions() == list(range(1, n + 1))
+    # each manifest records the writer that actually won that version
+    by_version = {v: w for w, v, _ in results}
+    for v in t.versions():
+        m = t._manifest(v)
+        assert m["writer"] == by_version[v]
+        assert os.path.isdir(m["dirs"][0])
