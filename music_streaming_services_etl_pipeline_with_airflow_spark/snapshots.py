@@ -399,7 +399,10 @@ class SnapshotTable:
             buckets[str(b)] = [d] if os.path.isdir(d) else []
         dirs = sorted(d for ds in buckets.values() for d in ds)
         manifest = dict(extra or {})
-        reserved = {"version", "parent", "mode", "dirs", "buckets", "n_buckets"}
+        reserved = {
+            "version", "parent", "mode", "dirs", "buckets", "n_buckets",
+            "schema",
+        }
         clash = reserved & manifest.keys()
         if clash:
             raise ValueError(f"extra manifest fields shadow reserved keys: {clash}")
@@ -411,6 +414,13 @@ class SnapshotTable:
                 "dirs": dirs,
                 "buckets": buckets,
                 "n_buckets": n_buckets if n_buckets is not None else stored_n,
+                # the data schema (bucket col excluded — it lives in the dir
+                # name, and leaf-dir reads never partition-discover it).
+                # This is what keeps a FULLY-emptied table readable: with
+                # every bucket recorded as [] there is no parquet footer
+                # left to infer from, so read() rebuilds the typed empty
+                # relation from this record instead
+                "schema": df.drop(bucket_col).schema.jsonValue(),
             }
         )
         self._write_manifest(manifest)
@@ -685,6 +695,19 @@ class SnapshotTable:
         if v == 0:
             raise ValueError(f"{self.path}: no committed versions")
         m = self._manifest(v)
+        if not m["dirs"]:
+            # a version can legitimately reference ZERO data dirs — e.g. a
+            # delete that emptied every bucket records each as [] — and
+            # zero paths leave nothing to infer a schema from; rebuild the
+            # typed empty relation from the manifest's recorded schema
+            from pyspark.sql.types import StructType
+
+            if not m.get("schema"):
+                raise ValueError(
+                    f"{self.path} v{v}: empty version with no recorded "
+                    "schema in its manifest lineage"
+                )
+            return spark.createDataFrame([], StructType.fromJson(m["schema"]))
         reader = spark.read
         if m.get("mixed_schemas"):
             # append lineage spans a schema change: merge footers so the

@@ -633,6 +633,36 @@ def test_bucketed_delete_full_bucket_records_empty_list(spark, tmp_path):
     assert t.read_buckets(spark, [b0], schema, n_buckets=n).count() == 0
 
 
+def test_bucketed_delete_emptying_every_bucket_keeps_table_readable(
+    spark, tmp_path
+):
+    """Fuzz-found regression pin: a delete that empties EVERY bucket leaves
+    a version whose manifest references zero data dirs (each bucket is []).
+    read() must rebuild the typed empty relation from the manifest's
+    recorded schema — not hand spark.read.parquet() an empty path list —
+    and the lineage must keep accepting merges afterwards."""
+    schema = "id long, v long"
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    d = spark.createDataFrame([(1, 5), (2, 7)], "id long, d_v long")
+    t.merge_bucketed(
+        spark, d, on="id", update={"v": "d_v"}, insert_defaults={"v": "d_v"},
+        n_buckets=4, schema=schema,
+    )
+    v = t.delete_where(spark, "v >= 1")  # removes every row
+    assert t._manifest(v)["dirs"] == []
+    empty = t.read(spark)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "v"]
+    assert t.read_buckets(spark, [0, 1, 2, 3], schema, n_buckets=4).count() == 0
+    # the lineage continues: a later merge re-populates normally
+    d2 = spark.createDataFrame([(3, 9)], "id long, d_v long")
+    t.merge_bucketed(
+        spark, d2, on="id", update={"v": "d_v"}, insert_defaults={"v": "d_v"},
+        n_buckets=4, schema=schema,
+    )
+    assert dict(_rows(t.read(spark))) == {3: 9}
+
+
 def test_matview_replay_skips_applied_batch(spark, tmp_path):
     """foreachBatch is at-least-once: replaying an already-applied batch_id
     must be a no-op (the merge SUMs partials, so a replay would otherwise
