@@ -69,6 +69,9 @@ HEADLINE = [
     "gopher_repetition_full",
     "text_bigram_logprob",
     "corpus_trigram_novelty",
+    # round 8: PII redaction — single-pass regex scrub, the curation step
+    # that gates text export; watched so regex-engine cost stays visible
+    "text_pii_redact",
     # round-6 second half: incremental sessionization (IVM), the
     # support-thresholded oriented triangle count, and the dHash
     # perceptual-hash image dedup — each a new family whose cost should

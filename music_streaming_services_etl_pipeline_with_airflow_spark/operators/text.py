@@ -1372,3 +1372,133 @@ def q_curate_quality_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bits_per_token_milli",
         verdict.alias("verdict"),
     )
+
+
+# -- PII redaction ------------------------------------------------------------
+#
+# The curation step every training-data pipeline runs before text leaves the
+# trust boundary: find-and-mask emails / phone numbers / IPv4 addresses.
+# The synthetic documents fixture is PII-free word soup, so the operator
+# first INJECTS deterministic PII derived from doc_id (arithmetic only —
+# SQL-recomputable), then redacts it; the oracle replays both halves, so
+# the hash row genuinely checks the regex semantics on both the match and
+# the no-PII branch (every third doc stays clean). Patterns use the common
+# Java-regex/RE2 subset so Spark (Java) and DuckDB (RE2) agree byte-for-byte.
+#
+# Scale shape: ONE projection pass, zero shuffles, whole-stage codegen —
+# regexp_replace/regexp_count are JVM built-ins, so at 100 TB this is a
+# pure map over the scan with pushed column pruning (doc_id, text only).
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+_PII_RAW_SQL = """CASE WHEN doc_id % 3 = 0 THEN text
+    ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+        || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.org call '
+        || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+        || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0') || '-'
+        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        || CASE WHEN doc_id % 2 = 0
+                THEN ' alt ' || lpad(CAST((doc_id * 11) % 1000 AS VARCHAR), 3, '0')
+                     || '.' || lpad(CAST((doc_id * 17) % 1000 AS VARCHAR), 3, '0')
+                     || '.' || lpad(CAST((doc_id * 19) % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || ' from ' || CAST(doc_id % 256 AS VARCHAR)
+        || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+        || '.' || CAST((doc_id * 5) % 256 AS VARCHAR)
+        || '.' || CAST(1 + doc_id % 254 AS VARCHAR)
+    END"""
+
+
+@register(
+    "text_pii_redact",
+    f"""WITH r AS (
+        SELECT doc_id, {_PII_RAW_SQL} AS raw FROM documents
+    ), red AS (
+        SELECT doc_id,
+            CAST(len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+            CAST(len(regexp_extract_all(raw, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+            regexp_replace(regexp_replace(regexp_replace(raw,
+                '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                '{PII_IP_RE}', '[IP]', 'g'),
+                '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+        FROM r
+    )
+    SELECT doc_id, n_emails, n_phones, n_ips, redacted,
+        (len(regexp_extract_all(redacted, '{PII_EMAIL_RE}')) = 0
+         AND len(regexp_extract_all(redacted, '{PII_PHONE_RE}')) = 0
+         AND len(regexp_extract_all(redacted, '{PII_IP_RE}')) = 0) AS pii_clean
+    FROM red""",
+    doc="PII redaction: mask emails / phones (dashed + dotted) / IPv4 with "
+    "typed placeholders and count each class pre-redaction; pii_clean "
+    "proves the masked text carries no residual match. Deterministic "
+    "arithmetic injection makes the oracle a genuine cross-engine regex "
+    "check (Java regex vs RE2) on both the PII and clean branches.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def s(col):  # arithmetic term -> string, the CAST both engines share
+        return col.cast("string")
+
+    def z(col, n):  # zero-padded fixed-width digit group
+        return F.lpad(s(col), n, "0")
+
+    email = F.concat(
+        F.lit("user"), s(did), F.lit("@mail"), s(did % 5), F.lit(".org")
+    )
+    phone_dashed = F.concat(
+        z((did * 7) % 1000, 3), F.lit("-"),
+        z((did * 13) % 1000, 3), F.lit("-"),
+        z(did % 10000, 4),
+    )
+    phone_dotted = F.concat(
+        z((did * 11) % 1000, 3), F.lit("."),
+        z((did * 17) % 1000, 3), F.lit("."),
+        z((did * 19) % 10000, 4),
+    )
+    ip = F.concat(
+        s(did % 256), F.lit("."), s((did * 3) % 256), F.lit("."),
+        s((did * 5) % 256), F.lit("."), s(1 + did % 254),
+    )
+    raw = F.when(did % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "), email,
+            F.lit(" call "), phone_dashed,
+            F.when(
+                did % 2 == 0, F.concat(F.lit(" alt "), phone_dotted)
+            ).otherwise(F.lit("")),
+            F.lit(" from "), ip,
+        )
+    )
+
+    def n_hits(col, pat):
+        return F.regexp_count(col, F.lit(pat)).cast("long")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "[EMAIL]"),
+            PII_IP_RE, "[IP]",
+        ),
+        PII_PHONE_RE, "[PHONE]",
+    )
+    return (
+        docs.select("doc_id", raw.alias("raw"))
+        .select(
+            "doc_id",
+            n_hits(F.col("raw"), PII_EMAIL_RE).alias("n_emails"),
+            n_hits(F.col("raw"), PII_PHONE_RE).alias("n_phones"),
+            n_hits(F.col("raw"), PII_IP_RE).alias("n_ips"),
+            redacted.alias("redacted"),
+        )
+        .withColumn(
+            "pii_clean",
+            (F.regexp_count(F.col("redacted"), F.lit(PII_EMAIL_RE)) == 0)
+            & (F.regexp_count(F.col("redacted"), F.lit(PII_PHONE_RE)) == 0)
+            & (F.regexp_count(F.col("redacted"), F.lit(PII_IP_RE)) == 0),
+        )
+    )

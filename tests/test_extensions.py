@@ -1755,3 +1755,34 @@ def test_ivfpq_recall_and_probes(spark):
             assert abs(r.cos - ncos(emb[r.qid], emb[r.neighbor_id])) < 1e-9
             checked += 1
     assert checked > 0
+
+
+def test_pii_redact_masks_everything_and_keeps_clean_docs_intact(spark):
+    """PII redaction: injected emails/phones/IPs are fully masked (typed
+    placeholders present, pii_clean TRUE everywhere), counts follow the
+    deterministic injection arithmetic, and the no-PII branch leaves the
+    original text byte-identical."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_pii_redact,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import (
+        load_table,
+    )
+
+    out = {r.doc_id: r for r in q_pii_redact(spark, SF).collect()}
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    assert out and len(out) == len(texts)
+    for did, r in out.items():
+        assert r.pii_clean, did
+        if did % 3 == 0:  # clean branch: untouched text, zero matches
+            assert (r.n_emails, r.n_phones, r.n_ips) == (0, 0, 0)
+            assert r.redacted == texts[did]
+        else:
+            assert r.n_emails == 1 and r.n_ips == 1
+            assert r.n_phones == (2 if did % 2 == 0 else 1)
+            assert "[EMAIL]" in r.redacted and "[IP]" in r.redacted
+            assert r.redacted.count("[PHONE]") == r.n_phones
+            assert "@" not in r.redacted
