@@ -1410,10 +1410,10 @@ _PII_RAW_SQL = """CASE WHEN doc_id % 3 = 0 THEN text
         || '.' || CAST(1 + doc_id % 254 AS VARCHAR)
     END"""
 
-
-@register(
-    "text_pii_redact",
-    f"""WITH r AS (
+# shared by the batch query and its streaming twin (streaming/ingest.py):
+# a stateless map has ONE correct answer regardless of micro-batching, so
+# both registrations carry the identical oracle string
+PII_REDACT_ORACLE = f"""WITH r AS (
         SELECT doc_id, {_PII_RAW_SQL} AS raw FROM documents
     ), red AS (
         SELECT doc_id,
@@ -1430,7 +1430,12 @@ _PII_RAW_SQL = """CASE WHEN doc_id % 3 = 0 THEN text
         (len(regexp_extract_all(redacted, '{PII_EMAIL_RE}')) = 0
          AND len(regexp_extract_all(redacted, '{PII_PHONE_RE}')) = 0
          AND len(regexp_extract_all(redacted, '{PII_IP_RE}')) = 0) AS pii_clean
-    FROM red""",
+    FROM red"""
+
+
+@register(
+    "text_pii_redact",
+    PII_REDACT_ORACLE,
     doc="PII redaction: mask emails / phones (dashed + dotted) / IPv4 with "
     "typed placeholders and count each class pre-redaction; pii_clean "
     "proves the masked text carries no residual match. Deterministic "
@@ -1438,7 +1443,15 @@ _PII_RAW_SQL = """CASE WHEN doc_id % 3 = 0 THEN text
     "check (Java regex vs RE2) on both the PII and clean branches.",
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pii_redact_frame(docs)
+
+
+def pii_redact_frame(docs: DataFrame) -> DataFrame:
+    """The redaction map over any (doc_id, text) relation — a stateless
+    narrow projection, so the SAME function serves the batch query above
+    and the streaming twin (streaming/ingest.py: streaming_pii_scrub)
+    with one shared oracle."""
     did = F.col("doc_id")
 
     def s(col):  # arithmetic term -> string, the CAST both engines share

@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.text import PII_REDACT_ORACLE
 from ..plans.registry import register
 
 DOCS_SCHEMA = "doc_id long, text string"
@@ -444,3 +445,51 @@ def q_streaming_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date", "segment", "n_events", "value_cents"
         )
     return t.read(spark).select("date", "segment", "n_events", "value_cents")
+
+
+# ---------------------------------------------------------------------------
+# Streaming PII scrub — the export-gate curation step as a stream
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_pii_scrub",
+    # identical oracle to text_pii_redact: a stateless map has ONE correct
+    # answer regardless of how the stream is micro-batched (importing the
+    # constant keeps the two literally in sync)
+    PII_REDACT_ORACLE,
+    doc="Streaming twin of text_pii_redact: the documents drop-folder "
+    "stream (4 staged files, maxFilesPerTrigger=1 ⇒ 4 micro-batches) runs "
+    "the SAME pii_redact_frame projection — stateless narrow map, no "
+    "watermark or state store needed — and appends scrubbed batches to a "
+    "parquet sink. Exactly-once here comes for free: the file sink's "
+    "transaction log dedups replayed batches, so the result equals the "
+    "batch query under any batching. availableNow trigger; the returned "
+    "DataFrame reads the sink back lazily.",
+)
+def q_streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pii_redact_frame
+    from ..workdirs import fresh_work_dir
+
+    d = stage_documents(sf_dir, "pii_scrub")
+    work = fresh_work_dir("streaming_pii_scrub")
+    out = os.path.join(work, "scrubbed")
+    ckpt = os.path.join(work, "ckpt")
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        pii_redact_frame(src)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "redacted", "pii_clean"
+    )

@@ -1786,3 +1786,18 @@ def test_pii_redact_masks_everything_and_keeps_clean_docs_intact(spark):
             assert "[EMAIL]" in r.redacted and "[IP]" in r.redacted
             assert r.redacted.count("[PHONE]") == r.n_phones
             assert "@" not in r.redacted
+
+
+def test_streaming_pii_scrub_equals_batch(spark):
+    """The streaming scrub is a stateless map: its sink contents must equal
+    the batch query row-for-row regardless of micro-batch boundaries."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_pii_redact,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        q_streaming_pii_scrub,
+    )
+
+    batch = {tuple(r) for r in q_pii_redact(spark, SF).collect()}
+    stream = {tuple(r) for r in q_streaming_pii_scrub(spark, SF).collect()}
+    assert batch and stream == batch
