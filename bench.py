@@ -124,6 +124,9 @@ def main() -> None:
     # keeps its own headline row (similarity_topk_bruteforce), so both
     # costs stay watched and the r7-vs-r8 per-query comparison stays
     # apples-to-apples.
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.components import (
+        q_pagerank_parts,
+    )
     from music_streaming_services_etl_pipeline_with_airflow_spark.operators.similarity import (
         q_topk_ivfpq,
         q_topk_pq,
@@ -132,6 +135,7 @@ def main() -> None:
     bench_fn = {
         "similarity_pq_topk": q_topk_pq,
         "similarity_ivfpq_topk": q_topk_ivfpq,
+        "graph_pagerank_parts": q_pagerank_parts,
     }
 
     def fn_of(name: str):

@@ -79,8 +79,10 @@ def _update(assigned: DataFrame) -> DataFrame:
 
 def kmeans(
     points: DataFrame, k: int = K, iterations: int = ITERATIONS
-) -> tuple[DataFrame, list[float]]:
-    """Returns (assignment DataFrame, inertia per iteration)."""
+) -> tuple[DataFrame, list[float], DataFrame]:
+    """Returns (assignment DataFrame, inertia per iteration, the (cid, cv)
+    centroids the FINAL assignment was computed against — what the
+    argmin-audit oracle needs)."""
     # init = the k lowest vec_ids (robust to non-contiguous ids, e.g. when
     # the caller collapsed exact-duplicate vectors first; identical to the
     # original vec_id < k rule on contiguous inputs). k rows — the window
@@ -96,25 +98,89 @@ def kmeans(
     )
     inertias: list[float] = []
     assigned = None
+    last_assign_centroids = centroids
     for _ in range(iterations):
-        assigned = _assign(points, centroids).localCheckpoint(eager=True)
+        last_assign_centroids = centroids.localCheckpoint(eager=True)
+        assigned = _assign(points, last_assign_centroids).localCheckpoint(
+            eager=True
+        )
         inertias.append(assigned.agg(F.sum("sq_dist")).first()[0])
         centroids = _update(assigned)
-    return assigned.select("vec_id", "cluster", "sq_dist"), inertias
+    return (
+        assigned.select("vec_id", "cluster", "sq_dist"),
+        inertias,
+        last_assign_centroids,
+    )
 
 
 @register(
     "kmeans_embeddings",
-    None,  # float means are addition-order dependent → rows-only; the
-    # Lloyd's contract (monotone inertia) is pytest-pinned instead.
+    # r8 contract-oracle conversion: the trained assignment itself is a
+    # float-mean fixpoint (addition-order dependent → not hashable), so
+    # the CHECKED OUTPUT is the audit that holds for any correct Lloyd
+    # run — the row set is exactly the embeddings ids (catches dropped /
+    # duplicated vectors), and the booleans assert, per vector, that the
+    # assignment is the true (d2, cid)-argmin against the final
+    # assignment round's centroid set with sq_dist the achieved minimum,
+    # plus the corpus-level Lloyd contract (non-increasing inertia).
+    """SELECT CAST(vec_id AS BIGINT) AS vec_id,
+              TRUE AS argmin_ok,
+              TRUE AS inertia_monotone_ok
+       FROM embeddings""",
     doc=f"Distributed k-means (k={K}, {ITERATIONS} Lloyd iterations) on the "
     "embedding vectors: broadcast-centroid assignment + posexplode dim-mean "
-    "update, localCheckpoint per round. Rows-only check; monotonic inertia "
-    "asserted in tests.",
+    "update, localCheckpoint per round. CHECKED OUTPUT (r8 conversion): "
+    "per-vector argmin validity against the final centroids + monotone "
+    "inertia, on exactly the embeddings row set; the raw assignment stays "
+    "available as q_kmeans for the pytest pins.",
 )
-def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kmeans_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", V.to_double_array("embedding").alias("v")
     )
-    assignment, _ = kmeans(points)
+    assignment, inertias, centroids = kmeans(points)
+    monotone = all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:]))
+    # re-score every vector against every final-assignment centroid and
+    # assert the recorded (cluster, sq_dist) is the strict (d2, cid)-min —
+    # an independent argmin recomputation (min over a struct comparison),
+    # not a replay of the min_by aggregate that produced it
+    rescored = (
+        points.join(assignment, "vec_id")
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "cluster",
+            "sq_dist",
+            "cid",
+            _sq_dist(F.col("v"), F.col("cv")).alias("d2"),
+        )
+    )
+    per_vec = rescored.groupBy("vec_id").agg(
+        # the assigned centroid achieves exactly the recorded distance...
+        F.max(
+            (F.col("cid") == F.col("cluster"))
+            & (F.col("d2") == F.col("sq_dist"))
+        ).alias("_achieved"),
+        # ...and no centroid beats it under the (d2, cid) total order
+        F.min(
+            F.struct("d2", "cid")
+            >= F.struct(
+                F.col("sq_dist").alias("d2"), F.col("cluster").alias("cid")
+            )
+        ).alias("_unbeaten"),
+    )
+    return per_vec.select(
+        "vec_id",
+        (F.col("_achieved") & F.col("_unbeaten")).alias("argmin_ok"),
+        F.lit(monotone).alias("inertia_monotone_ok"),
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw trained assignment (vec_id, cluster, sq_dist) — the product
+    relation; kept un-registered since float means can't hash-match."""
+    points = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("v")
+    )
+    assignment, _, _ = kmeans(points)
     return assignment

@@ -101,7 +101,7 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 3,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """PageRank over a directed edge list — the canonical iterative
     fixpoint in pure DataFrame ops: per round, every node's rank is
     redistributed along its out-edges, damped, and summed at the sink.
@@ -111,7 +111,11 @@ def pagerank(
     iteration is ONE shuffle (the sink-side sum); ``localCheckpoint``
     every few rounds cuts the growing lineage that would otherwise make
     round N replan rounds 1..N-1 (same discipline as
-    connected_components above). Dangling nodes keep the base rank."""
+    connected_components above). Dangling nodes keep the base rank.
+
+    Returns ``(ranks, prev_ranks)`` — the final vector plus the one the
+    last update step read from, which is what lets the contract oracle
+    re-verify the final round's update equation independently."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
@@ -122,7 +126,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    prev = ranks
     for i in range(iterations):
+        if i == iterations - 1:
+            # pin the vector the final update reads from (one extra
+            # materialization total — the per-round cadence is unchanged)
+            ranks = ranks.localCheckpoint(eager=True)
+        prev = ranks
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .join(deg, "src")
@@ -142,22 +152,10 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks, prev
 
 
-@register(
-    "graph_pagerank_parts",
-    None,  # iterative float fixpoint — rows-only; invariants pinned by
-    # tests/test_extensions.py::test_pagerank_invariants
-    doc="PageRank (10 rounds, d=0.85) over the part co-occurrence graph "
-    "(parts sharing an order, both directions — the j10 basket relation "
-    "as edges): 'central' catalog parts by recursive importance, the "
-    "iterative-fixpoint operator family done Spark-right — one shuffle "
-    "per round on a co-partitioned edge relation, localCheckpoint every "
-    "3 rounds to cut lineage. Returns top-50 by rank with a total-order "
-    "tie-break.",
-)
-def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_table
 
     lines = (
@@ -167,14 +165,77 @@ def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = lines.alias("a")
     b = lines.alias("b")
-    pairs = a.join(
+    return a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") != F.col("b.l_partkey")),
     ).select(
         F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
     )
-    ranks = pagerank(pairs, iterations=10)
+
+
+@register(
+    "graph_pagerank_parts",
+    # r8 contract-oracle conversion: rank values are a float fixpoint
+    # (shuffle-order-dependent sums → not hashable), so the CHECKED OUTPUT
+    # is the audit that holds for any correct PageRank: the row set is the
+    # SQL-recomputable node set (every part with a co-order partner —
+    # catches dropped/duplicated nodes), and the booleans assert per node
+    # that the final rank satisfies the round's update equation
+    # rank = (1-d) + d*Σ prev_rank/outdeg over in-edges (recomputed
+    # independently from the previous round's vector, 1e-9 band) and the
+    # damped floor rank >= 1-d.
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         nodes AS (SELECT DISTINCT a.l_partkey AS node
+                   FROM lp a JOIN lp b
+                   ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey)
+       SELECT CAST(node AS BIGINT) AS node,
+              TRUE AS update_eq_ok,
+              TRUE AS rank_floor_ok
+       FROM nodes""",
+    doc="PageRank (10 rounds, d=0.85) over the part co-occurrence graph "
+    "(parts sharing an order, both directions — the j10 basket relation "
+    "as edges): 'central' catalog parts by recursive importance, the "
+    "iterative-fixpoint operator family done Spark-right — one shuffle "
+    "per round on a co-partitioned edge relation, localCheckpoint every "
+    "3 rounds to cut lineage. CHECKED OUTPUT (r8 conversion): per-node "
+    "final-round update-equation and damped-floor audits on exactly the "
+    "SQL-derived node set; the ranked top-50 product stays available as "
+    "q_pagerank_parts for the pytest invariants.",
+)
+def q_pagerank_parts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _part_cooccurrence_edges(spark, sf_dir)
+    ranks, prev = pagerank(pairs, iterations=10)
+    e = pairs.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    inflow = (
+        e.join(prev.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("deg")).alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    expected = F.lit(0.15) + F.lit(0.85) * F.coalesce(
+        F.col("inflow"), F.lit(0.0)
+    )
+    return (
+        ranks.join(inflow, "node", "left")
+        .select(
+            "node",
+            (F.abs(F.col("rank") - expected) < 1e-9).alias("update_eq_ok"),
+            (F.col("rank") >= 0.15 - 1e-12).alias("rank_floor_ok"),
+        )
+    )
+
+
+def q_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranked product (top-50 parts by rank, total-order tie-break) —
+    kept un-registered since rank floats can't hash-match."""
+    ranks, _ = pagerank(_part_cooccurrence_edges(spark, sf_dir), iterations=10)
     return (
         ranks.select("node", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))

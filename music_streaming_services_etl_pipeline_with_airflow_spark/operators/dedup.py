@@ -1414,7 +1414,7 @@ def q_dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_reps = reps.count()
     k = max(8, min(64, math.isqrt(n_reps)))
     pts = reps.select("vec_id", F.col("dv").alias("v"))
-    assignment, _ = kmeans(pts, k=k)  # (vec_id, cluster, sq_dist)
+    assignment, _, _ = kmeans(pts, k=k)  # (vec_id, cluster, sq_dist)
 
     # 3. normalize once; cosine = one dot per in-cluster candidate pair
     nv = (

@@ -129,11 +129,40 @@ def q_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_bernoulli_rng",
-    None,  # engine-specific RNG → rows-only (the API-parity entry; the
-    # reproducible path is sample_hash_bucket)
+    # r8 contract-oracle conversion: WHICH rows Spark's seeded Bernoulli
+    # sampler draws is engine-internal RNG (not hashable), but every draw
+    # must satisfy two engine-independent contracts — the sample is a
+    # subset of the source relation (anti-join empty) and the sampled
+    # fraction sits inside a wide binomial band around p=0.1
+    # (±6σ ≈ ±0.08 at n=500: robust to partitioning-dependent draws while
+    # still catching a broken fraction or a corrupted subset). The checked
+    # output is those facts; the drawn rows stay available as q_bernoulli.
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_source,
+              TRUE AS subset_ok,
+              TRUE AS fraction_in_band
+       FROM documents""",
     doc="df.sample(fraction=0.1, seed=7): Spark's seeded Bernoulli sampler — "
-    "kept for API parity; engine-specific RNG so no cross-engine oracle.",
+    "kept for API parity. CHECKED OUTPUT (r8 conversion): source row count "
+    "+ subset/binomial-band contract booleans; the raw draw stays "
+    "available as q_bernoulli.",
 )
+def q_bernoulli_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sample = q_bernoulli(spark, sf_dir)
+    n_source = docs.count()
+    n_sampled = sample.count()
+    # every sampled row must exist verbatim in the source
+    strays = sample.join(docs, ["doc_id", "lang"], "left_anti").count()
+    p, sigma = 0.1, (0.1 * 0.9 / max(n_source, 1)) ** 0.5
+    in_band = abs(n_sampled / max(n_source, 1) - p) <= 6 * sigma
+    return spark.createDataFrame(
+        [(n_source, strays == 0, in_band)],
+        "n_source long, subset_ok boolean, fraction_in_band boolean",
+    )
+
+
 def q_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw seeded draw — the product relation; un-registered since the
+    chosen rows are engine-internal RNG."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.sample(fraction=0.1, seed=7).select("doc_id", "lang")

@@ -61,14 +61,14 @@ _PRIORITY: tuple[str, ...] = (
     # a driver row, the 5 remaining never-driver-checked r7 additions, the
     # 20 r2-stale queries deferred from the r7 head, and 41 queries whose
     # latest row is r4. Spent as:
-    #   8  new/changed/converted this round (must be checked);
+    #   11 new/changed/converted this round (must be checked);
     #   2  late-r7 sketch conversions (sketch_theta_user_overlap,
     #      sketch_heavy_hitters_topk);
     #   5  never-driver-checked r7 oracle additions;
     #   20 r2-stale (completes the VERDICT r7 #1 ask: after this round no
     #      oracle query's latest driver row predates r4);
-    #   15 oldest r4 rotation picks (alphabetical head of that set; the
-    #      remaining 26 r4 rows lead the ROUND-9 head).
+    #   12 oldest r4 rotation picks (alphabetical head of that set; the
+    #      remaining 29 r4 rows lead the ROUND-9 head).
     # All re-verified locally via tools/check_parity.py at sf0.01 (exact
     # value equality) before shipping this head.
     # -- new/changed/converted in round 8 --
@@ -80,6 +80,9 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_ivfpq_topk",  # NEW contract oracle
     "dedup_semantic_prune",  # NEW contract oracle: dup groups + nbr counts
     "bpe_tokenize_corpus",  # NEW contract oracle: facts + 2-path agreement
+    "kmeans_embeddings",  # NEW contract oracle (r8): argmin audit
+    "graph_pagerank_parts",  # NEW contract oracle (r8): update-eq audit
+    "sample_bernoulli_rng",  # NEW contract oracle (r8): subset + binomial band
     # -- late-r7 sketch conversions, oracle never driver-checked --
     "sketch_theta_user_overlap",
     "sketch_heavy_hitters_topk",
@@ -123,9 +126,6 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_simhash_banded",
-    "dedup_simhash_pairs",
-    "f1_pushdown_filtered_scan",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its
@@ -229,17 +229,16 @@ _R7_HEAD_ARCHIVE: tuple[str, ...] = (
 # registered AND oracle-less (an entry that later gains an oracle belongs in
 # _PRIORITY instead).
 _PRIORITY_ROWS_ONLY: tuple[str, ...] = (
-    # (round 8: dedup_semantic_prune and bpe_tokenize_corpus left this
-    # tail — converted to contract oracles (assignment-independent audits:
-    # SQL-recomputable exact values + contract booleans the oracle asserts
-    # TRUE) and promoted into _PRIORITY, alongside the similarity trio
-    # (pq / ivf_kmeans / ivfpq), which now check the exact brute-force
-    # top-k + a recall-floor flag. The remaining rows-only set —
-    # graph_pagerank_parts, kmeans_embeddings, sample_bernoulli_rng —
-    # is the genuinely non-SQL-auditable tail (RNG sampling, float-mean
-    # iterative fixpoints whose useful output IS the trained structure);
-    # each already carries an r6 driver row and pytest invariant pins, so
-    # no head slot is spent on them this round.)
+    # EMPTY since round 8: every registered query now carries an oracle.
+    # The last three rows-only entries (graph_pagerank_parts,
+    # kmeans_embeddings, sample_bernoulli_rng) were converted to contract
+    # oracles late in r8 — the float-fixpoint / RNG outputs themselves
+    # stay un-hashable, so each registered query now emits the
+    # SQL-recomputable facts (exact node/vector row set, source count)
+    # plus contract booleans (argmin validity, update-equation residual,
+    # subset + binomial band) the oracle asserts TRUE; the raw product
+    # relations remain available un-registered (q_kmeans,
+    # q_pagerank_parts, q_bernoulli) for bench and the pytest pins.
 )
 
 

@@ -181,7 +181,7 @@ def test_kmeans_inertia_monotone(spark):
     points = load_table(spark, SF, "embeddings").select(
         "vec_id", V.to_double_array("embedding").alias("v")
     )
-    assignment, inertias = kmeans(points, k=8, iterations=3)
+    assignment, inertias, _ = kmeans(points, k=8, iterations=3)
     assert all(b <= a + 1e-6 for a, b in zip(inertias, inertias[1:])), inertias
     n_clusters = assignment.select("cluster").distinct().count()
     assert 1 < n_clusters <= 8
@@ -483,7 +483,7 @@ def test_pagerank_invariants(spark):
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") != F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    ranks = pagerank(pairs, iterations=5)
+    ranks, _ = pagerank(pairs, iterations=5)
     n = ranks.count()
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert abs(total - n) / n < 0.01
