@@ -1801,3 +1801,96 @@ def test_streaming_pii_scrub_equals_batch(spark):
     batch = {tuple(r) for r in q_pii_redact(spark, SF).collect()}
     stream = {tuple(r) for r in q_streaming_pii_scrub(spark, SF).collect()}
     assert batch and stream == batch
+
+
+def test_contract_audits_discriminate(spark):
+    """The r8 contract-oracle audits must be FALSIFIABLE, not vacuous:
+    corrupting the audited artifact flips the contract booleans. Three
+    probes — a rotated k-means assignment fails the argmin audit, a
+    perturbed PageRank vector fails the update-equation audit, and a
+    stray row fails the Bernoulli subset audit."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.functions import (
+        vectors as V,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.clustering import (
+        _sq_dist,
+        kmeans,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.components import (
+        _part_cooccurrence_edges,
+        pagerank,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.sampling import (
+        q_bernoulli,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.sources import load_table
+
+    # k-means: rotating every cluster id must fail the argmin re-score
+    points = load_table(spark, SF, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("v")
+    )
+    assignment, _, centroids = kmeans(points)
+
+    def argmin_bad_rows(a):
+        resc = (
+            points.join(a, "vec_id")
+            .crossJoin(F.broadcast(centroids))
+            .select(
+                "vec_id", "cluster", "sq_dist", "cid",
+                _sq_dist(F.col("v"), F.col("cv")).alias("d2"),
+            )
+        )
+        pv = resc.groupBy("vec_id").agg(
+            F.max(
+                (F.col("cid") == F.col("cluster"))
+                & (F.col("d2") == F.col("sq_dist"))
+            ).alias("a"),
+            F.min(
+                F.struct("d2", "cid")
+                >= F.struct(
+                    F.col("sq_dist").alias("d2"), F.col("cluster").alias("cid")
+                )
+            ).alias("u"),
+        )
+        return pv.filter(~(F.col("a") & F.col("u"))).count()
+
+    assert argmin_bad_rows(assignment) == 0
+    rotated = assignment.withColumn("cluster", (F.col("cluster") + 1) % 8)
+    assert argmin_bad_rows(rotated) == assignment.count()
+
+    # PageRank: nudging one node's rank must fail that node's update check
+    pairs = _part_cooccurrence_edges(spark, SF)
+    ranks, prev = pagerank(pairs, iterations=3)
+    e = pairs.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    inflow = (
+        e.join(prev.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    expected = F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("inflow"), F.lit(0.0))
+
+    def eq_bad_rows(r):
+        return (
+            r.join(inflow, "node", "left")
+            .filter(~(F.abs(F.col("rank") - expected) < 1e-9))
+            .count()
+        )
+
+    assert eq_bad_rows(ranks) == 0
+    bumped = ranks.withColumn(
+        "rank", F.col("rank") + F.when(F.col("node") % 7 == 0, 1e-6).otherwise(0.0)
+    )
+    assert eq_bad_rows(bumped) > 0
+
+    # Bernoulli: a stray row not in the source must fail the subset check
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    sample = q_bernoulli(spark, SF)
+    stray = spark.createDataFrame([(-1, "xx")], "doc_id long, lang string")
+    assert sample.join(docs, ["doc_id", "lang"], "left_anti").count() == 0
+    assert (
+        sample.union(stray).join(docs, ["doc_id", "lang"], "left_anti").count()
+        == 1
+    )
