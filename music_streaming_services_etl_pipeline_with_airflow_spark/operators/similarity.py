@@ -212,6 +212,156 @@ def _ivf_search(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted IVF index — the "vector database" shape: the inverted lists live
+# in the snapshot-table format, maintained incrementally, probed by reading
+# ONLY the probed lists' bucket dirs (storage-level pruning, not a filter)
+# ---------------------------------------------------------------------------
+
+_IVF_INDEX_SCHEMA = "vec_id long, cid long, v array<double>"
+
+
+@register(
+    "similarity_ivf_persisted",
+    # EXACT oracle — identical to similarity_ivf_multiprobe's: the persisted
+    # index (base build + incremental delta add) must hold exactly the
+    # nearest-centroid assignment relation, and bucket-pruned probing must
+    # return exactly what assignment-filtered probing returns.
+    f"""
+WITH {_IVF_ASSIGN_CTE},
+queries AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+qprobe AS (
+    SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {V.cosine_sql('q.qv', 'c.cv')} DESC, c.cid ASC) AS rn
+        FROM queries q CROSS JOIN centroids c
+    ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+    SELECT DISTINCT q.qid, a.vec_id AS neighbor_id,
+           {V.cosine_sql('q.qv', 'e.embedding')} AS cos
+    FROM queries q
+    JOIN qprobe p ON p.qid = q.qid
+    JOIN assign a ON a.cid = p.cid AND a.vec_id <> q.qid
+    JOIN embeddings e ON e.vec_id = a.vec_id
+)
+SELECT qid, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}""",
+    doc=f"PERSISTED multi-probe IVF — the vector-database shape: the "
+    f"{N_LIST} inverted lists are stored in the snapshot-table format, one "
+    "bucket per list (identity bucket function on the list id), built in "
+    "two commits — the base corpus, then an incremental ADD of the held-out "
+    "delta (vec_id % 10 == 0) that rewrites ONLY the delta's touched "
+    "buckets, every other list carrying over by manifest reference. "
+    f"Search reads ONLY the probed lists' bucket dirs (read_buckets — "
+    "storage-level pruning: at 100 TB a probe scans nprobe/n_list of the "
+    "index bytes, and an ingest batch rewrites only the lists it touches). "
+    "Result is EXACTLY similarity_ivf_multiprobe's, value-hash-checked; "
+    "incremental-rewrite isolation is pinned in "
+    "tests/test_extensions.py::test_persisted_ivf_incremental_add_is_bucket_pruned.",
+)
+def q_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = build_persisted_ivf_index(spark, sf_dir)
+    return search_persisted_ivf(spark, sf_dir, t, nprobe=N_PROBE)
+
+
+def build_persisted_ivf_index(spark: SparkSession, sf_dir: str):
+    """Build the inverted-list snapshot table in two commits (base corpus,
+    then the incremental delta add) and return the SnapshotTable."""
+    import os
+
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    corpus = _corpus(spark, sf_dir)
+    centroids = corpus.filter(F.col("vec_id") < N_LIST).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored_c = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cos_c")
+    )
+    assign = (
+        scored_c.groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.max_by("cid", F.struct(F.col("cos_c"), -F.col("cid"))).alias("cid"),
+        )
+        .select("vec_id", "cid", "v")
+    )
+    t = SnapshotTable(
+        os.path.join(fresh_work_dir("similarity_ivf_persisted"), "index")
+    )
+
+    def commit_rows(rows: DataFrame, union_state: bool) -> None:
+        # touched lists: a bounded ≤ N_LIST driver list, same play as the
+        # CDC applier's touched-bucket discovery
+        touched = sorted(
+            r.cid for r in rows.select("cid").distinct().collect()
+        )
+        if union_state:
+            state = t.read_buckets(
+                spark, touched, _IVF_INDEX_SCHEMA, n_buckets=N_LIST
+            )
+            rows = state.unionByName(rows)
+        t.commit_buckets(
+            rows.withColumn("_bucket", F.col("cid").cast("int")),
+            [int(b) for b in touched],
+            n_buckets=N_LIST,
+        )
+
+    commit_rows(assign.filter(F.col("vec_id") % 10 != 0), union_state=False)
+    commit_rows(assign.filter(F.col("vec_id") % 10 == 0), union_state=True)
+    return t
+
+
+def search_persisted_ivf(
+    spark: SparkSession, sf_dir: str, t, nprobe: int
+) -> DataFrame:
+    """Multi-probe search against the persisted index: probe-list discovery
+    on the tiny query×centroid slice, then read ONLY those lists' buckets."""
+    corpus = _corpus(spark, sf_dir)
+    centroids = corpus.filter(F.col("vec_id") < N_LIST).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("cos_c"), F.asc("cid"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("qid", "qv", "cid", V.cosine(F.col("qv"), F.col("cv")).alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", "cid")
+    )
+    probed_lists = sorted(r.cid for r in probes.select("cid").distinct().collect())
+    index_rows = t.read_buckets(
+        spark, [int(b) for b in probed_lists], _IVF_INDEX_SCHEMA, n_buckets=N_LIST
+    )
+    scored = (
+        index_rows.join(
+            F.broadcast(probes),
+            (index_rows.cid == probes.cid) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 IVF_TRAIN_ITERS = 4
 
 

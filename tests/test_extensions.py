@@ -1894,3 +1894,43 @@ def test_contract_audits_discriminate(spark):
         sample.union(stray).join(docs, ["doc_id", "lang"], "left_anti").count()
         == 1
     )
+
+
+def test_persisted_ivf_incremental_add_is_bucket_pruned(spark):
+    """The delta ADD commit must rewrite ONLY the lists the delta touches:
+    every untouched bucket's dir list carries over from v1 by reference
+    (dir identity), every touched bucket gets a fresh dir, and the final
+    index holds each corpus vector exactly once."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.similarity import (
+        _IVF_INDEX_SCHEMA,
+        N_LIST,
+        build_persisted_ivf_index,
+        _corpus,
+    )
+
+    t = build_persisted_ivf_index(spark, SF)
+    assert t.versions() == [1, 2]
+    b1, b2 = t._bucket_map(1), t._bucket_map(2)
+    delta_lists = {
+        str(r.cid)
+        for r in t.read_buckets(
+            spark, list(range(N_LIST)), _IVF_INDEX_SCHEMA, n_buckets=N_LIST
+        )
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("cid")
+        .distinct()
+        .collect()
+    }
+    assert delta_lists, "delta must touch at least one list"
+    for b in (set(b1) | set(b2)):
+        if b in delta_lists:
+            assert b1.get(b, []) != b2[b], f"touched bucket {b} not rewritten"
+        else:
+            assert b1.get(b, []) == b2.get(b, []), f"untouched bucket {b} rewritten"
+    # index completeness: every vector exactly once
+    n_corpus = _corpus(spark, SF).count()
+    idx = t.read_buckets(
+        spark, list(range(N_LIST)), _IVF_INDEX_SCHEMA, n_buckets=N_LIST
+    )
+    assert idx.count() == n_corpus
+    assert idx.select("vec_id").distinct().count() == n_corpus
