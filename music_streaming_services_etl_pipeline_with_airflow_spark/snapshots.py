@@ -394,6 +394,21 @@ class SnapshotTable:
         # the write is one hash shuffle on the bucket id
         df = df.repartition(max(len(touched), 1), bucket_col)
         df.write.mode("error").partitionBy(bucket_col).parquet(data_dir)
+        # fail fast if df carries a bucket the caller did NOT declare
+        # touched: its dir was just written but would never enter the
+        # manifest — silent row loss on read. One listdir, no data scan.
+        written = {
+            e.split("=", 1)[1]
+            for e in os.listdir(data_dir)
+            if e.startswith(f"{bucket_col}=")
+        }
+        undeclared = written - {str(b) for b in touched}
+        if undeclared:
+            raise ValueError(
+                f"{self.path}: commit_buckets received rows for bucket(s) "
+                f"{sorted(undeclared)} not in touched={sorted(touched)} — "
+                "their dirs would be orphaned and the rows silently lost"
+            )
         for b in touched:
             d = f"{data_dir}/{bucket_col}={b}"
             buckets[str(b)] = [d] if os.path.isdir(d) else []

@@ -810,3 +810,19 @@ def test_concurrent_commit_two_process_race(tmp_path):
         m = t._manifest(v)
         assert m["writer"] == by_version[v]
         assert os.path.isdir(m["dirs"][0])
+
+
+def test_commit_buckets_rejects_undeclared_bucket_rows(spark, tmp_path):
+    """Rows whose bucket is not in ``touched`` must fail the commit loudly —
+    their partition dir would never enter the manifest and the rows would
+    silently vanish from every read."""
+    import pytest as _pytest
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, 10, 0), (2, 20, 3)], "id long, v long, _bucket int"
+    )
+    with _pytest.raises(ValueError, match="not in touched"):
+        t.commit_buckets(df, touched=[0], n_buckets=4)
+    # nothing was published
+    assert t.latest_version() == 0
