@@ -56,6 +56,30 @@ class ConcurrentWriteError(RuntimeError):
     re-read the table and retry the commit on top of its new latest."""
 
 
+# Every key the format itself writes. commit_buckets(extra=...) may not
+# shadow any of these, and everything OUTSIDE this set is caller metadata
+# (e.g. a streaming sink's last_batch_id replay cursor) that delete_where
+# and restore carry forward — a metadata-only lineage step must not
+# silently drop the cursor that makes micro-batch replays idempotent.
+RESERVED_MANIFEST_KEYS = frozenset(
+    {
+        "version",
+        "parent",
+        "mode",
+        "dirs",
+        "buckets",
+        "n_buckets",
+        "schema",
+        "mixed_schemas",
+        "restored_from",
+    }
+)
+
+
+def _extra_fields(manifest: dict) -> dict:
+    return {k: v for k, v in manifest.items() if k not in RESERVED_MANIFEST_KEYS}
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path.rstrip("/")
@@ -413,12 +437,13 @@ class SnapshotTable:
             d = f"{data_dir}/{bucket_col}={b}"
             buckets[str(b)] = [d] if os.path.isdir(d) else []
         dirs = sorted(d for ds in buckets.values() for d in ds)
-        manifest = dict(extra or {})
-        reserved = {
-            "version", "parent", "mode", "dirs", "buckets", "n_buckets",
-            "schema",
-        }
-        clash = reserved & manifest.keys()
+        # new extras override the parent's carried-over metadata (a fresh
+        # last_batch_id replaces the previous cursor); format keys win last
+        manifest = dict(
+            _extra_fields(self._manifest(parent)) if parent > 0 else {}
+        )
+        manifest.update(extra or {})
+        clash = RESERVED_MANIFEST_KEYS & (extra or {}).keys()
         if clash:
             raise ValueError(f"extra manifest fields shadow reserved keys: {clash}")
         manifest.update(
@@ -517,6 +542,7 @@ class SnapshotTable:
                 buckets[b] = out
             self._write_manifest(
                 {
+                    **_extra_fields(pm),  # e.g. the replay cursor survives
                     "version": version,
                     "parent": parent,
                     "mode": "delete",
@@ -549,6 +575,7 @@ class SnapshotTable:
             dirs.append(data_dir)
         self._write_manifest(
             {
+                **_extra_fields(pm),  # caller metadata survives the delete
                 "version": version,
                 "parent": parent,
                 "mode": "delete",
@@ -574,6 +601,11 @@ class SnapshotTable:
         parent = self.latest_version()
         tm = self._manifest(version)
         m = {
+            # restore the restored version's caller metadata WITH its data:
+            # a matview rolled back to v3 must also roll its last_batch_id
+            # cursor back to v3's, or replays between the two states would
+            # be skipped/double-applied inconsistently
+            **_extra_fields(tm),
             "version": parent + 1,
             "parent": parent,
             "mode": "restore",

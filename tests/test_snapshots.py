@@ -826,3 +826,38 @@ def test_commit_buckets_rejects_undeclared_bucket_rows(spark, tmp_path):
         t.commit_buckets(df, touched=[0], n_buckets=4)
     # nothing was published
     assert t.latest_version() == 0
+
+
+def test_manifest_extra_fields_survive_delete_restore_and_carryover(
+    spark, tmp_path
+):
+    """Caller manifest metadata (the matview's last_batch_id replay cursor)
+    must survive every lineage step: a commit_buckets without extra carries
+    the parent's cursor, delete_where propagates it, and restore rolls it
+    back WITH the data it describes — otherwise a post-delete replay
+    re-applies an already-summed batch (at-least-once double-count)."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, 10, 0), (2, 20, 1)], "id long, v long, _bucket int"
+    )
+    t.commit_buckets(df, touched=[0, 1], n_buckets=4,
+                     extra={"last_batch_id": 5})
+    assert t.latest_manifest_field("last_batch_id") == 5
+    # a later commit WITHOUT extra keeps the cursor
+    d2 = spark.createDataFrame([(3, 30, 2)], "id long, v long, _bucket int")
+    t.commit_buckets(d2, touched=[2], n_buckets=4)
+    assert t.latest_manifest_field("last_batch_id") == 5
+    # a newer cursor replaces it
+    d3 = spark.createDataFrame([(4, 40, 3)], "id long, v long, _bucket int")
+    t.commit_buckets(d3, touched=[3], n_buckets=4,
+                     extra={"last_batch_id": 7})
+    v_cursor7 = t.latest_version()
+    # copy-on-write delete keeps the cursor
+    t.delete_where(spark, "id = 2")
+    assert t.latest_manifest_field("last_batch_id") == 7
+    # restore to the batch-5 state rolls the cursor back with the data
+    t.restore(2)
+    assert t.latest_manifest_field("last_batch_id") == 5
+    # and restoring forward recovers the newer cursor
+    t.restore(v_cursor7)
+    assert t.latest_manifest_field("last_batch_id") == 7
