@@ -135,18 +135,13 @@ FROM documents""",
 def q_bpe_tokenize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    raw = q_bpe_tokenize_corpus(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    # independent second path: re-tokenize WHOLE documents in one Arrow
-    # kernel (no distinct-word dedup, no join) — same trained merges
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    wf = tok.groupBy("w").agg(F.count("*").alias("freq"))
-    train_rows = (
-        wf.orderBy(F.desc("freq"), "w").limit(TRAIN_WORDS_CAP).collect()
-    )
-    merges = train_bpe_merges([(r["w"], r["freq"]) for r in train_rows])
-    ranks = {m: i for i, m in enumerate(merges)}
-    bc = spark.sparkContext.broadcast((merges, ranks))
+    # train ONCE and share the broadcast merges across both tokenization
+    # paths — the audited property is the distinct-word-join path vs the
+    # whole-doc path, and training is the same pure function of the corpus
+    # either way, so a second aggregate + collect + train is pure waste
+    tok, wf, bc = _train_on_corpus(spark, docs)
+    raw = _word_join_token_counts(tok, wf, bc)
 
     def _doc_tokens(batches):
         mg, rk = bc.value
@@ -183,10 +178,9 @@ def q_bpe_tokenize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    docs = load_table(spark, sf_dir, "documents")
+def _train_on_corpus(spark: SparkSession, docs: DataFrame):
+    """(exploded tokens, word freqs, broadcast (merges, ranks)) — the
+    shared front half of the production path and the audit."""
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     wf = tok.groupBy("w").agg(F.count("*").alias("freq"))
     train_rows = (
@@ -195,6 +189,14 @@ def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = train_bpe_merges([(r["w"], r["freq"]) for r in train_rows])
     ranks = {m: i for i, m in enumerate(merges)}
     bc = spark.sparkContext.broadcast((merges, ranks))
+    return tok, wf, bc
+
+
+def _word_join_token_counts(tok: DataFrame, wf: DataFrame, bc) -> DataFrame:
+    """Per-doc (n_ws_tokens, n_bpe_tokens) via the production
+    distinct-word-join path: tokenize each DISTINCT word once in an Arrow
+    kernel, then join counts back through the exploded tokens."""
+    import pandas as pd
 
     def _subword_len(batches):
         mg, rk = bc.value
@@ -217,3 +219,9 @@ def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def q_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok, wf, bc = _train_on_corpus(spark, docs)
+    return _word_join_token_counts(tok, wf, bc)

@@ -99,11 +99,15 @@ def kmeans(
     inertias: list[float] = []
     assigned = None
     last_assign_centroids = centroids
-    for _ in range(iterations):
-        last_assign_centroids = centroids.localCheckpoint(eager=True)
-        assigned = _assign(points, last_assign_centroids).localCheckpoint(
-            eager=True
-        )
+    for i in range(iterations):
+        if i == iterations - 1:
+            # pin ONLY the final round's centroid frame (what the argmin
+            # audit re-scores against) — same one-extra-materialization
+            # pattern as pagerank's prev vector; earlier rounds keep
+            # consuming centroids lazily inside the assign job
+            centroids = centroids.localCheckpoint(eager=True)
+        last_assign_centroids = centroids
+        assigned = _assign(points, centroids).localCheckpoint(eager=True)
         inertias.append(assigned.agg(F.sum("sq_dist")).first()[0])
         centroids = _update(assigned)
     return (

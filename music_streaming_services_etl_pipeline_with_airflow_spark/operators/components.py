@@ -205,7 +205,10 @@ def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pagerank_parts for the pytest invariants.",
 )
 def q_pagerank_parts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _part_cooccurrence_edges(spark, sf_dir)
+    # materialize the heavy distinct-lineitem self-join ONCE: pagerank's
+    # internal checkpoint re-reads these cached blocks, and the audit's
+    # deg/inflow subtrees below reuse them instead of re-running the join
+    pairs = _part_cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
     ranks, prev = pagerank(pairs, iterations=10)
     e = pairs.select("src", "dst")
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))

@@ -449,11 +449,12 @@ def _recall_audit(exact: DataFrame, ann: DataFrame, floor: float) -> DataFrame:
     return exact.crossJoin(F.broadcast(flag))
 
 
-def _audit_oracle(_floor_doc: str = "") -> str:
-    return (
-        f"SELECT qid, neighbor_id, cos, rank, TRUE AS recall_ok "
-        f"FROM ({_BRUTE_SQL})"
-    )
+# shared audit oracle: the exact brute-force top-k plus the asserted
+# recall flag (one string — all three ANN audits check the same contract)
+_AUDIT_ORACLE_SQL = (
+    f"SELECT qid, neighbor_id, cos, rank, TRUE AS recall_ok "
+    f"FROM ({_BRUTE_SQL})"
+)
 
 
 # Global recall@5 floors, each well under the deterministic measured value
@@ -465,7 +466,7 @@ IVF_RECALL_FLOOR = 0.35
 
 @register(
     "similarity_ivf_kmeans",
-    _audit_oracle(),
+    _AUDIT_ORACLE_SQL,
     doc=f"IVF ANN with a TRAINED coarse quantizer: {N_LIST} spherical-k-means "
     f"centroids ({IVF_TRAIN_ITERS} Lloyd iterations on a "
     f"{PQ_TRAIN_SAMPLE}-vector-capped sample, solved locally — the "
@@ -577,7 +578,7 @@ def _train_pq_codebook(
 
 @register(
     "similarity_pq_topk",
-    _audit_oracle(),
+    _AUDIT_ORACLE_SQL,
     doc=f"PQ-ADC top-{TOP_K}: vectors compress to {M_SUB} codebook ids "
     f"({M_SUB}x{K_PQ} codewords = 40 bits/vector vs 64x8 bytes raw - the "
     "memory lever "
@@ -749,7 +750,7 @@ def q_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_ivfpq_topk",
-    _audit_oracle(),
+    _AUDIT_ORACLE_SQL,
     doc=f"IVF-PQ ANN — the composed billion-vector architecture: a trained "
     f"spherical-k-means coarse quantizer ({N_LIST} lists) prunes the scan "
     f"to each query's nprobe={N_PROBE} inverted lists, and RESIDUAL "
