@@ -60,24 +60,28 @@ def build_fixture(spark, k: int) -> str:
     copies = spark.range(k).select(F.col("id").alias("_c"))
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # EVERY copy gets the per-copy token suffix — including copy 0, and
+    # with a fixed-width copy tag — so the k=1 and k=10 fixtures carry
+    # byte-identical per-doc text sizes and a k-fold fixture is EXACTLY
+    # k-fold the bytes/tokens. (Previously copy 0 kept the unsuffixed base
+    # text: 9 of 10 copies then ran ~1.4x the characters of the k=1
+    # baseline, inflating every ratio the tool exists to measure.)
+    # n_chars is recomputed to match the rewritten text.
+    suffixed = F.concat_ws(
+        " ",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.concat(
+                w, F.lit("_c"), F.lpad(F.col("_c").cast("string"), 3, "0")
+            ),
+        ),
+    )
     scaled_docs = docs.crossJoin(copies).select(
         (F.col("doc_id") + F.col("_c") * OFFSET).alias("doc_id"),
-        F.when(F.col("_c") == 0, F.col("text"))
-        .otherwise(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.split("text", " "),
-                    lambda w: F.concat(
-                        w, F.lit("_c"), F.col("_c").cast("string")
-                    ),
-                ),
-            )
-        )
-        .alias("text"),
+        suffixed.alias("text"),
         "lang",
         "source",
-        "n_chars",
+        F.length(suffixed).cast("long").alias("n_chars"),
     )
     scaled_docs.repartition(max(k, 4)).write.parquet(f"{d}/documents.parquet")
 
