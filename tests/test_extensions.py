@@ -1934,3 +1934,41 @@ def test_persisted_ivf_incremental_add_is_bucket_pruned(spark):
     )
     assert idx.count() == n_corpus
     assert idx.select("vec_id").distinct().count() == n_corpus
+
+
+def test_er_closure_is_load_bearing_and_canonicalizes_to_exact_record(spark):
+    """Entity resolution: every cluster must assemble all 4 mention
+    variants even though some in-cluster pairs sit ABOVE the match
+    threshold (transitive closure through the exact-record hub is doing
+    real work, not just echoing the pairwise matches), and the canonical
+    name must be the exact record's (min mention_id = 4*custkey)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.er import (
+        ER_LEV_MAX,
+        q_er_resolve,
+    )
+
+    rows = q_er_resolve(spark, SF).collect()
+    by_entity = {}
+    for r in rows:
+        by_entity.setdefault(r.entity_id, []).append(r)
+    assert all(len(ms) == 4 for ms in by_entity.values())
+    # canonical = the exact record (mention_id divisible by 4)
+    for eid, ms in by_entity.items():
+        assert eid % 4 == 0
+        exact = next(m for m in ms if m.mention_id == eid)
+        assert all(m.canonical_name == exact.name for m in ms)
+    # at least one in-cluster pair is above the pairwise threshold
+    import itertools
+    above = 0
+    def lev(s, t):
+        d = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            prev, d[0] = d[0], i
+            for j, ct in enumerate(t, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (cs != ct))
+        return d[-1]
+    for ms in list(by_entity.values())[:40]:
+        for x, y in itertools.combinations(ms, 2):
+            if lev(x.name, y.name) > ER_LEV_MAX:
+                above += 1
+    assert above > 0
