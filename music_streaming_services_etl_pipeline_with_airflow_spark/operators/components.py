@@ -452,3 +452,142 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select(F.col("node").alias("l_partkey"), F.col("hops").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition — graph-based quality filtering (coreness per node)
+# ---------------------------------------------------------------------------
+
+KCORE_MAX_ROUNDS = 50
+
+# H-index of an int array: sort descending, count positions i (1-based)
+# where value >= i — the indicator is monotone along the sorted array, so
+# the count IS the h. Pure Catalyst array expr, no UDF.
+_HINDEX_EXPR = """aggregate(
+    transform(
+        array_sort(_arr, (x, y) -> CASE WHEN x > y THEN -1
+                                        WHEN x < y THEN 1 ELSE 0 END),
+        (x, i) -> IF(x >= i + 1, 1, 0)
+    ), 0, (acc, v) -> acc + v)"""
+
+
+def kcore(edges: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
+    """(node, core) for an undirected canonical edge list — coreness via
+    the H-index fixpoint (Lu et al. 2016): init core = degree, iterate
+    core(v) = H({core(u) : u ~ v}). Iterates are integer, monotone
+    non-increasing, and bounded below by the true coreness, so the loop
+    terminates AT the coreness; the scalar core-sum detects the fixpoint
+    (one number per round, same trick as connected_components).
+
+    Scale: each round is one join + one hash aggregate over EDGES (the
+    per-node neighbor-core array is degree-bounded); lineage cut per
+    round with localCheckpoint."""
+    fwd = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    core = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("core"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(KCORE_MAX_ROUNDS):
+        h = (
+            sym.join(core, sym.dst == core.node)
+            .groupBy("src")
+            .agg(F.collect_list("core").alias("_arr"))
+            .select("src", F.expr(_HINDEX_EXPR).alias("h"))
+        )
+        core = (
+            core.join(h, core.node == h.src)
+            .select("node", F.least("core", "h").alias("core"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = core.agg(F.sum("core")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return core
+
+
+@register(
+    "graph_kcore_parts",
+    # Contract oracle (coreness is deterministic but not expressible in a
+    # recursive CTE): the row set is the SQL-derived node set of the
+    # support-thresholded co-purchase graph, and the booleans assert the
+    # defining fixpoint per node — core(v) equals the H-index of its
+    # neighbors' cores (the unique fixpoint reached from degree init IS
+    # the coreness, Lu et al. 2016) and core(v) <= degree(v). Exact
+    # coreness is separately pinned in pytest against an independent
+    # pure-Python min-degree peeling.
+    f"""WITH e AS ({_TRI_EDGES}),
+    nodes AS (SELECT pa AS node FROM e UNION SELECT pb AS node FROM e)
+    SELECT CAST(node AS BIGINT) AS node,
+           TRUE AS hindex_fixpoint_ok,
+           TRUE AS core_le_degree_ok
+    FROM nodes""",
+    doc=f"k-core decomposition (coreness per part) over the support-"
+    f"{_TRI_SUPPORT} co-purchase graph — graph-based quality filtering: "
+    "high-core nodes sit in densely interconnected regions, the signal "
+    "spam/fringe filtering uses. H-index fixpoint iteration, one "
+    "join + one degree-bounded hash aggregate per round. CHECKED OUTPUT: "
+    "per-node fixpoint + core<=degree audits on the SQL-derived node "
+    "set; exact coreness pinned in pytest vs independent peeling.",
+)
+def q_kcore_parts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _support_edges(spark, sf_dir)
+    core = kcore(edges)
+    fwd = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    sym = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    # one more H application must be the identity at the fixpoint
+    h = (
+        sym.join(core, sym.dst == core.node)
+        .groupBy("src")
+        .agg(F.collect_list("core").alias("_arr"))
+        .select(F.col("src").alias("node"), F.expr(_HINDEX_EXPR).alias("h"))
+    )
+    return (
+        core.join(h, "node")
+        .join(deg, "node")
+        .select(
+            "node",
+            (F.col("core") == F.col("h")).alias("hindex_fixpoint_ok"),
+            (F.col("core") <= F.col("deg")).alias("core_le_degree_ok"),
+        )
+    )
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw (node, core) coreness relation — the product; un-registered
+    (coreness is not recursive-CTE-expressible), exact values pinned in
+    pytest vs independent peeling."""
+    return kcore(_support_edges(spark, sf_dir))
+
+
+def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (pa < pb) support-thresholded co-purchase edges — the
+    same relation _TRI_EDGES derives in SQL."""
+    from ..sources import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("_support"))
+        .filter(F.col("_support") >= _TRI_SUPPORT)
+        .select("pa", "pb")
+    )

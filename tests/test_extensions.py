@@ -1972,3 +1972,35 @@ def test_er_closure_is_load_bearing_and_canonicalizes_to_exact_record(spark):
             if lev(x.name, y.name) > ER_LEV_MAX:
                 above += 1
     assert above > 0
+
+
+def test_kcore_matches_independent_peeling(spark):
+    """Exact coreness: the H-index fixpoint must equal an independent
+    pure-Python min-degree peeling on the same support-thresholded
+    co-purchase graph."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.components import (
+        _support_edges,
+        q_kcore_parts,
+    )
+
+    edges = [(r.pa, r.pb) for r in _support_edges(spark, SF).collect()]
+    assert edges, "support graph must be non-empty"
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # classic peeling: repeatedly remove a minimum-degree node; its core
+    # is the running maximum of the degrees at removal time
+    deg = {v: len(ns) for v, ns in adj.items()}
+    live = {v: set(ns) for v, ns in adj.items()}
+    expected, k = {}, 0
+    while deg:
+        v = min(deg, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        expected[v] = k
+        for u in live[v]:
+            live[u].discard(v)
+            deg[u] -= 1
+        del deg[v], live[v]
+    got = {r.node: r.core for r in q_kcore_parts(spark, SF).collect()}
+    assert got == expected
