@@ -269,7 +269,9 @@ def q_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_persisted_ivf(spark, sf_dir, t, nprobe=N_PROBE)
 
 
-def build_persisted_ivf_index(spark: SparkSession, sf_dir: str):
+def build_persisted_ivf_index(
+    spark: SparkSession, sf_dir: str, work_name: str = "similarity_ivf_persisted"
+):
     """Build the inverted-list snapshot table in two commits (base corpus,
     then the incremental delta add) and return the SnapshotTable."""
     import os
@@ -292,9 +294,7 @@ def build_persisted_ivf_index(spark: SparkSession, sf_dir: str):
         )
         .select("vec_id", "cid", "v")
     )
-    t = SnapshotTable(
-        os.path.join(fresh_work_dir("similarity_ivf_persisted"), "index")
-    )
+    t = SnapshotTable(os.path.join(fresh_work_dir(work_name), "index"))
 
     def commit_rows(rows: DataFrame, union_state: bool) -> None:
         # touched lists: a bounded ≤ N_LIST driver list, same play as the
@@ -1218,3 +1218,66 @@ def q_ts_topk_subsequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TS_K)
         .select("event_type", "start", "dist2")
     )
+
+
+# -- GDPR delete on the persisted index --------------------------------------
+
+IVF_DELETE_PRED = "vec_id % 7 = 3"
+
+
+@register(
+    "similarity_ivf_persisted_delete",
+    # EXACT oracle: after a copy-on-write DELETE, bucket-pruned search must
+    # return exactly the multiprobe result over the SURVIVING corpus —
+    # same CTE shape as similarity_ivf_multiprobe with the deletion
+    # predicate applied to the indexed side (queries and centroids stay
+    # full-table: a probe vector need not live in the index, and the
+    # coarse quantizer is a search-side constant).
+    f"""
+WITH centroids AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {N_LIST}),
+live AS (SELECT vec_id, embedding FROM embeddings WHERE NOT ({IVF_DELETE_PRED})),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {V.cosine_sql('e.embedding', 'c.cv')} DESC, c.cid ASC) AS rn
+        FROM live e CROSS JOIN centroids c
+    ) WHERE rn = 1
+),
+queries AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+qprobe AS (
+    SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                   ORDER BY {V.cosine_sql('q.qv', 'c.cv')} DESC, c.cid ASC) AS rn
+        FROM queries q CROSS JOIN centroids c
+    ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+    SELECT DISTINCT q.qid, a.vec_id AS neighbor_id,
+           {V.cosine_sql('q.qv', 'e.embedding')} AS cos
+    FROM queries q
+    JOIN qprobe p ON p.qid = q.qid
+    JOIN assign a ON a.cid = p.cid AND a.vec_id <> q.qid
+    JOIN live e ON e.vec_id = a.vec_id
+)
+SELECT qid, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM scored
+) WHERE rank <= {TOP_K}""",
+    doc="GDPR erasure on the persisted IVF index: build (base + "
+    f"incremental add), then delete_where('{IVF_DELETE_PRED}') — the "
+    "bucketed copy-on-write path probes each list dir and rewrites only "
+    "dirs containing matches, preserving the bucket map — then the SAME "
+    "bucket-pruned search. Result must EXACTLY equal multiprobe over the "
+    "surviving corpus (value-hash-checked): erased vectors are "
+    "unreachable through every probe path. Completes the vector-database "
+    "lifecycle: build, incremental add, erase, serve.",
+)
+def q_topk_ivf_persisted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = build_persisted_ivf_index(
+        spark, sf_dir, work_name="similarity_ivf_persisted_delete"
+    )
+    t.delete_where(spark, IVF_DELETE_PRED)
+    return search_persisted_ivf(spark, sf_dir, t, nprobe=N_PROBE)

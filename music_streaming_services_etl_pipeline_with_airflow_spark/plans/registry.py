@@ -61,14 +61,14 @@ _PRIORITY: tuple[str, ...] = (
     # a driver row, the 5 remaining never-driver-checked r7 additions, the
     # 20 r2-stale queries deferred from the r7 head, and 41 queries whose
     # latest row is r4. Spent as:
-    #   16 new/changed/converted this round (must be checked);
+    #   17 new/changed/converted this round (must be checked);
     #   2  late-r7 sketch conversions (sketch_theta_user_overlap,
     #      sketch_heavy_hitters_topk);
     #   5  never-driver-checked r7 oracle additions;
     #   20 r2-stale (completes the VERDICT r7 #1 ask: after this round no
     #      oracle query's latest driver row predates r4);
-    #   7 oldest r4 rotation picks (alphabetical head of that set; the
-    #      remaining 34 r4 rows lead the ROUND-9 head).
+    #   6 oldest r4 rotation picks (alphabetical head of that set; the
+    #      remaining 35 r4 rows lead the ROUND-9 head).
     # All re-verified locally via tools/check_parity.py at sf0.01 (exact
     # value equality) before shipping this head.
     # -- new/changed/converted in round 8 --
@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "er_resolve_customers",  # NEW (r8): entity-resolution pipeline
     "privacy_dp_lang_counts",  # NEW (r8): eps-DP Laplace release counts
     "graph_kcore_parts",  # NEW (r8): k-core decomposition fixpoint audit
+    "similarity_ivf_persisted_delete",  # NEW (r8): erase + serve lifecycle
     "streaming_matview_join_enrich",  # + replay-idempotency guard (r8)
     "similarity_pq_topk",  # NEW contract oracle: exact top-k + recall_ok
     "similarity_ivf_kmeans",  # NEW contract oracle
@@ -125,7 +126,6 @@ _PRIORITY: tuple[str, ...] = (
     "a14_filtered_agg",
     "a15_zscore_outliers",
     "a16_value_histogram",
-    "corpus_source_mix",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its
