@@ -2004,3 +2004,51 @@ def test_kcore_matches_independent_peeling(spark):
         del deg[v], live[v]
     got = {r.node: r.core for r in q_kcore_parts(spark, SF).collect()}
     assert got == expected
+
+
+def test_kcore_random_graphs_hypothesis(spark):
+    """Property fuzz for the H-index k-core fixpoint: on random small
+    graphs (cliques, stars, chains, disconnected pieces all reachable),
+    the distributed coreness must equal independent min-degree peeling."""
+    from hypothesis import given, settings, strategies as st
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.components import (
+        kcore,
+    )
+
+    def peel(edges):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        live = {v: set(ns) for v, ns in adj.items()}
+        out, k = {}, 0
+        while deg:
+            v = min(deg, key=lambda x: (deg[x], x))
+            k = max(k, deg[v])
+            out[v] = k
+            for u in live[v]:
+                live[u].discard(v)
+                deg[u] -= 1
+            del deg[v], live[v]
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.sets(
+            st.tuples(
+                st.integers(min_value=0, max_value=9),
+                st.integers(min_value=0, max_value=9),
+            ).map(lambda p: (min(p), max(p))).filter(lambda p: p[0] < p[1]),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def run(edge_set):
+        edges = sorted(edge_set)
+        df = spark.createDataFrame(edges, "pa long, pb long")
+        got = {r.node: r.core for r in kcore(df).collect()}
+        assert got == peel(edges)
+
+    run()
