@@ -96,7 +96,14 @@ QUERIES = [
     # (streaming_matview_join_enrich runs through foreachBatch — its
     # per-batch plan is the broadcast-enrich + partial-agg + merge_bucketed
     # shape shown by ivm_incremental_join_enrich above; writeStream plans
-    # are not .explain()-able as a DataFrame)
+    # are not .explain()-able as a DataFrame. streaming_pii_scrub likewise:
+    # its per-batch frame is exactly text_pii_redact's plan above.)
+    # round 8
+    "er_resolve_customers",
+    "graph_kcore_parts",
+    "similarity_ivf_persisted",
+    "similarity_ivf_persisted_delete",
+    "privacy_dp_lang_counts",
     # TPC-H family
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
