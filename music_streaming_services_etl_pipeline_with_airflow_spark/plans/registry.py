@@ -257,6 +257,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pandas_ops,
         privacy,
         python_udfs,
+        retrieval,
         sampling,
         sessions,
         similarity,

@@ -2052,3 +2052,84 @@ def test_kcore_random_graphs_hypothesis(spark):
         assert got == peel(edges)
 
     run()
+
+
+def test_bm25_matches_independent_reimplementation(spark, tmp_path):
+    """Pin text_bm25_topk exactly against a from-scratch pure-Python BM25
+    (same Lucene-default k1/b, same milli-floor-then-sum convention,
+    same (df DESC, term ASC) query draft and (score DESC, doc_id ASC)
+    ranking) on a small constructed corpus — independent of every Spark
+    expression in the operator. Also asserts the length normalization
+    property: equal tf in a shorter doc must outscore the longer doc."""
+    import math
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        N_QUERIES,
+        N_QUERY_TERMS,
+        TOPK,
+        q_bm25_topk,
+    )
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha alpha beta epsilon zeta",
+        "beta gamma gamma zeta eta theta iota",
+        "alpha delta delta epsilon",
+        "gamma zeta alpha beta delta epsilon",
+        "eta theta beta",
+        "alpha beta",  # short doc: same tf as doc 1 for alpha/beta
+        "iota eta zeta gamma alpha beta delta epsilon iota eta",
+    ]
+    ids = list(range(1, len(texts) + 1))
+    sf = _write_docs(tmp_path, ids, texts)
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.n_terms_hit, r.score_milli, r.q_terms)
+        for r in q_bm25_topk(spark, sf).collect()
+    }
+
+    # --- independent reimplementation ---
+    toks = {i: t.split(" ") for i, t in zip(ids, texts)}
+    n = len(ids)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df: dict[str, int] = {}
+    for v in toks.values():
+        for t in set(v):
+            df[t] = df.get(t, 0) + 1
+    draft = sorted(df, key=lambda t: (-df[t], t))[:N_QUERY_TERMS]
+    queries = {
+        q + 1: [draft[q], draft[q + N_QUERIES]] for q in range(N_QUERIES)
+    }
+    exp = {}
+    for qid, terms in queries.items():
+        scored = []
+        for i in ids:
+            parts, hits = 0, 0
+            for t in terms:
+                tf = toks[i].count(t)
+                if not tf:
+                    continue
+                hits += 1
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                dl = len(toks[i])
+                norm = (tf * (BM25_K1 + 1.0)) / (
+                    tf + BM25_K1 * (0.25 + BM25_B * dl / avgdl)
+                )
+                parts += math.floor(1000.0 * idf * norm)
+            if hits:
+                scored.append((-parts, i, hits))
+        scored.sort()
+        for rank, (neg, i, hits) in enumerate(scored[:TOPK], 1):
+            exp[(qid, rank)] = (i, hits, -neg, " ".join(queries[qid]))
+
+    assert got == exp
+    # length normalization: doc 7 ("alpha beta") carries the same tf=1 for
+    # both terms as doc 1 but is shorter, so it must score strictly higher
+    # on whichever query contains alpha or beta.
+    aq = [q for q, ts in queries.items() if "alpha" in ts or "beta" in ts]
+    assert aq, "draft must include the corpus's most frequent terms"
+    q0 = aq[0]
+    s7 = [v[2] for k, v in exp.items() if k[0] == q0 and v[0] == 7]
+    s1 = [v[2] for k, v in exp.items() if k[0] == q0 and v[0] == 1]
+    assert s7 and s1 and s7[0] > s1[0]
