@@ -42,9 +42,10 @@ TOPK = 10
 _SALTS = 32
 
 
-def _bm25_oracle() -> str:
-    return f"""
-WITH toks AS (
+def _bm25_ctes() -> str:
+    """The WITH-body shared by the BM25 and RRF oracles: corpus stats,
+    query draft, per-term milli partials, per-(query, doc) scores."""
+    return f"""toks AS (
     SELECT doc_id, len(string_split(text, ' ')) AS dl,
            unnest(string_split(text, ' ')) AS term
     FROM documents
@@ -78,7 +79,12 @@ scored AS (
     SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
            CAST(SUM(part_milli) AS BIGINT) AS score_milli
     FROM parts GROUP BY query_id, doc_id
-)
+)"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+WITH {_bm25_ctes()}
 SELECT CAST(s.query_id AS BIGINT) AS query_id, qn.q_terms, s.doc_id,
        s.n_terms_hit, s.score_milli, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -107,6 +113,44 @@ WHERE rank <= {TOPK}"""
     "list, nothing corpus-sized concentrates.",
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored, qnames = _bm25_scored(spark, sf_dir)
+    topk = _salted_topk(
+        scored, TOPK, F.desc("score_milli"), F.asc("doc_id"), salt_on="doc_id"
+    )
+    return topk.join(F.broadcast(qnames), "query_id").select(
+        F.col("query_id").cast("long"),
+        "q_terms",
+        "doc_id",
+        "n_terms_hit",
+        "score_milli",
+        F.col("rank").cast("long"),
+    )
+
+
+def _salted_topk(scored: DataFrame, k: int, *order, salt_on: str) -> DataFrame:
+    """Per-query_id top-k by the given total order, as a SALTED two-level
+    sort-window: rank inside (query_id, salt) shards first so no reducer
+    ever sorts a whole query's candidate list (sort-windows spill;
+    collect_list buffers would not), then rank the <= _SALTS*k survivors."""
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_on), F.lit(_SALTS))
+    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(scored, qnames): BM25 scores per (query_id, doc_id) for the
+    deterministically drafted query set, plus the 3-row query-name frame."""
     docs = load_table(spark, sf_dir, "documents")
     n_docs, avgdl_num = docs.select(
         F.count("*"), F.sum(F.size(F.split(F.col("text"), " ")))
@@ -153,33 +197,133 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_terms_hit"),
         F.sum("part_milli").cast("long").alias("score_milli"),
     )
+    return scored, qnames
 
-    # Salted two-level top-k: rank inside (query, salt) shards first so the
-    # sort-window never concentrates a whole query on one reducer, then
-    # rank the <= _SALTS*TOPK survivors per query.
-    salted = scored.withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(_SALTS))
+
+# --- Reciprocal Rank Fusion (hybrid lexical + dense retrieval) ---
+
+POOL = 20  # per-ranker candidate pool fed into the fusion
+RRF_K = 60  # Cormack et al.'s smoothing constant
+
+
+def _rrf_oracle() -> str:
+    from ..functions import vectors as V
+
+    return f"""
+WITH {_bm25_ctes()},
+lexpool AS (
+    SELECT query_id, doc_id, lex_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc_id ASC) AS lex_rank
+        FROM scored)
+    WHERE lex_rank <= {POOL}
+),
+dq AS (SELECT vec_id + 1 AS query_id, embedding AS qv
+       FROM embeddings WHERE vec_id < {N_QUERIES}),
+dscored AS (
+    SELECT q.query_id, c.vec_id AS doc_id,
+           {V.cosine_sql('q.qv', 'c.embedding')} AS cos
+    FROM dq q JOIN embeddings c ON c.vec_id <> q.query_id - 1
+),
+densepool AS (
+    SELECT query_id, doc_id, dense_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, doc_id ASC) AS dense_rank
+        FROM dscored)
+    WHERE dense_rank <= {POOL}
+),
+fused AS (
+    SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+           COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           CAST(l.lex_rank AS BIGINT) AS lex_rank,
+           CAST(d.dense_rank AS BIGINT) AS dense_rank,
+           CAST(COALESCE(1000000 // ({RRF_K} + l.lex_rank), 0)
+              + COALESCE(1000000 // ({RRF_K} + d.dense_rank), 0)
+              AS BIGINT) AS rrf_micro
+    FROM lexpool l FULL OUTER JOIN densepool d
+      ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, lex_rank, dense_rank,
+       rrf_micro, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+      FROM fused)
+WHERE rank <= {TOPK}"""
+
+
+@register(
+    "retrieval_rrf_hybrid",
+    _rrf_oracle(),
+    doc=f"Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al., "
+    f"SIGIR'09): fuse each query's BM25 top-{POOL} (lexical) with the "
+    f"exact-cosine top-{POOL} against the query's anchor embedding "
+    f"(dense; query q anchors at vec_id q-1, the deterministic pairing), "
+    f"scoring union members by sum of 1000000 div ({RRF_K}+rank) — PURE "
+    "BIGINT arithmetic, so fusion is engine-exact with no float epsilon; "
+    "a doc absent from one ranking contributes 0 from that side. Plan: "
+    "both pools come from salted two-level sort-windows, the dense scan "
+    "is one broadcast-queries pass over the corpus, and the fusion is a "
+    "full-outer join of two k-bounded pools (3 queries x 20 rows each) — "
+    "nothing corpus-sized survives past the pool cut.",
+)
+def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    scored, _ = _bm25_scored(spark, sf_dir)
+    lexpool = (
+        _salted_topk(
+            scored.select("query_id", "doc_id", "score_milli"),
+            POOL,
+            F.desc("score_milli"),
+            F.asc("doc_id"),
+            salt_on="doc_id",
+        )
+        .withColumnRenamed("rank", "lex_rank")
+        .drop("score_milli")
     )
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(
-        F.desc("score_milli"), F.asc("doc_id")
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("v")
     )
-    survivors = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= TOPK)
-        .drop("_salt", "_r1")
+    dq = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        (F.col("vec_id") + 1).alias("query_id"), F.col("v").alias("qv")
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("score_milli"), F.asc("doc_id")
+    dscored = emb.join(
+        F.broadcast(dq), F.col("vec_id") != F.col("query_id") - 1
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        V.cosine(F.col("qv"), F.col("v")).alias("cos"),
     )
-    topk = (
-        survivors.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= TOPK)
+    densepool = (
+        _salted_topk(
+            dscored, POOL, F.desc("cos"), F.asc("doc_id"), salt_on="doc_id"
+        )
+        .withColumnRenamed("rank", "dense_rank")
+        .drop("cos")
     )
-    return topk.join(F.broadcast(qnames), "query_id").select(
-        F.col("query_id").cast("long"),
-        "q_terms",
+
+    fused = lexpool.join(densepool, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
         "doc_id",
-        "n_terms_hit",
-        "score_milli",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("dense_rank").cast("long").alias("dense_rank"),
+        (
+            F.coalesce(F.expr(f"1000000 div ({RRF_K} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({RRF_K} + dense_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return _salted_topk(
+        fused, TOPK, F.desc("rrf_micro"), F.asc("doc_id"), salt_on="doc_id"
+    ).select(
+        F.col("query_id").cast("long"),
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        "rrf_micro",
         F.col("rank").cast("long"),
     )

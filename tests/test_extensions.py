@@ -2133,3 +2133,126 @@ def test_bm25_matches_independent_reimplementation(spark, tmp_path):
     s7 = [v[2] for k, v in exp.items() if k[0] == q0 and v[0] == 7]
     s1 = [v[2] for k, v in exp.items() if k[0] == q0 and v[0] == 1]
     assert s7 and s1 and s7[0] > s1[0]
+
+
+def test_rrf_hybrid_matches_independent_recompute(spark, tmp_path):
+    """Full independent recompute of retrieval_rrf_hybrid on a constructed
+    corpus: Python BM25 -> lexical pool, Python cosine -> dense pool, pure
+    integer RRF fusion — compared exactly. The construction exercises the
+    edges the synthetic tables may not: ids present in only one universe
+    (doc 8 has no embedding; vec 0 has no document), docs in exactly one
+    pool, and exact-in-float32 vector values so cosine is noise-free."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        N_QUERIES,
+        N_QUERY_TERMS,
+        POOL,
+        RRF_K,
+        TOPK,
+        q_rrf_hybrid,
+    )
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha alpha beta epsilon zeta",
+        "beta gamma gamma zeta eta theta iota",
+        "alpha delta delta epsilon",
+        "gamma zeta alpha beta delta epsilon",
+        "eta theta beta",
+        "alpha beta",
+        "iota eta zeta gamma alpha beta delta epsilon iota eta",
+    ]
+    ids = list(range(1, len(texts) + 1))
+    sf = _write_docs(tmp_path, ids, texts)
+    # embeddings vec_id 0..7 (vec 0 has no doc; doc 8 has no vec), values
+    # multiples of 1/64 so every float32 is exact and products/sums are
+    # exact in double.
+    vec_ids = list(range(8))
+    vecs = [
+        [(((7 * v + 3 * d) % 31) - 15) / 64.0 for d in range(4)]
+        for v in vec_ids
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([v % 3 for v in vec_ids], pa.int32()),
+            }
+        ),
+        str(tmp_path / "sfdocs" / "embeddings.parquet"),
+    )
+
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.lex_rank, r.dense_rank, r.rrf_micro)
+        for r in q_rrf_hybrid(spark, sf).collect()
+    }
+
+    # --- independent recompute ---
+    toks = {i: t.split(" ") for i, t in zip(ids, texts)}
+    n = len(ids)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq: dict[str, int] = {}
+    for v in toks.values():
+        for t in set(v):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    draft = sorted(dfreq, key=lambda t: (-dfreq[t], t))[:N_QUERY_TERMS]
+    queries = {q + 1: [draft[q], draft[q + N_QUERIES]] for q in range(N_QUERIES)}
+
+    def bm25_pool(qid):
+        scored = []
+        for i in ids:
+            parts, hit = 0, False
+            for t in queries[qid]:
+                tf = toks[i].count(t)
+                if not tf:
+                    continue
+                hit = True
+                idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                norm = (tf * (BM25_K1 + 1.0)) / (
+                    tf + BM25_K1 * (0.25 + BM25_B * len(toks[i]) / avgdl)
+                )
+                parts += math.floor(1000.0 * idf * norm)
+            if hit:
+                scored.append((-parts, i))
+        scored.sort()
+        return {i: r for r, (_, i) in enumerate(scored[:POOL], 1)}
+
+    def cos(a, b):
+        dp = 0.0
+        for x, y in zip(a, b):
+            dp += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dp / (na * nb)
+
+    def dense_pool(qid):
+        qv = vecs[qid - 1]
+        scored = sorted(
+            (-cos(qv, vecs[v]), v) for v in vec_ids if v != qid - 1
+        )
+        return {v: r for r, (_, v) in enumerate(scored[:POOL], 1)}
+
+    exp = {}
+    for qid in queries:
+        lex, den = bm25_pool(qid), dense_pool(qid)
+        fused = []
+        for d in set(lex) | set(den):
+            micro = (1000000 // (RRF_K + lex[d]) if d in lex else 0) + (
+                1000000 // (RRF_K + den[d]) if d in den else 0
+            )
+            fused.append((-micro, d))
+        fused.sort()
+        for rank, (neg, d) in enumerate(fused[:TOPK], 1):
+            exp[(qid, rank)] = (d, lex.get(d), den.get(d), -neg)
+
+    assert got == exp
+    # the construction must actually exercise the one-sided edges
+    one_sided = [v for v in exp.values() if v[1] is None or v[2] is None]
+    assert one_sided, "corpus must produce docs present in only one pool"
