@@ -486,3 +486,68 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "warehouse_compact_small_files",
+    """SELECT o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS cents_sum,
+              CAST(4 AS BIGINT) AS dirs_before,
+              CAST(2 AS BIGINT) AS dirs_after,
+              TRUE AS large_carried_by_ref
+       FROM orders GROUP BY o_orderstatus""",
+    doc="INCREMENTAL small-file compaction (snapshots.compact_small — the "
+    "OPTIMIZE shape): one large ingest batch (7/8 of orders) plus three "
+    "small append batches fragment the table to 4 dirs; compaction with "
+    "the threshold set at the large dir's size folds ONLY the three small "
+    "dirs into one and carries the large dir into the new manifest BY "
+    "REFERENCE (asserted: same path, never rewritten) — cost proportional "
+    "to the small-file mass, never the table, which is what makes nightly "
+    "OPTIMIZE affordable at 100 TB. The oracle recomputes the per-status "
+    "rowcount/key-sum/cent-sum from the base table, so a row lost or "
+    "duplicated by the fold diverges the hash, and pins the dir counts "
+    "(4 -> 2) plus the by-reference carry as contract columns.",
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    t = SnapshotTable(fresh_work_dir("compact_small") + "/orders_ingest")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t.commit(orders.filter(F.col("o_orderkey") % 8 != 0), mode="overwrite")
+    for m in range(3):
+        t.commit(
+            orders.filter(
+                (F.col("o_orderkey") % 8 == 0) & (F.col("o_orderkey") % 3 == m)
+            ),
+            mode="append",
+        )
+    pm_before = t._manifest(t.latest_version())
+    large_dir = pm_before["dirs"][0]  # the overwrite batch leads the lineage
+
+    def dir_bytes(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    v = t.compact_small(spark, small_bytes=dir_bytes(large_dir))
+    pm_after = t._manifest(v)
+    return t.read(spark).groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_sum"),
+        F.lit(len(pm_before["dirs"])).cast("long").alias("dirs_before"),
+        F.lit(len(pm_after["dirs"])).cast("long").alias("dirs_after"),
+        F.lit(large_dir in pm_after["dirs"]).alias("large_carried_by_ref"),
+    )

@@ -649,6 +649,72 @@ class SnapshotTable:
             return parent
         return self.commit(self.read(spark, parent), mode="overwrite")
 
+    def compact_small(
+        self, spark: SparkSession, small_bytes: int = 128 << 20
+    ) -> int:
+        """INCREMENTAL small-file compaction — the OPTIMIZE shape
+        ``compact()`` lacks: fold only the data dirs whose on-disk size is
+        under ``small_bytes`` into ONE fresh dir and carry every large dir
+        into the new manifest BY REFERENCE. Cost is proportional to the
+        small-file mass, never the table — on a 100 TB table where ingest
+        appends accumulate KB-scale batch dirs next to TB-scale compacted
+        ones, the nightly job rewrites the KBs and leaves the TBs alone
+        (compact()'s full rewrite cannot). Returns the new version, or the
+        parent if fewer than two dirs qualify (nothing to fold).
+
+        Size probing is one ``os.walk`` per manifest dir — O(files) driver
+        metadata, no data read; on an object store this is the LIST call
+        every format-native OPTIMIZE makes. The pre-compaction version
+        stays time-travel readable until ``expire``."""
+        parent = self.latest_version()
+        if parent == 0:
+            raise ValueError(f"{self.path}: no committed versions")
+        pm = self._manifest(parent)
+        if "buckets" in pm:
+            raise ValueError(
+                f"{self.path}: compact_small() does not apply to bucketed "
+                "tables (per-bucket commits already keep one dir per "
+                "touched bucket; a flat fold would break the bucket map)"
+            )
+
+        def dir_bytes(d: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(d)
+                for f in fs
+            )
+
+        small = {d for d in pm["dirs"] if dir_bytes(d) < small_bytes}
+        if len(small) < 2:
+            return parent
+        mixed = pm.get("mixed_schemas", False)
+        if mixed and pm.get("schema"):
+            # fold under the UNION schema (ADD COLUMN semantics), same as
+            # delete_where's rewrite: small pre-evolution dirs must read
+            # their missing columns as NULL, not crash the fold
+            from pyspark.sql.types import StructType
+
+            reader = spark.read.schema(StructType.fromJson(pm["schema"]))
+        else:
+            reader = spark.read
+        version = parent + 1
+        nd = self._fresh_data_dir(version)
+        reader.parquet(*sorted(small)).write.mode("error").parquet(nd)
+        self._write_manifest(
+            {
+                **_extra_fields(pm),  # caller metadata survives the fold
+                "version": version,
+                "parent": parent,
+                "mode": "compact",
+                "dirs": [d for d in pm["dirs"] if d not in small] + [nd],
+                "schema": pm.get("schema"),
+                # untouched large pre-evolution dirs may still carry their
+                # old schema — the fold does not un-mix the lineage
+                "mixed_schemas": mixed,
+            }
+        )
+        return version
+
     def expire(
         self,
         keep_last: int = 1,

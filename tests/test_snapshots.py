@@ -861,3 +861,83 @@ def test_manifest_extra_fields_survive_delete_restore_and_carryover(
     # and restoring forward recovers the newer cursor
     t.restore(v_cursor7)
     assert t.latest_manifest_field("last_batch_id") == 7
+
+
+def test_compact_small_folds_only_small_dirs(spark, tmp_path):
+    """compact_small() folds only the dirs under the byte threshold and
+    carries the large dir BY REFERENCE (same path, file mtimes untouched);
+    content is identical; fewer than two qualifying dirs is a no-op; the
+    pre-compaction version stays readable; expire drops the folded
+    fragments; caller manifest metadata survives the fold."""
+    import os as _os
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(0, 5000).select("id"))  # large batch
+    t.commit(spark.range(5000, 5010).select("id"), mode="append")
+    t.commit(spark.range(5010, 5020).select("id"), mode="append")
+    # stamp caller metadata the fold must carry (the _extra_fields path)
+    m3 = t._manifest(3)
+    _os.remove(t._mdir + "/v000003.json")
+    t._write_manifest({**m3, "last_batch_id": 7})
+
+    def sz(d):
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _, fs in _os.walk(d)
+            for f in fs
+        )
+
+    large = t._manifest(3)["dirs"][0]
+    mtimes = {
+        f: _os.path.getmtime(_os.path.join(large, f))
+        for f in _os.listdir(large)
+    }
+    v4 = t.compact_small(spark, small_bytes=sz(large))
+    assert v4 == 4
+    m4 = t._manifest(v4)
+    assert len(m4["dirs"]) == 2 and large in m4["dirs"]
+    assert m4["last_batch_id"] == 7 and m4["mode"] == "compact"
+    # by reference: not a byte of the large dir was rewritten
+    assert mtimes == {
+        f: _os.path.getmtime(_os.path.join(large, f))
+        for f in _os.listdir(large)
+    }
+    assert _rows(t.read(spark)) == [(i,) for i in range(5020)]
+    assert _rows(t.read(spark, 3)) == [(i,) for i in range(5020)]  # time travel
+    # no-op: the fold left one small dir (the new one) + one large
+    assert t.compact_small(spark, small_bytes=sz(large)) == v4
+    frags = [d for d in t._manifest(3)["dirs"] if d not in m4["dirs"]]
+    t.expire(keep_last=1)
+    assert frags and all(not _os.path.isdir(d) for d in frags)
+    assert _rows(t.read(spark)) == [(i,) for i in range(5020)]
+
+
+def test_compact_small_bucketed_refuses_and_mixed_schema_folds(spark, tmp_path):
+    """Bucketed lineage: loud refusal (a flat fold would strand the bucket
+    map). Mixed-schema lineage: the fold reads under the union schema so
+    pre-evolution dirs surface NULLs instead of crashing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    b = SnapshotTable(str(tmp_path / "bt"))
+    b.commit_buckets(
+        spark.range(4).select(
+            F.col("id").alias("k"),
+            F.lit(1).alias("v"),
+            SnapshotTable.bucket_of(F.col("id"), 2).alias("_bucket"),
+        ),
+        touched=[0, 1],
+        n_buckets=2,
+    )
+    with _pytest.raises(ValueError, match="bucketed"):
+        b.compact_small(spark, small_bytes=1 << 30)
+
+    t = SnapshotTable(str(tmp_path / "mx"))
+    t.commit(spark.range(0, 3).select("id"))
+    t.commit(
+        spark.range(3, 6).select("id", F.lit("x").alias("tag")), mode="append"
+    )
+    assert t._manifest(2)["mixed_schemas"]
+    v3 = t.compact_small(spark, small_bytes=1 << 30)  # fold everything
+    got = sorted((r.id, r.tag) for r in t.read(spark, v3).collect())
+    assert got == [(0, None), (1, None), (2, None), (3, "x"), (4, "x"), (5, "x")]
