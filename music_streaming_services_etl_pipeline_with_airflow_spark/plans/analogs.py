@@ -443,6 +443,51 @@ def q_sink_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_orc_partitioned_roundtrip",
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS key_sum FROM orders "
+    "WHERE o_orderstatus <> 'P' GROUP BY o_orderstatus",
+    doc="ORC format breadth: orders goes out through Spark's native ORC "
+    "sink PARTITIONED BY o_orderstatus (Hive-style status=X/ dirs) and "
+    "comes back through the ORC source with an explicit schema; the read "
+    "filters one partition OUT (<> 'P'), which at plan level is partition "
+    "PRUNING — the excluded directory is never opened — and the per-status "
+    "aggregates must match the base relation exactly, proving the "
+    "columnar roundtrip is lossless including the partition-column "
+    "reconstruction (partition values live in dir names, not data files). "
+    "Same staleness-guarded /tmp fixture protocol as the CSV/JSONL "
+    "roundtrips.",
+)
+def q_sink_orc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    # NOT src_orc_roundtrip's flat fixture: the layout (Hive-style
+    # partition dirs vs flat files) is part of what this query tests, and
+    # an mtime-fresh fixture with the WRONG SHAPE would silently satisfy
+    # the aggregate — shape gets its own path
+    tmp = f"/tmp/spark_engine_orc/{tag}/orders_by_status"
+    marker = os.path.join(tmp, "_SUCCESS")
+    if not _fixture_fresh(marker, sf_dir, "orders"):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").orc(tmp)
+    # no user schema: partition DISCOVERY types o_orderstatus from the dir
+    # names, which is what lets Catalyst classify the <> 'P' filter as a
+    # PartitionFilter (pruned at file listing) instead of a row filter —
+    # plan-pinned by tests/test_plans_explain.py
+    df = spark.read.orc(tmp)
+    return (
+        df.filter(F.col("o_orderstatus") != "P")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
 
 # --------------------------------------------------------------------------
 # Projections / filters / scalar ops (P1-P12)
@@ -941,7 +986,9 @@ def q_src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(os.path.normpath(sf_dir))
     tmp = f"/tmp/spark_engine_orc/{tag}/orders"
     marker = os.path.join(tmp, "_SUCCESS")
-    if not os.path.exists(marker):
+    # staleness-guarded like the CSV/JSONL fixtures (ADVICE r7): a bare
+    # exists() check would serve stale shards after a testdata regen
+    if not _fixture_fresh(marker, sf_dir, "orders"):
         load_table(spark, sf_dir, "orders").repartition(4).write.mode(
             "overwrite"
         ).orc(tmp)

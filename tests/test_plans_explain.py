@@ -275,3 +275,21 @@ def test_zorder_locality_buckets_are_rectangles(spark):
     for r in rows:
         assert r.pk_max - r.pk_min <= a_cap, r
         assert r.sk_max - r.sk_min <= b_cap, r
+
+
+def test_orc_partitioned_read_prunes_partitions(spark):
+    """The <> 'P' filter on the Hive-partitioned ORC layout must be
+    classified as a PartitionFilter (pruned at file listing — the excluded
+    status= directory is never opened), not a per-row DataFilter. Guards
+    the regression where an explicit user schema demotes the partition
+    column to a data column and silently disables pruning."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.analogs import (
+        q_sink_orc_partitioned,
+    )
+
+    df = q_sink_orc_partitioned(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan orc" in ln]
+    assert scan, "expected an ORC scan in the plan"
+    pf = scan[0].split("PartitionFilters: [")[1].split("]")[0]
+    assert "o_orderstatus" in pf and "P" in pf
