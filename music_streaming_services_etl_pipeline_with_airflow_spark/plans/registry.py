@@ -252,6 +252,7 @@ def all_specs() -> dict[str, QuerySpec]:
         er,
         expectations,
         clustering,
+        ml,
         multimodal,
         packing,
         pandas_ops,

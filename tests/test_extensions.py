@@ -2256,3 +2256,63 @@ def test_rrf_hybrid_matches_independent_recompute(spark, tmp_path):
     # the construction must actually exercise the one-sided edges
     one_sided = [v for v in exp.values() if v[1] is None or v[2] is None]
     assert one_sided, "corpus must produce docs present in only one pool"
+
+
+def test_perceptron_distill_learns_and_replays(spark):
+    """ml_perceptron_quality_distill: (1) the full training run (update
+    sums, pocket argmin, final weights, per-doc margins) must equal an
+    independent pure-Python replay on the same corpus; (2) the distilled
+    model must genuinely learn — training accuracy beats the majority
+    class by a real gap (the raw-count feature set failed this: the
+    pocket collapsed onto always-negative weights)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.ml import (
+        EPOCHS,
+        q_perceptron_quality,
+    )
+
+    rows = q_perceptron_quality(spark, SF).collect()
+    n = len(rows)
+    acc = sum(r.correct for r in rows) / n
+    maj = max(sum(r.y == 1 for r in rows), n - sum(r.y == 1 for r in rows)) / n
+    assert acc >= maj + 0.15, (acc, maj)
+
+    # independent replay from the raw parquet
+    import duckdb
+
+    feats = duckdb.sql(
+        f"""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                   FROM read_parquet('{SF}/documents.parquet')),
+        s AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS nd
+              FROM t)
+        SELECT doc_id,
+               CASE WHEN nt BETWEEN 25 AND 120 AND nd*1000/nt >= 400
+                    THEN 1 ELSE -1 END,
+               nt - 25, 120 - nt, nd*1000//nt - 400 FROM s"""
+    ).fetchall()
+    nf = 4
+    w = [0] * nf
+    cand = []
+    for e in range(1, EPOCHS + 1):
+        upd = [0] * nf
+        for _, y, x1, x2, x3 in feats:
+            x = (1, x1, x2, x3)
+            if y * sum(w[j] * x[j] for j in range(nf)) <= 0:
+                for j in range(nf):
+                    upd[j] += y * x[j]
+        w = [w[j] + upd[j] for j in range(nf)]
+        err = sum(
+            1
+            for _, y, x1, x2, x3 in feats
+            if y * sum(w[j] * x for j, x in enumerate((1, x1, x2, x3))) <= 0
+        )
+        cand.append((err, e, list(w)))
+    err, epoch, w = min(cand)
+    got_w = (rows[0].w0, rows[0].w1, rows[0].w2, rows[0].w3)
+    assert got_w == tuple(w)
+    assert (rows[0].best_epoch, rows[0].train_errors) == (epoch, err)
+    margins = {
+        d: y * sum(w[j] * x for j, x in enumerate((1, x1, x2, x3)))
+        for d, y, x1, x2, x3 in feats
+    }
+    assert {r.doc_id: r.margin for r in rows} == margins
