@@ -119,13 +119,17 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "udaf_geometric_mean",
     "udtf_text_chunks",
-    # -- r4 rotation picks (oldest remaining rows) --
+    # -- new in the round-8 continuation session (never driver-checked;
+    #    each verified green at sf0.001/0.01/0.1 via check_parity before
+    #    shipping) — these take the tail slots the r4 rotation picks held;
+    #    the r4 set (a10..a16, 41 rows) leads the ROUND-9 rotation --
+    "text_bm25_topk",
+    "retrieval_rrf_hybrid",
+    "warehouse_compact_small_files",
+    "sink_orc_partitioned_roundtrip",
+    "ml_perceptron_quality_distill",
+    # -- r4 rotation pick (oldest remaining row) --
     "a10_cube_returnflag_status",
-    "a11_median_mode",
-    "a12_pivot_multi_agg",
-    "a14_filtered_agg",
-    "a15_zscore_outliers",
-    "a16_value_histogram",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its
