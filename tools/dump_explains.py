@@ -104,6 +104,12 @@ QUERIES = [
     "similarity_ivf_persisted",
     "similarity_ivf_persisted_delete",
     "privacy_dp_lang_counts",
+    # round 8 continuation
+    "text_bm25_topk",
+    "retrieval_rrf_hybrid",
+    "warehouse_compact_small_files",
+    "sink_orc_partitioned_roundtrip",
+    "ml_perceptron_quality_distill",
     # TPC-H family
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
