@@ -88,6 +88,16 @@ HEADLINE = [
     # times fn()+sink together.
     "multimodal_png_pixel_roundtrip",
     "multimodal_jpeg_entropy_roundtrip",
+    # round-8 continuation: the retrieval pair (BM25 lexical + RRF hybrid
+    # fusion) joins the headline. ml_perceptron_quality_distill,
+    # warehouse_compact_small_files and sink_orc_partitioned_roundtrip are
+    # NOT here for the snapshot_time_travel reason: their work (training
+    # epochs / commits / fixture writes) runs eagerly inside fn(), before
+    # the timer — a headline number would report only the final projection
+    # (measured 0.09 s vs the honest 3.3 s incl. training). Their honest
+    # end-to-end timings live in SCALING.md (tools/growth_measure_r8b.py).
+    "text_bm25_topk",
+    "retrieval_rrf_hybrid",
 ]
 
 

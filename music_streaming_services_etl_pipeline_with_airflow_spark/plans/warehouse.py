@@ -551,3 +551,59 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(pm_after["dirs"])).cast("long").alias("dirs_after"),
         F.lit(large_dir in pm_after["dirs"]).alias("large_carried_by_ref"),
     )
+
+
+@register(
+    "warehouse_zonemap_skipping",
+    """WITH q AS (SELECT MAX(o_orderkey) // 4 AS q FROM orders)
+       SELECT o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+              CAST(1 AS BIGINT) AS dirs_scanned,
+              CAST(4 AS BIGINT) AS dirs_total
+       FROM orders CROSS JOIN q
+       WHERE o_orderkey BETWEEN 2 * q.q AND 3 * q.q - 1
+       GROUP BY o_orderstatus""",
+    doc="DATA SKIPPING via manifest zone maps (snapshots.read_pruned — the "
+    "Delta/Iceberg min-max file-skipping play at dir granularity): orders "
+    "lands in 4 RANGE-CLUSTERED ingest batches (o_orderkey quartile "
+    "bands), each commit recording its dir's [min, max] key in the "
+    "manifest (parquet-footer-cheap, O(manifest) bytes); a range query "
+    "strictly inside band 2 then opens EXACTLY ONE of the 4 dirs — the "
+    "other three are skipped from the manifest alone, no file I/O. The "
+    "oracle recomputes the aggregate from the base table under the same "
+    "range predicate and pins dirs_scanned=1 / dirs_total=4 as contract "
+    "columns. Zone maps stay valid under delete/compact because data dirs "
+    "are immutable (carried per-dir, dropped with the dir). At 100 TB "
+    "with time-ordered ingest this is the difference between scanning a "
+    "day and scanning the table.",
+)
+def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    t = SnapshotTable(fresh_work_dir("zonemap_skip") + "/orders_ranged")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    qsize = orders.agg(F.expr("MAX(o_orderkey) div 4")).first()[0]
+    band = F.least(F.expr(f"o_orderkey div {qsize}"), F.lit(3))
+    t.commit(
+        orders.filter(band == 0), mode="overwrite", stats_cols=["o_orderkey"]
+    )
+    for b in (1, 2, 3):
+        t.commit(
+            orders.filter(band == b), mode="append", stats_cols=["o_orderkey"]
+        )
+    lo, hi = 2 * qsize, 3 * qsize - 1
+    pruned, n_scanned, n_total = t.read_pruned(spark, "o_orderkey", lo, hi)
+    return (
+        pruned.filter(F.col("o_orderkey").between(lo, hi))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.lit(n_scanned).cast("long").alias("dirs_scanned"),
+            F.lit(n_total).cast("long").alias("dirs_total"),
+        )
+    )

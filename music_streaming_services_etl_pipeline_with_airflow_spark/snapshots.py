@@ -72,6 +72,7 @@ RESERVED_MANIFEST_KEYS = frozenset(
         "schema",
         "mixed_schemas",
         "restored_from",
+        "zonemaps",
     }
 )
 
@@ -156,7 +157,70 @@ class SnapshotTable:
             data_dir = f"{self.path}/data/v{version:06d}-r{attempt}"
         return data_dir
 
-    def commit(self, df: DataFrame, mode: str = "overwrite") -> int:
+    @staticmethod
+    def _zm_value(v):
+        """JSON-safe zone-map bound: native for primitives, ISO-ish str()
+        otherwise (dates/timestamps compare correctly lexicographically)."""
+        return v if isinstance(v, (int, float, str, bool)) else str(v)
+
+    @staticmethod
+    def _carry_zonemaps(pm: dict, dirs: list[str]) -> dict:
+        """Zone-map entries that survive into a child manifest: data dirs
+        are IMMUTABLE once written (every write path uses mode="error" on
+        a fresh dir), so a parent's per-dir min/max stays valid for every
+        dir the child still references; entries for dropped dirs are
+        discarded, rewritten dirs simply have no entry (read_pruned scans
+        them conservatively)."""
+        zm = pm.get("zonemaps") or {}
+        live = set(dirs)
+        return {d: m for d, m in zm.items() if d in live}
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo,
+        hi,
+        version: int | None = None,
+    ):
+        """DATA-SKIPPING read: scan only the data dirs whose recorded
+        [min, max] zone map for ``col`` intersects [lo, hi] — the
+        Delta/Iceberg file-skipping play at dir granularity, O(manifest)
+        driver work, no data touched for skipped dirs. Dirs with no
+        recorded stats are scanned conservatively. Returns
+        ``(df, n_scanned, n_total)``; the caller still applies the actual
+        predicate (zone maps are conservative, not exact)."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise ValueError(f"{self.path}: no committed versions")
+        m = self._manifest(v)
+        zm = m.get("zonemaps") or {}
+        keep = []
+        for d in m["dirs"]:
+            ent = zm.get(d, {}).get(col)
+            if ent is None or not (ent[1] < lo or ent[0] > hi):
+                keep.append(d)
+        if not keep:
+            from pyspark.sql.types import StructType
+
+            if not m.get("schema"):
+                raise ValueError(
+                    f"{self.path} v{v}: fully pruned read with no recorded "
+                    "schema to type the empty relation"
+                )
+            empty = spark.createDataFrame([], StructType.fromJson(m["schema"]))
+            return empty, 0, len(m["dirs"])
+        reader = spark.read
+        if m.get("mixed_schemas"):
+            reader = reader.option("mergeSchema", True)
+        return reader.parquet(*keep), len(keep), len(m["dirs"])
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Write df as the next version. ``overwrite`` replaces the visible
         file set; ``append`` extends the parent's. Returns the new version.
         The data write happens BEFORE the manifest publish — a failure in
@@ -187,22 +251,45 @@ class SnapshotTable:
         df.write.mode("error").parquet(data_dir)
         dirs = [data_dir]
         mixed = False
+        zonemaps: dict = {}
         if mode == "append" and parent > 0:
             pm = self._manifest(parent)
             dirs = pm["dirs"] + dirs
             mixed = pm.get("mixed_schemas", False) or (
                 "schema" in pm and pm["schema"] != df.schema.jsonValue()
             )
-        self._write_manifest(
-            {
-                "version": version,
-                "parent": parent,
-                "mode": mode,
-                "dirs": dirs,
-                "schema": df.schema.jsonValue(),
-                "mixed_schemas": mixed,
+            zonemaps = self._carry_zonemaps(pm, dirs)
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            # stats describe the WRITTEN dir, so compute from a read-back
+            # of it (parquet footer min/max make this metadata-cheap), not
+            # from `df`, whose re-evaluation is not guaranteed to produce
+            # the same rows twice
+            spark = df.sparkSession
+            row = spark.read.parquet(data_dir).agg(
+                *[F.min(c).alias(f"_lo_{c}") for c in stats_cols],
+                *[F.max(c).alias(f"_hi_{c}") for c in stats_cols],
+            ).first()
+            zonemaps[data_dir] = {
+                c: [
+                    self._zm_value(row[f"_lo_{c}"]),
+                    self._zm_value(row[f"_hi_{c}"]),
+                ]
+                for c in stats_cols
+                if row[f"_lo_{c}"] is not None
             }
-        )
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": mode,
+            "dirs": dirs,
+            "schema": df.schema.jsonValue(),
+            "mixed_schemas": mixed,
+        }
+        if zonemaps:
+            manifest["zonemaps"] = zonemaps
+        self._write_manifest(manifest)
         return version
 
     def merge(
@@ -547,6 +634,9 @@ class SnapshotTable:
                     "parent": parent,
                     "mode": "delete",
                     "dirs": sorted(d for ds in buckets.values() for d in ds),
+                    "zonemaps": self._carry_zonemaps(
+                        pm, sorted(d for ds in buckets.values() for d in ds)
+                    ),
                     "buckets": buckets,
                     "n_buckets": pm.get("n_buckets"),
                     "schema": pm.get("schema"),
@@ -580,6 +670,9 @@ class SnapshotTable:
                 "parent": parent,
                 "mode": "delete",
                 "dirs": dirs,
+                # dirs are immutable, so surviving dirs keep their zone
+                # maps; the rewrite dir simply has no entry (conservative)
+                "zonemaps": self._carry_zonemaps(pm, dirs),
                 "schema": pm.get("schema"),
                 # the rewrite may have unified the touched dirs, but any
                 # untouched pre-evolution dir still carries its old schema
@@ -611,6 +704,7 @@ class SnapshotTable:
             "mode": "restore",
             "restored_from": version,
             "dirs": list(tm["dirs"]),
+            "zonemaps": self._carry_zonemaps(tm, list(tm["dirs"])),
             "schema": tm.get("schema"),
             "mixed_schemas": tm.get("mixed_schemas", False),
         }
@@ -707,6 +801,9 @@ class SnapshotTable:
                 "parent": parent,
                 "mode": "compact",
                 "dirs": [d for d in pm["dirs"] if d not in small] + [nd],
+                "zonemaps": self._carry_zonemaps(
+                    pm, [d for d in pm["dirs"] if d not in small]
+                ),
                 "schema": pm.get("schema"),
                 # untouched large pre-evolution dirs may still carry their
                 # old schema — the fold does not un-mix the lineage

@@ -941,3 +941,53 @@ def test_compact_small_bucketed_refuses_and_mixed_schema_folds(spark, tmp_path):
     v3 = t.compact_small(spark, small_bytes=1 << 30)  # fold everything
     got = sorted((r.id, r.tag) for r in t.read(spark, v3).collect())
     assert got == [(0, None), (1, None), (2, None), (3, "x"), (4, "x"), (5, "x")]
+
+
+def test_zonemap_pruning_lifecycle(spark, tmp_path):
+    """Zone maps: stats-bearing commits record per-dir [min, max]; a
+    range read opens only intersecting dirs; a fully-out-of-range read
+    opens zero dirs yet stays correctly typed; dirs WITHOUT stats are
+    scanned conservatively; delete_where keeps surviving dirs' maps
+    (immutability) and the rewrite dir is conservative; compact_small
+    carries maps for by-reference dirs."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "zm"))
+    mk = lambda a, b: spark.range(a, b).select(F.col("id").alias("k"))  # noqa: E731
+    t.commit(mk(0, 100), stats_cols=["k"])
+    t.commit(mk(100, 200), mode="append", stats_cols=["k"])
+    t.commit(mk(200, 300), mode="append")  # no stats: conservative dir
+    df, scanned, total = t.read_pruned(spark, "k", 120, 130)
+    # the [100,199] dir intersects; the statless dir is always scanned
+    assert (scanned, total) == (2, 3)
+    assert sorted(r.k for r in df.filter(F.col("k").between(120, 130)).collect()) == list(range(120, 131))
+    # fully out of range: only the statless dir
+    df, scanned, total = t.read_pruned(spark, "k", 5000, 6000)
+    assert (scanned, total) == (1, 3)
+    # delete inside the first band: its dir is rewritten (loses stats ->
+    # conservative), the second band's map survives by immutability
+    t.delete_where(spark, "k < 10")
+    df, scanned, total = t.read_pruned(spark, "k", 120, 130)
+    assert total == 3 and scanned == 3  # rewrite dir + statless + hit
+    m = t._manifest(t.latest_version())
+    survived = [zm for d, zm in m["zonemaps"].items() if d in m["dirs"]]
+    assert survived == [{"k": [100, 199]}]
+    assert sorted(r.k for r in df.filter(F.col("k").between(120, 130)).collect()) == list(range(120, 131))
+    # compact_small folds the small dirs; the map dict stays consistent
+    # (folded dirs' entries dropped, no dangling keys for live dirs)
+    v = t.compact_small(spark, small_bytes=1 << 30)
+    m2 = t._manifest(v)
+    assert set(m2.get("zonemaps", {})) <= set(m2["dirs"])
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(10, 300))
+
+
+def test_zonemap_empty_prune_returns_typed_empty(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "zm2"))
+    t.commit(
+        spark.range(0, 10).select(F.col("id").alias("k")), stats_cols=["k"]
+    )
+    df, scanned, total = t.read_pruned(spark, "k", 100, 200)
+    assert (scanned, total) == (0, 1)
+    assert df.columns == ["k"] and df.count() == 0
