@@ -132,3 +132,48 @@ def q_dq_refint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.select("fk", "n_orphans", (F.col("n_orphans") == 0).alias("passed"))
+
+
+SKEW_TOPN = 10
+SKEW_PERMILLE = 5  # a key carrying >= 5 per-mille of the fact rows is hot
+
+
+@register(
+    "dq_join_skew_report",
+    f"""WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+k AS (SELECT l_partkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey)
+SELECT key, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000 // n.n_rows AS BIGINT) AS share_permille,
+       cnt * 1000 >= {SKEW_PERMILLE} * n.n_rows AS is_hot,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rank
+      FROM k) CROSS JOIN n
+WHERE rank <= {SKEW_TOPN}""",
+    doc=f"Join-skew PRE-FLIGHT report: the top-{SKEW_TOPN} heaviest join "
+    "keys of the fact table with row counts, per-mille share and a "
+    f"hot-key flag (>= {SKEW_PERMILLE} per-mille) — the diagnostic that "
+    "decides between a plain shuffle join, AQE skew splitting, and "
+    "explicit salting (functions/skew.salted_join) BEFORE the join runs. "
+    "Plan: one map-side-combined count per key, then a global top-k "
+    "(TakeOrderedAndProject — per-partition heaps, no full sort); share "
+    "arithmetic is integer per-mille, engine-exact. At 100 TB the "
+    "per-key counts are exactly the aggregate the join's shuffle would "
+    "build anyway — this surfaces the histogram for pennies first.",
+)
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n_rows = li.count()
+    k = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    top = k.orderBy(F.desc("cnt"), F.asc("key")).limit(SKEW_TOPN)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "key",
+        F.col("cnt").cast("long"),
+        F.expr(f"cnt * 1000 div {n_rows}").cast("long").alias("share_permille"),
+        (F.col("cnt") * 1000 >= F.lit(SKEW_PERMILLE * n_rows)).alias("is_hot"),
+        F.col("rank").cast("long"),
+    )

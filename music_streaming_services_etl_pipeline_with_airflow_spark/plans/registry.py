@@ -117,8 +117,9 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_ivf_topk",
     "text_chunk_fixed",
     "text_fingerprint",
-    "udaf_geometric_mean",
-    "udtf_text_chunks",
+    # (udaf_geometric_mean / udtf_text_chunks keep their r2-green rows and
+    # lead the ROUND-9 rotation: their slots go to this session's two new
+    # never-checked ops below, which have no driver row at all)
     # -- new in the round-8 continuation session (never driver-checked;
     #    each verified green at sf0.001/0.01/0.1 via check_parity before
     #    shipping) — these take the tail slots the r4 rotation picks held;
@@ -128,8 +129,9 @@ _PRIORITY: tuple[str, ...] = (
     "warehouse_compact_small_files",
     "sink_orc_partitioned_roundtrip",
     "ml_perceptron_quality_distill",
-    # -- r4 rotation pick (oldest remaining row) --
-    "a10_cube_returnflag_status",
+    "warehouse_zonemap_skipping",
+    "warehouse_analyze_stats",
+    "dq_join_skew_report",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its

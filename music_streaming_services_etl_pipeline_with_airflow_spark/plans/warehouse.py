@@ -607,3 +607,75 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_total).cast("long").alias("dirs_total"),
         )
     )
+
+
+_STATS_COLS = [
+    # (name, min/max expression both engines evaluate identically)
+    ("l_orderkey", "CAST({c} AS VARCHAR)"),
+    ("l_partkey", "CAST({c} AS VARCHAR)"),
+    ("l_returnflag", "{c}"),
+    ("l_shipdate", "CAST(CAST({c} AS DATE) AS VARCHAR)"),
+]
+
+
+def _analyze_oracle() -> str:
+    parts = []
+    for c, fmt in _STATS_COLS:
+        lo, hi = fmt.format(c=f"MIN({c})"), fmt.format(c=f"MAX({c})")
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+            f"{lo} AS min_val, {hi} AS max_val FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "warehouse_analyze_stats",
+    _analyze_oracle(),
+    doc="ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS — the "
+    "optimizer-stats collection job every warehouse schedules: one pass "
+    "over the fact table computing rowcount, exact NDV, null count and "
+    "min/max per tracked column (the inputs to CBO join reordering, "
+    "broadcast decisions and zone-map construction). Plan: a SINGLE scan "
+    "with all per-column aggregates fused in one hash-agg (count-distincts "
+    "expand per column, map-side partials throughout); min/max of the "
+    "timestamp column is released as its DATE string so the cross-engine "
+    "formatting is bit-identical. At 100 TB this runs as one pass, not "
+    "one pass per column; approximate twins (HLL ndv) live in the sketch "
+    "family for when exactness stops paying.",
+)
+def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("_n")]
+    for c, _ in _STATS_COLS:
+        aggs += [
+            F.countDistinct(c).alias(f"_ndv_{c}"),
+            F.count(c).alias(f"_nn_{c}"),
+            F.min(c).alias(f"_lo_{c}"),
+            F.max(c).alias(f"_hi_{c}"),
+        ]
+    row = li.agg(*aggs)
+
+    def fmt(prefix: str, c: str, fmt_s: str):
+        col = F.col(f"{prefix}{c}")
+        if "DATE" in fmt_s:
+            return col.cast("date").cast("string")
+        return col.cast("string")
+
+    stacks = []
+    for c, fmt_s in _STATS_COLS:
+        stacks.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_ndv_{c}").cast("long").alias("ndv"),
+                (F.col("_n") - F.col(f"_nn_{c}")).cast("long").alias("n_nulls"),
+                fmt("_lo_", c, fmt_s).alias("min_val"),
+                fmt("_hi_", c, fmt_s).alias("max_val"),
+            )
+        )
+    return row.select(
+        F.explode(F.array(*stacks)).alias("s")
+    ).select("s.col_name", "s.n_rows", "s.ndv", "s.n_nulls", "s.min_val", "s.max_val")
