@@ -1515,3 +1515,125 @@ def pii_redact_frame(docs: DataFrame) -> DataFrame:
             & (F.regexp_count(F.col("redacted"), F.lit(PII_IP_RE)) == 0),
         )
     )
+
+
+CHUNK_WIN = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_overlap",
+    f"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(LEAST({CHUNK_WIN}, len(toks) - chunk_idx * {CHUNK_STRIDE})
+            AS BIGINT) AS n_tokens,
+       array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+                            chunk_idx * {CHUNK_STRIDE} + {CHUNK_WIN}], ' ')
+           AS chunk_text
+FROM t, unnest(generate_series(0, (len(toks) - 1) // {CHUNK_STRIDE})) AS u(chunk_idx)""",
+    doc=f"RAG-style OVERLAPPING context chunking: {CHUNK_WIN}-token windows "
+    f"every {CHUNK_STRIDE} tokens ({CHUNK_WIN - CHUNK_STRIDE}-token overlap "
+    "between consecutive chunks, so no retrieval-relevant span is ever "
+    "split across a boundary without appearing whole in a neighbor — the "
+    "standard retrieval-index preparation the fixed-grid chunker cannot "
+    "express). Same explode shape as text_chunk_fixed: pure array "
+    "arithmetic, partition-parallel, no shuffle.",
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = ((F.size(toks) - 1) / CHUNK_STRIDE).cast("long")
+    exploded = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.least(F.lit(CHUNK_WIN), F.size("toks") - start)
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(F.slice("toks", start + 1, CHUNK_WIN), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+CURRICULUM_PHASES = 4
+
+
+@register(
+    "corpus_curriculum_phases",
+    f"""WITH s AS (
+    SELECT doc_id,
+           CAST(len(list_distinct(string_split(text, ' '))) * 1000 //
+                len(string_split(text, ' ')) AS BIGINT) AS diversity_permille
+    FROM documents
+),
+b AS (
+    SELECT CAST(FLOOR(1000 * quantile_cont(CAST(diversity_permille AS DOUBLE),
+                                           0.25)) AS BIGINT) AS p25,
+           CAST(FLOOR(1000 * quantile_cont(CAST(diversity_permille AS DOUBLE),
+                                           0.50)) AS BIGINT) AS p50,
+           CAST(FLOOR(1000 * quantile_cont(CAST(diversity_permille AS DOUBLE),
+                                           0.75)) AS BIGINT) AS p75
+    FROM s
+)
+SELECT doc_id, diversity_permille,
+       CAST(CASE WHEN diversity_permille * 1000 <= b.p25 THEN 1
+                 WHEN diversity_permille * 1000 <= b.p50 THEN 2
+                 WHEN diversity_permille * 1000 <= b.p75 THEN 3
+                 ELSE 4 END AS BIGINT) AS phase
+FROM s CROSS JOIN b""",
+    doc=f"Curriculum construction: split the corpus into "
+    f"{CURRICULUM_PHASES} training phases by exact quartiles of a quality "
+    "signal (lexical-diversity per-mille — integer, so the quantile "
+    "interpolation is deterministic and the milli-floored boundaries are "
+    "engine-exact). VALUE-threshold bucketing, not NTILE: a global "
+    "row-number would total-sort the corpus on one reducer, while the "
+    "boundary trio is one aggregate broadcast back into a map-side CASE — "
+    "the shape that survives 100 TB. Ties share a phase by design (equal "
+    "quality must not straddle a curriculum boundary).",
+)
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    s = docs.select(
+        "doc_id",
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000 div "
+            "size(split(text, ' '))"
+        )
+        .cast("long")
+        .alias("diversity_permille"),
+    )
+    b = s.agg(
+        *[
+            F.floor(
+                1000
+                * F.expr(
+                    f"percentile(CAST(diversity_permille AS DOUBLE), {q})"
+                )
+            )
+            .cast("long")
+            .alias(n)
+            for n, q in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75))
+        ]
+    )
+    s = s.crossJoin(F.broadcast(b))
+    d1000 = F.col("diversity_permille") * 1000
+    return s.select(
+        "doc_id",
+        "diversity_permille",
+        F.when(d1000 <= F.col("p25"), F.lit(1))
+        .when(d1000 <= F.col("p50"), F.lit(2))
+        .when(d1000 <= F.col("p75"), F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("long")
+        .alias("phase"),
+    )

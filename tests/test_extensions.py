@@ -2316,3 +2316,52 @@ def test_perceptron_distill_learns_and_replays(spark):
         for d, y, x1, x2, x3 in feats
     }
     assert {r.doc_id: r.margin for r in rows} == margins
+
+
+def test_chunk_overlap_covers_and_overlaps(spark, tmp_path):
+    """Overlapping chunker: every token position is covered; consecutive
+    full chunks share exactly WIN-STRIDE tokens; reassembling each chunk
+    from the source tokens reproduces chunk_text byte-for-byte."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        CHUNK_STRIDE,
+        CHUNK_WIN,
+        q_chunk_overlap,
+    )
+
+    text = " ".join(f"w{i}" for i in range(80))
+    sf = _write_docs(tmp_path, [1], [text])
+    rows = sorted(q_chunk_overlap(spark, sf).collect(), key=lambda r: r.chunk_idx)
+    toks = text.split(" ")
+    covered = set()
+    for r in rows:
+        expect = toks[r.start_tok : r.start_tok + CHUNK_WIN]
+        assert r.chunk_text == " ".join(expect)
+        assert r.n_tokens == len(expect)
+        covered.update(range(r.start_tok, r.start_tok + r.n_tokens))
+    assert covered == set(range(len(toks)))
+    for a, b in zip(rows, rows[1:]):
+        if a.n_tokens == CHUNK_WIN:
+            assert a.start_tok + CHUNK_WIN - b.start_tok == CHUNK_WIN - CHUNK_STRIDE
+
+
+def test_curriculum_phases_partition_by_quality(spark):
+    """Curriculum phases: every phase non-empty, phase is monotone in the
+    quality signal (no doc in a later phase has lower diversity than any
+    doc in an earlier phase), and ties never straddle a boundary."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.ml import (  # noqa: F401
+        EPOCHS,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.text import (
+        q_curriculum_phases,
+    )
+
+    rows = q_curriculum_phases(spark, SF).collect()
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r.diversity_permille)
+    assert set(by_phase) == {1, 2, 3, 4}
+    for p in (1, 2, 3):
+        assert max(by_phase[p]) <= min(by_phase[p + 1])
+    div_to_phase = {}
+    for r in rows:
+        assert div_to_phase.setdefault(r.diversity_permille, r.phase) == r.phase
