@@ -96,6 +96,9 @@ f AS (
 )""".format(rule=RULE_SQL)
 
 
+PERCEPTRON_ORACLE: str  # assigned below, shared verbatim by the streaming twin
+
+
 def _perceptron_oracle() -> str:
     """Replay the full pocket-perceptron run in SQL: w^0 = 0; each epoch e
     sums y*x over rows misclassified under w^(e-1) (margin <= 0) into the
@@ -163,20 +166,31 @@ SELECT f.doc_id, f.y,
     doc=f"Distributed classifier TRAINING, exactly hash-checkable: a "
     f"pocket perceptron ({EPOCHS} epochs) distills the rule-based quality "
     "gate (length band + lexical-diversity floor) into a linear model "
-    "over cheap integer stats — the fastText-quality-filter shape. Every "
-    "epoch is one corpus scan producing a map-side-combined integer "
-    "update-sum + error-count aggregate the driver folds into the "
-    "broadcast weights; the pocket pick keeps the (errors, epoch)-argmin "
-    "epoch. Because margins, masks, updates, error counts and weights are "
-    "ALL BIGINT, the oracle replays the complete training run as chained "
-    "SQL CTEs — including the pocket argmin — and the final weights + "
-    "per-document margins/predictions must match bit-for-bit: a full "
-    "value-hash check of distributed ML training, not just a contract "
-    "audit. Learned accuracy beats the majority baseline "
+    "over rule-aligned integer margin features — the fastText-quality-"
+    "filter shape. Every epoch is one corpus scan producing a map-side-"
+    "combined integer update-sum + error-count aggregate the driver folds "
+    "into the broadcast weights; the pocket pick keeps the (errors, "
+    "epoch)-argmin epoch. Because margins, masks, updates, error counts "
+    "and weights are ALL BIGINT, the oracle replays the complete training "
+    "run as chained SQL CTEs — including the pocket argmin — and the "
+    "final weights + per-document margins/predictions must match "
+    "bit-for-bit: a full value-hash check of distributed ML training, not "
+    "just a contract audit. Learned accuracy beats the majority baseline "
     "(pytest-pinned); the gate is an AND of two linear conditions, so "
     "exact agreement is not expected, approximation is.",
 )
 def q_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, epoch, err = train_perceptron(spark, sf_dir)
+    return score_frame(
+        _features(load_table(spark, sf_dir, "documents")), w, epoch, err
+    )
+
+
+def train_perceptron(spark: SparkSession, sf_dir: str):
+    """The distributed training loop: EPOCHS x (one corpus scan -> one
+    map-side integer aggregate folded into driver-held weights), pocket
+    pick by (errors, epoch). Returns (weights, best_epoch, train_errors)
+    — bytes of driver state, broadcast back into scoring as literals."""
     nf = len(_FEATS)
     feats = _features(load_table(spark, sf_dir, "documents")).persist()
     try:
@@ -197,19 +211,32 @@ def q_perceptron_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             wx = sum(F.lit(w[j]) * F.col(c) for j, c in enumerate(_FEATS))
             err = feats.filter(F.col("y") * wx <= 0).count()
             cand.append((err, e, list(w)))
-        err, epoch, w = min(cand)
-        wx = sum(F.lit(w[j]) * F.col(c) for j, c in enumerate(_FEATS))
-        return feats.select(
-            "doc_id",
-            "y",
-            (F.col("y") * wx).cast("long").alias("margin"),
-            F.when(wx > 0, F.lit(1)).otherwise(F.lit(-1))
-            .cast("long")
-            .alias("predicted"),
-            (F.col("y") * wx > 0).alias("correct"),
-            F.lit(epoch).cast("long").alias("best_epoch"),
-            F.lit(err).cast("long").alias("train_errors"),
-            *[F.lit(w[j]).cast("long").alias(f"w{j}") for j in range(nf)],
-        )
+        return min(cand)[2], min(cand)[1], min(cand)[0]
     finally:
         feats.unpersist()
+
+
+def score_frame(
+    feats: DataFrame, w: list[int], epoch: int, err: int
+) -> DataFrame:
+    """Score a feature frame (batch OR streaming — a stateless narrow
+    projection) with frozen weights. The train-offline / score-online
+    split: the model rides along as literals, so the same expression
+    serves a 100 TB batch scan and a micro-batched stream identically."""
+    nf = len(_FEATS)
+    wx = sum(F.lit(w[j]) * F.col(c) for j, c in enumerate(_FEATS))
+    return feats.select(
+        "doc_id",
+        "y",
+        (F.col("y") * wx).cast("long").alias("margin"),
+        F.when(wx > 0, F.lit(1)).otherwise(F.lit(-1))
+        .cast("long")
+        .alias("predicted"),
+        (F.col("y") * wx > 0).alias("correct"),
+        F.lit(epoch).cast("long").alias("best_epoch"),
+        F.lit(err).cast("long").alias("train_errors"),
+        *[F.lit(w[j]).cast("long").alias(f"w{j}") for j in range(nf)],
+    )
+
+
+PERCEPTRON_ORACLE = _perceptron_oracle()

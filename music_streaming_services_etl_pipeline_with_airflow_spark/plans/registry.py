@@ -65,12 +65,15 @@ _PRIORITY: tuple[str, ...] = (
     #   2  late-r7 sketch conversions (sketch_theta_user_overlap,
     #      sketch_heavy_hitters_topk);
     #   5  never-driver-checked r7 oracle additions;
-    #   20 r2-stale (completes the VERDICT r7 #1 ask: after this round no
-    #      oracle query's latest driver row predates r4);
-    #   6 oldest r4 rotation picks (alphabetical head of that set; the
-    #      remaining 35 r4 rows lead the ROUND-9 head).
-    # All re-verified locally via tools/check_parity.py at sf0.01 (exact
-    # value equality) before shipping this head.
+    #   15 r2-stale (the continuation session below re-spent 5 of the 20
+    #      planned refresh slots — plus all 6 r4 rotation slots — on its
+    #      11 NEW never-checked ops: a first row beats a freshness
+    #      refresh; the 5 deferred r2 refreshes + the r4 set lead the
+    #      ROUND-9 head);
+    #   11 round-8-continuation new ops (the tail below).
+    # All re-verified locally via tools/check_parity.py (exact value
+    # equality; the new ops at sf0.001 AND 0.01 AND 0.1) before shipping
+    # this head.
     # -- new/changed/converted in round 8 --
     "text_pii_redact",  # NEW operator (r8): PII injection + redaction
     "streaming_pii_scrub",  # NEW (r8): streaming twin, same oracle string
@@ -110,16 +113,15 @@ _PRIORITY: tuple[str, ...] = (
     "pack_sequences_greedy",
     "pack_sequences_hierarchical",
     "retention_weekly_cohorts",
-    "sample_class_balanced",
-    "sample_hash_bucket",
     "sample_train_val_test_split",
     "similarity_ivf_multiprobe",
     "similarity_ivf_topk",
     "text_chunk_fixed",
-    "text_fingerprint",
-    # (udaf_geometric_mean / udtf_text_chunks keep their r2-green rows and
-    # lead the ROUND-9 rotation: their slots go to this session's two new
-    # never-checked ops below, which have no driver row at all)
+    # (udaf_geometric_mean, udtf_text_chunks, text_fingerprint,
+    # sample_hash_bucket and sample_class_balanced keep their r2-green
+    # rows and lead the ROUND-9 rotation: their five slots go to this
+    # session's never-checked new ops below, which have no driver row at
+    # all — a first row beats a freshness refresh)
     # -- new in the round-8 continuation session (never driver-checked;
     #    each verified green at sf0.001/0.01/0.1 via check_parity before
     #    shipping) — these take the tail slots the r4 rotation picks held;
@@ -132,6 +134,9 @@ _PRIORITY: tuple[str, ...] = (
     "warehouse_zonemap_skipping",
     "warehouse_analyze_stats",
     "dq_join_skew_report",
+    "text_chunk_overlap",
+    "corpus_curriculum_phases",
+    "streaming_model_scoring",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its

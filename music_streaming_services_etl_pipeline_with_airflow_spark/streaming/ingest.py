@@ -493,3 +493,51 @@ def q_streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "doc_id", "n_emails", "n_phones", "n_ips", "redacted", "pii_clean"
     )
+
+
+from ..operators.ml import PERCEPTRON_ORACLE as _ML_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_model_scoring",
+    # identical oracle to ml_perceptron_quality_distill: scoring with
+    # frozen weights is a stateless map with ONE correct answer regardless
+    # of micro-batching, and training on the static table produces the
+    # same weights the batch query trains (importing keeps them in sync)
+    _ML_ORACLE,
+    doc="TRAIN-OFFLINE / SCORE-ONLINE: the pocket perceptron trains on the "
+    "static documents table (the batch loop from ml_perceptron_quality_"
+    "distill), then its frozen integer weights score the documents "
+    "drop-folder STREAM (4 staged files, maxFilesPerTrigger=1 ⇒ 4 "
+    "micro-batches) as a stateless narrow projection into an exactly-once "
+    "parquet sink. The oracle is the batch query's verbatim — the model "
+    "rides as literals, so streaming==batch under any batching. This is "
+    "the deployment shape of every corpus-quality classifier: train on "
+    "yesterday's corpus, score today's ingest as it lands.",
+)
+def q_streaming_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ml import _features, score_frame, train_perceptron
+    from ..workdirs import fresh_work_dir
+
+    w, epoch, err = train_perceptron(spark, sf_dir)
+    d = stage_documents(sf_dir, "model_scoring")
+    work = fresh_work_dir("streaming_model_scoring")
+    out = os.path.join(work, "scored")
+    ckpt = os.path.join(work, "ckpt")
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        score_frame(_features(src), w, epoch, err)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
