@@ -110,6 +110,14 @@ QUERIES = [
     "warehouse_compact_small_files",
     "sink_orc_partitioned_roundtrip",
     "ml_perceptron_quality_distill",
+    "warehouse_zonemap_skipping",
+    "warehouse_analyze_stats",
+    "dq_join_skew_report",
+    "text_chunk_overlap",
+    "corpus_curriculum_phases",
+    # (streaming_model_scoring: foreachBatch-free writeStream — its
+    # per-batch frame is exactly ml_perceptron_quality_distill's scoring
+    # projection above; writeStream plans are not .explain()-able)
     # TPC-H family
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
