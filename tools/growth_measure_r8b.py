@@ -47,6 +47,13 @@ QUERIES = [
     "similarity_ivf_persisted",
     "privacy_dp_lang_counts",
     "privacy_k_anonymity",
+    # second wave of the continuation session
+    "warehouse_zonemap_skipping",
+    "warehouse_analyze_stats",
+    "dq_join_skew_report",
+    "text_chunk_overlap",
+    "corpus_curriculum_phases",
+    "ml_perceptron_quality_distill",
 ]
 
 
