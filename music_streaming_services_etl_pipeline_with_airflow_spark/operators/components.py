@@ -312,19 +312,7 @@ def triangle_counts_from_baskets(li: DataFrame) -> DataFrame:
     tools/triangle_scale_measure.py can drive it with realistic-growth
     synthetic baskets (fresh keys, constant pair density) as well as the
     registered lineitem query."""
-    a = li.alias("a")
-    b = li.alias("b")
-    # undirected edge set, canonical (pa < pb by id), support-thresholded
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("_support"))
-        .filter(F.col("_support") >= _TRI_SUPPORT)
-        .select("pa", "pb")
-    )
+    edges = support_edges_from_baskets(li)
     deg = (
         edges.select(F.col("pa").alias("v"))
         .unionAll(edges.select(F.col("pb").alias("v")))
@@ -412,18 +400,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("_support"))
-        .filter(F.col("_support") >= _TRI_SUPPORT)
-        .select("pa", "pb")
-    )
+    edges = support_edges_from_baskets(li)
     sym = edges.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -508,6 +485,15 @@ def kcore(edges: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # H-index iteration needs O(graph diameter) rounds; falling off
+        # the cap returns UPPER BOUNDS, not coreness — fail loudly rather
+        # than hand non-converged values to the pytest pins and scale
+        # tools that bypass the registered fixpoint audit
+        raise RuntimeError(
+            f"kcore: no fixpoint after {KCORE_MAX_ROUNDS} rounds "
+            "(graph diameter exceeds the cap; raise KCORE_MAX_ROUNDS)"
+        )
     return core
 
 
@@ -536,12 +522,15 @@ def kcore(edges: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
     "set; exact coreness pinned in pytest vs independent peeling.",
 )
 def q_kcore_parts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _support_edges(spark, sf_dir)
+    # pin the heavy distinct+self-join edge relation: it feeds kcore()'s
+    # rounds AND the audit's deg/h branches (same play as the pagerank
+    # audit's localCheckpoint'ed `pairs`)
+    edges = _support_edges(spark, sf_dir).localCheckpoint(eager=True)
     core = kcore(edges)
     fwd = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     sym = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
@@ -580,6 +569,15 @@ def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    return support_edges_from_baskets(li)
+
+
+def support_edges_from_baskets(li: DataFrame) -> DataFrame:
+    """THE support-thresholded co-purchase edge relation (canonical
+    pa < pb, support >= _TRI_SUPPORT) from any (l_orderkey, l_partkey)
+    basket relation — the single builder behind the triangle pipeline,
+    the oriented-triangle query and the k-core family, so the support
+    rule can never drift between them (was three inline copies)."""
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(b, "l_orderkey")

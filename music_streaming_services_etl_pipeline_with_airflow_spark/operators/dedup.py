@@ -1337,10 +1337,16 @@ def q_dedup_semantic_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("va").alias("vec_id"))
         .agg(F.count("vb").alias("n_exact_nbrs"))
     )
-    # exact duplicate groups (clustering-independent)
-    grp = emb.withColumn("ck", F.md5(F.to_json(F.col("dv")))).select(
-        "vec_id", "ck"
-    )
+    # exact duplicate groups (clustering-independent). The key is a hash
+    # of the rendered array so only 32 bytes shuffle — but the oracle
+    # groups by VALUE equality (PARTITION BY embedding), under which IEEE
+    # -0.0 == +0.0 while their to_json renderings differ; normalize signed
+    # zeros (x + 0.0 maps -0.0 -> +0.0, identity elsewhere) so byte
+    # equality coincides with value equality
+    grp = emb.withColumn(
+        "ck",
+        F.md5(F.to_json(F.transform(F.col("dv"), lambda x: x + F.lit(0.0)))),
+    ).select("vec_id", "ck")
     grp = grp.join(
         grp.groupBy("ck").agg(F.min("vec_id").alias("exact_rep")), "ck"
     ).select("vec_id", "exact_rep")

@@ -163,6 +163,9 @@ def q_er_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_id",
     )
     sizes = labeled.groupBy("entity_id").agg(F.count("*").alias("n_mentions"))
-    return canon.join(F.broadcast(sizes), "entity_id").select(
+    # no broadcast hint: `sizes` is entity-sized (~one row per customer),
+    # so pinning it to the driver contradicts the scale contract — a plain
+    # key join lets Catalyst pick (and AQE re-pick) the strategy at any |R|
+    return canon.join(sizes, "entity_id").select(
         "mention_id", "name", "entity_id", "canonical_name", "n_mentions"
     )

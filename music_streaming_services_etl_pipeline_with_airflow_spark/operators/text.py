@@ -1602,7 +1602,6 @@ FROM s CROSS JOIN b""",
 )
 def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
     s = docs.select(
         "doc_id",
         F.expr(

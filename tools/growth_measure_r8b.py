@@ -39,7 +39,6 @@ ROOT = "/tmp/spark_engine_fresh_growth_r8b"
 QUERIES = [
     "text_bm25_topk",
     "retrieval_rrf_hybrid",
-    "ml_perceptron_quality_distill",
     "warehouse_compact_small_files",
     "sink_orc_partitioned_roundtrip",
     "er_resolve_customers",

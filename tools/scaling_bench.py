@@ -128,6 +128,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build(spark)
     specs = all_specs()
+    # Time the PRODUCT operators, not the r8 audit wrappers the registry
+    # serves for driver hashing (the bench.py bench_fn override, mirrored:
+    # the audits re-run the brute-force oracle / tokenize twice, which
+    # would inflate rows ~2-3x vs the r6/r7 SCALING entries they're
+    # compared against and read as a false scaling regression).
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.bpe import (
+        q_bpe_tokenize_corpus,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.components import (
+        q_pagerank_parts,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.similarity import (
+        q_topk_ivfpq,
+        q_topk_pq,
+    )
+
+    bench_fn = {
+        "similarity_pq_topk": q_topk_pq,
+        "similarity_ivfpq_topk": q_topk_ivfpq,
+        "graph_pagerank_parts": q_pagerank_parts,
+        "bpe_tokenize_corpus": q_bpe_tokenize_corpus,
+    }
+
+    def fn_of(name: str):
+        return bench_fn.get(name, specs[name].fn)
+
     queries = sys.argv[1:] or QUERIES
     spark.read.parquet(f"{OUT}/lineitem.parquet").count()  # warmup
     for label, d in [
@@ -140,7 +166,7 @@ def main() -> None:
             best = None
             for _ in range(2):
                 t0 = time.time()
-                specs[q].fn(spark, d).write.format("noop").mode("overwrite").save()
+                fn_of(q)(spark, d).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
             row[q] = round(best, 2)
