@@ -98,6 +98,7 @@ HEADLINE = [
     # end-to-end timings live in SCALING.md (tools/growth_measure_r8b.py).
     "text_bm25_topk",
     "retrieval_rrf_hybrid",
+    "retrieval_bm25_cosine_rerank",
 ]
 
 

@@ -327,3 +327,96 @@ def q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf_micro",
         F.col("rank").cast("long"),
     )
+
+
+# --- Two-stage retrieval: BM25 recall -> exact-cosine rerank ---
+
+RERANK_POOL = 50  # stage-1 lexical candidates per query
+RERANK_K = 10
+
+
+def _rerank_oracle() -> str:
+    from ..functions import vectors as V
+
+    return f"""
+WITH {_bm25_ctes()},
+lexpool AS (
+    SELECT query_id, doc_id, lex_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc_id ASC) AS lex_rank
+        FROM scored)
+    WHERE lex_rank <= {RERANK_POOL}
+),
+dq AS (SELECT vec_id + 1 AS query_id, embedding AS qv
+       FROM embeddings WHERE vec_id < {N_QUERIES}),
+rescored AS (
+    SELECT l.query_id, l.doc_id, CAST(l.lex_rank AS BIGINT) AS lex_rank,
+           {V.cosine_sql('q.qv', 'e.embedding')} AS cos
+    FROM lexpool l
+    JOIN embeddings e ON e.vec_id = l.doc_id
+    JOIN dq q ON q.query_id = l.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, lex_rank, cos,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, doc_id ASC) AS rank
+      FROM rescored)
+WHERE rank <= {RERANK_K}"""
+
+
+@register(
+    "retrieval_bm25_cosine_rerank",
+    _rerank_oracle(),
+    doc=f"Two-stage retrieval (the production RAG shape): BM25 recalls "
+    f"each query's top-{RERANK_POOL} lexical candidates, then the "
+    f"EXPENSIVE scorer — exact cosine against the query's anchor "
+    f"embedding — reranks ONLY that pool to the final top-{RERANK_K}. "
+    "The stage split is the whole point at scale: the cheap lexical "
+    "index bounds the candidate set, so the dense scorer touches "
+    f"{RERANK_POOL} vectors per query instead of the corpus (candidates "
+    "without an embedding drop at the inner id-join, documented). Plan: "
+    "the pool comes from the salted two-level sort-window; the "
+    "embedding join ships only pool ids; cosine is the bit-exact "
+    "sequential fold shared with the similarity family.",
+)
+def q_bm25_cosine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+
+    scored, _ = _bm25_scored(spark, sf_dir)
+    lexpool = (
+        _salted_topk(
+            scored.select("query_id", "doc_id", "score_milli"),
+            RERANK_POOL,
+            F.desc("score_milli"),
+            F.asc("doc_id"),
+            salt_on="doc_id",
+        )
+        .withColumnRenamed("rank", "lex_rank")
+        .drop("score_milli")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", V.to_double_array("embedding").alias("v")
+    )
+    dq = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        (F.col("vec_id") + 1).alias("query_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        lexpool.join(emb, lexpool.doc_id == emb.vec_id)
+        .join(F.broadcast(dq), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            V.cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    return _salted_topk(
+        rescored, RERANK_K, F.desc("cos"), F.asc("doc_id"), salt_on="doc_id"
+    ).select(
+        F.col("query_id").cast("long"),
+        "doc_id",
+        "lex_rank",
+        "cos",
+        F.col("rank").cast("long"),
+    )

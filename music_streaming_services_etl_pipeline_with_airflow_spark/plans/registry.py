@@ -116,12 +116,11 @@ _PRIORITY: tuple[str, ...] = (
     "sample_train_val_test_split",
     "similarity_ivf_multiprobe",
     "similarity_ivf_topk",
-    "text_chunk_fixed",
     # (udaf_geometric_mean, udtf_text_chunks, text_fingerprint,
-    # sample_hash_bucket and sample_class_balanced keep their r2-green
-    # rows and lead the ROUND-9 rotation: their five slots go to this
-    # session's never-checked new ops below, which have no driver row at
-    # all — a first row beats a freshness refresh)
+    # sample_hash_bucket, sample_class_balanced and text_chunk_fixed keep
+    # their r2-green rows and lead the ROUND-9 rotation: their six slots
+    # go to this session's never-checked new ops below, which have no
+    # driver row at all — a first row beats a freshness refresh)
     # -- new in the round-8 continuation session (never driver-checked;
     #    each verified green at sf0.001/0.01/0.1 via check_parity before
     #    shipping) — these take the tail slots the r4 rotation picks held;
@@ -137,6 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_chunk_overlap",
     "corpus_curriculum_phases",
     "streaming_model_scoring",
+    "retrieval_bm25_cosine_rerank",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its

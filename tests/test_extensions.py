@@ -2365,3 +2365,110 @@ def test_curriculum_phases_partition_by_quality(spark):
     div_to_phase = {}
     for r in rows:
         assert div_to_phase.setdefault(r.diversity_permille, r.phase) == r.phase
+
+
+def test_bm25_rerank_matches_independent_recompute(spark, tmp_path):
+    """retrieval_bm25_cosine_rerank == independent Python two-stage run:
+    BM25 top-POOL pool, inner-join to embeddings (doc 8 has none — must
+    drop), exact-cosine rerank. Exercises the pool-containment property
+    (every output doc came from the lexical pool) by construction."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        N_QUERIES,
+        N_QUERY_TERMS,
+        RERANK_K,
+        RERANK_POOL,
+        q_bm25_cosine_rerank,
+    )
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha alpha beta epsilon zeta",
+        "beta gamma gamma zeta eta theta iota",
+        "alpha delta delta epsilon",
+        "gamma zeta alpha beta delta epsilon",
+        "eta theta beta",
+        "alpha beta",
+        "iota eta zeta gamma alpha beta delta epsilon iota eta",
+    ]
+    ids = list(range(1, len(texts) + 1))
+    sf = _write_docs(tmp_path, ids, texts)
+    vec_ids = list(range(8))  # vec 0 unused as doc; doc 8 has no vec
+    vecs = [
+        [(((5 * v + 7 * d) % 29) - 14) / 64.0 for d in range(4)]
+        for v in vec_ids
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(vec_ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * 8, pa.int32()),
+            }
+        ),
+        str(tmp_path / "sfdocs" / "embeddings.parquet"),
+    )
+
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.lex_rank, r.cos)
+        for r in q_bm25_cosine_rerank(spark, sf).collect()
+    }
+
+    toks = {i: t.split(" ") for i, t in zip(ids, texts)}
+    n = len(ids)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq: dict[str, int] = {}
+    for v in toks.values():
+        for t in set(v):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    draft = sorted(dfreq, key=lambda t: (-dfreq[t], t))[:N_QUERY_TERMS]
+    queries = {q + 1: [draft[q], draft[q + N_QUERIES]] for q in range(N_QUERIES)}
+
+    def cos(a, b):
+        dp = 0.0
+        for x, y in zip(a, b):
+            dp += x * y
+        return dp / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    exp = {}
+    for qid, terms in queries.items():
+        pool = []
+        for i in ids:
+            parts, hit = 0, False
+            for t in terms:
+                tf = toks[i].count(t)
+                if not tf:
+                    continue
+                hit = True
+                idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                norm = (tf * (BM25_K1 + 1.0)) / (
+                    tf + BM25_K1 * (0.25 + BM25_B * len(toks[i]) / avgdl)
+                )
+                parts += math.floor(1000.0 * idf * norm)
+            if hit:
+                pool.append((-parts, i))
+        pool.sort()
+        lex = {i: r for r, (_, i) in enumerate(pool[:RERANK_POOL], 1)}
+        qv = vecs[qid - 1]
+        rescored = sorted(
+            (-cos(qv, vecs[d]), d, lex[d]) for d in lex if d in set(vec_ids)
+        )
+        for rank, (negc, d, lr) in enumerate(rescored[:RERANK_K], 1):
+            exp[(qid, rank)] = (d, lr, -negc)
+
+    assert set(got) == set(exp)
+    for k in exp:
+        gd, glr, gc = got[k]
+        ed, elr, ec = exp[k]
+        assert (gd, glr) == (ed, elr)
+        assert abs(gc - ec) < 1e-12
+    # doc 8 (no embedding) must never appear even if lexically strong
+    assert all(v[0] != 8 for v in got.values())

@@ -115,6 +115,7 @@ QUERIES = [
     "dq_join_skew_report",
     "text_chunk_overlap",
     "corpus_curriculum_phases",
+    "retrieval_bm25_cosine_rerank",
     # (streaming_model_scoring: foreachBatch-free writeStream — its
     # per-batch frame is exactly ml_perceptron_quality_distill's scoring
     # projection above; writeStream plans are not .explain()-able)
