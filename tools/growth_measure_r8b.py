@@ -53,6 +53,7 @@ QUERIES = [
     "text_chunk_overlap",
     "corpus_curriculum_phases",
     "ml_perceptron_quality_distill",
+    "retrieval_bm25_cosine_rerank",
 ]
 
 
