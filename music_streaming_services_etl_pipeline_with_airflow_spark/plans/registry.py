@@ -114,13 +114,13 @@ _PRIORITY: tuple[str, ...] = (
     "pack_sequences_hierarchical",
     "retention_weekly_cohorts",
     "sample_train_val_test_split",
-    "similarity_ivf_multiprobe",
     "similarity_ivf_topk",
     # (udaf_geometric_mean, udtf_text_chunks, text_fingerprint,
-    # sample_hash_bucket, sample_class_balanced and text_chunk_fixed keep
-    # their r2-green rows and lead the ROUND-9 rotation: their six slots
-    # go to this session's never-checked new ops below, which have no
-    # driver row at all — a first row beats a freshness refresh)
+    # sample_hash_bucket, sample_class_balanced, text_chunk_fixed and
+    # similarity_ivf_multiprobe keep their r2-green rows and lead the
+    # ROUND-9 rotation: their seven slots go to this session's
+    # never-checked new ops below, which have no driver row at all — a
+    # first row beats a freshness refresh)
     # -- new in the round-8 continuation session (never driver-checked;
     #    each verified green at sf0.001/0.01/0.1 via check_parity before
     #    shipping) — these take the tail slots the r4 rotation picks held;
@@ -137,6 +137,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curriculum_phases",
     "streaming_model_scoring",
     "retrieval_bm25_cosine_rerank",
+    "warehouse_change_feed",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its

@@ -679,3 +679,58 @@ def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(
         F.explode(F.array(*stacks)).alias("s")
     ).select("s.col_name", "s.n_rows", "s.ndv", "s.n_nulls", "s.min_val", "s.max_val")
+
+
+@register(
+    "warehouse_change_feed",
+    """SELECT 'append' AS step, 'insert' AS change_type, o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       FROM orders WHERE o_orderkey % 4 = 0 GROUP BY o_orderstatus
+       UNION ALL
+       SELECT 'delete' AS step, 'delete' AS change_type, o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       FROM orders WHERE o_orderkey % 4 = 0 AND o_orderstatus = 'F'
+       GROUP BY o_orderstatus""",
+    doc="CHANGE DATA FEED (snapshots.changes — the Delta CDF contract for "
+    "a format storing rows, not row ids): the feed between an append pair "
+    "takes the FORMAT-AWARE FAST PATH — v2's file set is a superset of "
+    "v1's, so the inserts are the new dirs read directly, O(|delta|), "
+    "with the shared immutable dirs never opened (plan-pinned in pytest "
+    "via inputFiles) — while the feed across a DELETE falls back to the "
+    "bag diff (EXCEPT ALL both ways), the honest cost of row-level change "
+    "extraction without stored ids. The oracle recomputes both legs from "
+    "the base table: the appended partition as inserts, the deleted "
+    "match-set as deletes; a lost or phantom change row diverges the "
+    "hash.",
+)
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    t = SnapshotTable(fresh_work_dir("change_feed") + "/orders_cdf")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v1 = t.commit(orders.filter(F.col("o_orderkey") % 4 != 0))
+    v2 = t.commit(orders.filter(F.col("o_orderkey") % 4 == 0), mode="append")
+    v3 = t.delete_where(
+        spark, "o_orderstatus = 'F' AND o_orderkey % 4 = 0"
+    )
+
+    def leg(step: str, feed: DataFrame) -> DataFrame:
+        return feed.groupBy("_change_type", "o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        ).select(
+            F.lit(step).alias("step"),
+            F.col("_change_type").alias("change_type"),
+            "o_orderstatus",
+            "n_rows",
+            "key_sum",
+        )
+
+    return leg("append", t.changes(spark, v1, v2)).unionByName(
+        leg("delete", t.changes(spark, v2, v3))
+    )

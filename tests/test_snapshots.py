@@ -991,3 +991,44 @@ def test_zonemap_empty_prune_returns_typed_empty(spark, tmp_path):
     df, scanned, total = t.read_pruned(spark, "k", 100, 200)
     assert (scanned, total) == (0, 1)
     assert df.columns == ["k"] and df.count() == 0
+
+
+def test_change_feed_fast_path_and_bag_diff(spark, tmp_path):
+    """changes(): the append pair takes the O(delta) fast path — ONLY the
+    new dir's files are read (inputFiles-pinned), shared immutable dirs
+    never open; across a delete it falls back to the bag diff; updates
+    (overwrite changing multiplicity) surface as delete+insert pairs;
+    bad version args raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "cdf"))
+    v1 = t.commit(spark.range(0, 5).select(F.col("id").alias("k")))
+    v2 = t.commit(
+        spark.range(5, 8).select(F.col("id").alias("k")), mode="append"
+    )
+    feed = t.changes(spark, v1, v2)
+    assert sorted((r.k, r._change_type) for r in feed.collect()) == [
+        (5, "insert"), (6, "insert"), (7, "insert")
+    ]
+    new_dir = [d for d in t._manifest(v2)["dirs"] if d not in t._manifest(v1)["dirs"]]
+    files = [f.replace("file://", "").replace("file:", "") for f in feed.inputFiles()]
+    assert new_dir and files
+    assert all(any(f.startswith(d) for d in new_dir) for f in files)
+    # delete -> bag diff fallback
+    v3 = t.delete_where(spark, "k >= 6")
+    feed2 = sorted((r.k, r._change_type) for r in t.changes(spark, v2, v3).collect())
+    assert feed2 == [(6, "delete"), (7, "delete")]
+    # multiplicity change via overwrite: duplicate one row
+    v4 = t.commit(
+        spark.createDataFrame([(0,), (1,), (2,), (3,), (4,), (5,), (5,)], "k long")
+    )
+    feed3 = sorted((r.k, r._change_type) for r in t.changes(spark, v3, v4).collect())
+    assert feed3 == [(5, "insert")]  # one extra copy of 5, nothing else
+    with _pytest.raises(ValueError):
+        t.changes(spark, v2, v2)
+    with _pytest.raises(ValueError):
+        t.changes(spark, 1, 99)
+    # no-op step (delete matching nothing): empty feed via the fast path
+    v5 = t.delete_where(spark, "k > 1000")
+    assert t.changes(spark, v4, v5).count() == 0
