@@ -676,3 +676,89 @@ def test_fuzz_bucketed_lineage_against_model(spark, tmp_path_factory, data):
     for v, m in versions.items():
         got = {r.id: r.v for r in t.read(spark, v).collect()}
         assert got == m, f"version {v}"
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fuzz_zonemap_cdf_against_model(spark, tmp_path_factory, data):
+    """Model-based fuzz of the round-8 format surfaces together: random
+    commit(stats_cols)/append/delete_where/compact_small sequences, and
+    after EVERY op (a) the current read equals the model, (b) a random
+    read_pruned range returns exactly the model's rows in range (zone-map
+    pruning must be conservative, never lossy), and (c) the change feed
+    from the previous version equals the model's bag diff — fast path and
+    EXCEPT-ALL fallback both land here depending on the op drawn."""
+    from collections import Counter
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path_factory.mktemp("zm_fuzz") / "tbl"))
+    model: dict[int, list[tuple]] = {}
+    next_id = [0]
+
+    def fresh_rows():
+        n = data.draw(st.integers(min_value=0, max_value=6))
+        rows = []
+        for _ in range(n):
+            next_id[0] += 1
+            rows.append((next_id[0], data.draw(st.integers(0, 99))))
+        return rows
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "id long, v long")
+
+    n_ops = data.draw(st.integers(min_value=3, max_value=6))
+    for _ in range(n_ops):
+        cur = t.latest_version()
+        choices = ["overwrite", "append"]
+        if cur > 0:
+            choices += ["delete", "compact_small"]
+        op = data.draw(st.sampled_from(choices))
+        if op == "overwrite":
+            rows = fresh_rows()
+            v = t.commit(to_df(rows), mode="overwrite", stats_cols=["v"])
+            model[v] = list(rows)
+        elif op == "append":
+            rows = fresh_rows()
+            v = t.commit(to_df(rows), mode="append", stats_cols=["v"])
+            model[v] = (model.get(cur, []) if cur > 0 else []) + list(rows)
+        elif op == "delete":
+            cut = data.draw(st.integers(0, 99))
+            v = t.delete_where(spark, f"v >= {cut}")
+            model[v] = [r for r in model[cur] if r[1] < cut]
+        else:
+            v = t.compact_small(spark, small_bytes=1 << 30)
+            if v != cur:
+                model[v] = list(model[cur])
+        live = t.latest_version()
+        got = sorted(map(tuple, t.read(spark, live).collect())) if live else []
+        assert got == sorted(model.get(live, [])), f"read after {op}"
+        # (b) zone-map pruned range read == model filter
+        lo = data.draw(st.integers(0, 99))
+        hi = lo + data.draw(st.integers(0, 40))
+        df, scanned, total = t.read_pruned(spark, "v", lo, hi)
+        want = sorted(r for r in model[live] if lo <= r[1] <= hi)
+        got = sorted(
+            map(tuple, df.filter(f"v BETWEEN {lo} AND {hi}").collect())
+        )
+        assert got == want, f"pruned read after {op} [{lo},{hi}]"
+        assert 0 <= scanned <= total
+        # (c) change feed from the op's parent == bag diff of the model
+        if cur > 0 and v > cur and cur in model:
+            feed = Counter(
+                (r.id, r.v, r._change_type)
+                for r in t.changes(spark, cur, v).collect()
+            )
+            before, after = Counter(model[cur]), Counter(model[v])
+            want_feed = Counter()
+            for row, n in (after - before).items():
+                want_feed[(*row, "insert")] = n
+            for row, n in (before - after).items():
+                want_feed[(*row, "delete")] = n
+            assert feed == want_feed, f"change feed after {op}"
