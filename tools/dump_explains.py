@@ -116,6 +116,7 @@ QUERIES = [
     "text_chunk_overlap",
     "corpus_curriculum_phases",
     "retrieval_bm25_cosine_rerank",
+    "warehouse_change_feed",
     # (streaming_model_scoring: foreachBatch-free writeStream — its
     # per-batch frame is exactly ml_perceptron_quality_distill's scoring
     # projection above; writeStream plans are not .explain()-able)

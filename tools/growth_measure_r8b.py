@@ -54,6 +54,7 @@ QUERIES = [
     "corpus_curriculum_phases",
     "ml_perceptron_quality_distill",
     "retrieval_bm25_cosine_rerank",
+    "warehouse_change_feed",
 ]
 
 
