@@ -734,3 +734,88 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leg("append", t.changes(spark, v1, v2)).unionByName(
         leg("delete", t.changes(spark, v2, v3))
     )
+
+
+@register(
+    "ivm_from_change_feed",
+    """WITH final AS (
+         SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 = 0)
+       )
+       SELECT o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+              TRUE AS matches_recompute
+       FROM final GROUP BY o_orderstatus""",
+    doc="IVM DRIVEN BY THE CHANGE FEED (the Delta-CDF/Materialize "
+    "pattern): a per-status count/sum view materializes from v1, then TWO "
+    "table mutations land (an append, then a partial delete) and the view "
+    "is maintained purely by folding snapshots.changes(v1, v3) into the "
+    "stored partials — inserts add, deletes subtract, the base table is "
+    "NEVER rescanned. The oracle recomputes the view from the final "
+    "state, proving fold(stored, signed-changes) == recompute — the "
+    "algebraic property that lets a 100 TB view absorb any mix of "
+    "appends and deletes at O(|changes|); the matches_recompute contract "
+    "column additionally asserts the Spark-side recompute agrees row for "
+    "row.",
+)
+def q_ivm_from_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    t = SnapshotTable(fresh_work_dir("ivm_cdf") + "/orders_cdf_ivm")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v1 = t.commit(orders.filter(F.col("o_orderkey") % 4 != 0))
+
+    def view_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+
+    stored = view_of(t.read(spark, v1))
+    t.commit(orders.filter(F.col("o_orderkey") % 4 == 0), mode="append")
+    v3 = t.delete_where(spark, "o_orderstatus = 'F' AND o_orderkey % 4 = 0")
+
+    # fold the signed feed into the stored partials — O(|changes|), the
+    # base is never rescanned
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = (
+        t.changes(spark, v1, v3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(sign).cast("long").alias("n_rows"),
+            F.sum(sign * F.col("o_orderkey")).cast("long").alias("key_sum"),
+        )
+    )
+    maintained = (
+        stored.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("key_sum").cast("long").alias("key_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    # contract: the maintained view equals a fresh recompute, row for row
+    recomputed = view_of(t.read(spark, v3))
+    agree = (
+        maintained.join(recomputed, "o_orderstatus", "full_outer")
+        .select(
+            F.every(
+                maintained["n_rows"].eqNullSafe(recomputed["n_rows"])
+                & maintained["key_sum"].eqNullSafe(recomputed["key_sum"])
+            ).alias("ok")
+        )
+        .first()["ok"]
+    )
+    return maintained.select(
+        "o_orderstatus",
+        "n_rows",
+        "key_sum",
+        F.lit(bool(agree)).alias("matches_recompute"),
+    )
