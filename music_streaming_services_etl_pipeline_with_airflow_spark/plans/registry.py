@@ -113,15 +113,16 @@ _PRIORITY: tuple[str, ...] = (
     "pack_sequences_greedy",
     "pack_sequences_hierarchical",
     "retention_weekly_cohorts",
-    "sample_train_val_test_split",
     # (udaf_geometric_mean, udtf_text_chunks, text_fingerprint,
     # sample_hash_bucket, sample_class_balanced, text_chunk_fixed,
-    # similarity_ivf_multiprobe and similarity_ivf_topk keep their
-    # r2-green rows and lead the ROUND-9 rotation: their eight slots go
-    # to this session's never-checked new ops below, which have no driver
-    # row at all — a first row beats a freshness refresh. The IVF family
-    # core logic holds fresh r8 rows through similarity_ivf_persisted,
-    # whose result is pinned equal to multiprobe's.)
+    # similarity_ivf_multiprobe, similarity_ivf_topk and
+    # sample_train_val_test_split keep their r2-green rows and lead the
+    # ROUND-9 rotation: their nine slots go to this session's
+    # never-checked new ops below, which have no driver row at all — a
+    # first row beats a freshness refresh. The IVF family core logic
+    # holds fresh r8 rows through similarity_ivf_persisted, whose result
+    # is pinned equal to multiprobe's; sampling holds a fresh r8 row
+    # through sample_bernoulli_rng.)
     # -- new in the round-8 continuation session (never driver-checked;
     #    each verified green at sf0.001/0.01/0.1 via check_parity before
     #    shipping) — these take the tail slots the r4 rotation picks held;
@@ -140,6 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "retrieval_bm25_cosine_rerank",
     "warehouse_change_feed",
     "ivm_from_change_feed",
+    "warehouse_equidepth_histogram",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its

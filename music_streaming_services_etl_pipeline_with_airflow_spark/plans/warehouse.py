@@ -819,3 +819,93 @@ def q_ivm_from_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_sum",
         F.lit(bool(agree)).alias("matches_recompute"),
     )
+
+
+N_HIST_BUCKETS = 8
+
+
+def _histogram_oracle() -> str:
+    qs = ", ".join(
+        f"CAST(FLOOR(1000 * quantile_cont(CAST(c AS DOUBLE), {i}/8.0)) AS BIGINT) AS b{i}"
+        for i in range(1, N_HIST_BUCKETS + 1)
+    )
+    legs = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS bucket, b.b{i} AS hi_milli, "
+        f"CAST((SELECT COUNT(*) FROM v WHERE c * 1000 <= b.b{i}) AS BIGINT) "
+        f"AS cum_rows FROM b"
+        for i in range(1, N_HIST_BUCKETS + 1)
+    )
+    return f"""
+WITH v AS (SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+b AS (SELECT {qs} FROM v),
+legs AS ({legs})
+SELECT bucket, hi_milli, cum_rows,
+       cum_rows - COALESCE(LAG(cum_rows) OVER (ORDER BY bucket), 0)
+           AS bucket_rows
+FROM legs"""
+
+
+@register(
+    "warehouse_equidepth_histogram",
+    _histogram_oracle(),
+    doc=f"Equi-depth {N_HIST_BUCKETS}-bucket histogram of the fact "
+    "table's price column — the optimizer statistic behind selectivity "
+    "estimation (ANALYZE ... COMPUTE STATISTICS histograms): boundaries "
+    "are exact interpolated octile percentiles of the integer-cent "
+    "values, milli-floored so the cross-engine interpolation cannot "
+    "diverge, and per-bucket counts derive from CUMULATIVE "
+    "value-threshold counts (deterministic under ties, unlike a "
+    "row-number split). Plan: one percentile aggregate + one conditional "
+    "count aggregate over a single scan — the boundary octuple rides as "
+    "a 1-row broadcast, nothing corpus-sized shuffles.",
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    probs = ", ".join(str(i / 8.0) for i in range(1, N_HIST_BUCKETS + 1))
+    b = li.agg(
+        F.expr(f"percentile(CAST(c AS DOUBLE), array({probs}))").alias("_q")
+    ).select(
+        *[
+            F.floor(1000 * F.col("_q")[i - 1]).cast("long").alias(f"b{i}")
+            for i in range(1, N_HIST_BUCKETS + 1)
+        ]
+    )
+    counted = li.crossJoin(F.broadcast(b)).agg(
+        *[
+            F.sum(
+                F.when(F.col("c") * 1000 <= F.col(f"b{i}"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"cum{i}")
+            for i in range(1, N_HIST_BUCKETS + 1)
+        ],
+        *[F.first(f"b{i}").alias(f"b{i}") for i in range(1, N_HIST_BUCKETS + 1)],
+    )
+    legs = counted.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("bucket"),
+                        F.col(f"b{i}").alias("hi_milli"),
+                        F.col(f"cum{i}").alias("cum_rows"),
+                    )
+                    for i in range(1, N_HIST_BUCKETS + 1)
+                ]
+            )
+        ).alias("s")
+    ).select("s.bucket", "s.hi_milli", "s.cum_rows")
+    w = Window.orderBy("bucket")
+    return legs.select(
+        "bucket",
+        "hi_milli",
+        "cum_rows",
+        (F.col("cum_rows") - F.coalesce(F.lag("cum_rows").over(w), F.lit(0)))
+        .cast("long")
+        .alias("bucket_rows"),
+    )
