@@ -65,12 +65,12 @@ _PRIORITY: tuple[str, ...] = (
     #   2  late-r7 sketch conversions (sketch_theta_user_overlap,
     #      sketch_heavy_hitters_topk);
     #   5  never-driver-checked r7 oracle additions;
-    #   15 r2-stale (the continuation session below re-spent 5 of the 20
+    #   11 r2-stale (the continuation session below re-spent 9 of the 20
     #      planned refresh slots — plus all 6 r4 rotation slots — on its
-    #      11 NEW never-checked ops: a first row beats a freshness
-    #      refresh; the 5 deferred r2 refreshes + the r4 set lead the
+    #      15 NEW never-checked ops: a first row beats a freshness
+    #      refresh; the 9 deferred r2 refreshes + the r4 set lead the
     #      ROUND-9 head);
-    #   11 round-8-continuation new ops (the tail below).
+    #   15 round-8-continuation new ops (the tail below).
     # All re-verified locally via tools/check_parity.py (exact value
     # equality; the new ops at sf0.001 AND 0.01 AND 0.1) before shipping
     # this head.

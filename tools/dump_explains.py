@@ -117,6 +117,8 @@ QUERIES = [
     "corpus_curriculum_phases",
     "retrieval_bm25_cosine_rerank",
     "warehouse_change_feed",
+    "ivm_from_change_feed",
+    "warehouse_equidepth_histogram",
     # (streaming_model_scoring: foreachBatch-free writeStream — its
     # per-batch frame is exactly ml_perceptron_quality_distill's scoring
     # projection above; writeStream plans are not .explain()-able)

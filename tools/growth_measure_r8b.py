@@ -55,6 +55,8 @@ QUERIES = [
     "ml_perceptron_quality_distill",
     "retrieval_bm25_cosine_rerank",
     "warehouse_change_feed",
+    "ivm_from_change_feed",
+    "warehouse_equidepth_histogram",
 ]
 
 
