@@ -65,12 +65,12 @@ _PRIORITY: tuple[str, ...] = (
     #   2  late-r7 sketch conversions (sketch_theta_user_overlap,
     #      sketch_heavy_hitters_topk);
     #   5  never-driver-checked r7 oracle additions;
-    #   11 r2-stale (the continuation session below re-spent 9 of the 20
+    #   10 r2-stale (the continuation session below re-spent 10 of the 20
     #      planned refresh slots — plus all 6 r4 rotation slots — on its
-    #      15 NEW never-checked ops: a first row beats a freshness
-    #      refresh; the 9 deferred r2 refreshes + the r4 set lead the
+    #      16 NEW never-checked ops: a first row beats a freshness
+    #      refresh; the 10 deferred r2 refreshes + the r4 set lead the
     #      ROUND-9 head);
-    #   15 round-8-continuation new ops (the tail below).
+    #   16 round-8-continuation new ops (the tail below).
     # All re-verified locally via tools/check_parity.py (exact value
     # equality; the new ops at sf0.001 AND 0.01 AND 0.1) before shipping
     # this head.
@@ -112,7 +112,7 @@ _PRIORITY: tuple[str, ...] = (
     "gopher_repetition",
     "pack_sequences_greedy",
     "pack_sequences_hierarchical",
-    "retention_weekly_cohorts",
+    # (retention_weekly_cohorts joins the deferred set below.)
     # (udaf_geometric_mean, udtf_text_chunks, text_fingerprint,
     # sample_hash_bucket, sample_class_balanced, text_chunk_fixed,
     # similarity_ivf_multiprobe, similarity_ivf_topk and
@@ -142,6 +142,7 @@ _PRIORITY: tuple[str, ...] = (
     "warehouse_change_feed",
     "ivm_from_change_feed",
     "warehouse_equidepth_histogram",
+    "warehouse_schema_evolution",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its

@@ -909,3 +909,48 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bucket_rows"),
     )
+
+
+@register(
+    "warehouse_schema_evolution",
+    """SELECT o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+              CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+                            THEN o_orderkey END) AS BIGINT) AS tagged_key_sum,
+              CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT)
+                  AS n_tagged
+       FROM orders GROUP BY o_orderstatus""",
+    doc="ADD COLUMN schema evolution as a driver-checked query (was "
+    "pytest-only): the odd-key half of orders commits WITHOUT the "
+    "`priority_tag` column, the even-key half appends WITH it, and the "
+    "evolved read surfaces the union schema — pre-evolution rows read "
+    "the added column as NULL (Delta/Iceberg ADD COLUMN semantics), "
+    "which the aggregate proves: tagged_key_sum/n_tagged must equal "
+    "exactly the even-key subset's contribution, i.e. every NULL landed "
+    "on a pre-evolution row and nowhere else. Readers merge parquet "
+    "footers only when the manifest's mixed_schemas flag says the "
+    "lineage spans a change.",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    t = SnapshotTable(fresh_work_dir("schema_evo") + "/orders_evolved")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    t.commit(orders.filter(F.col("o_orderkey") % 2 != 0))
+    t.commit(
+        orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "priority_tag", F.col("o_orderkey")
+        ),
+        mode="append",
+    )
+    evolved = t.read(spark)
+    return evolved.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.sum("priority_tag").cast("long").alias("tagged_key_sum"),
+        F.count("priority_tag").cast("long").alias("n_tagged"),
+    )
