@@ -2472,3 +2472,95 @@ def test_bm25_rerank_matches_independent_recompute(spark, tmp_path):
         assert abs(gc - ec) < 1e-12
     # doc 8 (no embedding) must never appear even if lexically strong
     assert all(v[0] != 8 for v in got.values())
+
+
+def test_bm25_random_corpora_hypothesis(spark, tmp_path_factory):
+    """Property fuzz for the flagship retrieval op: on RANDOM small
+    corpora (random vocab draws, heavy tie pressure from a tiny alphabet,
+    doc lengths 1..12), text_bm25_topk must equal the independent
+    pure-Python BM25 exactly — query draft, milli-floored partials,
+    ranking and tie-breaks included."""
+    import math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        N_QUERIES,
+        N_QUERY_TERMS,
+        TOPK,
+        q_bm25_topk,
+    )
+
+    vocab = ["ga", "re", "mi", "fa", "so", "la", "ti", "do"]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=st.data())
+    def run(data):
+        n_docs = data.draw(st.integers(min_value=3, max_value=8))
+        texts = [
+            " ".join(
+                data.draw(
+                    st.lists(
+                        st.sampled_from(vocab), min_size=1, max_size=12
+                    )
+                )
+            )
+            for _ in range(n_docs)
+        ]
+        ids = list(range(1, n_docs + 1))
+        sf = _write_docs(
+            tmp_path_factory.mktemp("bm25fuzz"), ids, texts
+        )
+        got = {
+            (r.query_id, r.rank): (r.doc_id, r.score_milli)
+            for r in q_bm25_topk(spark, sf).collect()
+        }
+
+        toks = {i: t.split(" ") for i, t in zip(ids, texts)}
+        n = len(ids)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        dfreq: dict[str, int] = {}
+        for v in toks.values():
+            for t in set(v):
+                dfreq[t] = dfreq.get(t, 0) + 1
+        draft = sorted(dfreq, key=lambda t: (-dfreq[t], t))[:N_QUERY_TERMS]
+        if len(draft) < N_QUERY_TERMS:
+            # fewer distinct terms than the draft needs: the operator's
+            # pairing is undefined; skip (real corpora always clear this)
+            return
+        queries = {
+            q + 1: [draft[q], draft[q + N_QUERIES]] for q in range(N_QUERIES)
+        }
+        exp = {}
+        for qid, terms in queries.items():
+            scored = []
+            for i in ids:
+                parts, hit = 0, False
+                for t in terms:
+                    tf = toks[i].count(t)
+                    if not tf:
+                        continue
+                    hit = True
+                    idf = math.log(
+                        1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                    )
+                    norm = (tf * (BM25_K1 + 1.0)) / (
+                        tf
+                        + BM25_K1 * (0.25 + BM25_B * len(toks[i]) / avgdl)
+                    )
+                    parts += math.floor(1000.0 * idf * norm)
+                if hit:
+                    scored.append((-parts, i))
+            scored.sort()
+            for rank, (neg, i) in enumerate(scored[:TOPK], 1):
+                exp[(qid, rank)] = (i, -neg)
+        assert got == exp
+
+    run()
