@@ -874,6 +874,28 @@ class SnapshotTable:
                     shutil.rmtree(d)
         return expired
 
+    def version_as_of(self, ts: float) -> int:
+        """TIMESTAMP AS OF: the latest version whose manifest was
+        PUBLISHED at or before unix-time ``ts`` (publish time is the
+        manifest file's mtime — set atomically by the CAS link, so it is
+        the commit instant). Raises if the table has no version that old.
+        The manifest-mtime basis matches Delta's commit-file-timestamp
+        semantics, including the caveat: restoring/copying the _manifests
+        dir with fresh mtimes rewrites history's clock."""
+        best = 0
+        for v in self.versions():
+            if os.path.getmtime(f"{self._mdir}/v{v:06d}.json") <= ts:
+                best = max(best, v)
+        if best == 0:
+            raise ValueError(
+                f"{self.path}: no version committed at or before {ts}"
+            )
+        return best
+
+    def read_as_of(self, spark: SparkSession, ts: float) -> DataFrame:
+        """``read`` at the version current as of unix-time ``ts``."""
+        return self.read(spark, self.version_as_of(ts))
+
     def changes(
         self, spark: SparkSession, v_from: int, v_to: int
     ) -> DataFrame:

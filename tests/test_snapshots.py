@@ -1032,3 +1032,27 @@ def test_change_feed_fast_path_and_bag_diff(spark, tmp_path):
     # no-op step (delete matching nothing): empty feed via the fast path
     v5 = t.delete_where(spark, "k > 1000")
     assert t.changes(spark, v4, v5).count() == 0
+
+
+def test_timestamp_as_of(spark, tmp_path):
+    """version_as_of/read_as_of: the commit instant is the manifest's
+    mtime; a timestamp between commits resolves to the earlier version,
+    after the last commit to the latest, and before the first raises."""
+    import os as _os
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "asof"))
+    v1 = t.commit(spark.range(0, 3).select(F.col("id").alias("k")))
+    v2 = t.commit(spark.range(3, 6).select(F.col("id").alias("k")))
+    m1 = _os.path.getmtime(t._mdir + "/v000001.json")
+    m2 = _os.path.getmtime(t._mdir + "/v000002.json")
+    # force distinct commit instants without sleeping
+    _os.utime(t._mdir + "/v000001.json", (m1 - 10, m1 - 10))
+    assert t.version_as_of(m1 - 10) == v1
+    assert t.version_as_of((m1 - 10 + m2) / 2) == v1
+    assert t.version_as_of(m2 + 1) == v2
+    assert _rows(t.read_as_of(spark, m1 - 10)) == [(0,), (1,), (2,)]
+    assert _rows(t.read_as_of(spark, m2 + 1)) == [(3,), (4,), (5,)]
+    with _pytest.raises(ValueError):
+        t.version_as_of(m1 - 100)
