@@ -800,6 +800,9 @@ def q_ivm_from_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("key_sum").cast("long").alias("key_sum"),
         )
         .filter(F.col("n_rows") > 0)
+        # persisted: the agree action below and the returned frame both
+        # consume it — without this the whole fold pipeline runs twice
+        .persist()
     )
     # contract: the maintained view equals a fresh recompute, row for row
     recomputed = view_of(t.read(spark, v3))
@@ -826,7 +829,7 @@ N_HIST_BUCKETS = 8
 
 def _histogram_oracle() -> str:
     qs = ", ".join(
-        f"CAST(FLOOR(1000 * quantile_cont(CAST(c AS DOUBLE), {i}/8.0)) AS BIGINT) AS b{i}"
+        f"CAST(FLOOR(1000 * quantile_cont(CAST(c AS DOUBLE), {i}/{N_HIST_BUCKETS}.0)) AS BIGINT) AS b{i}"
         for i in range(1, N_HIST_BUCKETS + 1)
     )
     legs = " UNION ALL ".join(
@@ -866,7 +869,9 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("c")
     )
-    probs = ", ".join(str(i / 8.0) for i in range(1, N_HIST_BUCKETS + 1))
+    probs = ", ".join(
+        str(i / N_HIST_BUCKETS) for i in range(1, N_HIST_BUCKETS + 1)
+    )
     b = li.agg(
         F.expr(f"percentile(CAST(c AS DOUBLE), array({probs}))").alias("_q")
     ).select(

@@ -924,20 +924,31 @@ class SnapshotTable:
             raise ValueError("changes(): v_from must precede v_to")
         mf, mt = self._manifest(v_from), self._manifest(v_to)
         tag = lambda df, t: df.withColumn("_change_type", F.lit(t))  # noqa: E731
-        if set(mf["dirs"]) <= set(mt["dirs"]):
-            new_dirs = [d for d in mt["dirs"] if d not in set(mf["dirs"])]
+        new = self.read(spark, v_to)
+
+        def align(df: DataFrame) -> DataFrame:
+            # present every feed row in v_to's read schema (the lineage
+            # union under ADD COLUMN evolution): columns the older side /
+            # a narrower dir lacks surface as typed NULLs, exactly as a
+            # mergeSchema read of those rows would show them — without
+            # this, a schema-evolved bag diff crashes on a column-count
+            # mismatch and a fast path typed by the last commit's narrow
+            # manifest schema silently drops evolved values
+            for f in new.schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return df.select(*[f.name for f in new.schema.fields])
+
+        old_dirs = set(mf["dirs"])
+        if old_dirs <= set(mt["dirs"]):
+            new_dirs = [d for d in mt["dirs"] if d not in old_dirs]
             if not new_dirs:
-                return tag(self.read(spark, v_to).limit(0), "insert")
+                return tag(new.limit(0), "insert")
             reader = spark.read
             if mt.get("mixed_schemas"):
-                from pyspark.sql.types import StructType
-
-                if mt.get("schema"):
-                    reader = spark.read.schema(
-                        StructType.fromJson(mt["schema"])
-                    )
-            return tag(reader.parquet(*new_dirs), "insert")
-        old, new = self.read(spark, v_from), self.read(spark, v_to)
+                reader = reader.option("mergeSchema", True)
+            return tag(align(reader.parquet(*new_dirs)), "insert")
+        old = align(self.read(spark, v_from))
         return tag(new.exceptAll(old), "insert").unionByName(
             tag(old.exceptAll(new), "delete")
         )

@@ -1056,3 +1056,45 @@ def test_timestamp_as_of(spark, tmp_path):
     assert _rows(t.read_as_of(spark, m2 + 1)) == [(3,), (4,), (5,)]
     with _pytest.raises(ValueError):
         t.version_as_of(m1 - 100)
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_path):
+    """CDF × ADD COLUMN composition: the feed always presents rows in
+    v_to's union schema. (1) Fast path across the evolution: the new
+    dir's rows carry their tag, pre-evolution rows aren't in the feed.
+    (2) Fast path when a LATER append reverts to the narrow schema: the
+    evolved dir's tag values must still surface (regression: typing new
+    dirs by the last commit's narrow manifest schema silently dropped
+    them). (3) Bag diff across a delete on the evolved lineage must not
+    crash on the column-count mismatch and shows old rows' tag as NULL."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "cdfevo"))
+    v1 = t.commit(spark.range(0, 3).select(F.col("id").alias("k")))
+    v2 = t.commit(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("tag")
+        ),
+        mode="append",
+    )
+    feed = sorted(
+        (r.k, r.tag, r._change_type) for r in t.changes(spark, v1, v2).collect()
+    )
+    assert feed == [(3, 30, "insert"), (4, 40, "insert")]
+    # (2) narrow append after the evolution
+    v3 = t.commit(spark.range(5, 6).select(F.col("id").alias("k")), mode="append")
+    feed2 = sorted(
+        (r.k, r.tag, r._change_type) for r in t.changes(spark, v1, v3).collect()
+    )
+    assert feed2 == [(3, 30, "insert"), (4, 40, "insert"), (5, None, "insert")]
+    # (3) bag diff across a delete touching the pre-evolution dir
+    v4 = t.delete_where(spark, "k = 0")
+    feed3 = sorted(
+        (r.k, r.tag, r._change_type) for r in t.changes(spark, v1, v4).collect()
+    )
+    assert feed3 == [
+        (0, None, "delete"),
+        (3, 30, "insert"),
+        (4, 40, "insert"),
+        (5, None, "insert"),
+    ]
