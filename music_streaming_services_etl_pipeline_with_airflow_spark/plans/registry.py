@@ -65,12 +65,12 @@ _PRIORITY: tuple[str, ...] = (
     #   2  late-r7 sketch conversions (sketch_theta_user_overlap,
     #      sketch_heavy_hitters_topk);
     #   5  never-driver-checked r7 oracle additions;
-    #   10 r2-stale (the continuation session below re-spent 10 of the 20
+    #   9 r2-stale (the continuation session below re-spent 11 of the 20
     #      planned refresh slots — plus all 6 r4 rotation slots — on its
-    #      16 NEW never-checked ops: a first row beats a freshness
-    #      refresh; the 10 deferred r2 refreshes + the r4 set lead the
+    #      17 NEW never-checked ops: a first row beats a freshness
+    #      refresh; the 11 deferred r2 refreshes + the r4 set lead the
     #      ROUND-9 head);
-    #   16 round-8-continuation new ops (the tail below).
+    #   17 round-8-continuation new ops (the tail below).
     # All re-verified locally via tools/check_parity.py (exact value
     # equality; the new ops at sf0.001 AND 0.01 AND 0.1) before shipping
     # this head.
@@ -111,8 +111,9 @@ _PRIORITY: tuple[str, ...] = (
     "funnel_signup_click_purchase",
     "gopher_repetition",
     "pack_sequences_greedy",
-    "pack_sequences_hierarchical",
-    # (retention_weekly_cohorts joins the deferred set below.)
+    # (retention_weekly_cohorts and pack_sequences_hierarchical join the
+    # deferred set below — greedy's refresh stands for the packing family
+    # and hierarchical's recurrence is SQL-proved in pytest.)
     # (udaf_geometric_mean, udtf_text_chunks, text_fingerprint,
     # sample_hash_bucket, sample_class_balanced, text_chunk_fixed,
     # similarity_ivf_multiprobe, similarity_ivf_topk and
@@ -143,6 +144,7 @@ _PRIORITY: tuple[str, ...] = (
     "ivm_from_change_feed",
     "warehouse_equidepth_histogram",
     "warehouse_schema_evolution",
+    "warehouse_vacuum_report",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its

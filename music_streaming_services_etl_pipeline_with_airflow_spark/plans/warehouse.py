@@ -959,3 +959,63 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("priority_tag").cast("long").alias("tagged_key_sum"),
         F.count("priority_tag").cast("long").alias("n_tagged"),
     )
+
+
+@register(
+    "warehouse_vacuum_report",
+    """SELECT o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+              CAST(1 AS BIGINT) AS n_expire_versions,
+              CAST(1 AS BIGINT) AS n_removable_dirs,
+              CAST(1 AS BIGINT) AS n_orphan_dirs,
+              TRUE AS dry_run_touched_nothing
+       FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus""",
+    doc="VACUUM DRY RUN (snapshots.vacuum_report — the retention "
+    "pre-flight): a two-version overwrite lineage plus one planted "
+    "crashed-attempt orphan dir; the report must identify EXACTLY the "
+    "v1 manifest as expirable, v1's dir as removable (refcounted against "
+    "the survivor), and the orphan — while touching NOTHING: the "
+    "contract column asserts both versions still read and every dir "
+    "still exists afterwards, and the oracle recomputes the surviving "
+    "version's content to prove the reported state corresponds to the "
+    "real table. O(commits) manifest metadata, no data I/O — what every "
+    "retention job should print before destroying history.",
+)
+def q_vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    t = SnapshotTable(fresh_work_dir("vacuum_report") + "/orders_vac")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v1 = t.commit(orders.filter(F.col("o_orderkey") % 3 == 1))
+    v2 = t.commit(orders.filter(F.col("o_orderkey") % 3 == 0))
+    # plant a crashed-attempt orphan: data written, no manifest
+    orphan = f"{t.path}/data/v000099"
+    orders.limit(1).write.mode("error").parquet(orphan)
+
+    rep = t.vacuum_report(keep_last=1)
+    v1_dirs = t._manifest(v1)["dirs"]
+    report_exact = (
+        rep["expire_versions"] == [v1]
+        and rep["keep_versions"] == [v2]
+        and rep["removable_dirs"] == v1_dirs
+        and rep["orphan_dirs"] == [orphan]
+    )
+    untouched = (
+        all(os.path.isdir(d) for d in v1_dirs + [orphan])
+        and t.versions() == [v1, v2]
+        and t.read(spark, v1).count() > 0
+    )
+    return t.read(spark, v2).groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.lit(len(rep["expire_versions"])).cast("long").alias("n_expire_versions"),
+        F.lit(len(rep["removable_dirs"])).cast("long").alias("n_removable_dirs"),
+        F.lit(len(rep["orphan_dirs"])).cast("long").alias("n_orphan_dirs"),
+        F.lit(bool(report_exact and untouched)).alias("dry_run_touched_nothing"),
+    )

@@ -953,6 +953,54 @@ class SnapshotTable:
             tag(old.exceptAll(new), "delete")
         )
 
+    def vacuum_report(self, keep_last: int = 1) -> dict:
+        """VACUUM DRY RUN: what ``expire(keep_last)`` WOULD remove,
+        without touching anything — the pre-flight every retention job
+        runs before destroying history. Returns manifest-level metadata
+        only (O(commits) driver work, no data I/O):
+
+        - ``expire_versions``: versions whose manifests would be deleted
+        - ``removable_dirs``: data dirs no surviving version references
+          (refcounted exactly like expire's oldest-first walk)
+        - ``orphan_dirs``: data/ entries no manifest references at all
+          (crashed attempts; expire's TTL-guarded sweep targets these)
+        - ``keep_versions``: the survivors"""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        expired, survivors = vs[:-keep_last], vs[-keep_last:]
+        live_dirs = set()
+        for v in survivors:
+            live_dirs.update(self._manifest(v)["dirs"])
+        removable = []
+        for v in expired:
+            removable += [
+                d
+                for d in self._manifest(v)["dirs"]
+                if d not in live_dirs and d not in removable
+            ]
+        all_ref = set(live_dirs)
+        for v in expired:
+            all_ref.update(self._manifest(v)["dirs"])
+        orphans = []
+        data_root = f"{self.path}/data"
+        if os.path.isdir(data_root):
+            for name in sorted(os.listdir(data_root)):
+                d = f"{data_root}/{name}"
+                if not os.path.isdir(d):
+                    continue
+                if d in all_ref or any(
+                    r.startswith(d + "/") for r in all_ref
+                ):
+                    continue
+                orphans.append(d)
+        return {
+            "expire_versions": expired,
+            "keep_versions": survivors,
+            "removable_dirs": removable,
+            "orphan_dirs": orphans,
+        }
+
     def history(self, spark: SparkSession) -> DataFrame:
         """DESCRIBE HISTORY: the commit log as a DataFrame — one row per
         version with its mode (overwrite/append/delete/restore), parent,

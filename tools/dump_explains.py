@@ -119,6 +119,8 @@ QUERIES = [
     "warehouse_change_feed",
     "ivm_from_change_feed",
     "warehouse_equidepth_histogram",
+    "warehouse_schema_evolution",
+    "warehouse_vacuum_report",
     # (streaming_model_scoring: foreachBatch-free writeStream — its
     # per-batch frame is exactly ml_perceptron_quality_distill's scoring
     # projection above; writeStream plans are not .explain()-able)
