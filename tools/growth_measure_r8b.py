@@ -57,6 +57,8 @@ QUERIES = [
     "warehouse_change_feed",
     "ivm_from_change_feed",
     "warehouse_equidepth_histogram",
+    "warehouse_schema_evolution",
+    "warehouse_vacuum_report",
 ]
 
 
