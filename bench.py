@@ -99,6 +99,7 @@ HEADLINE = [
     "text_bm25_topk",
     "retrieval_rrf_hybrid",
     "retrieval_bm25_cosine_rerank",
+    "retrieval_maxsim_late_interaction",
 ]
 
 

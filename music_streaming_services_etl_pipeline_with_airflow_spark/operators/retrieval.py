@@ -420,3 +420,128 @@ def q_bm25_cosine_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos",
         F.col("rank").cast("long"),
     )
+
+
+# --- Late interaction (ColBERT-style MaxSim) ---
+
+VEC_DIMS = 4
+VEC_MOD = 2001  # milli-unit components in [-1000, 1000]
+
+
+def _tokvec_cols_sql(term: str) -> list[str]:
+    from ..functions.hashing import hex8_to_long_sql
+
+    out = []
+    for i in range(VEC_DIMS):
+        md5 = "md5('tv" + str(i) + ":' || " + term + ")"
+        out.append(f"({hex8_to_long_sql(md5)} % {VEC_MOD}) - 1000")
+    return out
+
+
+def _maxsim_oracle() -> str:
+    dvec = ", ".join(
+        f"CAST({e} AS BIGINT) AS e{i}"
+        for i, e in enumerate(_tokvec_cols_sql("term"))
+    )
+    dot = " + ".join(f"d.e{i} * q.e{i}" for i in range(VEC_DIMS))
+    return f"""
+WITH {_bm25_ctes()},
+dterms AS (SELECT DISTINCT doc_id, term FROM toks),
+dv AS (SELECT doc_id, term, {dvec} FROM dterms),
+qv AS (SELECT query_id, term, {dvec} FROM qterms),
+sims AS (
+    SELECT q.query_id, d.doc_id, q.term AS qterm,
+           MAX({dot}) AS max_sim
+    FROM dv d CROSS JOIN qv q
+    GROUP BY q.query_id, d.doc_id, q.term
+),
+li AS (
+    SELECT query_id, doc_id,
+           CAST(SUM(max_sim) AS BIGINT) AS score_dot,
+           CAST(COUNT(*) AS BIGINT) AS n_qterms
+    FROM sims GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_dot, n_qterms,
+       CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score_dot DESC, doc_id ASC) AS rank
+      FROM li)
+WHERE rank <= {TOPK}"""
+
+
+@register(
+    "retrieval_maxsim_late_interaction",
+    _maxsim_oracle(),
+    doc=f"LATE-INTERACTION retrieval (the ColBERT MaxSim shape): every "
+    f"document token gets a {VEC_DIMS}-dim token embedding, each query "
+    f"term takes the MAX similarity over the document's tokens, and the "
+    "query-document score is the SUM of those per-term maxima — the "
+    "multi-vector scoring single-vector cosine cannot express (a doc "
+    "matching each query term somewhere beats a doc matching one term "
+    "everywhere). Token embeddings here are deterministic md5-derived "
+    "integer milli-vectors (the repo's reproducibility convention — swap "
+    "in a real encoder's vectors and ONLY the vector source changes), "
+    "which makes every similarity an exact BIGINT dot product: the whole "
+    "operator is integer arithmetic end to end, fully value-hashed. "
+    "Plan: distinct (doc, term) pairs vectorize scan-side (4 md5s/term), "
+    "the 6-term query side broadcasts, and the MaxSim fold is two hash "
+    "aggregates — max per (query, doc, qterm), sum per (query, doc) — "
+    "then the salted top-k; per-doc work is bounded by distinct terms, "
+    "nothing corpus-sized concentrates.",
+)
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hex8_to_long
+
+    def tokvec(term_col):
+        return [
+            (
+                hex8_to_long(
+                    F.md5(F.concat(F.lit(f"tv{i}:"), term_col))
+                )
+                % VEC_MOD
+                - 1000
+            ).alias(f"e{i}")
+            for i in range(VEC_DIMS)
+        ]
+
+    docs = load_table(spark, sf_dir, "documents")
+    dterms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).distinct()
+    dv = dterms.select("doc_id", "term", *tokvec(F.col("term")))
+
+    # the same deterministic query draft the BM25 family uses
+    _, qnames = _bm25_scored(spark, sf_dir)
+    qterms = qnames.select(
+        "query_id", F.explode(F.split("q_terms", " ")).alias("term")
+    )
+    qv = qterms.select("query_id", *tokvec(F.col("term")))
+
+    dot = sum(F.col(f"e{i}") * F.col(f"q{i}") for i in range(VEC_DIMS))
+    paired = dv.crossJoin(
+        F.broadcast(
+            qv.select(
+                "query_id",
+                *[F.col(f"e{i}").alias(f"q{i}") for i in range(VEC_DIMS)],
+            )
+        )
+    )
+    sims = (
+        paired.select("query_id", "doc_id", dot.alias("sim"),
+                      *[F.col(f"q{i}") for i in range(VEC_DIMS)])
+        .groupBy("query_id", "doc_id", *[f"q{i}" for i in range(VEC_DIMS)])
+        .agg(F.max("sim").alias("max_sim"))
+    )
+    li = sims.groupBy("query_id", "doc_id").agg(
+        F.sum("max_sim").cast("long").alias("score_dot"),
+        F.count("*").cast("long").alias("n_qterms"),
+    )
+    return _salted_topk(
+        li, TOPK, F.desc("score_dot"), F.asc("doc_id"), salt_on="doc_id"
+    ).select(
+        F.col("query_id").cast("long"),
+        "doc_id",
+        "score_dot",
+        "n_qterms",
+        F.col("rank").cast("long"),
+    )

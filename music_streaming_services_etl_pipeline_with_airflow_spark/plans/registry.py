@@ -65,12 +65,12 @@ _PRIORITY: tuple[str, ...] = (
     #   2  late-r7 sketch conversions (sketch_theta_user_overlap,
     #      sketch_heavy_hitters_topk);
     #   5  never-driver-checked r7 oracle additions;
-    #   9 r2-stale (the continuation session below re-spent 11 of the 20
+    #   8 r2-stale (the continuation session below re-spent 12 of the 20
     #      planned refresh slots — plus all 6 r4 rotation slots — on its
-    #      17 NEW never-checked ops: a first row beats a freshness
-    #      refresh; the 11 deferred r2 refreshes + the r4 set lead the
+    #      18 NEW never-checked ops: a first row beats a freshness
+    #      refresh; the 12 deferred r2 refreshes + the r4 set lead the
     #      ROUND-9 head);
-    #   17 round-8-continuation new ops (the tail below).
+    #   18 round-8-continuation new ops (the tail below).
     # All re-verified locally via tools/check_parity.py (exact value
     # equality; the new ops at sf0.001 AND 0.01 AND 0.1) before shipping
     # this head.
@@ -109,7 +109,8 @@ _PRIORITY: tuple[str, ...] = (
     "entity_mask",
     "evt_transition_matrix",
     "funnel_signup_click_purchase",
-    "gopher_repetition",
+    # (gopher_repetition defers below: gopher_repetition_full holds a
+    # fresh r7 row for the family.)
     "pack_sequences_greedy",
     # (retention_weekly_cohorts and pack_sequences_hierarchical join the
     # deferred set below — greedy's refresh stands for the packing family
@@ -145,6 +146,7 @@ _PRIORITY: tuple[str, ...] = (
     "warehouse_equidepth_histogram",
     "warehouse_schema_evolution",
     "warehouse_vacuum_report",
+    "retrieval_maxsim_late_interaction",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its

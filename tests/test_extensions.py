@@ -2564,3 +2564,68 @@ def test_bm25_random_corpora_hypothesis(spark, tmp_path_factory):
         assert got == exp
 
     run()
+
+
+def test_maxsim_matches_independent_recompute(spark, tmp_path):
+    """retrieval_maxsim_late_interaction == from-scratch Python MaxSim:
+    md5-derived integer token vectors (hashlib), per-query-term max over
+    the doc's distinct tokens, summed — exact BIGINT equality."""
+    import hashlib
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.retrieval import (
+        N_QUERIES,
+        N_QUERY_TERMS,
+        TOPK,
+        VEC_DIMS,
+        VEC_MOD,
+        q_maxsim_late_interaction,
+    )
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha alpha beta epsilon zeta",
+        "beta gamma gamma zeta eta theta iota",
+        "alpha delta delta epsilon",
+        "gamma zeta alpha beta delta epsilon",
+        "eta theta beta",
+        "alpha beta",
+        "iota eta zeta gamma alpha beta delta epsilon iota eta",
+    ]
+    ids = list(range(1, len(texts) + 1))
+    sf = _write_docs(tmp_path, ids, texts)
+    got = {
+        (r.query_id, r.rank): (r.doc_id, r.score_dot, r.n_qterms)
+        for r in q_maxsim_late_interaction(spark, sf).collect()
+    }
+
+    def vec(t):
+        return [
+            int(hashlib.md5(f"tv{i}:{t}".encode()).hexdigest()[:8], 16)
+            % VEC_MOD
+            - 1000
+            for i in range(VEC_DIMS)
+        ]
+
+    toks = {i: set(t.split(" ")) for i, t in zip(ids, texts)}
+    dfreq: dict[str, int] = {}
+    for v in toks.values():
+        for t in v:
+            dfreq[t] = dfreq.get(t, 0) + 1
+    draft = sorted(dfreq, key=lambda t: (-dfreq[t], t))[:N_QUERY_TERMS]
+    queries = {q + 1: [draft[q], draft[q + N_QUERIES]] for q in range(N_QUERIES)}
+    exp = {}
+    for qid, terms in queries.items():
+        scored = []
+        for i in ids:
+            dvecs = [vec(t) for t in toks[i]]
+            score = sum(
+                max(
+                    sum(a * b for a, b in zip(vec(qt), dv)) for dv in dvecs
+                )
+                for qt in terms
+            )
+            scored.append((-score, i))
+        scored.sort()
+        for rank, (neg, i) in enumerate(scored[:TOPK], 1):
+            exp[(qid, rank)] = (i, -neg, len(queries[qid]))
+    assert got == exp

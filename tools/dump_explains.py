@@ -116,6 +116,7 @@ QUERIES = [
     "text_chunk_overlap",
     "corpus_curriculum_phases",
     "retrieval_bm25_cosine_rerank",
+    "retrieval_maxsim_late_interaction",
     "warehouse_change_feed",
     "ivm_from_change_feed",
     "warehouse_equidepth_histogram",

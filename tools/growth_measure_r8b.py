@@ -59,6 +59,7 @@ QUERIES = [
     "warehouse_equidepth_histogram",
     "warehouse_schema_evolution",
     "warehouse_vacuum_report",
+    "retrieval_maxsim_late_interaction",
 ]
 
 
