@@ -65,12 +65,12 @@ _PRIORITY: tuple[str, ...] = (
     #   2  late-r7 sketch conversions (sketch_theta_user_overlap,
     #      sketch_heavy_hitters_topk);
     #   5  never-driver-checked r7 oracle additions;
-    #   8 r2-stale (the continuation session below re-spent 12 of the 20
+    #   7 r2-stale (the continuation session below re-spent 13 of the 20
     #      planned refresh slots — plus all 6 r4 rotation slots — on its
-    #      18 NEW never-checked ops: a first row beats a freshness
-    #      refresh; the 12 deferred r2 refreshes + the r4 set lead the
+    #      19 NEW never-checked ops: a first row beats a freshness
+    #      refresh; the 13 deferred r2 refreshes + the r4 set lead the
     #      ROUND-9 head);
-    #   18 round-8-continuation new ops (the tail below).
+    #   19 round-8-continuation new ops (the tail below).
     # All re-verified locally via tools/check_parity.py (exact value
     # equality; the new ops at sf0.001 AND 0.01 AND 0.1) before shipping
     # this head.
@@ -107,7 +107,8 @@ _PRIORITY: tuple[str, ...] = (
     "decontam_ngram_overlap",
     "dedup_simhash",
     "entity_mask",
-    "evt_transition_matrix",
+    # (evt_transition_matrix defers below — the last slot goes to the
+    # final new op.)
     "funnel_signup_click_purchase",
     # (gopher_repetition defers below: gopher_repetition_full holds a
     # fresh r7 row for the family.)
@@ -147,6 +148,7 @@ _PRIORITY: tuple[str, ...] = (
     "warehouse_schema_evolution",
     "warehouse_vacuum_report",
     "retrieval_maxsim_late_interaction",
+    "warehouse_row_provenance",
 )
 
 # The ROUND-7 head, kept for the audit trail (every entry below got its

@@ -122,6 +122,7 @@ QUERIES = [
     "warehouse_equidepth_histogram",
     "warehouse_schema_evolution",
     "warehouse_vacuum_report",
+    "warehouse_row_provenance",
     # (streaming_model_scoring: foreachBatch-free writeStream — its
     # per-batch frame is exactly ml_perceptron_quality_distill's scoring
     # projection above; writeStream plans are not .explain()-able)
