@@ -60,6 +60,7 @@ QUERIES = [
     "warehouse_schema_evolution",
     "warehouse_vacuum_report",
     "retrieval_maxsim_late_interaction",
+    "warehouse_row_provenance",
 ]
 
 
