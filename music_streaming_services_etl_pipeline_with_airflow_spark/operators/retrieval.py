@@ -515,21 +515,26 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     qterms = qnames.select(
         "query_id", F.explode(F.split("q_terms", " ")).alias("term")
     )
-    qv = qterms.select("query_id", *tokvec(F.col("term")))
+    qv = qterms.select(
+        "query_id", F.col("term").alias("qterm"), *tokvec(F.col("term"))
+    )
 
     dot = sum(F.col(f"e{i}") * F.col(f"q{i}") for i in range(VEC_DIMS))
     paired = dv.crossJoin(
         F.broadcast(
             qv.select(
                 "query_id",
+                "qterm",
                 *[F.col(f"e{i}").alias(f"q{i}") for i in range(VEC_DIMS)],
             )
         )
     )
+    # group by the query TERM, matching the oracle's GROUP BY q.term —
+    # grouping by the vector values would merge two distinct query terms
+    # whose vectors collide (realistic once a real encoder supplies them)
     sims = (
-        paired.select("query_id", "doc_id", dot.alias("sim"),
-                      *[F.col(f"q{i}") for i in range(VEC_DIMS)])
-        .groupBy("query_id", "doc_id", *[f"q{i}" for i in range(VEC_DIMS)])
+        paired.select("query_id", "doc_id", "qterm", dot.alias("sim"))
+        .groupBy("query_id", "doc_id", "qterm")
         .agg(F.max("sim").alias("max_sim"))
     )
     li = sims.groupBy("query_id", "doc_id").agg(

@@ -998,7 +998,7 @@ def q_vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orphan = f"{t.path}/data/v000099"
     orders.limit(1).write.mode("error").parquet(orphan)
 
-    rep = t.vacuum_report(keep_last=1)
+    rep = t.vacuum_report(keep_last=1, orphan_ttl_s=0)
     v1_dirs = t._manifest(v1)["dirs"]
     report_exact = (
         rep["expire_versions"] == [v1]
@@ -1058,7 +1058,6 @@ def q_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.commit(orders.filter(F.col("o_orderkey") % 4 == 0))
     for m in (1, 2, 3):
         t.commit(orders.filter(F.col("o_orderkey") % 4 == m), mode="append")
-    pm = t._manifest(t.latest_version())
     # dir -> version label, from the manifest lineage (dir paths embed the
     # version they were written under; derive from the manifest so renames
     # or -rN retry suffixes cannot mislabel)
@@ -1071,20 +1070,24 @@ def q_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in mv["dirs"]:
             if d not in parent_dirs:
                 dir_version.append((d, f"v{v:06d}"))
-    vmap = spark.createDataFrame(dir_version, "dir string, ingest_version string")
+    # join on the dir's trailing "data/vNNNNNN[-rN]" component, not the
+    # absolute path: input_file_name() returns a URI-ENCODED string, so a
+    # work root containing a space/non-ASCII char would never equal the
+    # literal manifest path and silently NULL every row's provenance
+    import os as _os
+
+    vmap = spark.createDataFrame(
+        [("data/" + _os.path.basename(d), v) for d, v in dir_version],
+        "dirkey string, ingest_version string",
+    )
     rows = t.read(spark).withColumn(
         "_file", F.input_file_name()
     ).withColumn(
-        "_dir",
-        F.regexp_replace(
-            F.regexp_extract(F.col("_file"), r"^(?:file:/*)?(.*)/[^/]+$", 1),
-            "^/*",
-            "/",
-        ),
+        "_dirkey",
+        F.regexp_extract(F.col("_file"), r"(data/v[0-9]+(?:-r[0-9]+)?)/", 1),
     )
-    # normalize: manifest dirs are absolute paths
     joined = rows.join(
-        F.broadcast(vmap), rows["_dir"] == vmap["dir"], "left"
+        F.broadcast(vmap), rows["_dirkey"] == vmap["dirkey"], "left"
     )
     return joined.groupBy("ingest_version", "o_orderstatus").agg(
         F.count("*").cast("long").alias("n_rows"),

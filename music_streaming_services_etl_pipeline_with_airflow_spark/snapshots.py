@@ -953,7 +953,9 @@ class SnapshotTable:
             tag(old.exceptAll(new), "delete")
         )
 
-    def vacuum_report(self, keep_last: int = 1) -> dict:
+    def vacuum_report(
+        self, keep_last: int = 1, orphan_ttl_s: float = 24 * 3600
+    ) -> dict:
         """VACUUM DRY RUN: what ``expire(keep_last)`` WOULD remove,
         without touching anything — the pre-flight every retention job
         runs before destroying history. Returns manifest-level metadata
@@ -963,7 +965,9 @@ class SnapshotTable:
         - ``removable_dirs``: data dirs no surviving version references
           (refcounted exactly like expire's oldest-first walk)
         - ``orphan_dirs``: data/ entries no manifest references at all
-          (crashed attempts; expire's TTL-guarded sweep targets these)
+          AND older than ``orphan_ttl_s`` — the same TTL guard expire()
+          applies, so the dry run never reports an in-flight concurrent
+          writer's legitimate pre-manifest dir as removable
         - ``keep_versions``: the survivors"""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
@@ -972,17 +976,19 @@ class SnapshotTable:
         live_dirs = set()
         for v in survivors:
             live_dirs.update(self._manifest(v)["dirs"])
-        removable = []
+        removable, seen = [], set(live_dirs)
         for v in expired:
-            removable += [
-                d
-                for d in self._manifest(v)["dirs"]
-                if d not in live_dirs and d not in removable
-            ]
+            for d in self._manifest(v)["dirs"]:
+                if d not in seen:
+                    seen.add(d)
+                    removable.append(d)
         all_ref = set(live_dirs)
         for v in expired:
             all_ref.update(self._manifest(v)["dirs"])
+        import time
+
         orphans = []
+        now = time.time()
         data_root = f"{self.path}/data"
         if os.path.isdir(data_root):
             for name in sorted(os.listdir(data_root)):
@@ -993,7 +999,8 @@ class SnapshotTable:
                     r.startswith(d + "/") for r in all_ref
                 ):
                     continue
-                orphans.append(d)
+                if now - os.path.getmtime(d) >= orphan_ttl_s:
+                    orphans.append(d)
         return {
             "expire_versions": expired,
             "keep_versions": survivors,
