@@ -718,7 +718,7 @@ def test_fuzz_zonemap_cdf_against_model(spark, tmp_path_factory, data):
         cur = t.latest_version()
         choices = ["overwrite", "append"]
         if cur > 0:
-            choices += ["delete", "compact_small"]
+            choices += ["delete", "compact_small", "restore"]
         op = data.draw(st.sampled_from(choices))
         if op == "overwrite":
             rows = fresh_rows()
@@ -732,6 +732,10 @@ def test_fuzz_zonemap_cdf_against_model(spark, tmp_path_factory, data):
             cut = data.draw(st.integers(0, 99))
             v = t.delete_where(spark, f"v >= {cut}")
             model[v] = [r for r in model[cur] if r[1] < cut]
+        elif op == "restore":
+            target = data.draw(st.sampled_from(sorted(model)))
+            v = t.restore(target)
+            model[v] = list(model[target])
         else:
             v = t.compact_small(spark, small_bytes=1 << 30)
             if v != cur:
