@@ -1098,3 +1098,52 @@ def test_change_feed_across_schema_evolution(spark, tmp_path):
         (4, 40, "insert"),
         (5, None, "insert"),
     ]
+
+
+def test_change_feed_bucketed_touched_only(spark, tmp_path):
+    """Bucketed CDF fast path: a merge touching one bucket yields a feed
+    computed from THAT bucket's dirs only (inputFiles-pinned — the
+    untouched bucket's bytes are never read), with update rows surfacing
+    as delete+insert pairs."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "bcdf"))
+    n_buckets = 2
+
+    def with_bucket(df):
+        return df.withColumn(
+            "_bucket", SnapshotTable.bucket_of(F.col("k"), n_buckets)
+        )
+
+    base = spark.createDataFrame(
+        [(i, 100 + i) for i in range(8)], "k long, val long"
+    )
+    v1 = t.commit_buckets(
+        with_bucket(base), touched=[0, 1], n_buckets=n_buckets
+    )
+    # find a key in bucket 0 to update
+    b0_keys = [
+        r.k
+        for r in with_bucket(base).filter(F.col("_bucket") == 0).collect()
+    ]
+    ku = b0_keys[0]
+    delta = spark.createDataFrame([(ku, 999)], "k long, d long")
+    v2 = t.merge_bucketed(
+        spark,
+        delta,
+        on="k",
+        update={"val": "d"},
+        insert_defaults={"val": "d"},
+        n_buckets=n_buckets,
+        schema="k long, val long",
+    )
+
+    feed = t.changes(spark, v1, v2)
+    got = sorted((r.k, r.val, r._change_type) for r in feed.collect())
+    assert got == [(ku, 100 + ku, "delete"), (ku, 999, "insert")]
+    # only bucket 0's dirs were opened
+    b0_dirs = set(
+        t._manifest(v1)["buckets"]["0"] + t._manifest(v2)["buckets"]["0"]
+    )
+    files = [f.replace("file://", "").replace("file:", "") for f in feed.inputFiles()]
+    assert files and all(any(f.startswith(d) for d in b0_dirs) for f in files)
