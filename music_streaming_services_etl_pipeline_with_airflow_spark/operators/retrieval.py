@@ -9,9 +9,14 @@ Reciprocal Rank Fusion (Cormack et al., SIGIR'09).
 
 Determinism contract (same conventions as operators/text.py's tf-idf and
 logprob family): every per-term partial score is floored to integer
-milli-units BEFORE summation so cross-engine ln()/division ulp differences
-cannot flip a rank, sums are exact BIGINT arithmetic, and every ranking has
-the total order (score DESC, doc_id ASC).
+milli-units BEFORE summation, sums are exact BIGINT arithmetic, and every
+ranking has the total order (score DESC, doc_id ASC). The flooring SHRINKS
+the cross-engine divergence surface rather than eliminating it — a partial
+landing exactly on a milli boundary can still floor differently under a
+1-ulp ln()/division gap between engines and flip a rank. That residual
+window is ~1e-13 of the value space per partial (verified hash-identical
+vs DuckDB at sf0.001/0.01/0.1); if a corpus ever hits it, bias both
+engines' partials by the same tiny epsilon before FLOOR.
 
 Scale notes (100 TB): the corpus tokenize→tf aggregate is one hash shuffle
 with map-side partials; the query-term set is derived via a global top-k

@@ -800,23 +800,33 @@ def q_ivm_from_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("key_sum").cast("long").alias("key_sum"),
         )
         .filter(F.col("n_rows") > 0)
-        # persisted: the agree action below and the returned frame both
+        # persisted: the agree action below and the returned rows both
         # consume it — without this the whole fold pipeline runs twice
         .persist()
     )
-    # contract: the maintained view equals a fresh recompute, row for row
-    recomputed = view_of(t.read(spark, v3))
-    agree = (
-        maintained.join(recomputed, "o_orderstatus", "full_outer")
-        .select(
-            F.every(
-                maintained["n_rows"].eqNullSafe(recomputed["n_rows"])
-                & maintained["key_sum"].eqNullSafe(recomputed["key_sum"])
-            ).alias("ok")
+    try:
+        # contract: the maintained view equals a fresh recompute, row for
+        # row
+        recomputed = view_of(t.read(spark, v3))
+        agree = (
+            maintained.join(recomputed, "o_orderstatus", "full_outer")
+            .select(
+                F.every(
+                    maintained["n_rows"].eqNullSafe(recomputed["n_rows"])
+                    & maintained["key_sum"].eqNullSafe(recomputed["key_sum"])
+                ).alias("ok")
+            )
+            .first()["ok"]
         )
-        .first()["ok"]
-    )
-    return maintained.select(
+        # the maintained view is O(distinct statuses) rows — collect it so
+        # the cache can be released before returning (a returned frame
+        # that still depends on the cached plan would pin it for the
+        # session lifetime)
+        rows = maintained.collect()
+        schema = maintained.schema
+    finally:
+        maintained.unpersist()
+    return spark.createDataFrame(rows, schema).select(
         "o_orderstatus",
         "n_rows",
         "key_sum",

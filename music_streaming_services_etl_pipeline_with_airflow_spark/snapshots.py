@@ -189,8 +189,17 @@ class SnapshotTable:
         driver work, no data touched for skipped dirs. Dirs with no
         recorded stats are scanned conservatively. Returns
         ``(df, n_scanned, n_total)``; the caller still applies the actual
-        predicate (zone maps are conservative, not exact)."""
+        predicate (zone maps are conservative, not exact).
+
+        ``lo``/``hi`` are normalized through :meth:`_zm_value` so they
+        compare in the same domain as the STORED bounds: primitives pass
+        through, dates/timestamps become their ``str()`` rendering (ISO
+        'YYYY-MM-DD' / 'YYYY-MM-DD HH:MM:SS'), which orders correctly
+        lexicographically — a caller may pass a ``datetime.date`` object
+        or its ISO string interchangeably; a non-ISO string format would
+        mis-prune and must not be used."""
         v = self.latest_version() if version is None else version
+        lo, hi = self._zm_value(lo), self._zm_value(hi)
         if v == 0:
             raise ValueError(f"{self.path}: no committed versions")
         m = self._manifest(v)
@@ -485,7 +494,18 @@ class SnapshotTable:
         commit and validated on every later one (see
         :meth:`_check_n_buckets`). ``extra`` merges caller metadata into
         the manifest (e.g. a streaming sink's last-applied batch id for
-        replay idempotency); reserved manifest keys cannot be shadowed."""
+        replay idempotency); reserved manifest keys cannot be shadowed.
+
+        SCHEMA-STABLE BY CONTRACT: a bucketed lineage's data schema may
+        not drift across commits while any untouched bucket still carries
+        old dirs — read_buckets/merge_bucketed/the CDF fast path all read
+        bucket dirs under one schema, so a partial-touch evolution would
+        mix footers and silently NULL or drop columns depending on which
+        dir Spark infers from. A commit whose schema differs from the
+        parent's is accepted ONLY when it replaces every non-empty bucket
+        (a full rewrite — the lineage's visible file set is single-schema
+        again, Delta's overwriteSchema shape); otherwise it fails fast,
+        BEFORE any data is written."""
         parent = self.latest_version()
         # resolve the parent's bucket map BEFORE writing any data: a
         # wrong-lineage call (non-bucketed parent) must fail fast like
@@ -494,6 +514,41 @@ class SnapshotTable:
             dict(self._bucket_map(parent)) if parent > 0 else {}
         )
         self._check_n_buckets(n_buckets)
+        new_schema = df.drop(bucket_col).schema.jsonValue()
+
+        def shape(js: dict) -> frozenset:
+            # schema identity for the stability check: column NAME + TYPE.
+            # Nullability and field order drift freely across unions /
+            # parquet read-backs and don't affect how a dir is read (the
+            # scan resolves columns by name), so they must not trip it.
+            import json as _json
+
+            return frozenset(
+                (f["name"], _json.dumps(f["type"], sort_keys=True))
+                for f in js.get("fields", [])
+            )
+
+        if parent > 0:
+            psch = self._manifest(parent).get("schema")
+            carried = [
+                b
+                for b, ds in buckets.items()
+                if ds and b not in {str(x) for x in touched}
+            ]
+            if (
+                psch is not None
+                and shape(psch) != shape(new_schema)
+                and carried
+            ):
+                raise ValueError(
+                    f"{self.path}: bucketed commit changes the data schema "
+                    f"while bucket(s) {sorted(carried)[:8]} still carry "
+                    "old-schema dirs by reference — bucketed lineages are "
+                    "schema-stable (every reader types all buckets with "
+                    "ONE schema). Evolve by rewriting every non-empty "
+                    "bucket in one commit, or add the column to the state "
+                    "via merge_bucketed over all buckets"
+                )
         stored_n = (
             self._manifest(parent).get("n_buckets") if parent > 0 else None
         )
@@ -547,7 +602,7 @@ class SnapshotTable:
                 # every bucket recorded as [] there is no parquet footer
                 # left to infer from, so read() rebuilds the typed empty
                 # relation from this record instead
-                "schema": df.drop(bucket_col).schema.jsonValue(),
+                "schema": new_schema,
             }
         )
         self._write_manifest(manifest)
@@ -965,13 +1020,28 @@ class SnapshotTable:
                 if bf.get(b, []) != bt.get(b, [])
             ]
 
-            def bucket_side(bm: dict) -> DataFrame:
+            def bucket_side(bm: dict, m: dict) -> DataFrame:
                 dirs = [d for b in touched for d in bm.get(b, [])]
                 if not dirs:
                     return align(new.limit(0))
-                return align(spark.read.parquet(*dirs))
+                # read under the side's RECORDED manifest schema (the
+                # lineage union at that version), exactly as delete_where's
+                # read_dir does: bare footer inference would type the side
+                # by one arbitrary dir and silently drop an evolved
+                # column's values from the other dirs BEFORE align() pads
+                # NULLs — the carried-over narrow buckets must read the
+                # added column as typed NULL, not erase the wide ones'
+                if m.get("schema"):
+                    from pyspark.sql.types import StructType
 
-            old_b, new_b = bucket_side(bf), bucket_side(bt)
+                    reader = spark.read.schema(
+                        StructType.fromJson(m["schema"])
+                    )
+                else:
+                    reader = spark.read.option("mergeSchema", True)
+                return align(reader.parquet(*dirs))
+
+            old_b, new_b = bucket_side(bf, mf), bucket_side(bt, mt)
             return tag(new_b.exceptAll(old_b), "insert").unionByName(
                 tag(old_b.exceptAll(new_b), "delete")
             )

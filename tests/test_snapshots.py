@@ -1147,3 +1147,86 @@ def test_change_feed_bucketed_touched_only(spark, tmp_path):
     )
     files = [f.replace("file://", "").replace("file:", "") for f in feed.inputFiles()]
     assert files and all(any(f.startswith(d) for d in b0_dirs) for f in files)
+
+
+def test_bucketed_schema_stability_enforced(spark, tmp_path):
+    """Bucketed lineages are schema-stable by contract (r9, ADVICE): a
+    partial-touch commit that changes the data schema fails BEFORE any
+    data is written (no orphan dir), because untouched buckets would
+    carry old-schema dirs that every one-schema bucket read (read_buckets
+    / merge_bucketed / the CDF fast path) silently mistypes. A FULL
+    rewrite — every non-empty bucket replaced in one commit — may change
+    the schema (the overwriteSchema shape), and the CDF fast path across
+    it reads each side under its own recorded schema."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "bstable"))
+    n_buckets = 2
+
+    def with_bucket(df):
+        return df.withColumn(
+            "_bucket", SnapshotTable.bucket_of(F.col("k"), n_buckets)
+        )
+
+    base = spark.createDataFrame(
+        [(i, 100 + i) for i in range(8)], "k long, val long"
+    )
+    v1 = t.commit_buckets(
+        with_bucket(base), touched=[0, 1], n_buckets=n_buckets
+    )
+    ndirs_before = len(os.listdir(f"{t.path}/data"))
+    wide = spark.createDataFrame([(0, 100, 7)], "k long, val long, tag long")
+    with pytest.raises(ValueError, match="schema-stable"):
+        t.commit_buckets(with_bucket(wide), touched=[0], n_buckets=n_buckets)
+    # fail-fast: no orphan data dir was written by the rejected commit
+    assert len(os.listdir(f"{t.path}/data")) == ndirs_before
+    # full rewrite MAY evolve the schema
+    wide_all = spark.createDataFrame(
+        [(i, 100 + i, 7 * i) for i in range(8)], "k long, val long, tag long"
+    )
+    v2 = t.commit_buckets(
+        with_bucket(wide_all), touched=[0, 1], n_buckets=n_buckets
+    )
+    assert t.read(spark, v2).columns == ["k", "val", "tag"]
+    # the bucketed CDF fast path across the full rewrite types each side
+    # by its OWN recorded schema: old rows delete with tag=NULL (padded
+    # into v_to's union), new rows insert with real tag values
+    feed = {
+        (r.k, r.tag, r._change_type)
+        for r in t.changes(spark, v1, v2).collect()
+    }
+    assert feed == {(i, None, "delete") for i in range(8)} | {
+        (i, 7 * i, "insert") for i in range(8)
+    }
+
+
+def test_read_pruned_normalizes_date_bounds(spark, tmp_path):
+    """read_pruned bounds normalization (r9, ADVICE): a caller may pass a
+    datetime.date object or its ISO string interchangeably — both are
+    normalized through _zm_value, so they compare in the stored bounds'
+    str() domain instead of raising TypeError (object vs str) or
+    silently mis-pruning."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "zmdate"))
+    days = lambda a, b: spark.range(a, b).select(  # noqa: E731
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d")
+    )
+    t.commit(days(0, 10), stats_cols=["d"])  # 2024-01-01 .. 2024-01-10
+    t.commit(days(40, 50), mode="append", stats_cols=["d"])  # feb 10..19
+    for lo, hi in [
+        (dt.date(2024, 2, 1), dt.date(2024, 2, 28)),
+        ("2024-02-01", "2024-02-28"),
+    ]:
+        df, scanned, total = t.read_pruned(spark, "d", lo, hi)
+        assert (scanned, total) == (1, 2)
+        assert df.count() == 10
+    df, scanned, total = t.read_pruned(
+        spark, "d", dt.date(2025, 1, 1), dt.date(2025, 12, 31)
+    )
+    assert (scanned, total) == (0, 2)
