@@ -17,7 +17,7 @@ graphs are shallow (tiny cliques), so a handful of rounds suffices.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
@@ -437,15 +437,43 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KCORE_MAX_ROUNDS = 50
 
-# H-index of an int array: sort descending, count positions i (1-based)
-# where value >= i — the indicator is monotone along the sorted array, so
-# the count IS the h. Pure Catalyst array expr, no UDF.
-_HINDEX_EXPR = """aggregate(
-    transform(
-        array_sort(_arr, (x, y) -> CASE WHEN x > y THEN -1
-                                        WHEN x < y THEN 1 ELSE 0 END),
-        (x, i) -> IF(x >= i + 1, 1, 0)
-    ), 0, (acc, v) -> acc + v)"""
+
+def _neighbor_core_hindex(sym: DataFrame, core: DataFrame) -> DataFrame:
+    """(node, h) where h = H-index of each node's multiset of neighbor
+    cores — the COUNTING form: H = max over present core values c of
+    min(c, N(>=c)), with N(>=c) a per-node descending cumulative count.
+
+    Deliberately NOT collect_list: on a power-law graph the max-degree
+    vertex's neighbor-core array is O(degree) in ONE row (10^8 elements
+    at web scale -> executor OOM). Here no row ever exceeds O(1) state:
+    the (node, core) count is a map-side-combined hash aggregate, the
+    cumulative sum is a sort window whose per-node partition holds
+    O(distinct neighbor-core VALUES) rows (bounded by max coreness, not
+    degree — a 10^8-degree hub with cores in [1, 200] contributes <= 200
+    rows), and the final max is another hash aggregate.
+
+    Correctness of the value formula: for any present c, min(c, N(>=c))
+    <= H (if c <= H trivially; if c > H then N(>=c) <= N(>=H+1) < H+1);
+    and the smallest present value c* >= H attains it (N(>=c*) = N(>=H)
+    >= H). Both checked by the hypothesis fuzz + independent peeling
+    pins in tests/test_extensions.py."""
+    w = (
+        Window.partitionBy("src")
+        .orderBy(F.desc("core"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sym.join(core, sym.dst == core.node)
+        .groupBy("src", "core")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_n_ge", F.sum("_n").over(w))
+        .groupBy("src")
+        .agg(
+            F.max(F.least(F.col("core"), F.col("_n_ge")))
+            .cast("long")
+            .alias("h")
+        )
+    )
 
 
 def kcore(edges: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
@@ -456,9 +484,11 @@ def kcore(edges: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
     terminates AT the coreness; the scalar core-sum detects the fixpoint
     (one number per round, same trick as connected_components).
 
-    Scale: each round is one join + one hash aggregate over EDGES (the
-    per-node neighbor-core array is degree-bounded); lineage cut per
-    round with localCheckpoint."""
+    Scale: each round is one join + two hash aggregates + one
+    short-partition sort window over EDGES (see
+    :func:`_neighbor_core_hindex` — no per-node state is ever
+    O(degree), so a power-law hub cannot OOM an executor); lineage cut
+    per round with localCheckpoint."""
     fwd = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     sym = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -470,12 +500,7 @@ def kcore(edges: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
     )
     prev_sum = None
     for _ in range(KCORE_MAX_ROUNDS):
-        h = (
-            sym.join(core, sym.dst == core.node)
-            .groupBy("src")
-            .agg(F.collect_list("core").alias("_arr"))
-            .select("src", F.expr(_HINDEX_EXPR).alias("h"))
-        )
+        h = _neighbor_core_hindex(sym, core)
         core = (
             core.join(h, core.node == h.src)
             .select("node", F.least("core", "h").alias("core"))
@@ -516,10 +541,14 @@ def kcore(edges: DataFrame, a: str = "pa", b: str = "pb") -> DataFrame:
     doc=f"k-core decomposition (coreness per part) over the support-"
     f"{_TRI_SUPPORT} co-purchase graph — graph-based quality filtering: "
     "high-core nodes sit in densely interconnected regions, the signal "
-    "spam/fringe filtering uses. H-index fixpoint iteration, one "
-    "join + one degree-bounded hash aggregate per round. CHECKED OUTPUT: "
-    "per-node fixpoint + core<=degree audits on the SQL-derived node "
-    "set; exact coreness pinned in pytest vs independent peeling.",
+    "spam/fringe filtering uses. H-index fixpoint iteration in the "
+    "COUNTING form (r9): per round one join, a map-side-combined "
+    "(node, core) count, a per-node cumulative window over O(distinct "
+    "core values) rows, and a hash max — no row ever holds O(degree) "
+    "state, so power-law hubs cannot OOM an executor (the r8 "
+    "collect_list form could). CHECKED OUTPUT: per-node fixpoint + "
+    "core<=degree audits on the SQL-derived node set; exact coreness "
+    "pinned in pytest vs independent peeling.",
 )
 def q_kcore_parts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the heavy distinct+self-join edge relation: it feeds kcore()'s
@@ -535,12 +564,7 @@ def q_kcore_parts_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("deg")
     )
     # one more H application must be the identity at the fixpoint
-    h = (
-        sym.join(core, sym.dst == core.node)
-        .groupBy("src")
-        .agg(F.collect_list("core").alias("_arr"))
-        .select(F.col("src").alias("node"), F.expr(_HINDEX_EXPR).alias("h"))
-    )
+    h = _neighbor_core_hindex(sym, core).withColumnRenamed("src", "node")
     return (
         core.join(h, "node")
         .join(deg, "node")

@@ -1,0 +1,183 @@
+"""Zipf-skew replicas: measure the ops whose scale claims depend on KEY
+DISTRIBUTION, not just volume (VERDICT r8 item 8). The fresh-growth tools
+scale bytes but keep keys uniform — "hash-parallel on a cluster" is only
+proven against the skew that actually breaks it:
+
+- S1 kcore-hub: power-law edge list (one endpoint Zipf-ranked) so the hub
+  vertex's DEGREE grows with the graph. This is exactly the shape the r8
+  collect_list H-index would OOM on (one row holding an O(degree) array);
+  the r9 counting form keeps per-row state O(1) and per-node window
+  partitions O(distinct core values). 10x edges => ~10x hub degree; wall
+  should stay ~linear in edges.
+- S2 bm25-zipf-df: documents whose tokens are Zipf draws from a vocab, so
+  the top term's df grows ~linearly with the corpus (hot-reducer hazard in
+  the (term) df aggregate and the query-term candidate join). The tf/df
+  aggregates are map-side combined, so the hot term's partials collapse
+  per-partition before the shuffle.
+- S3 er-zipf-blocks: customer accounts drawn so blocking keys (acct div
+  10) are Zipf — a hot block of B mentions makes the within-block pair
+  join emit O(B^2) candidates. That cost is INHERENT to blocking ER (the
+  honest fix at 100 TB is a block-size cap / secondary blocking key, not
+  a Spark trick); this measures it so the SCALING row documents the real
+  exponent instead of a uniform-key fiction.
+
+Each scenario runs at 1x and 10x, best-of-2 after a warmup run, noop sink.
+Usage: python tools/zipf_skew_measure.py [s1|s2|s3 ...]  (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from music_streaming_services_etl_pipeline_with_airflow_spark.session import get_spark
+
+ROOT = "/tmp/spark_engine_zipf_skew"
+ZIPF_A = 1.3  # shape: heavy enough that rank-1 takes ~25% of the mass
+SEED = 20260815
+
+
+def timed(df) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 2)
+
+
+def zipf_ranks(rng, size: int, n_ranks: int) -> np.ndarray:
+    """Zipf(a) draws truncated to [1, n_ranks] (rejection-free: resample
+    the tail mass uniformly into the head — fine for a load generator)."""
+    z = rng.zipf(ZIPF_A, size=size)
+    over = z > n_ranks
+    z[over] = rng.integers(1, n_ranks + 1, size=int(over.sum()))
+    return z
+
+
+def s1_kcore(spark, scale: int) -> None:
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.components import kcore
+
+    rng = np.random.default_rng(SEED)
+    m = 150_000 * scale
+    n = 20_000 * scale
+    u = rng.integers(0, n, size=m)
+    v = zipf_ranks(rng, m, n) - 1  # node 0 is the hub
+    pa, pb = np.minimum(u, v), np.maximum(u, v)
+    keep = pa != pb
+    import pandas as pd
+
+    edges = (
+        spark.createDataFrame(
+            pd.DataFrame({"pa": pa[keep], "pb": pb[keep]})
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = edges.union(edges.select("pb", "pa"))
+    hub = (
+        sym.groupBy("pa").count().agg(F.max("count")).first()[0]
+    )
+    # kcore() iterates with eager localCheckpoints, so the work happens at
+    # CALL time — time the whole call, not a lazy write of its result
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        kcore(edges).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    t = round(best, 2)
+    print(
+        f"RESULT s1_kcore scale={scale} edges={edges.count()} "
+        f"max_degree={hub} wall={t}s"
+    )
+
+
+def s2_bm25(spark, scale: int) -> None:
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    rng = np.random.default_rng(SEED)
+    n_docs = 6_000 * scale
+    vocab = 30_000
+    doc_len = 40
+    toks = zipf_ranks(rng, n_docs * doc_len, vocab).reshape(n_docs, doc_len)
+    import pandas as pd
+
+    texts = [" ".join(f"t{r}" for r in row) for row in toks]
+    d = f"{ROOT}/bm25_x{scale}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "zipf",
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    fn = all_specs()["text_bm25_topk"].fn
+    t = timed(fn(spark, d))
+    # df of the hottest term ~ P(term1 appears in a doc) * n_docs
+    print(f"RESULT s2_bm25 scale={scale} docs={n_docs} wall={t}s")
+
+
+def s3_er(spark, scale: int) -> None:
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    rng = np.random.default_rng(SEED)
+    n_cust = 3_000 * scale
+    # Zipf-ranked BLOCKS: block b gets Zipf mass, acct = block*10 + i%10.
+    # The hot block's mention count grows ~linearly with n_cust, so the
+    # within-block candidate pairs grow ~quadratically — the measurement
+    # target.
+    n_blocks = max(n_cust // 20, 10)
+    blocks = zipf_ranks(rng, n_cust, n_blocks) - 1
+    accts = blocks * 10 + rng.integers(0, 10, size=n_cust)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "c_custkey": np.arange(n_cust, dtype=np.int64),
+            "c_name": [f"Customer Record {a:09d}" for a in accts],
+        }
+    )
+    d = f"{ROOT}/er_x{scale}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    spark.createDataFrame(pdf).write.parquet(f"{d}/customer.parquet")
+    hot = int(pd.Series(blocks).value_counts().iloc[0])
+    fn = all_specs()["er_resolve_customers"].fn
+    t = timed(fn(spark, d))
+    print(
+        f"RESULT s3_er scale={scale} customers={n_cust} "
+        f"hot_block_mentions={hot * 4} wall={t}s"
+    )
+
+
+def main() -> None:
+    which = set(sys.argv[1:]) or {"s1", "s2", "s3"}
+    os.makedirs(ROOT, exist_ok=True)
+    spark = get_spark("zipf-skew-measure")
+    spark.sparkContext.setLogLevel("ERROR")
+    for scale in (1, 10):
+        if "s1" in which:
+            s1_kcore(spark, scale)
+        if "s2" in which:
+            s2_bm25(spark, scale)
+        if "s3" in which:
+            s3_er(spark, scale)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
