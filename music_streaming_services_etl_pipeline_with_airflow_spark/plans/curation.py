@@ -207,8 +207,13 @@ VOCAB_MIN_COUNT = 3
     "DESC, token) total order — the id table a BPE/WordPiece trainer "
     "starts from. Explode + two-level hash agg (partial map-side combine "
     "first, so the shuffle carries one row per distinct token per "
-    "partition, not per occurrence); the final rank is a single-partition "
-    "window over the SMALL distinct-token relation only.",
+    "partition, not per occurrence). Dense ids are assigned TWO-PHASE "
+    "(r9, the zipWithIndex spelling): range-repartition on the sort key, "
+    "rank per partition in parallel, collect only the P per-partition "
+    "COUNTS to the driver, and add the cumulative offsets back via a "
+    "broadcast — the plan carries no vocab-sized SinglePartition "
+    "exchange, so a web-scale vocabulary (1e8+ distinct tokens) is never "
+    "sorted by one task.",
 )
 def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -220,9 +225,38 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= VOCAB_MIN_COUNT)
     )
-    wnd = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return counts.select(
-        "token", "freq", F.row_number().over(wnd).cast("long").alias("token_id")
+    # Phase 1: range partitioning makes partition ids globally ordered by
+    # the id-assignment key ((freq DESC, token) is a STRICT total order —
+    # token is the group-by key — so no tie can straddle a boundary).
+    # localCheckpoint pins rows AND their _pid: the size aggregate below
+    # and the rank join both read the same materialized partitioning.
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    parted = (
+        counts.repartitionByRange(n_parts, F.desc("freq"), F.asc("token"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # Phase 2: per-partition row counts — P rows to the driver, never data
+    sizes = sorted(
+        parted.groupBy("_pid").agg(F.count("*").alias("_n")).collect(),
+        key=lambda r: r._pid,
+    )
+    offsets, acc = [], 0
+    for r in sizes:
+        offsets.append((r._pid, acc))
+        acc += r._n
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    # Phase 3: rank WITHIN each partition (parallel sort windows) + offset
+    wnd = Window.partitionBy("_pid").orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        parted.join(F.broadcast(off), "_pid")
+        .select(
+            "token",
+            "freq",
+            (F.row_number().over(wnd) + F.col("_off"))
+            .cast("long")
+            .alias("token_id"),
+        )
     )
 
 

@@ -2629,3 +2629,41 @@ def test_maxsim_matches_independent_recompute(spark, tmp_path):
         for rank, (neg, i) in enumerate(scored[:TOPK], 1):
             exp[(qid, rank)] = (i, -neg, len(queries[qid]))
     assert got == exp
+
+
+def test_build_vocab_two_phase_matches_global_rank(spark):
+    """build_vocab's two-phase id assignment (r9: range-repartition +
+    per-partition rank + broadcast offsets) must equal the global
+    ROW_NUMBER it replaced, on a vocabulary wide enough to span many
+    range partitions AND carry heavy freq ties (the boundary hazard:
+    a tie straddling two partitions must still get distinct, correctly
+    ordered ids because the sort key (freq DESC, token) is strict)."""
+    import tempfile
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.curation import (
+        VOCAB_MIN_COUNT,
+        q_build_vocab,
+    )
+
+    # 2000 tokens, freq = VOCAB_MIN_COUNT + (i % 7): ~286 tokens per
+    # freq level — every range boundary lands inside a tie group
+    rows = []
+    for i in range(2000):
+        rows.extend([f"tok{i:05d}"] * (VOCAB_MIN_COUNT + (i % 7)))
+    import random
+
+    random.Random(7).shuffle(rows)
+    docs = spark.createDataFrame(
+        [(j, " ".join(rows[j::50])) for j in range(50)],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.token: (r.freq, r.token_id)
+            for r in q_build_vocab(spark, d).collect()
+        }
+    assert len(got) == 2000
+    expected_order = sorted(got, key=lambda t: (-got[t][0], t))
+    for rank, tok in enumerate(expected_order, 1):
+        assert got[tok][1] == rank, (tok, got[tok], rank)
