@@ -1,0 +1,66 @@
+"""Two-phase global ranking — dense 1-based row numbers under a STRICT
+total order without a SinglePartition exchange (the DataFrame spelling of
+RDD zipWithIndex).
+
+The naive ``row_number() OVER (ORDER BY ...)`` funnels the whole relation
+through ONE task (Catalyst plans an unpartitioned window as
+``Exchange SinglePartition`` + one sort). Fine for a few thousand rows;
+at web scale (1e8+ rows) one task sorts everything. The two-phase form:
+
+1. ``repartitionByRange`` on the sort key — partitions become globally
+   ordered slices of the total order (the key must be STRICT: a tie
+   straddling a range boundary would otherwise split nondeterministically).
+2. Rank WITHIN each partition — parallel sort windows keyed by
+   ``spark_partition_id()``.
+3. Collect only the P per-partition COUNTS to the driver, prefix-sum them,
+   and broadcast the offsets back. ``global_rank = offset[pid] + local``.
+
+Driver traffic is P rows; no data-sized single-task stage anywhere.
+
+The eager ``localCheckpoint`` between phases pins both the rows and their
+partition ids: the size aggregate and the rank join must observe the SAME
+materialized partitioning (a recomputed range partitioning could resample
+boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def two_phase_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    id_col: str = "rn",
+) -> tuple[DataFrame, int]:
+    """Return ``(df + id_col, total_rows)`` where ``id_col`` is the exact
+    1-based row number of each row under ``order_cols`` (a STRICT total
+    order — the caller must include a tie-breaking key). ``total_rows``
+    comes free from the offset prefix-sum (no extra pass)."""
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    parted = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = sorted(
+        parted.groupBy("_pid").agg(F.count("*").alias("_n")).collect(),
+        key=lambda r: r._pid,
+    )
+    offsets, acc = [], 0
+    for r in sizes:
+        offsets.append((r._pid, acc))
+        acc += r._n
+    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    wnd = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        parted.join(F.broadcast(off), "_pid")
+        .withColumn(
+            id_col,
+            (F.row_number().over(wnd) + F.col("_off")).cast("long"),
+        )
+        .drop("_pid", "_off")
+    )
+    return out, acc

@@ -772,8 +772,9 @@ def q_s5_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segmentation/leaderboard shape. Rank ties are deterministic because "
     "equal spend yields equal rank; ntile is pinned by the key tie-break. "
     "An unpartitioned window funnels into one task — correct here because "
-    "the input is the already-aggregated per-customer relation; at 100 TB "
-    "assign quartiles by joining against approx_percentile cutoffs instead.",
+    "the input is the already-aggregated per-customer relation; the "
+    "REGISTERED scale-safe twin is w4_quartiles_scale_safe (two-phase "
+    "global rank, no SinglePartition exchange).",
 )
 def q_w4_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -788,6 +789,57 @@ def q_w4_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w_total).cast("int").alias("quartile"),
         F.rank().over(w_rank).cast("long").alias("rnk"),
         F.dense_rank().over(w_rank).cast("long").alias("drnk"),
+    )
+
+
+@register(
+    "w4_quartiles_scale_safe",
+    """WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS spend_floor
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT o_custkey, spend_floor,
+               CAST(ROW_NUMBER() OVER (ORDER BY spend_floor DESC, o_custkey)
+                    AS BIGINT) AS rn,
+               COUNT(*) OVER () AS n
+        FROM spend)
+    SELECT o_custkey, spend_floor, rn,
+           CAST(1 + ((rn - 1) * 4) // n AS INTEGER) AS quartile
+    FROM ranked""",
+    doc="SCALE-SAFE twin of w4_ntile_rank_quartiles (r9, VERDICT watch-"
+    "list): the exact twin's unpartitioned NTILE/RANK windows funnel the "
+    "whole per-customer relation through ONE task (fine at per-customer "
+    "cardinality, wrong at 1e9 customers). Here the global rank comes "
+    "from functions/ranking.two_phase_row_number — range-repartition on "
+    "the strict key (spend DESC, custkey), rank per partition in "
+    "parallel, broadcast the P partition-count offsets back — and the "
+    "quartile is pure arithmetic on (rank, N), with N free from the "
+    "offset prefix-sum. Quartile formula 1 + (rn-1)*4 div N (equal-width "
+    "rank slices; differs from SQL NTILE's larger-buckets-first fill by "
+    "at most the remainder placement, and the ORACLE uses the same "
+    "formula, so the match is exact). Plan shows hashpartitioning(_pid) "
+    "windows and no data-sized SinglePartition exchange.",
+)
+def q_w4_quartiles_scale_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import two_phase_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor("o_totalprice").cast("long")).alias("spend_floor")
+    )
+    ranked, n = two_phase_row_number(
+        spend, [F.desc("spend_floor"), F.asc("o_custkey")], id_col="rn"
+    )
+    return ranked.select(
+        "o_custkey",
+        "spend_floor",
+        "rn",
+        # integer DIV: exact at any rank magnitude (float / would lose
+        # ulps past 2^53)
+        F.expr(f"CAST(1 + ((rn - 1) * 4) DIV {max(n, 1)} AS INT)").alias(
+            "quartile"
+        ),
     )
 
 

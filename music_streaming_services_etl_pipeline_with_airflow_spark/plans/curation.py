@@ -216,7 +216,7 @@ VOCAB_MIN_COUNT = 3
     "sorted by one task.",
 )
 def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..functions.ranking import two_phase_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -225,39 +225,12 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= VOCAB_MIN_COUNT)
     )
-    # Phase 1: range partitioning makes partition ids globally ordered by
-    # the id-assignment key ((freq DESC, token) is a STRICT total order —
-    # token is the group-by key — so no tie can straddle a boundary).
-    # localCheckpoint pins rows AND their _pid: the size aggregate below
-    # and the rank join both read the same materialized partitioning.
-    n_parts = max(spark.sparkContext.defaultParallelism, 2)
-    parted = (
-        counts.repartitionByRange(n_parts, F.desc("freq"), F.asc("token"))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # (freq DESC, token) is a STRICT total order — token is the group-by
+    # key — as two_phase_row_number requires
+    ranked, _ = two_phase_row_number(
+        counts, [F.desc("freq"), F.asc("token")], id_col="token_id"
     )
-    # Phase 2: per-partition row counts — P rows to the driver, never data
-    sizes = sorted(
-        parted.groupBy("_pid").agg(F.count("*").alias("_n")).collect(),
-        key=lambda r: r._pid,
-    )
-    offsets, acc = [], 0
-    for r in sizes:
-        offsets.append((r._pid, acc))
-        acc += r._n
-    off = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
-    # Phase 3: rank WITHIN each partition (parallel sort windows) + offset
-    wnd = Window.partitionBy("_pid").orderBy(F.desc("freq"), F.asc("token"))
-    return (
-        parted.join(F.broadcast(off), "_pid")
-        .select(
-            "token",
-            "freq",
-            (F.row_number().over(wnd) + F.col("_off"))
-            .cast("long")
-            .alias("token_id"),
-        )
-    )
+    return ranked.select("token", "freq", "token_id")
 
 
 # ---------------------------------------------------------------------------
