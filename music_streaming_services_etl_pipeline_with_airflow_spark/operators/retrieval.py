@@ -474,6 +474,22 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= {TOPK}"""
 
 
+def _tokvec(term_col):
+    """The deterministic md5-derived integer milli token embedding, one
+    column per dim — shared by the full-corpus MaxSim and its two-stage
+    twin (and mirrored exactly by _tokvec_cols_sql on the oracle side)."""
+    from ..functions.hashing import hex8_to_long
+
+    return [
+        (
+            hex8_to_long(F.md5(F.concat(F.lit(f"tv{i}:"), term_col)))
+            % VEC_MOD
+            - 1000
+        ).alias(f"e{i}")
+        for i in range(VEC_DIMS)
+    ]
+
+
 @register(
     "retrieval_maxsim_late_interaction",
     _maxsim_oracle(),
@@ -495,19 +511,7 @@ WHERE rank <= {TOPK}"""
     "nothing corpus-sized concentrates.",
 )
 def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.hashing import hex8_to_long
-
-    def tokvec(term_col):
-        return [
-            (
-                hex8_to_long(
-                    F.md5(F.concat(F.lit(f"tv{i}:"), term_col))
-                )
-                % VEC_MOD
-                - 1000
-            ).alias(f"e{i}")
-            for i in range(VEC_DIMS)
-        ]
+    tokvec = _tokvec  # noqa: F841 — kept name from the pre-refactor body
 
     docs = load_table(spark, sf_dir, "documents")
     dterms = docs.select(
@@ -551,6 +555,129 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("query_id").cast("long"),
         "doc_id",
+        "score_dot",
+        "n_qterms",
+        F.col("rank").cast("long"),
+    )
+
+
+# --- Two-stage MaxSim: lexical recall, late-interaction rerank ---
+
+
+def _maxsim_two_stage_oracle() -> str:
+    dvec = ", ".join(
+        f"CAST({e} AS BIGINT) AS e{i}"
+        for i, e in enumerate(_tokvec_cols_sql("term"))
+    )
+    dot = " + ".join(f"d.e{i} * q.e{i}" for i in range(VEC_DIMS))
+    return f"""
+WITH {_bm25_ctes()},
+lexpool AS (
+    SELECT query_id, doc_id, lex_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc_id ASC) AS lex_rank
+        FROM scored)
+    WHERE lex_rank <= {RERANK_POOL}
+),
+dv AS (
+    SELECT doc_id, term, {dvec}
+    FROM (SELECT DISTINCT doc_id, term FROM toks
+          WHERE doc_id IN (SELECT DISTINCT doc_id FROM lexpool))
+),
+qv AS (SELECT query_id, term, {dvec} FROM qterms),
+sims AS (
+    SELECT l.query_id, l.doc_id, l.lex_rank, q.term AS qterm,
+           MAX({dot}) AS max_sim
+    FROM lexpool l
+    JOIN dv d ON d.doc_id = l.doc_id
+    JOIN qv q ON q.query_id = l.query_id
+    GROUP BY l.query_id, l.doc_id, l.lex_rank, q.term
+),
+li AS (
+    SELECT query_id, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(SUM(max_sim) AS BIGINT) AS score_dot,
+           CAST(COUNT(*) AS BIGINT) AS n_qterms
+    FROM sims GROUP BY query_id, doc_id, lex_rank
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, lex_rank, score_dot,
+       n_qterms, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score_dot DESC, doc_id ASC) AS rank
+      FROM li)
+WHERE rank <= {TOPK}"""
+
+
+@register(
+    "retrieval_maxsim_two_stage",
+    _maxsim_two_stage_oracle(),
+    doc=f"TWO-STAGE late interaction (r9 — the scale twin of "
+    "retrieval_maxsim_late_interaction, whose corpus-wide token cross "
+    f"product is the intentional exact baseline): BM25 recalls each "
+    f"query's top-{RERANK_POOL} lexical candidates, then ColBERT-style "
+    "MaxSim reranks ONLY that pool — per-term max over the candidate's "
+    f"token vectors, summed per (query, doc) — to the final top-{TOPK}. "
+    "Stage-2 cost is bounded by pool size x tokens-per-doc and is "
+    "INDEPENDENT of corpus size: only pooled docs' distinct (doc, term) "
+    f"pairs are vectorized (<= {N_QUERIES}x{RERANK_POOL} docs ride a "
+    "broadcast semi-join into the token explode), so the dense scorer "
+    "never touches the corpus. All-integer md5 milli-vectors as in the "
+    "exact baseline — fully value-hashed against the same pipeline in "
+    "SQL.",
+)
+def q_maxsim_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stage 1: the identical lexical pool the cosine reranker draws
+    scored, _ = _bm25_scored(spark, sf_dir)
+    lexpool = (
+        _salted_topk(
+            scored.select("query_id", "doc_id", "score_milli"),
+            RERANK_POOL,
+            F.desc("score_milli"),
+            F.asc("doc_id"),
+            salt_on="doc_id",
+        )
+        .withColumnRenamed("rank", "lex_rank")
+        .drop("score_milli")
+        .localCheckpoint(eager=True)  # pool feeds the doc filter AND sims
+    )
+    # stage 2: vectorize ONLY pooled docs (broadcast semi-join before the
+    # token explode — the corpus-sized relation never reaches MaxSim)
+    docs = load_table(spark, sf_dir, "documents")
+    pooldocs = lexpool.select("doc_id").distinct()
+    dterms = (
+        docs.join(F.broadcast(pooldocs), "doc_id")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .distinct()
+    )
+    dv = dterms.select("doc_id", "term", *_tokvec(F.col("term")))
+
+    _, qnames = _bm25_scored(spark, sf_dir)
+    qterms = qnames.select(
+        "query_id", F.explode(F.split("q_terms", " ")).alias("term")
+    )
+    qv = qterms.select(
+        "query_id",
+        F.col("term").alias("qterm"),
+        *[c.alias(f"q{i}") for i, c in enumerate(_tokvec(F.col("term")))],
+    )
+    dot = sum(F.col(f"e{i}") * F.col(f"q{i}") for i in range(VEC_DIMS))
+    sims = (
+        lexpool.join(dv, "doc_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "doc_id", "lex_rank", "qterm", dot.alias("sim"))
+        .groupBy("query_id", "doc_id", "lex_rank", "qterm")
+        .agg(F.max("sim").alias("max_sim"))
+    )
+    li = sims.groupBy("query_id", "doc_id", "lex_rank").agg(
+        F.sum("max_sim").cast("long").alias("score_dot"),
+        F.count("*").cast("long").alias("n_qterms"),
+    )
+    return _salted_topk(
+        li, TOPK, F.desc("score_dot"), F.asc("doc_id"), salt_on="doc_id"
+    ).select(
+        F.col("query_id").cast("long"),
+        "doc_id",
+        F.col("lex_rank").cast("long"),
         "score_dot",
         "n_qterms",
         F.col("rank").cast("long"),

@@ -131,6 +131,24 @@ def s2_bm25(spark, scale: int) -> None:
     print(f"RESULT s2_bm25 scale={scale} docs={n_docs} wall={t}s")
 
 
+def s4_maxsim(spark, scale: int) -> None:
+    """Full-corpus MaxSim vs the r9 two-stage twin on the SAME Zipf doc
+    fixture (s2 must have run first at this scale): the exact baseline's
+    token cross product scales with the corpus; the twin's stage 2 scores
+    a fixed 3x50-doc pool, so its growth should track ONLY the shared
+    BM25 stage 1."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    d = f"{ROOT}/bm25_x{scale}"
+    if not os.path.isdir(d):
+        raise SystemExit(f"run s2 first to build {d}")
+    full = timed(all_specs()["retrieval_maxsim_late_interaction"].fn(spark, d))
+    two = timed(all_specs()["retrieval_maxsim_two_stage"].fn(spark, d))
+    print(
+        f"RESULT s4_maxsim scale={scale} full_corpus={full}s two_stage={two}s"
+    )
+
+
 def s3_er(spark, scale: int) -> None:
     from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
 
@@ -165,7 +183,7 @@ def s3_er(spark, scale: int) -> None:
 
 
 def main() -> None:
-    which = set(sys.argv[1:]) or {"s1", "s2", "s3"}
+    which = set(sys.argv[1:]) or {"s1", "s2", "s3", "s4"}
     os.makedirs(ROOT, exist_ok=True)
     spark = get_spark("zipf-skew-measure")
     spark.sparkContext.setLogLevel("ERROR")
@@ -176,6 +194,8 @@ def main() -> None:
             s2_bm25(spark, scale)
         if "s3" in which:
             s3_er(spark, scale)
+        if "s4" in which:
+            s4_maxsim(spark, scale)
     spark.stop()
 
 
