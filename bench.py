@@ -100,6 +100,12 @@ HEADLINE = [
     "retrieval_rrf_hybrid",
     "retrieval_bm25_cosine_rerank",
     "retrieval_maxsim_late_interaction",
+    # round 9: the two-stage MaxSim twin (should stay well under the
+    # full-corpus baseline above) and the two-phase global-rank quartile
+    # assignment (watched so the range-repartition + offset-join path's
+    # cost stays visible round-over-round)
+    "retrieval_maxsim_two_stage",
+    "w4_quartiles_scale_safe",
 ]
 
 
@@ -156,7 +162,20 @@ def main() -> None:
     for name in names:
         fn_of(name)(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Queries whose fn() runs EAGER work (two_phase_row_number's
+    # checkpoint + offsets collect; the two-stage MaxSim's materialized
+    # lexical pool): the timer must wrap fn() too, or the headline number
+    # reports only the final projection. Kept as an explicit set so every
+    # other query's timing stays comparable round-over-round.
+    EAGER_FN = {"retrieval_maxsim_two_stage", "w4_quartiles_scale_safe"}
+
     def run_once(name: str) -> float:
+        if name in EAGER_FN:
+            t0 = time.time()
+            fn_of(name)(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.time() - t0
         df = fn_of(name)(spark, sf_dir)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
@@ -207,17 +226,20 @@ def main() -> None:
 
     timings = {n: round(median(v), 3) for n, v in samples.items()}
     spread = {n: round(spread_of(v), 2) for n, v in samples.items()}
+    # Field order matters: the driver records only the TAIL of this line,
+    # so the headline total and per-query medians print LAST (spread and
+    # bookkeeping lead — they are the fields we can afford to lose).
     out = {
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
+        "spread": spread,
         "runs": n_runs,
         "extra_rounds": extra_rounds,
         "n_samples": {n: len(v) for n, v in samples.items() if len(v) > n_runs},
         "stat": "median",
-        "spread": spread,
+        "queries": timings,
+        "sf": sf,
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        "value": round(sum(timings.values()), 3),
     }
     print(json.dumps(out))
 

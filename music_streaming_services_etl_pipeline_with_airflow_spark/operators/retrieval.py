@@ -627,7 +627,9 @@ WHERE rank <= {TOPK}"""
 )
 def q_maxsim_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: the identical lexical pool the cosine reranker draws
-    scored, _ = _bm25_scored(spark, sf_dir)
+    # (ONE _bm25_scored call serves both the pool and the query terms —
+    # a second call would rescan the corpus for its n_docs/avgdl action)
+    scored, qnames = _bm25_scored(spark, sf_dir)
     lexpool = (
         _salted_topk(
             scored.select("query_id", "doc_id", "score_milli"),
@@ -651,7 +653,6 @@ def q_maxsim_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dv = dterms.select("doc_id", "term", *_tokvec(F.col("term")))
 
-    _, qnames = _bm25_scored(spark, sf_dir)
     qterms = qnames.select(
         "query_id", F.explode(F.split("q_terms", " ")).alias("term")
     )

@@ -142,8 +142,23 @@ def s4_maxsim(spark, scale: int) -> None:
     d = f"{ROOT}/bm25_x{scale}"
     if not os.path.isdir(d):
         raise SystemExit(f"run s2 first to build {d}")
-    full = timed(all_specs()["retrieval_maxsim_late_interaction"].fn(spark, d))
-    two = timed(all_specs()["retrieval_maxsim_two_stage"].fn(spark, d))
+
+    # BOTH variants run eager work inside fn() (the scored .first()
+    # action; the twin's checkpointed pool) — time fn()+write together
+    # so the comparison is honest end-to-end
+    def end_to_end(name: str) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            all_specs()[name].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 2)
+
+    full = end_to_end("retrieval_maxsim_late_interaction")
+    two = end_to_end("retrieval_maxsim_two_stage")
     print(
         f"RESULT s4_maxsim scale={scale} full_corpus={full}s two_stage={two}s"
     )
