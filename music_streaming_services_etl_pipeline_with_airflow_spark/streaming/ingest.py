@@ -34,6 +34,26 @@ DOCS_SCHEMA = "doc_id long, text string"
 
 _N_STAGE_FILES = 4
 
+# -- plan capture (tools/dump_explains.py) -----------------------------------
+# A writeStream query is not .explain()-able from outside, but the batch
+# function's frames are ordinary DataFrames — this hook is how the
+# foreachBatch paths get reviewable plan evidence. When set to a dict,
+# each applier records its per-batch frame's formatted plan ONCE (first
+# non-empty batch); disabled (None) it costs one comparison per batch.
+PLAN_CAPTURE: dict[str, str] | None = None
+
+
+def _capture_plan(name: str, df: DataFrame) -> None:
+    if PLAN_CAPTURE is None or name in PLAN_CAPTURE:
+        return
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    PLAN_CAPTURE[name] = buf.getvalue().rstrip()
+
 
 def stage_documents(sf_dir: str, name: str, n_files: int = _N_STAGE_FILES) -> str:
     """Split the documents table into ``n_files`` drop-folder parquet files
@@ -88,6 +108,7 @@ def dedup_ingest_each_batch(index_path: str):
         ):
             index = spark.read.parquet(index_path).select("text_hash")
             batch = batch.join(index, "text_hash", "left_anti")
+            _capture_plan("streaming_dedup_ingest.batch_antijoin_index", batch)
         batch.select("doc_id", "text_hash").write.mode("append").parquet(index_path)
 
     return _ingest
@@ -225,6 +246,7 @@ def make_cdc_applier(t, n_buckets: int = CDC_N_BUCKETS):
             take("b_cid", "cid").alias("cid"),
             take("b_deleted", "deleted").alias("deleted"),
         ).withColumn("_bucket", bucket)
+        _capture_plan("streaming_cdc_apply.batch_merged_state", merged)
         t.commit_buckets(merged, touched, n_buckets=n_buckets)
 
     return apply_batch
@@ -369,6 +391,7 @@ def make_matview_applier(t, dim, n_buckets: int = MATVIEW_N_BUCKETS):
                 "d_cents",
             )
         )
+        _capture_plan("streaming_matview_join_enrich.batch_delta", delta)
         t.merge_bucketed(
             spark_,
             delta,

@@ -126,6 +126,9 @@ QUERIES = [
     # (streaming_model_scoring: foreachBatch-free writeStream — its
     # per-batch frame is exactly ml_perceptron_quality_distill's scoring
     # projection above; writeStream plans are not .explain()-able)
+    # round 9
+    "retrieval_maxsim_two_stage",
+    "w4_quartiles_scale_safe",
     # TPC-H family
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -193,6 +196,35 @@ def main() -> None:
             df.explain(mode="formatted")
         plan = _normalize(buf.getvalue().rstrip())
         out += [f"## {name}", "", specs[name].doc, "", "```", plan, "```", ""]
+
+    # Streaming foreachBatch paths (r9): a writeStream query is not
+    # .explain()-able from outside, so the appliers capture their
+    # per-batch frames' plans on the first batch via ingest.PLAN_CAPTURE.
+    # Running the registered fn drives each stream to completion at
+    # sf0.001 and fills the dict.
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as _ingest
+
+    _ingest.PLAN_CAPTURE = {}
+    for name in (
+        "streaming_matview_join_enrich",
+        "streaming_cdc_apply",
+        "streaming_dedup_ingest",
+    ):
+        specs[name].fn(spark, sf_dir).collect()
+    for key in sorted(_ingest.PLAN_CAPTURE):
+        qname = key.split(".", 1)[0]
+        out += [
+            f"## {key} (per-batch frame inside foreachBatch)",
+            "",
+            specs[qname].doc,
+            "",
+            "```",
+            _normalize(_ingest.PLAN_CAPTURE[key]),
+            "```",
+            "",
+        ]
+    _ingest.PLAN_CAPTURE = None
+
     with open("/root/repo/EXPLAINS.md", "w") as f:
         f.write("\n".join(out))
     spark.stop()
