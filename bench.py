@@ -106,6 +106,7 @@ HEADLINE = [
     # cost stays visible round-over-round)
     "retrieval_maxsim_two_stage",
     "w4_quartiles_scale_safe",
+    "w6_relative_ranks_scale_safe",
 ]
 
 
@@ -167,7 +168,11 @@ def main() -> None:
     # lexical pool): the timer must wrap fn() too, or the headline number
     # reports only the final projection. Kept as an explicit set so every
     # other query's timing stays comparable round-over-round.
-    EAGER_FN = {"retrieval_maxsim_two_stage", "w4_quartiles_scale_safe"}
+    EAGER_FN = {
+        "retrieval_maxsim_two_stage",
+        "w4_quartiles_scale_safe",
+        "w6_relative_ranks_scale_safe",
+    }
 
     def run_once(name: str) -> float:
         if name in EAGER_FN:

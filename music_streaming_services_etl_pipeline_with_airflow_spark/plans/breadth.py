@@ -1174,6 +1174,68 @@ def q_w6_relative_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w6_relative_ranks_scale_safe",
+    """WITH ranked AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                   ORDER BY floor(c_acctbal * 100), c_custkey) AS BIGINT)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_seg
+        FROM customer)
+    SELECT c_custkey, c_mktsegment, bal_cents, rn,
+           ROUND(CASE WHEN n_seg = 1 THEN 0.0
+                      ELSE (rn - 1) * 1.0 / (n_seg - 1) END, 6) AS pct_rank,
+           ROUND(rn * 1.0 / n_seg, 6) AS cume,
+           CAST(1 + ((rn - 1) * 10) // n_seg AS INTEGER) AS decile
+    FROM ranked""",
+    doc="SCALE-SAFE twin of w6_percent_rank_cume_dist (r9, VERDICT "
+    "watch-list): the exact twin partitions its windows by c_mktsegment "
+    "— FIVE groups, so at 1e9 customers each window partition is N/5 "
+    "rows through one task. Here per-segment ranks come from "
+    "functions/ranking.two_phase_grouped_row_number (group-prefixed "
+    "range partitioning, parallel per-slice windows, P x 5 offset rows "
+    "to the driver) and the three relative ranks are arithmetic on "
+    "(rank, segment count): the ORDER BY is strict (cents, custkey), so "
+    "rank == row_number and percent_rank/cume_dist reduce to exact "
+    "integer ratios — one IEEE division each, ROUND(...,6)-pinned like "
+    "the exact twin. Decile uses the same equal-width rank-slice "
+    "formula as w4_quartiles_scale_safe (oracle matches it exactly).",
+)
+def q_w6_relative_ranks_scale_safe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.ranking import two_phase_grouped_row_number
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    ranked = two_phase_grouped_row_number(
+        cust,
+        ["c_mktsegment"],
+        [F.asc("bal_cents"), F.asc("c_custkey")],
+        id_col="rn",
+        total_col="n_seg",
+    )
+    return ranked.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_cents",
+        "rn",
+        F.round(
+            F.when(F.col("n_seg") == 1, F.lit(0.0)).otherwise(
+                (F.col("rn") - 1) / (F.col("n_seg") - 1)
+            ),
+            6,
+        ).alias("pct_rank"),
+        F.round(F.col("rn") / F.col("n_seg"), 6).alias("cume"),
+        F.expr("CAST(1 + ((rn - 1) * 10) DIV n_seg AS INT)").alias("decile"),
+    )
+
+
+@register(
     "u4_bag_set_ops",
     """SELECT 'except_all' AS op, user_id FROM (
          SELECT user_id FROM events WHERE event_type = 'click'

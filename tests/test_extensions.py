@@ -2667,3 +2667,36 @@ def test_build_vocab_two_phase_matches_global_rank(spark):
     expected_order = sorted(got, key=lambda t: (-got[t][0], t))
     for rank, tok in enumerate(expected_order, 1):
         assert got[tok][1] == rank, (tok, got[tok], rank)
+
+
+def test_grouped_two_phase_ranks_match_window(spark):
+    """two_phase_grouped_row_number must equal the plain grouped window
+    rank on data where (a) every group spans MANY range partitions, (b)
+    heavy order-key ties straddle partition boundaries inside a group,
+    and (c) group sizes are skewed (one group holds half the rows)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.functions.ranking import (
+        two_phase_grouped_row_number,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(4000):
+        g = "BIG" if i % 2 == 0 else f"g{i % 7}"
+        rows.append((i, g, rng.randrange(5)))  # 5 distinct order values
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    got = two_phase_grouped_row_number(
+        df, ["grp"], [F.asc("v"), F.asc("id")], id_col="rn", total_col="n"
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).cast("long").alias("n"),
+    )
+    g = {r.id: (r.rn, r.n) for r in got.select("id", "rn", "n").collect()}
+    e = {r.id: (r.rn, r.n) for r in want.collect()}
+    assert g == e

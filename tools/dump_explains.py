@@ -129,6 +129,7 @@ QUERIES = [
     # round 9
     "retrieval_maxsim_two_stage",
     "w4_quartiles_scale_safe",
+    "w6_relative_ranks_scale_safe",
     # TPC-H family
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
