@@ -766,3 +766,67 @@ def test_fuzz_zonemap_cdf_against_model(spark, tmp_path_factory, data):
             for row, n in (before - after).items():
                 want_feed[(*row, "delete")] = n
             assert feed == want_feed, f"change feed after {op}"
+
+
+if _HAS_HYP:
+    _RANK_VALS = st.integers(min_value=-5, max_value=5)
+
+    @st.composite
+    def _rank_rows(draw):
+        n = draw(st.integers(min_value=0, max_value=60))
+        groups = ["a", "b", "HUGE"]
+        return [
+            (i, draw(st.sampled_from(groups)), draw(_RANK_VALS))
+            for i in range(n)
+        ]
+
+    @given(rows=_rank_rows())
+    @settings(max_examples=20, deadline=None)
+    def test_two_phase_rank_helpers_fuzzed(spark, rows):
+        """Property fuzz for the r9 two-phase ranking helpers: on random
+        tiny/empty/tie-heavy inputs, both must equal the plain global /
+        grouped ROW_NUMBER window under the same strict total order. Ties
+        in the value column force boundary ties; empty input must not
+        crash (the 0-partition offset path)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from music_streaming_services_etl_pipeline_with_airflow_spark.functions.ranking import (
+            two_phase_grouped_row_number,
+            two_phase_row_number,
+        )
+
+        df = spark.createDataFrame(
+            rows, "id long, grp string, v long"
+        ) if rows else spark.createDataFrame([], "id long, grp string, v long")
+
+        ranked, total = two_phase_row_number(
+            df, [F.desc("v"), F.asc("id")], id_col="rn"
+        )
+        got = {r.id: r.rn for r in ranked.collect()}
+        w = Window.orderBy(F.desc("v"), F.asc("id"))
+        want = {
+            r.id: r.rn
+            for r in df.select(
+                "id", F.row_number().over(w).cast("long").alias("rn")
+            ).collect()
+        }
+        assert got == want and total == len(rows)
+
+        granked = two_phase_grouped_row_number(
+            df, ["grp"], [F.desc("v"), F.asc("id")], id_col="rn", total_col="n"
+        )
+        ggot = {r.id: (r.rn, r.n) for r in granked.collect()}
+        gw = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc("id"))
+        gwant = {
+            r.id: (r.rn, r.n)
+            for r in df.select(
+                "id",
+                F.row_number().over(gw).cast("long").alias("rn"),
+                F.count("*")
+                .over(Window.partitionBy("grp"))
+                .cast("long")
+                .alias("n"),
+            ).collect()
+        }
+        assert ggot == gwant
