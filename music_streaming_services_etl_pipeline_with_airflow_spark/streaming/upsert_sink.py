@@ -21,6 +21,11 @@ def partition_overwrite_each_batch(path: str, partition_by: tuple[str, ...] = ("
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from . import ingest as _ingest
+
+        _ingest._capture_plan(
+            "streaming_foreachbatch_upsert.batch_frame", batch_df
+        )
         sinks.write_warehouse(batch_df, path, partition_by, mode="overwrite_partitions")
 
     return _write

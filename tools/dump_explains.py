@@ -210,6 +210,7 @@ def main() -> None:
         "streaming_matview_join_enrich",
         "streaming_cdc_apply",
         "streaming_dedup_ingest",
+        "streaming_foreachbatch_upsert",
     ):
         specs[name].fn(spark, sf_dir).collect()
     for key in sorted(_ingest.PLAN_CAPTURE):
