@@ -164,6 +164,49 @@ def s4_maxsim(spark, scale: int) -> None:
     )
 
 
+def s5_vocab(spark, scale: int) -> None:
+    """build_vocab on a fixture whose VOCABULARY grows with scale (the s2
+    fixture holds vocab fixed): 30k -> 300k distinct tokens. The r8 form
+    sorted the whole post-floor vocabulary in ONE task; the r9 two-phase
+    form ranks range-partitioned slices in parallel, so wall should track
+    bytes, not concentrate on the vocab sort."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    rng = np.random.default_rng(SEED)
+    n_docs = 6_000 * scale
+    vocab = 30_000 * scale
+    doc_len = 40
+    toks = zipf_ranks(rng, n_docs * doc_len, vocab).reshape(n_docs, doc_len)
+    import pandas as pd
+
+    texts = [" ".join(f"t{r}" for r in row) for row in toks]
+    d = f"{ROOT}/vocab_x{scale}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": "zipf",
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+
+    best = None
+    for _ in range(2):  # fn() ranks eagerly — time fn()+sink
+        t0 = time.time()
+        all_specs()["build_vocab"].fn(spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    print(
+        f"RESULT s5_vocab scale={scale} docs={n_docs} vocab_ranks={vocab} "
+        f"wall={round(best, 2)}s"
+    )
+
+
 def s3_er(spark, scale: int) -> None:
     from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
 
@@ -198,7 +241,7 @@ def s3_er(spark, scale: int) -> None:
 
 
 def main() -> None:
-    which = set(sys.argv[1:]) or {"s1", "s2", "s3", "s4"}
+    which = set(sys.argv[1:]) or {"s1", "s2", "s3", "s4", "s5"}
     os.makedirs(ROOT, exist_ok=True)
     spark = get_spark("zipf-skew-measure")
     spark.sparkContext.setLogLevel("ERROR")
@@ -211,6 +254,8 @@ def main() -> None:
             s3_er(spark, scale)
         if "s4" in which:
             s4_maxsim(spark, scale)
+        if "s5" in which:
+            s5_vocab(spark, scale)
     spark.stop()
 
 
