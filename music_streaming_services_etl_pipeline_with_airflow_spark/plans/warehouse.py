@@ -1103,3 +1103,67 @@ def q_row_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@register(
+    "warehouse_bloom_point_skipping",
+    """WITH k AS (SELECT MAX(o_orderkey) AS k FROM orders)
+       SELECT o.o_orderkey, o.o_orderstatus,
+              CAST(4 AS BIGINT) AS dirs_total,
+              TRUE AS found_in_scan,
+              TRUE AS skipped_at_least_one
+       FROM orders o CROSS JOIN k
+       WHERE o.o_orderkey = k.k""",
+    doc="POINT-LOOKUP data skipping via the per-dir BLOOM index "
+    "(snapshots.read_point, r9 — the complement to zone maps, which are "
+    "useless here BY CONSTRUCTION: orders lands in 4 batches keyed "
+    "o_orderkey % 4, so every dir spans the full key range and every "
+    "[min,max] intersects every lookup). Each commit records, per "
+    "indexed column, the sorted distinct bit positions its values set "
+    "under seeded xxhash64 (functions/bloom.py's scheme; O(set bits) "
+    "manifest bytes, never O(rows)); a point lookup probes the stored "
+    "bits and opens only dirs that COULD contain the key. The probe "
+    "literal is cast to the table's recorded column type — xxhash64 is "
+    "type-sensitive and an INT-vs-LONG mismatch would silently produce "
+    "the one failure a bloom index must never have, a false negative "
+    "(regression-pinned in pytest). CHECKED OUTPUT: the looked-up key's "
+    "exact rows (hash), dirs_total, found_in_scan (no false negative — "
+    "guaranteed), and skipped_at_least_one (false positives could in "
+    "principle open all dirs; with 2^17 bits the odds are <<1%, "
+    "verified at sf0.001/0.01/0.1). At 100 TB this is the manifest-only "
+    "primary-key lookup path: open one ingest batch, not the table.",
+)
+def q_bloom_point_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    t = SnapshotTable(fresh_work_dir("bloom_skip") + "/orders_hashed")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    batch = F.pmod("o_orderkey", F.lit(4))
+    t.commit(
+        orders.filter(batch == 0),
+        mode="overwrite",
+        bloom_cols=["o_orderkey"],
+        bloom_bits=1 << 17,
+    )
+    for b in (1, 2, 3):
+        t.commit(
+            orders.filter(batch == b),
+            mode="append",
+            bloom_cols=["o_orderkey"],
+            bloom_bits=1 << 17,
+        )
+    key = orders.agg(F.max("o_orderkey")).first()[0]
+    pruned, n_scanned, n_total = t.read_point(spark, "o_orderkey", key)
+    return (
+        pruned.filter(F.col("o_orderkey") == key)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.lit(n_total).cast("long").alias("dirs_total"),
+            F.lit(True).alias("found_in_scan"),
+            F.lit(bool(n_scanned < n_total)).alias("skipped_at_least_one"),
+        )
+    )

@@ -73,6 +73,7 @@ RESERVED_MANIFEST_KEYS = frozenset(
         "mixed_schemas",
         "restored_from",
         "zonemaps",
+        "blooms",
     }
 )
 
@@ -175,6 +176,14 @@ class SnapshotTable:
         live = set(dirs)
         return {d: m for d, m in zm.items() if d in live}
 
+    @staticmethod
+    def _carry_blooms(pm: dict, dirs: list[str]) -> dict:
+        """Bloom entries that survive into a child manifest — identical
+        immutability argument to :meth:`_carry_zonemaps`."""
+        bl = pm.get("blooms") or {}
+        live = set(dirs)
+        return {d: m for d, m in bl.items() if d in live}
+
     def read_pruned(
         self,
         spark: SparkSession,
@@ -224,11 +233,89 @@ class SnapshotTable:
             reader = reader.option("mergeSchema", True)
         return reader.parquet(*keep), len(keep), len(m["dirs"])
 
+    def read_point(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+    ):
+        """POINT-LOOKUP data skipping via the per-dir bloom index (the
+        complement to :meth:`read_pruned`'s zone maps, which only help
+        when values correlate with write order — a scattered
+        high-cardinality key intersects every dir's [min, max] but its
+        bloom membership is still selective). Scans only the dirs whose
+        recorded bloom for ``col`` COULD contain ``value``; dirs without
+        a bloom entry are scanned conservatively. False positives open a
+        dir needlessly but never change results — the caller still
+        applies the equality predicate. Returns ``(df, n_scanned,
+        n_total)``.
+
+        The probe hashes ``value`` through a 1-row Spark job with the
+        exact seeded-xxhash64 scheme the index was built with, CAST to
+        the table's recorded type for ``col`` — xxhash64 is
+        type-sensitive (a Python int literal defaults to INT while the
+        column is LONG, which would silently hash to different bits: a
+        false NEGATIVE, the one failure mode a bloom index must never
+        have)."""
+        from .functions.bloom import DEFAULT_SEEDS, _positions
+
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            raise ValueError(f"{self.path}: no committed versions")
+        m = self._manifest(v)
+        bl = m.get("blooms") or {}
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        lit = F.lit(value)
+        if m.get("schema"):
+            for f in StructType.fromJson(m["schema"]).fields:
+                if f.name == col:
+                    lit = lit.cast(f.dataType)
+                    break
+        probe_cache: dict[int, list[int]] = {}
+
+        def probe_positions(num_bits: int) -> list[int]:
+            if num_bits not in probe_cache:
+                row = spark.range(1).select(
+                    *_positions(lit, num_bits, DEFAULT_SEEDS)
+                ).first()
+                probe_cache[num_bits] = list(row)
+            return probe_cache[num_bits]
+
+        keep = []
+        for d in m["dirs"]:
+            ent = bl.get(d, {}).get(col)
+            if ent is None:
+                keep.append(d)  # no index: conservative
+                continue
+            bits = set(ent["bits"])
+            if all(p in bits for p in probe_positions(ent["num_bits"])):
+                keep.append(d)
+        if not keep:
+            from pyspark.sql.types import StructType
+
+            if not m.get("schema"):
+                raise ValueError(
+                    f"{self.path} v{v}: fully pruned read with no recorded "
+                    "schema to type the empty relation"
+                )
+            empty = spark.createDataFrame([], StructType.fromJson(m["schema"]))
+            return empty, 0, len(m["dirs"])
+        reader = spark.read
+        if m.get("mixed_schemas"):
+            reader = reader.option("mergeSchema", True)
+        return reader.parquet(*keep), len(keep), len(m["dirs"])
+
     def commit(
         self,
         df: DataFrame,
         mode: str = "overwrite",
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 1 << 14,
     ) -> int:
         """Write df as the next version. ``overwrite`` replaces the visible
         file set; ``append`` extends the parent's. Returns the new version.
@@ -261,6 +348,7 @@ class SnapshotTable:
         dirs = [data_dir]
         mixed = False
         zonemaps: dict = {}
+        blooms: dict = {}
         if mode == "append" and parent > 0:
             pm = self._manifest(parent)
             dirs = pm["dirs"] + dirs
@@ -268,6 +356,7 @@ class SnapshotTable:
                 "schema" in pm and pm["schema"] != df.schema.jsonValue()
             )
             zonemaps = self._carry_zonemaps(pm, dirs)
+            blooms = self._carry_blooms(pm, dirs)
         if stats_cols:
             from pyspark.sql import functions as F
 
@@ -288,6 +377,33 @@ class SnapshotTable:
                 for c in stats_cols
                 if row[f"_lo_{c}"] is not None
             }
+        if bloom_cols:
+            # BLOOM FILTER INDEX (dir granularity): for each indexed
+            # column, the distinct bit positions its values set — the
+            # point-lookup complement to zone maps (which only help when
+            # values correlate with write order). Stored as a bounded
+            # sorted int list in the manifest: <= bloom_bits positions,
+            # O(set bits) not O(rows). Computed from the read-back of the
+            # written dir (same reasoning as stats_cols), with the same
+            # seeded-xxhash64 scheme functions/bloom.py uses, so probes
+            # hash in Spark's own type semantics.
+            from pyspark.sql import functions as F
+
+            from .functions.bloom import bloom_bit_positions
+
+            spark = df.sparkSession
+            written = spark.read.parquet(data_dir)
+            blooms[data_dir] = {
+                c: {
+                    "bits": bloom_bit_positions(
+                        written.select(c).where(F.col(c).isNotNull()),
+                        c,
+                        num_bits=bloom_bits,
+                    ),
+                    "num_bits": bloom_bits,
+                }
+                for c in bloom_cols
+            }
         manifest = {
             "version": version,
             "parent": parent,
@@ -298,6 +414,8 @@ class SnapshotTable:
         }
         if zonemaps:
             manifest["zonemaps"] = zonemaps
+        if blooms:
+            manifest["blooms"] = blooms
         self._write_manifest(manifest)
         return version
 
@@ -692,6 +810,9 @@ class SnapshotTable:
                     "zonemaps": self._carry_zonemaps(
                         pm, sorted(d for ds in buckets.values() for d in ds)
                     ),
+                    "blooms": self._carry_blooms(
+                        pm, sorted(d for ds in buckets.values() for d in ds)
+                    ),
                     "buckets": buckets,
                     "n_buckets": pm.get("n_buckets"),
                     "schema": pm.get("schema"),
@@ -728,6 +849,7 @@ class SnapshotTable:
                 # dirs are immutable, so surviving dirs keep their zone
                 # maps; the rewrite dir simply has no entry (conservative)
                 "zonemaps": self._carry_zonemaps(pm, dirs),
+                "blooms": self._carry_blooms(pm, dirs),
                 "schema": pm.get("schema"),
                 # the rewrite may have unified the touched dirs, but any
                 # untouched pre-evolution dir still carries its old schema
@@ -760,6 +882,7 @@ class SnapshotTable:
             "restored_from": version,
             "dirs": list(tm["dirs"]),
             "zonemaps": self._carry_zonemaps(tm, list(tm["dirs"])),
+            "blooms": self._carry_blooms(tm, list(tm["dirs"])),
             "schema": tm.get("schema"),
             "mixed_schemas": tm.get("mixed_schemas", False),
         }
@@ -857,6 +980,9 @@ class SnapshotTable:
                 "mode": "compact",
                 "dirs": [d for d in pm["dirs"] if d not in small] + [nd],
                 "zonemaps": self._carry_zonemaps(
+                    pm, [d for d in pm["dirs"] if d not in small]
+                ),
+                "blooms": self._carry_blooms(
                     pm, [d for d in pm["dirs"] if d not in small]
                 ),
                 "schema": pm.get("schema"),

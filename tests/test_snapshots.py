@@ -1230,3 +1230,42 @@ def test_read_pruned_normalizes_date_bounds(spark, tmp_path):
         spark, "d", dt.date(2025, 1, 1), dt.date(2025, 12, 31)
     )
     assert (scanned, total) == (0, 2)
+
+
+def test_bloom_point_lookup_skips_dirs(spark, tmp_path):
+    """Per-dir bloom index (r9): point lookups open only dirs whose bloom
+    could contain the key — including when zone maps CANNOT help because
+    every dir spans the full value range (scattered high-cardinality
+    keys). Carried by reference across append/delete/compact_small
+    (immutability); missing entries scan conservatively; a fully-pruned
+    lookup returns a typed empty frame; false-negatives are impossible
+    (every present key's dir is always scanned)."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "bloomidx"))
+    # three batches of DISJOINT key sets, each spanning the full numeric
+    # range (k, k+1000, k+2000 interleaved) so zone maps can't skip
+    mk = lambda lo: spark.range(lo, lo + 300).select(  # noqa: E731
+        (F.col("id") * 7 % 3000 + (lo // 300) * 3000).alias("k"),
+        (F.col("id") * 10).alias("val"),
+    )
+    t.commit(mk(0), bloom_cols=["k"])
+    t.commit(mk(300), mode="append", bloom_cols=["k"])
+    t.commit(mk(600), mode="append")  # NO bloom: conservative dir
+    # pick a key that exists only in batch 1
+    key = [r.k for r in t.read(spark).filter(F.col("k") < 3000).limit(1).collect()][0]
+    df, scanned, total = t.read_point(spark, "k", key)
+    assert total == 3
+    assert scanned <= 2  # batch-1 dir (+ the conservative statless dir)
+    got = df.filter(F.col("k") == key).count()
+    assert got == 1
+    # absent key: only the conservative dir can open (false positives
+    # aside — with 300 keys in 2^14 bits the fp odds are ~0.1%)
+    df, scanned, total = t.read_point(spark, "k", 10_000_000)
+    assert scanned <= 2 and df.filter(F.col("k") == 10_000_000).count() == 0
+    # blooms survive delete_where on untouched dirs (immutability carry)
+    t.delete_where(spark, "k >= 6000 AND k < 6010")
+    df, scanned, total = t.read_point(spark, "k", key)
+    assert scanned <= 3 and df.filter(F.col("k") == key).count() == 1
+    m = t._manifest(t.latest_version())
+    assert set(m.get("blooms", {})) <= set(m["dirs"])
