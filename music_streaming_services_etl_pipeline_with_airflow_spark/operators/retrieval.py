@@ -169,7 +169,19 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     )
     tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return _bm25_score_from_stats(tf, df, n_docs, avgdl)
 
+
+def _bm25_score_from_stats(
+    tf: DataFrame, df: DataFrame, n_docs: int, avgdl: float
+) -> tuple[DataFrame, DataFrame]:
+    """The scoring half of BM25, decoupled from corpus derivation so a
+    MAINTAINED index (streaming/ingest's incremental postings + df
+    tables) scores through the byte-identical arithmetic the batch path
+    uses: ``tf`` is (doc_id, dl, term, tf), ``df`` is (term, df),
+    ``n_docs``/``avgdl`` the corpus stats. Same milli-floor determinism
+    contract; the query draft, idf, and tf normalization are shared
+    verbatim (one code path, one oracle)."""
     # Global top-6 df terms: orderBy+limit compiles to TakeOrderedAndProject
     # (per-partition heaps); the 6-row result then gets ranks via a window
     # that only ever sees 6 rows.

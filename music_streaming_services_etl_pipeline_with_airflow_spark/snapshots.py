@@ -316,6 +316,7 @@ class SnapshotTable:
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 1 << 14,
+        extra: dict | None = None,
     ) -> int:
         """Write df as the next version. ``overwrite`` replaces the visible
         file set; ``append`` extends the parent's. Returns the new version.
@@ -328,7 +329,14 @@ class SnapshotTable:
         (missing columns surface as NULL — Delta/Iceberg ADD COLUMN
         semantics). Time-traveling to a pre-evolution version reads the
         old schema untouched. An overwrite resets the flag: the visible
-        file set is single-schema again."""
+        file set is single-schema again.
+
+        ``extra`` merges caller metadata into the manifest exactly as
+        :meth:`commit_buckets` does (e.g. a streaming sink's replay
+        cursor, or additive corpus counters an incremental index
+        maintains); an append carries the parent's extra fields forward
+        and the new values override — reserved keys cannot be
+        shadowed."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = self.latest_version()
@@ -404,14 +412,27 @@ class SnapshotTable:
                 }
                 for c in bloom_cols
             }
-        manifest = {
-            "version": version,
-            "parent": parent,
-            "mode": mode,
-            "dirs": dirs,
-            "schema": df.schema.jsonValue(),
-            "mixed_schemas": mixed,
-        }
+        manifest = dict(
+            _extra_fields(self._manifest(parent))
+            if mode == "append" and parent > 0
+            else {}
+        )
+        manifest.update(extra or {})
+        clash = RESERVED_MANIFEST_KEYS & (extra or {}).keys()
+        if clash:
+            raise ValueError(
+                f"extra manifest fields shadow reserved keys: {clash}"
+            )
+        manifest.update(
+            {
+                "version": version,
+                "parent": parent,
+                "mode": mode,
+                "dirs": dirs,
+                "schema": df.schema.jsonValue(),
+                "mixed_schemas": mixed,
+            }
+        )
         if zonemaps:
             manifest["zonemaps"] = zonemaps
         if blooms:

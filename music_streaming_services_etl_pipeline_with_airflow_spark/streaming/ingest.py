@@ -564,3 +564,166 @@ def q_streaming_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.read.parquet(out)
 
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental BM25 index — retrieval-index maintenance (r9)
+# ---------------------------------------------------------------------------
+
+BM25_IDX_BUCKETS = 8
+
+
+def make_bm25_index_applier(postings_t, df_t, n_buckets: int = BM25_IDX_BUCKETS):
+    """foreachBatch callback maintaining a persisted BM25 index — the
+    production RAG ingestion path: as documents stream in, the index the
+    query side serves from is kept current INCREMENTALLY, never by
+    recomputing over the corpus.
+
+    State (two snapshot tables):
+    - POSTINGS (doc_id, dl, term, tf): append-only — documents are
+      immutable, so each batch's postings land as one O(batch) append.
+      The corpus counters BM25 needs (n_docs, sum_dl) ride the SAME
+      manifest as additive extra fields, so the data and the stats
+      advance atomically.
+    - DF (term, df): term document-frequencies, maintained additively via
+      merge_bucketed — matched terms sum the batch's contribution, new
+      terms insert; per-batch write cost is O(touched buckets' bytes),
+      never O(vocabulary).
+
+    foreachBatch is at-least-once, and BOTH updates are non-idempotent
+    (counters and df SUM partials), so each table carries its own
+    last_batch_id cursor and skips replays independently — a crash
+    between the two commits replays the batch and only the table that is
+    behind applies it.
+
+    Scale: per batch, one tokenize→tf hash aggregate over the BATCH, one
+    append, one vocabulary-bucketed merge. Query-time cost is the stored
+    index scan — see ``streaming_bm25_index_topk``."""
+
+    def apply_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        spark_ = batch.sparkSession
+        toks = batch.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("dl"),
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        tf = (
+            toks.groupBy("doc_id", "dl", "term")
+            .agg(F.count("*").alias("tf"))
+            # pinned: feeds the postings append AND the df delta — and the
+            # replay guards must see one consistent batch evaluation
+            .localCheckpoint(eager=True)
+        )
+        last_p = postings_t.latest_manifest_field("last_batch_id")
+        if last_p is None or batch_id > last_p:
+            n_d, sum_dl = batch.select(
+                F.count("*"), F.sum(F.size(F.split(F.col("text"), " ")))
+            ).first()
+            _capture_plan("streaming_bm25_index_topk.batch_postings", tf)
+            postings_t.commit(
+                tf,
+                mode="append" if postings_t.latest_version() > 0 else "overwrite",
+                extra={
+                    "last_batch_id": batch_id,
+                    "n_docs": int(postings_t.latest_manifest_field("n_docs", 0))
+                    + int(n_d),
+                    "sum_dl": int(postings_t.latest_manifest_field("sum_dl", 0))
+                    + int(sum_dl),
+                },
+            )
+        last_d = df_t.latest_manifest_field("last_batch_id")
+        if last_d is None or batch_id > last_d:
+            batch_df = tf.groupBy("term").agg(F.count("*").alias("d_df"))
+            df_t.merge_bucketed(
+                spark_,
+                batch_df,
+                on="term",
+                update={"df": "df + d_df"},
+                insert_defaults={"df": "d_df"},
+                n_buckets=n_buckets,
+                schema="term string, df long",
+                extra={"last_batch_id": batch_id},
+            )
+
+    return apply_batch
+
+
+@register(
+    "streaming_bm25_index_topk",
+    # The EXACT batch BM25 oracle: a correctly-maintained index must serve
+    # the same top-k the whole-corpus recompute produces.
+    None,  # placeholder replaced below — oracle needs the import
+    doc="",
+)
+def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import (
+        TOPK,
+        _bm25_score_from_stats,
+        _salted_topk,
+    )
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    d = stage_documents(sf_dir, "bm25_index")
+    work = fresh_work_dir("streaming_bm25_index")
+    postings_t = SnapshotTable(os.path.join(work, "postings"))
+    df_t = SnapshotTable(os.path.join(work, "df"))
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(d)
+    q = (
+        src.writeStream.foreachBatch(make_bm25_index_applier(postings_t, df_t))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tf = postings_t.read(spark)
+    df = df_t.read(spark)
+    n_docs = int(postings_t.latest_manifest_field("n_docs"))
+    avgdl = float(postings_t.latest_manifest_field("sum_dl")) / n_docs
+    scored, qnames = _bm25_score_from_stats(tf, df, n_docs, avgdl)
+    topk = _salted_topk(
+        scored, TOPK, F.desc("score_milli"), F.asc("doc_id"), salt_on="doc_id"
+    )
+    return topk.join(F.broadcast(qnames), "query_id").select(
+        F.col("query_id").cast("long"),
+        "q_terms",
+        "doc_id",
+        "n_terms_hit",
+        "score_milli",
+        F.col("rank").cast("long"),
+    )
+
+
+# Late-bind the oracle: it is the batch text_bm25_topk oracle verbatim —
+# one oracle string, two execution paths (whole-corpus recompute vs the
+# incrementally maintained index), which IS the maintenance contract.
+def _bind_bm25_index_oracle() -> None:
+    from ..operators.retrieval import _bm25_oracle
+    from ..plans.registry import _REGISTRY
+
+    spec = _REGISTRY["streaming_bm25_index_topk"]
+    _REGISTRY["streaming_bm25_index_topk"] = type(spec)(
+        fn=spec.fn,
+        oracle=_bm25_oracle(),
+        doc="STREAMING INCREMENTAL BM25 INDEX (r9) — retrieval-index "
+        "maintenance, the production RAG ingestion path: documents "
+        "stream in 4 micro-batches through foreachBatch; each batch "
+        "APPENDS its postings (doc, dl, term, tf) in O(batch) with the "
+        "corpus counters (n_docs, sum_dl) riding the same manifest "
+        "atomically, and folds its per-term df contributions into a "
+        "vocabulary-bucketed table via merge_bucketed (O(touched "
+        "buckets), never O(vocab)). Replays are guarded per-table by "
+        "last_batch_id cursors (both updates are non-idempotent sums). "
+        "The query side then serves BM25 top-k FROM THE STORED INDEX "
+        "through the same _bm25_score_from_stats arithmetic the batch "
+        "path uses — and the oracle is text_bm25_topk's whole-corpus "
+        "recompute VERBATIM, so the value hash proves maintained == "
+        "recomputed, the incremental-view-maintenance contract applied "
+        "to a search index.",
+    )
+
+
+_bind_bm25_index_oracle()

@@ -242,3 +242,59 @@ def test_registered_streaming_interval_join_full_equals_batch(spark):
     # both outer directions genuinely exercised
     assert any(c is None for _, c in got)  # abandoned purchase
     assert any(i is None for i, _ in got)  # orphan error
+
+
+def test_bm25_index_applier_replay_and_incremental(spark, tmp_path):
+    """The r9 BM25 index applier: (1) batches accumulate — postings
+    append, df sums, counters add; (2) an at-least-once REPLAY of an
+    already-applied batch_id is a no-op for BOTH tables (each guards on
+    its own last_batch_id cursor — counters and df are non-idempotent
+    sums, so a naive replay would double them); (3) a partial failure is
+    healed: if only the postings table advanced, replaying the batch
+    applies ONLY the df half."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_bm25_index_applier,
+    )
+
+    postings_t = SnapshotTable(str(tmp_path / "postings"))
+    df_t = SnapshotTable(str(tmp_path / "df"))
+    apply_batch = make_bm25_index_applier(postings_t, df_t, n_buckets=4)
+
+    b1 = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame([(3, "a d")], "doc_id long, text string")
+    apply_batch(b1, 0)
+    apply_batch(b2, 1)
+
+    def state():
+        n = postings_t.latest_manifest_field("n_docs")
+        s = postings_t.latest_manifest_field("sum_dl")
+        dfm = {r.term: r.df for r in df_t.read(spark).collect()}
+        np = postings_t.read(spark).count()
+        return (n, s, dfm, np)
+
+    want = (3, 7, {"a": 2, "b": 2, "c": 1, "d": 1}, 6)
+    assert state() == want
+    # (2) replay of batch 1 is a no-op on both tables
+    apply_batch(b2, 1)
+    assert state() == want
+    # (3) partial failure: postings at batch 2, df still at batch 1 —
+    # replay applies only the df half
+    b3 = spark.createDataFrame([(4, "d d")], "doc_id long, text string")
+    toks = b3.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    tf3 = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    postings_t.commit(
+        tf3,
+        mode="append",
+        extra={"last_batch_id": 2, "n_docs": 4, "sum_dl": 9},
+    )
+    apply_batch(b3, 2)  # postings already has batch 2; df catches up
+    assert state() == (4, 9, {"a": 2, "b": 2, "c": 1, "d": 2}, 7)

@@ -211,6 +211,7 @@ def main() -> None:
         "streaming_cdc_apply",
         "streaming_dedup_ingest",
         "streaming_foreachbatch_upsert",
+        "streaming_bm25_index_topk",
     ):
         specs[name].fn(spark, sf_dir).collect()
     for key in sorted(_ingest.PLAN_CAPTURE):
