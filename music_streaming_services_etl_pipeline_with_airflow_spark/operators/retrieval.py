@@ -47,19 +47,22 @@ TOPK = 10
 _SALTS = 32
 
 
-def _bm25_ctes() -> str:
+def _bm25_ctes(docs_rel: str = "documents") -> str:
     """The WITH-body shared by the BM25 and RRF oracles: corpus stats,
-    query draft, per-term milli partials, per-(query, doc) scores."""
+    query draft, per-term milli partials, per-(query, doc) scores.
+    ``docs_rel`` lets lifecycle oracles substitute a filtered corpus
+    (e.g. the erase-and-serve query scores documents minus the erased
+    doc) while keeping ONE scoring-SQL text."""
     return f"""toks AS (
     SELECT doc_id, len(string_split(text, ' ')) AS dl,
            unnest(string_split(text, ' ')) AS term
-    FROM documents
+    FROM {docs_rel}
 ),
 tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, dl, term),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 n AS (SELECT COUNT(*) AS n_docs,
              CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl
-      FROM documents),
+      FROM {docs_rel}),
 qterms AS (
     SELECT term, df, rn, ((rn - 1) % {N_QUERIES}) + 1 AS query_id
     FROM (SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rn
@@ -87,9 +90,9 @@ scored AS (
 )"""
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(docs_rel: str = "documents") -> str:
     return f"""
-WITH {_bm25_ctes()}
+WITH {_bm25_ctes(docs_rel)}
 SELECT CAST(s.query_id AS BIGINT) AS query_id, qn.q_terms, s.doc_id,
        s.n_terms_hit, s.score_milli, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

@@ -747,12 +747,19 @@ class SnapshotTable:
         self._write_manifest(manifest)
         return version
 
-    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+    def delete_where(
+        self, spark: SparkSession, predicate: str, extra: dict | None = None
+    ) -> int:
         """Copy-on-write DELETE: remove rows where ``predicate`` is TRUE and
         commit the result as a new overwrite version (the pre-delete version
         stays readable — the GDPR-erasure shape still wants the *lineage*
         expired afterwards via ``expire``, which physically removes the old
         data dirs).
+
+        ``extra`` merges caller metadata into the new manifest on top of
+        the carried-forward parent extras (reserved keys guarded) — e.g.
+        an incremental index whose corpus counters must shrink with the
+        erased rows updates them atomically with the delete.
 
         Dir-level pruning, the same play Delta/Iceberg make at file level:
         each manifest dir is first probed with a pushed-down ``LIMIT 1``
@@ -821,9 +828,15 @@ class SnapshotTable:
                     finally:
                         kept.unpersist()
                 buckets[b] = out
+            clash = RESERVED_MANIFEST_KEYS & (extra or {}).keys()
+            if clash:
+                raise ValueError(
+                    f"extra manifest fields shadow reserved keys: {clash}"
+                )
             self._write_manifest(
                 {
                     **_extra_fields(pm),  # e.g. the replay cursor survives
+                    **(extra or {}),
                     "version": version,
                     "parent": parent,
                     "mode": "delete",
@@ -860,9 +873,15 @@ class SnapshotTable:
             data_dir = self._fresh_data_dir(version)
             kept.write.mode("error").parquet(data_dir)
             dirs.append(data_dir)
+        clash = RESERVED_MANIFEST_KEYS & (extra or {}).keys()
+        if clash:
+            raise ValueError(
+                f"extra manifest fields shadow reserved keys: {clash}"
+            )
         self._write_manifest(
             {
                 **_extra_fields(pm),  # caller metadata survives the delete
+                **(extra or {}),
                 "version": version,
                 "parent": parent,
                 "mode": "delete",

@@ -650,24 +650,14 @@ def make_bm25_index_applier(postings_t, df_t, n_buckets: int = BM25_IDX_BUCKETS)
     return apply_batch
 
 
-@register(
-    "streaming_bm25_index_topk",
-    # The EXACT batch BM25 oracle: a correctly-maintained index must serve
-    # the same top-k the whole-corpus recompute produces.
-    None,  # placeholder replaced below — oracle needs the import
-    doc="",
-)
-def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.retrieval import (
-        TOPK,
-        _bm25_score_from_stats,
-        _salted_topk,
-    )
+def _build_bm25_index(spark: SparkSession, sf_dir: str, name: str):
+    """Run the 4-batch document stream through the index applier into a
+    fresh pair of snapshot tables; returns (postings_t, df_t)."""
     from ..snapshots import SnapshotTable
     from ..workdirs import fresh_work_dir
 
     d = stage_documents(sf_dir, "bm25_index")
-    work = fresh_work_dir("streaming_bm25_index")
+    work = fresh_work_dir(name)
     postings_t = SnapshotTable(os.path.join(work, "postings"))
     df_t = SnapshotTable(os.path.join(work, "df"))
     src = spark.readStream.schema(DOCS_SCHEMA).parquet(d)
@@ -679,8 +669,22 @@ def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return postings_t, df_t
+
+
+def _serve_bm25_from_index(spark: SparkSession, postings_t, df_t) -> DataFrame:
+    """BM25 top-k served FROM the stored index — the query half both
+    lifecycle queries share (maintain-then-serve, erase-then-serve)."""
+    from ..operators.retrieval import (
+        TOPK,
+        _bm25_score_from_stats,
+        _salted_topk,
+    )
+
     tf = postings_t.read(spark)
-    df = df_t.read(spark)
+    # df = 0 terms are fully-erased vocabulary: no postings reference
+    # them, but they must not participate in the query draft either
+    df = df_t.read(spark).filter(F.col("df") > 0)
     n_docs = int(postings_t.latest_manifest_field("n_docs"))
     avgdl = float(postings_t.latest_manifest_field("sum_dl")) / n_docs
     scored, qnames = _bm25_score_from_stats(tf, df, n_docs, avgdl)
@@ -695,6 +699,65 @@ def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_milli",
         F.col("rank").cast("long"),
     )
+
+
+@register(
+    "streaming_bm25_index_topk",
+    # The EXACT batch BM25 oracle: a correctly-maintained index must serve
+    # the same top-k the whole-corpus recompute produces.
+    None,  # placeholder replaced below — oracle needs the import
+    doc="",
+)
+def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings_t, df_t = _build_bm25_index(spark, sf_dir, "streaming_bm25_index")
+    return _serve_bm25_from_index(spark, postings_t, df_t)
+
+
+@register(
+    "streaming_bm25_index_delete",
+    None,  # bound below: the batch oracle over the corpus minus the doc
+    doc="",
+)
+def q_streaming_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erase-and-serve on the incremental BM25 index: after the
+    stream builds the index, one document (the MIN doc_id — deterministic
+    on both engines) is erased END-TO-END — postings deleted copy-on-write
+    with the corpus counters shrinking ATOMICALLY in the same manifest
+    (delete_where(extra=...)), per-term df decremented through the same
+    bucketed merge the ingest path uses — and the query side then serves
+    from the post-erase index. The oracle recomputes batch BM25 over
+    documents MINUS the erased doc, so the hash proves the erased doc is
+    unreachable through every scoring path (postings, df, counters)."""
+    postings_t, df_t = _build_bm25_index(
+        spark, sf_dir, "streaming_bm25_index_delete"
+    )
+    erase = postings_t.read(spark).agg(F.min("doc_id")).first()[0]
+    doc_post = (
+        postings_t.read(spark)
+        .filter(F.col("doc_id") == erase)
+        .localCheckpoint(eager=True)  # read BEFORE the delete rewrites it
+    )
+    dl = doc_post.select("dl").first()[0]
+    postings_t.delete_where(
+        spark,
+        f"doc_id = {erase}",
+        extra={
+            "n_docs": int(postings_t.latest_manifest_field("n_docs")) - 1,
+            "sum_dl": int(postings_t.latest_manifest_field("sum_dl"))
+            - int(dl),
+        },
+    )
+    ddf = doc_post.groupBy("term").agg(F.count("*").alias("d_df"))
+    df_t.merge_bucketed(
+        spark,
+        ddf,
+        on="term",
+        update={"df": "df - d_df"},
+        insert_defaults={"df": "0"},  # unreachable: erased terms exist
+        n_buckets=BM25_IDX_BUCKETS,
+        schema="term string, df long",
+    )
+    return _serve_bm25_from_index(spark, postings_t, df_t)
 
 
 # Late-bind the oracle: it is the batch text_bm25_topk oracle verbatim —
@@ -726,4 +789,29 @@ def _bind_bm25_index_oracle() -> None:
     )
 
 
+def _bind_bm25_index_delete_oracle() -> None:
+    from ..operators.retrieval import _bm25_oracle
+    from ..plans.registry import _REGISTRY
+
+    live = "(SELECT * FROM documents WHERE doc_id <> (SELECT MIN(doc_id) FROM documents))"
+    spec = _REGISTRY["streaming_bm25_index_delete"]
+    _REGISTRY["streaming_bm25_index_delete"] = type(spec)(
+        fn=spec.fn,
+        oracle=_bm25_oracle(live),
+        doc="GDPR ERASE-AND-SERVE on the incremental BM25 index (r9 — "
+        "the retrieval twin of similarity_ivf_persisted_delete's "
+        "lifecycle): the stream builds the index, then the MIN-doc_id "
+        "document is erased end-to-end — copy-on-write postings delete "
+        "with the corpus counters (n_docs, sum_dl) shrinking ATOMICALLY "
+        "in the same manifest via delete_where(extra=...), and per-term "
+        "df decremented through the same vocabulary-bucketed merge the "
+        "ingest path uses (df=0 terms drop out of the query draft). The "
+        "oracle is batch BM25 over documents MINUS the erased doc "
+        "(_bm25_oracle over a filtered relation — one scoring-SQL text), "
+        "so the value hash proves the erased document is unreachable "
+        "through every scoring path: postings, df, and the stats.",
+    )
+
+
 _bind_bm25_index_oracle()
+_bind_bm25_index_delete_oracle()
