@@ -85,7 +85,13 @@ def two_phase_grouped_row_number(
     driver map is O(P x G) rows — small exactly when this helper is
     needed (G small); at large G the plain grouped window is already
     parallel and should be used instead. ``order_cols`` must be strict
-    within each group."""
+    within each group.
+
+    NULL group keys are first-class: the plain grouped window ranks NULL
+    as its own group (SQL grouping semantics), so the offset join below
+    must too — it matches on ``eqNullSafe`` per group column, not on
+    null-unsafe ``=`` (which would silently DROP every NULL-keyed row,
+    the failure a twin claiming window-equality can't have)."""
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 2)
     parted = (
@@ -116,9 +122,14 @@ def two_phase_grouped_row_number(
         rows, f"_pid int, {schema_groups}, _off long, {total_col} long"
     )
     wnd = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    cond = parted["_pid"] == off["_pid"]
+    for c in group_cols:
+        cond = cond & parted[c].eqNullSafe(off[c])
+    joined = parted.join(F.broadcast(off), cond)
+    for dup in ("_pid", *group_cols):
+        joined = joined.drop(off[dup])
     return (
-        parted.join(F.broadcast(off), ["_pid", *group_cols])
-        .withColumn(
+        joined.withColumn(
             id_col, (F.row_number().over(wnd) + F.col("_off")).cast("long")
         )
         .drop("_pid", "_off")

@@ -82,6 +82,18 @@ def _extra_fields(manifest: dict) -> dict:
     return {k: v for k, v in manifest.items() if k not in RESERVED_MANIFEST_KEYS}
 
 
+def _check_extra_keys(extra: dict | None) -> None:
+    """Fail FAST on reserved-key shadowing — called at the TOP of every
+    write path (commit/commit_buckets/delete_where), BEFORE any data dir
+    is written: a late check would reject the manifest only after the
+    data write already landed, leaving an orphan dir on every retry of
+    the same bad call (the same pre-write placement as commit_buckets'
+    schema-stability guard)."""
+    clash = RESERVED_MANIFEST_KEYS & (extra or {}).keys()
+    if clash:
+        raise ValueError(f"extra manifest fields shadow reserved keys: {clash}")
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path.rstrip("/")
@@ -257,7 +269,17 @@ class SnapshotTable:
         type-sensitive (a Python int literal defaults to INT while the
         column is LONG, which would silently hash to different bits: a
         false NEGATIVE, the one failure mode a bloom index must never
-        have)."""
+        have). For the same reason, a dir whose bloom entry records a
+        DIFFERENT hashed type than the table's current type for ``col``
+        (additive schema evolution that retyped the column) is scanned
+        conservatively — its bits were set under the old type, so
+        probing them with the new-typed literal could false-negative.
+
+        When the manifest also carries a ZONE MAP for ``col`` the two
+        indexes compose: a dir is opened only if its [min, max] contains
+        the value AND its bloom could contain it — each index can skip a
+        dir the other keeps (zone maps win on write-order-correlated
+        keys, blooms on scattered high-cardinality keys)."""
         from .functions.bloom import DEFAULT_SEEDS, _positions
 
         v = self.latest_version() if version is None else version
@@ -265,15 +287,19 @@ class SnapshotTable:
             raise ValueError(f"{self.path}: no committed versions")
         m = self._manifest(v)
         bl = m.get("blooms") or {}
+        zm = m.get("zonemaps") or {}
+        vnorm = self._zm_value(value)
 
         from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         lit = F.lit(value)
+        probe_type: str | None = None
         if m.get("schema"):
             for f in StructType.fromJson(m["schema"]).fields:
                 if f.name == col:
                     lit = lit.cast(f.dataType)
+                    probe_type = f.dataType.json()
                     break
         probe_cache: dict[int, list[int]] = {}
 
@@ -287,9 +313,19 @@ class SnapshotTable:
 
         keep = []
         for d in m["dirs"]:
+            zent = zm.get(d, {}).get(col)
+            try:
+                if zent is not None and (vnorm < zent[0] or vnorm > zent[1]):
+                    continue  # zone map proves the value is out of this dir
+            except TypeError:
+                pass  # incomparable domains (evolved type): conservative
             ent = bl.get(d, {}).get(col)
             if ent is None:
-                keep.append(d)  # no index: conservative
+                keep.append(d)  # no bloom: conservative
+                continue
+            ent_type = ent.get("type")
+            if ent_type is not None and probe_type is not None and ent_type != probe_type:
+                keep.append(d)  # hashed under an evolved type: conservative
                 continue
             bits = set(ent["bits"])
             if all(p in bits for p in probe_positions(ent["num_bits"])):
@@ -339,6 +375,7 @@ class SnapshotTable:
         shadowed."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        _check_extra_keys(extra)
         parent = self.latest_version()
         if parent > 0 and "buckets" in self._manifest(parent):
             # fail FAST, like compact(): a plain commit would publish a
@@ -401,6 +438,13 @@ class SnapshotTable:
 
             spark = df.sparkSession
             written = spark.read.parquet(data_dir)
+            # each entry records the column type it was HASHED under:
+            # xxhash64 is type-sensitive, so a lineage whose column type
+            # evolves across appends must not probe an old dir's bits
+            # with a differently-typed literal (silent false negative —
+            # read_point treats a type-mismatched entry as absent and
+            # scans that dir conservatively instead)
+            wtypes = {f.name: f.dataType.json() for f in written.schema.fields}
             blooms[data_dir] = {
                 c: {
                     "bits": bloom_bit_positions(
@@ -409,6 +453,7 @@ class SnapshotTable:
                         num_bits=bloom_bits,
                     ),
                     "num_bits": bloom_bits,
+                    "type": wtypes[c],
                 }
                 for c in bloom_cols
             }
@@ -418,11 +463,6 @@ class SnapshotTable:
             else {}
         )
         manifest.update(extra or {})
-        clash = RESERVED_MANIFEST_KEYS & (extra or {}).keys()
-        if clash:
-            raise ValueError(
-                f"extra manifest fields shadow reserved keys: {clash}"
-            )
         manifest.update(
             {
                 "version": version,
@@ -645,6 +685,7 @@ class SnapshotTable:
         (a full rewrite — the lineage's visible file set is single-schema
         again, Delta's overwriteSchema shape); otherwise it fails fast,
         BEFORE any data is written."""
+        _check_extra_keys(extra)
         parent = self.latest_version()
         # resolve the parent's bucket map BEFORE writing any data: a
         # wrong-lineage call (non-bucketed parent) must fail fast like
@@ -724,9 +765,6 @@ class SnapshotTable:
             _extra_fields(self._manifest(parent)) if parent > 0 else {}
         )
         manifest.update(extra or {})
-        clash = RESERVED_MANIFEST_KEYS & (extra or {}).keys()
-        if clash:
-            raise ValueError(f"extra manifest fields shadow reserved keys: {clash}")
         manifest.update(
             {
                 "version": version,
@@ -774,6 +812,7 @@ class SnapshotTable:
         are NOT deleted (kept), matching ``DELETE FROM t WHERE p``."""
         from pyspark.sql import functions as F
 
+        _check_extra_keys(extra)
         parent = self.latest_version()
         if parent == 0:
             raise ValueError(f"{self.path}: no committed versions")
@@ -828,11 +867,6 @@ class SnapshotTable:
                     finally:
                         kept.unpersist()
                 buckets[b] = out
-            clash = RESERVED_MANIFEST_KEYS & (extra or {}).keys()
-            if clash:
-                raise ValueError(
-                    f"extra manifest fields shadow reserved keys: {clash}"
-                )
             self._write_manifest(
                 {
                     **_extra_fields(pm),  # e.g. the replay cursor survives
@@ -873,11 +907,6 @@ class SnapshotTable:
             data_dir = self._fresh_data_dir(version)
             kept.write.mode("error").parquet(data_dir)
             dirs.append(data_dir)
-        clash = RESERVED_MANIFEST_KEYS & (extra or {}).keys()
-        if clash:
-            raise ValueError(
-                f"extra manifest fields shadow reserved keys: {clash}"
-            )
         self._write_manifest(
             {
                 **_extra_fields(pm),  # caller metadata survives the delete

@@ -2673,7 +2673,10 @@ def test_grouped_two_phase_ranks_match_window(spark):
     """two_phase_grouped_row_number must equal the plain grouped window
     rank on data where (a) every group spans MANY range partitions, (b)
     heavy order-key ties straddle partition boundaries inside a group,
-    and (c) group sizes are skewed (one group holds half the rows)."""
+    (c) group sizes are skewed (one group holds half the rows), and (d)
+    a slice of rows carries a NULL group key — SQL window semantics rank
+    NULL as its own group, so the twin's offset join must be null-safe
+    (a null-unsafe `=` would silently drop every NULL-keyed row)."""
     import random
 
     from pyspark.sql import Window
@@ -2685,7 +2688,10 @@ def test_grouped_two_phase_ranks_match_window(spark):
     rng = random.Random(11)
     rows = []
     for i in range(4000):
-        g = "BIG" if i % 2 == 0 else f"g{i % 7}"
+        if i % 13 == 0:
+            g = None
+        else:
+            g = "BIG" if i % 2 == 0 else f"g{i % 7}"
         rows.append((i, g, rng.randrange(5)))  # 5 distinct order values
     df = spark.createDataFrame(rows, "id long, grp string, v long")
     got = two_phase_grouped_row_number(

@@ -1269,3 +1269,87 @@ def test_bloom_point_lookup_skips_dirs(spark, tmp_path):
     assert scanned <= 3 and df.filter(F.col("k") == key).count() == 1
     m = t._manifest(t.latest_version())
     assert set(m.get("blooms", {})) <= set(m["dirs"])
+
+
+def test_point_lookup_composes_zonemaps_and_blooms(spark, tmp_path):
+    """read_point intersects BOTH skipping indexes (r10): a dir is opened
+    only if its zone map contains the value AND its bloom could contain
+    it. The fixture pins the composition with a dir each index keeps
+    alone but the other skips:
+      - dir A (even keys 0..198, zonemap + bloom): a probe for an ODD key
+        inside [0,198] passes the zone map but the bloom skips it;
+      - dir B (keys 1000..1099, zonemap only, NO bloom): bloom absence
+        keeps it conservatively but the zone map skips out-of-range
+        probes.
+    So probing 51 scans ZERO dirs — neither index alone achieves that."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "zmbloom"))
+    evens = spark.range(100).select((F.col("id") * 2).alias("k"))
+    t.commit(evens, stats_cols=["k"], bloom_cols=["k"])
+    t.commit(
+        spark.range(1000, 1100).select(F.col("id").alias("k")),
+        mode="append",
+        stats_cols=["k"],
+    )
+    # odd key in A's range: zonemap keeps A, bloom skips A; zonemap skips B
+    df, scanned, total = t.read_point(spark, "k", 51)
+    assert (scanned, total) == (0, 2)
+    assert df.count() == 0
+    # key only in B: zonemap skips A (bloom would keep A only on a false
+    # positive, irrelevant — the intersection still skips); B opens via
+    # conservative bloom absence
+    df, scanned, total = t.read_point(spark, "k", 1050)
+    assert scanned == 1 and df.filter(F.col("k") == 1050).count() == 1
+    # key only in A: both of A's indexes keep it; B's zonemap skips
+    df, scanned, total = t.read_point(spark, "k", 42)
+    assert scanned == 1 and df.filter(F.col("k") == 42).count() == 1
+
+
+def test_point_lookup_type_mismatch_scans_conservatively(spark, tmp_path):
+    """A bloom entry records the column type it was hashed under (r10):
+    probing a dir whose bits were set under a DIFFERENT type than the
+    probe literal's would hash to different xxhash64 bits — a silent
+    false negative, the one bloom failure that loses rows. read_point
+    must treat a type-mismatched entry as absent and scan that dir
+    conservatively. The mismatch is injected by rewriting one manifest
+    entry's recorded type (the shape a legacy or external manifest
+    writer produces — the format's own commit paths are additive-only,
+    so they can never retype a column mid-lineage)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "bloomtype"))
+    t.commit(
+        spark.range(100).select(F.col("id").alias("k")),
+        bloom_cols=["k"],
+    )
+    t.commit(
+        spark.range(1000, 1100).select(F.col("id").alias("k")),
+        mode="append",
+        bloom_cols=["k"],
+    )
+    v = t.latest_version()
+    mpath = f"{t._mdir}/v{v:06d}.json"
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert all(ent["k"]["type"] == '"long"' for ent in m["blooms"].values())
+    # sanity: with consistent types the absent-key probe skips everything
+    _, scanned, total = t.read_point(spark, "k", 50_000)
+    assert (scanned, total) == (0, 2)
+    # inject: dir A's bits were "hashed under int" per its recorded type
+    dir_a = m["dirs"][0]
+    m["blooms"][dir_a]["k"]["type"] = '"integer"'
+    os.remove(mpath)
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    # key only in dir A: its bloom can no longer be trusted for the
+    # long-typed probe -> conservative open, the row is still found
+    df, scanned, total = t.read_point(spark, "k", 42)
+    assert (scanned, total) == (1, 2)
+    assert df.filter(F.col("k") == 42).count() == 1
+    # absent key: dir A opens conservatively, dir B still bloom-skips
+    _, scanned, total = t.read_point(spark, "k", 50_000)
+    assert (scanned, total) == (1, 2)
