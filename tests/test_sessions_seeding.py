@@ -328,3 +328,70 @@ def test_incremental_sessions_boundary_merge(spark):
     assert m == [(1, "2024-01-21 09:00:00", "2024-01-21 09:30:00", 3, 3)]
     # user 2 kept two separate sessions
     assert len([r for r in got_rows if r[0] == 2]) == 2
+
+
+def test_foreachbatch_upsert_crash_between_effect_and_checkpoint(spark, tmp_path):
+    """Torn-commit drill for the foreachBatch upsert sink (r10): the
+    warehouse write (the side effect) lands, then the driver dies BEFORE
+    the streaming checkpoint records the batch — the classic
+    foreachBatch at-least-once window. On restart from the SAME
+    checkpoint Spark re-delivers the batch; dynamic partition overwrite
+    must converge (rewrite the same partitions) instead of duplicating,
+    and a further restart must deliver nothing."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.upsert_sink import (
+        partition_overwrite_each_batch,
+    )
+
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("2024-01-01", "a", 1), ("2024-01-01", "b", 2), ("2024-01-02", "c", 3)],
+        "date string, k string, v int",
+    ).withColumn("date", F.to_date("date")).write.parquet(src_dir)
+
+    inner = partition_overwrite_each_batch(out_dir)
+    delivered: list[tuple[int, int]] = []
+
+    def crash_after_effect(batch_df, batch_id):
+        inner(batch_df, batch_id)  # warehouse bytes are on disk...
+        raise RuntimeError("simulated crash before checkpoint commit")
+
+    def run(cb):
+        q = (
+            spark.readStream.schema("date date, k string, v int")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(cb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException, match="simulated crash"):
+        run(crash_after_effect)
+    # the effect landed, the offset did not
+    assert spark.read.parquet(out_dir).count() == 3
+
+    def tracking(batch_df, batch_id):
+        delivered.append((batch_id, batch_df.count()))
+        inner(batch_df, batch_id)
+
+    run(tracking)  # restart: Spark re-delivers the uncommitted batch
+    assert sum(n for _, n in delivered) == 3, "expected a full re-delivery"
+    got = {
+        (str(r.date), r.k, r.v) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        ("2024-01-01", "a", 1),
+        ("2024-01-01", "b", 2),
+        ("2024-01-02", "c", 3),
+    }  # exactly once despite the double delivery
+
+    delivered.clear()
+    run(tracking)  # third run: checkpoint is committed, nothing replays
+    assert sum(n for _, n in delivered) == 0
+    assert spark.read.parquet(out_dir).count() == 3

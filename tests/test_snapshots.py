@@ -1353,3 +1353,91 @@ def test_point_lookup_type_mismatch_scans_conservatively(spark, tmp_path):
     # absent key: dir A opens conservatively, dir B still bloom-skips
     _, scanned, total = t.read_point(spark, "k", 50_000)
     assert (scanned, total) == (1, 2)
+
+
+def test_cdc_applier_torn_commit_recovers_exactly_once(spark, tmp_path):
+    """Mid-commit CRASH drill for the CDC applier (r10): kill the commit
+    between the bucket-data write and the manifest publish, then replay
+    the same micro-batch (what a restarted stream does — foreachBatch
+    effects land before the checkpoint offset commits). Exactly-once must
+    come out of the table format's protocol: the torn attempt's data dir
+    stays dark forever (no manifest references it), the retry probes a
+    fresh sibling dir instead of colliding, and the replayed merge
+    converges to the same state a crash-free run produces."""
+    import datetime as dt
+
+    import pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_cdc_applier,
+    )
+
+    t = SnapshotTable(str(tmp_path / "state"))
+    apply_batch = make_cdc_applier(t, n_buckets=4)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+
+    def _ev(eid, minute, u, typ, v):
+        return (eid, dt.datetime(2024, 1, 1, 10, minute), u, typ, v, None)
+
+    apply_batch(
+        spark.createDataFrame(
+            [_ev(i, 0, u, "view", float(u)) for i, u in enumerate(range(1, 9))],
+            schema,
+        ),
+        0,
+    )
+    v1 = t.latest_version()
+    state1 = {r.user_id: (r.value_milli, r.deleted) for r in t.read(spark).collect()}
+
+    batch2 = spark.createDataFrame(
+        [
+            _ev(100, 5, 1, "click", 42.0),  # newer change: user 1 -> 42
+            _ev(101, 5, 2, "error", 0.0),  # tombstone: user 2 deleted
+            _ev(102, 5, 9, "view", 9.0),  # brand-new key
+        ],
+        schema,
+    )
+    real_publish = SnapshotTable._write_manifest
+    try:
+        def torn(self, manifest):
+            raise RuntimeError("simulated crash before manifest publish")
+
+        SnapshotTable._write_manifest = torn
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            apply_batch(batch2, 1)
+    finally:
+        SnapshotTable._write_manifest = real_publish
+
+    # the torn attempt is invisible: same version, same readable state,
+    # but orphan data bytes ARE on disk outside the manifest
+    assert t.latest_version() == v1
+    assert {
+        r.user_id: (r.value_milli, r.deleted) for r in t.read(spark).collect()
+    } == state1
+    import os as _os
+
+    on_disk = {f"{t.path}/data/{e}" for e in _os.listdir(f"{t.path}/data")}
+    manifest_roots = {d.rsplit("/", 2)[0] + "/" + d.rsplit("/", 2)[1]
+                      for d in t._manifest(v1)["dirs"]}
+    orphans = on_disk - manifest_roots
+    assert orphans, "torn attempt should have left an unreferenced data dir"
+
+    # restart: the stream re-delivers the same batch
+    apply_batch(batch2, 1)
+    got = {r.user_id: (r.value_milli, r.deleted) for r in t.read(spark).collect()}
+    want = dict(state1)
+    want[1] = (42000, False)
+    want[2] = (0, True)  # tombstoned; the winning change's value lands
+    want[9] = (9000, False)
+    assert got == want
+    # the orphan stayed dark: no manifest dir lives under it
+    final_dirs = t._manifest(t.latest_version())["dirs"]
+    for o in orphans:
+        assert not any(d.startswith(o + "/") or d == o for d in final_dirs)
+    # replaying AGAIN (at-least-once redelivery) changes nothing
+    apply_batch(batch2, 1)
+    got2 = {r.user_id: (r.value_milli, r.deleted) for r in t.read(spark).collect()}
+    assert got2 == want

@@ -130,6 +130,18 @@ QUERIES = [
     "retrieval_maxsim_two_stage",
     "w4_quartiles_scale_safe",
     "w6_relative_ranks_scale_safe",
+    # round 10: the VERDICT-named plan gaps (>1 s headline queries with no
+    # section) + the two new scale twins
+    "genre_kpis_daily_strparse",
+    "a2_argmax_per_group",
+    "pack_sequences_sharded",
+    "corpus_mixture_sample_scale_safe",
+    "graph_pagerank_parts",
+    "a1_group_multi_agg",
+    "q1_total_listens_per_genre",
+    "q7_avg_diversity_per_hour",
+    "a3_hourly_distinct_counts",
+    "j1_broadcast_left_join",
     # TPC-H family
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",

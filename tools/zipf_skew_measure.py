@@ -240,8 +240,79 @@ def s3_er(spark, scale: int) -> None:
     )
 
 
+def s6_hotsource(spark, scale: int) -> None:
+    """Hot-SOURCE corpus replica (r10): one source holds ~97% of all
+    documents — the shape the testdata fixtures (20 uniform sources, 25
+    docs each) never exercise, and exactly what breaks per-source
+    operators at 100 TB. Measures the source-keyed family:
+    - pack_sequences_hierarchical (BASELINE: level 1 packs the hot
+      source as ONE pandas group; level 2 packs ALL summaries in one
+      group) vs pack_sequences_sharded (r10 twin: every group bounded
+      by a constant) — the twin's wall should track bytes while the
+      baseline concentrates in single Python workers;
+    - corpus_source_mix (hash agg with map-side partials: the hot key
+      collapses per-partition before the shuffle — should stay flat);
+    - corpus_mixture_sample (row_number over a per-source window: the
+      hot source funnels through ONE task — measured to document it);
+    - curate_training_corpus (groups by text hash, not source:
+      Zipf-source should not move it — the control).
+    """
+    import pandas as pd
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    rng = np.random.default_rng(SEED)
+    n_docs = 20_000 * scale
+    doc_len = 40
+    # 97% of docs behind src0; the rest uniform over 99 cold sources
+    hot = rng.random(n_docs) < 0.97
+    srcs = np.where(
+        hot, "src0", np.char.add("src", rng.integers(1, 100, n_docs).astype(str))
+    )
+    toks = rng.integers(0, 50_000, size=(n_docs, doc_len))
+    texts = [" ".join(f"w{t}" for t in row) for row in toks]
+    d = f"{ROOT}/hotsource_x{scale}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": srcs,
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(f"{d}/documents.parquet")
+    specs = all_specs()
+    hier = timed(specs["pack_sequences_hierarchical"].fn(spark, d))
+    shard = timed(specs["pack_sequences_sharded"].fn(spark, d))
+    mix = timed(specs["corpus_source_mix"].fn(spark, d))
+    samp = timed(specs["corpus_mixture_sample"].fn(spark, d))
+    cur = timed(specs["curate_training_corpus"].fn(spark, d))
+
+    # the scale-safe mixture twin runs EAGER work inside fn() (the
+    # two-phase rank's localCheckpoint + offset collect), so time
+    # fn()+sink together — same convention as bench.py's EAGER_FN set
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        specs["corpus_mixture_sample_scale_safe"].fn(spark, d).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    samp2 = round(best, 2)
+    print(
+        f"RESULT s6_hotsource scale={scale} docs={n_docs} "
+        f"hot_share=0.97 pack_hier_baseline={hier}s pack_sharded={shard}s "
+        f"source_mix={mix}s mixture_sample={samp}s "
+        f"mixture_sample_scale_safe={samp2}s curate={cur}s"
+    )
+
+
 def main() -> None:
-    which = set(sys.argv[1:]) or {"s1", "s2", "s3", "s4", "s5"}
+    which = set(sys.argv[1:]) or {"s1", "s2", "s3", "s4", "s5", "s6"}
     os.makedirs(ROOT, exist_ok=True)
     spark = get_spark("zipf-skew-measure")
     spark.sparkContext.setLogLevel("ERROR")
@@ -256,6 +327,8 @@ def main() -> None:
             s4_maxsim(spark, scale)
         if "s5" in which:
             s5_vocab(spark, scale)
+        if "s6" in which:
+            s6_hotsource(spark, scale)
     spark.stop()
 
 
