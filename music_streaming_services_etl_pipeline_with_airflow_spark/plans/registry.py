@@ -60,10 +60,12 @@ _PRIORITY: tuple[str, ...] = (
     # offset join became null-safe), the 12 r4-stale rows deferred from
     # the r9 head (VERDICT r9 re-verified all 12 exact-green), and the 47
     # r5-latest rows. Spent:
-    #   4  new/changed (no green row exists for their current behavior);
+    #   5  new/changed (no green row exists for their current behavior;
+    #      er_resolve_customers_capped, the representative-star blocking
+    #      cap, joined mid-round);
     #   12 r4-stale (after this round no row predates r5);
-    #   34 of the 47 r5-stale.
-    # The 13 deferred r5 rows lead the ROUND-11 head; each keeps
+    #   33 of the 47 r5-stale.
+    # The 14 deferred r5 rows lead the ROUND-11 head; each keeps
     # independent evidence meanwhile: genre_kpis_daily_onepass /
     # genre_kpis_daily_strparse / hourly_kpis_fast are pytest-pinned to
     # the family anchors that DO refresh here; p12_row_count is a bare
@@ -74,7 +76,10 @@ _PRIORITY: tuple[str, ...] = (
     # deferred streaming rows (interval_join, sliding_window, sessionize,
     # dedup_watermark) all execute live in pytest every round while
     # streaming_hourly_window + streaming_foreachbatch_upsert refresh
-    # here (the latter also gained the r10 crash-recovery pin).
+    # here (the latter also gained the r10 crash-recovery pin);
+    # embedding_dim_stats (deferred when the capped-ER entry landed) is a
+    # single-scan aggregate over the embeddings table, the same
+    # narrowest-regression-surface class as p13/p14.
     # Every entry below re-verified locally this round via
     # tools/check_parity.py at sf0.01 (exact value equality) after the
     # round's code changes landed; the new/changed four additionally at
@@ -82,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- new/changed in round 10 --
     "pack_sequences_sharded",  # NEW (r10): bounded-group sharded packing
     "corpus_mixture_sample_scale_safe",  # NEW (r10): two-phase ranks
+    "er_resolve_customers_capped",  # NEW (r10): representative-star ER
     "warehouse_bloom_point_skipping",  # changed oracle/output (r10)
     "w6_relative_ranks_scale_safe",  # null-safe offset join (r10)
     # -- r4-stale (the oldest driver rows in the repo) --
@@ -106,7 +112,6 @@ _PRIORITY: tuple[str, ...] = (
     "a6_pivot_event_matrix",
     "dedup_containment",
     "dedup_minhash_lsh",
-    "embedding_dim_stats",
     "genre_kpis_daily",
     "j1_broadcast_left_join",
     "j4_multiway_dim_rollup",

@@ -234,9 +234,14 @@ def s3_er(spark, scale: int) -> None:
     hot = int(pd.Series(blocks).value_counts().iloc[0])
     fn = all_specs()["er_resolve_customers"].fn
     t = timed(fn(spark, d))
+    # r10: the representative-star cap on the SAME Zipf fixture — the
+    # uncapped clique is O(B^2) in the hot (blk, acct) group, the capped
+    # star O(ER_CAP * B); both walls print so the trade is measured, not
+    # asserted
+    capped = timed(all_specs()["er_resolve_customers_capped"].fn(spark, d))
     print(
         f"RESULT s3_er scale={scale} customers={n_cust} "
-        f"hot_block_mentions={hot * 4} wall={t}s"
+        f"hot_block_mentions={hot * 4} wall={t}s capped_wall={capped}s"
     )
 
 
