@@ -294,10 +294,10 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIX_ALPHA_BUDGET_FRAC = 2  # draw total // 2 documents across sources
 
-
-@register(
-    "corpus_temperature_mixture",
-    """WITH counts AS (
+# shared verbatim by corpus_temperature_mixture and its r10 scale twin —
+# the twin changes only HOW the per-source hash-order ranks are computed,
+# never what the recipe draws
+_TEMPERATURE_ORACLE = """WITH counts AS (
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT)
                AS sq_milli
@@ -322,7 +322,12 @@ ranked AS (
 )
 SELECT r.doc_id, r.source FROM ranked r
 JOIN quota q ON r.source = q.source
-WHERE r.rk <= q.take""",
+WHERE r.rk <= q.take"""
+
+
+@register(
+    "corpus_temperature_mixture",
+    _TEMPERATURE_ORACLE,
     doc="Temperature-scaled source mixing — the multilingual-LM "
     "alpha-sampling recipe (alpha = 0.5): each source's draw probability "
     "is proportional to N_s^alpha, flattening the head sources and "
@@ -335,7 +340,12 @@ WHERE r.rk <= q.take""",
     "sq_milli stays under 2^63 up to ~1e10 docs per source.) Quotas "
     "fill deterministically by md5(doc_id) hash order, the same "
     "seedless reproducible shuffle as corpus_mixture_sample; one "
-    "bounded per-source aggregate + one window shuffle at 100 TB.",
+    "bounded per-source aggregate + one window shuffle at 100 TB. "
+    "CORRECTNESS BASELINE for skewed source mixes: the take is "
+    "data-dependent, so Spark's WindowGroupLimit cannot push the rank "
+    "filter map-side (unlike curate_source_cap's constant cap) and the "
+    "per-source window funnels a hot source through one task — "
+    "corpus_temperature_mixture_scale_safe (r10) is the path at scale.",
 )
 def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -367,6 +377,58 @@ def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("take"))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "corpus_temperature_mixture_scale_safe",
+    _TEMPERATURE_ORACLE,
+    doc="SCALE-SAFE twin of corpus_temperature_mixture (r10): identical "
+    "alpha-sampling recipe, identical oracle, but the per-source "
+    "hash-order ranks come from functions/ranking."
+    "two_phase_grouped_row_number instead of a per-source window. The "
+    "quota here is DATA-DEPENDENT (budget x N_s^alpha / sum weights), so "
+    "Spark's WindowGroupLimit cannot push the rank filter map-side the "
+    "way it does for curate_source_cap's constant cap — the baseline's "
+    "window genuinely ranks a hot source's whole partition in one task, "
+    "while the two-phase form ranks range-partitioned slices in "
+    "parallel with O(partitions x sources) driver traffic.",
+)
+def q_corpus_temperature_mixture_scale_safe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.ranking import two_phase_grouped_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+    ).select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
+        .cast("long")
+        .alias("sq_milli"),
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.sum("sq_milli").alias("ssum")
+    )
+    quota = counts.join(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.expr("(total div 2) * sq_milli div ssum"), F.col("n_docs")
+        ).alias("take"),
+    )
+    ranked = two_phase_grouped_row_number(
+        docs.withColumn("_h", F.md5(F.col("doc_id").cast("string"))),
+        ["source"],
+        [F.asc("_h"), F.asc("doc_id")],
+        id_col="rk",
+        total_col="_n_src",
     )
     return (
         ranked.join(F.broadcast(quota), "source")

@@ -60,12 +60,13 @@ _PRIORITY: tuple[str, ...] = (
     # offset join became null-safe), the 12 r4-stale rows deferred from
     # the r9 head (VERDICT r9 re-verified all 12 exact-green), and the 47
     # r5-latest rows. Spent:
-    #   5  new/changed (no green row exists for their current behavior;
+    #   6  new/changed (no green row exists for their current behavior;
     #      er_resolve_customers_capped, the representative-star blocking
-    #      cap, joined mid-round);
+    #      cap, and corpus_temperature_mixture_scale_safe, the
+    #      data-dependent-quota mixture twin, joined mid-round);
     #   12 r4-stale (after this round no row predates r5);
-    #   33 of the 47 r5-stale.
-    # The 14 deferred r5 rows lead the ROUND-11 head; each keeps
+    #   32 of the 47 r5-stale.
+    # The 15 deferred r5 rows lead the ROUND-11 head; each keeps
     # independent evidence meanwhile: genre_kpis_daily_onepass /
     # genre_kpis_daily_strparse / hourly_kpis_fast are pytest-pinned to
     # the family anchors that DO refresh here; p12_row_count is a bare
@@ -79,7 +80,9 @@ _PRIORITY: tuple[str, ...] = (
     # here (the latter also gained the r10 crash-recovery pin);
     # embedding_dim_stats (deferred when the capped-ER entry landed) is a
     # single-scan aggregate over the embeddings table, the same
-    # narrowest-regression-surface class as p13/p14.
+    # narrowest-regression-surface class as p13/p14, as is
+    # a6_pivot_event_matrix (deferred when the temperature twin landed):
+    # one scan + a pivot hash aggregate.
     # Every entry below re-verified locally this round via
     # tools/check_parity.py at sf0.01 (exact value equality) after the
     # round's code changes landed; the new/changed four additionally at
@@ -87,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- new/changed in round 10 --
     "pack_sequences_sharded",  # NEW (r10): bounded-group sharded packing
     "corpus_mixture_sample_scale_safe",  # NEW (r10): two-phase ranks
+    "corpus_temperature_mixture_scale_safe",  # NEW (r10): same pattern
     "er_resolve_customers_capped",  # NEW (r10): representative-star ER
     "warehouse_bloom_point_skipping",  # changed oracle/output (r10)
     "w6_relative_ranks_scale_safe",  # null-safe offset join (r10)
@@ -109,7 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "a3_hourly_distinct_counts",
     "a4_plays_per_artist_hour",
     "a5_rollup_hierarchy",
-    "a6_pivot_event_matrix",
     "dedup_containment",
     "dedup_minhash_lsh",
     "genre_kpis_daily",

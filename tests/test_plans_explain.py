@@ -337,3 +337,23 @@ def test_bloom_point_skipping_actually_skips(spark):
     pruned, n_scanned, n_total = t.read_point(spark, "o_orderkey", key)
     assert n_total == 4 and n_scanned < n_total
     assert pruned.filter(F.col("o_orderkey") == key).count() >= 1
+
+
+def test_source_cap_rank_filter_pushes_map_side(spark):
+    """curate_source_cap's `row_number() <= CONSTANT` must plan a PARTIAL
+    WindowGroupLimit BEFORE the exchange (Spark's rank-limit pushdown):
+    each map partition keeps only the cap's worth of rows per source, so
+    a hot source never funnels its whole document set through the window
+    task. This is why the constant-cap query needs no two-phase twin
+    while the data-dependent-quota mixtures do — pinned here so a
+    refactor that breaks the pushdown (e.g. filtering on a joined column)
+    shows up as a test failure, not a silent scale regression."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import (
+        all_specs,
+    )
+
+    df = all_specs()["curate_source_cap"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    head, _, tail = plan.partition("Exchange")
+    assert "WindowGroupLimit" in tail and "Partial" in tail, plan

@@ -100,6 +100,7 @@ QUERIES = [
     # its per-batch frame is exactly text_pii_redact's plan above.)
     # round 8
     "er_resolve_customers",
+    "er_resolve_customers_capped",
     "graph_kcore_parts",
     "similarity_ivf_persisted",
     "similarity_ivf_persisted_delete",
@@ -136,6 +137,7 @@ QUERIES = [
     "a2_argmax_per_group",
     "pack_sequences_sharded",
     "corpus_mixture_sample_scale_safe",
+    "corpus_temperature_mixture_scale_safe",
     "graph_pagerank_parts",
     "a1_group_multi_agg",
     "q1_total_listens_per_genre",

@@ -296,23 +296,30 @@ def s6_hotsource(spark, scale: int) -> None:
     samp = timed(specs["corpus_mixture_sample"].fn(spark, d))
     cur = timed(specs["curate_training_corpus"].fn(spark, d))
 
-    # the scale-safe mixture twin runs EAGER work inside fn() (the
+    # the scale-safe mixture twins run EAGER work inside fn() (the
     # two-phase rank's localCheckpoint + offset collect), so time
     # fn()+sink together — same convention as bench.py's EAGER_FN set
-    best = None
-    for _ in range(2):
-        t0 = time.time()
-        specs["corpus_mixture_sample_scale_safe"].fn(spark, d).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        dt = time.time() - t0
-        best = dt if best is None or dt < best else best
-    samp2 = round(best, 2)
+    def eager(name: str) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            specs[name].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 2)
+
+    samp2 = eager("corpus_mixture_sample_scale_safe")
+    temp = timed(specs["corpus_temperature_mixture"].fn(spark, d))
+    temp2 = eager("corpus_temperature_mixture_scale_safe")
     print(
         f"RESULT s6_hotsource scale={scale} docs={n_docs} "
         f"hot_share=0.97 pack_hier_baseline={hier}s pack_sharded={shard}s "
         f"source_mix={mix}s mixture_sample={samp}s "
-        f"mixture_sample_scale_safe={samp2}s curate={cur}s"
+        f"mixture_sample_scale_safe={samp2}s "
+        f"temperature_mixture={temp}s temperature_scale_safe={temp2}s "
+        f"curate={cur}s"
     )
 
 
