@@ -2731,3 +2731,53 @@ def test_registry_specs_fully_documented():
         if s.oracle is not None and not s.oracle.strip()
     ]
     assert not bad_oracle, f"specs with empty-string oracle: {bad_oracle}"
+
+
+def test_sharded_packer_state_carries_across_arrow_batches(spark):
+    """The r10 sharded packer's mapInPandas kernel carries greedy state
+    across Arrow batch boundaries (a group may straddle batches, never
+    partitions). Force tiny Arrow batches so every 128-doc shard spans
+    several of them — and make token counts vary per doc — then compare
+    against a pure-Python replay of the recurrence. A kernel that reset
+    state per BATCH instead of per GROUP KEY would diverge immediately."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.packing import (
+        PACK_BUDGET,
+        SHARD_SPAN,
+        pack_documents_sharded,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+        rows = []
+        for i in range(700):
+            # one hot source + two cold ones interleaved; token counts
+            # cycle so packs close at irregular offsets
+            src = "hot" if i % 10 else f"cold{i % 3}"
+            rows.append((src, i, "w " * (5 + (i * 7) % 40)))
+        docs = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        got = {
+            (r.source, r.doc_id): (r.shard, r.pack_id, r.pack_used)
+            for r in pack_documents_sharded(docs).collect()
+        }
+        # pure-Python replay
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for src, i, text in rows:
+            # Spark's split(" ") keeps empty trailing tokens; Python's
+            # str.split(" ") matches that exactly
+            n = len(text.split(" "))
+            groups[(src, i // SHARD_SPAN)].append((i, n))
+        want = {}
+        for (src, shard), docs_in in groups.items():
+            pack_id, used = 0, 0
+            for i, n in sorted(docs_in):
+                if used > 0 and used + n > PACK_BUDGET:
+                    pack_id += 1
+                    used = 0
+                used += n
+                want[(src, i)] = (shard, pack_id, used)
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
