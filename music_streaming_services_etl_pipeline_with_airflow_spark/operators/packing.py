@@ -266,14 +266,17 @@ def _greedy_stream_kernel(key_cols: list[str], size_col: str, budget: int,
                 continue
             ids = [0] * n_rows
             useds = [0] * n_rows
-            keys = list(zip(*[pdf[c] for c in key_cols]))
-            sizes = pdf[size_col]
+            # plain lists: per-row .iloc in the hot loop costs ~1 µs/row
+            # of pandas indexing machinery — at 1e6-row batches that is
+            # seconds of pure overhead for zero semantics
+            keys = list(zip(*[pdf[c].tolist() for c in key_cols]))
+            sizes = pdf[size_col].tolist()
             for i in range(n_rows):
                 k = keys[i]
                 if k != cur_key:
                     cur_key = k
                     pack_id, used = 0, 0
-                n = int(sizes.iloc[i])
+                n = int(sizes[i])
                 if used > 0 and used + n > budget:
                     pack_id += 1
                     used = 0
