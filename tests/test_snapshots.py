@@ -1441,3 +1441,68 @@ def test_cdc_applier_torn_commit_recovers_exactly_once(spark, tmp_path):
     apply_batch(batch2, 1)
     got2 = {r.user_id: (r.value_milli, r.deleted) for r in t.read(spark).collect()}
     assert got2 == want
+
+
+def test_matview_torn_commit_replays_once(spark, tmp_path):
+    """Torn-commit drill for the NON-idempotent matview merge (r10): the
+    replay cursor rides the same manifest as the data commit, so the two
+    failure windows resolve differently and BOTH must converge:
+    - crash BEFORE the manifest publish: neither data nor cursor
+      advanced — the replay re-merges and the sums land exactly once;
+    - crash AFTER the manifest publish (before the checkpoint commit):
+      cursor already advanced — the replay is skipped, sums unchanged."""
+    import datetime as dt
+
+    import pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_matview_applier,
+    )
+
+    t = SnapshotTable(str(tmp_path / "mv"))
+    dim = spark.createDataFrame(
+        [(1, "SEG-A"), (2, "SEG-B")], "user_id long, segment string"
+    )
+    apply_batch = make_matview_applier(t, dim, n_buckets=4)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    b0 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 1, "view", 2.5, None)], schema
+    )
+    apply_batch(b0, 0)
+    v1 = t.latest_version()
+    assert t.latest_manifest_field("last_batch_id") == 0
+
+    b1 = spark.createDataFrame(
+        [(2, dt.datetime(2024, 1, 1, 11), 1, "view", 1.0, None),
+         (3, dt.datetime(2024, 1, 1, 11), 2, "view", 4.0, None)], schema
+    )
+    real_publish = SnapshotTable._write_manifest
+    try:
+        def torn(self, manifest):
+            raise RuntimeError("simulated crash before manifest publish")
+
+        SnapshotTable._write_manifest = torn
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            apply_batch(b1, 1)
+    finally:
+        SnapshotTable._write_manifest = real_publish
+
+    # window 1: nothing advanced — data, version, AND cursor
+    assert t.latest_version() == v1
+    assert t.latest_manifest_field("last_batch_id") == 0
+    # restart replays batch 1: the merge lands exactly once
+    apply_batch(b1, 1)
+    got = {(str(r.date), r.segment): (r.n_events, r.value_cents)
+           for r in t.read(spark).collect()}
+    assert got == {("2024-01-01", "SEG-A"): (2, 350),
+                   ("2024-01-01", "SEG-B"): (1, 400)}
+    v2 = t.latest_version()
+    assert t.latest_manifest_field("last_batch_id") == 1
+    # window 2: cursor committed, checkpoint didn't — replay is a no-op
+    apply_batch(b1, 1)
+    assert t.latest_version() == v2
+    assert {(str(r.date), r.segment): (r.n_events, r.value_cents)
+            for r in t.read(spark).collect()} == got
