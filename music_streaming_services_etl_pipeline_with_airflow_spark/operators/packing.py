@@ -417,3 +417,60 @@ FROM super""",
 )
 def q_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_hierarchical_sharded(load_table(spark, sf_dir, "documents"))
+
+
+def greedy_stream_kernel_seeded(
+    key_cols: list[str],
+    size_col: str,
+    budget: int,
+    out_cols: list[str],
+    init_id_col: str = "_init_pack_id",
+    init_used_col: str = "_init_used",
+):
+    """Seeded variant of the streaming kernel for INCREMENTAL packing
+    (streaming/ingest.make_pack_index_applier): when the group key
+    changes, the greedy state initializes from the row's carried
+    ``(_init_pack_id, _init_used)`` columns — the stored tail state of
+    that (source, shard) from previous micro-batches — instead of (0, 0),
+    so packing a shard across many batches produces exactly the sequence
+    one batch pass over the concatenated rows would. NULL inits (a shard
+    seen for the first time) start fresh. Same cross-Arrow-batch state
+    carry as :func:`_greedy_stream_kernel`."""
+    import math
+
+    def fn(batches):
+        cur_key = None
+        pack_id, used = 0, 0
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            ids = [0] * n_rows
+            useds = [0] * n_rows
+            keys = list(zip(*[pdf[c].tolist() for c in key_cols]))
+            sizes = pdf[size_col].tolist()
+            init_p = pdf[init_id_col].tolist()
+            init_u = pdf[init_used_col].tolist()
+            for i in range(n_rows):
+                k = keys[i]
+                if k != cur_key:
+                    cur_key = k
+                    p0, u0 = init_p[i], init_u[i]
+                    fresh = p0 is None or (
+                        isinstance(p0, float) and math.isnan(p0)
+                    )
+                    pack_id = 0 if fresh else int(p0)
+                    used = 0 if fresh else int(init_u[i])
+                n = int(sizes[i])
+                if used > 0 and used + n > budget:
+                    pack_id += 1
+                    used = 0
+                used += n
+                ids[i] = pack_id
+                useds[i] = used
+            out = pdf[out_cols[:-2]].copy()
+            out[out_cols[-2]] = ids
+            out[out_cols[-1]] = useds
+            yield out
+
+    return fn

@@ -60,13 +60,14 @@ _PRIORITY: tuple[str, ...] = (
     # offset join became null-safe), the 12 r4-stale rows deferred from
     # the r9 head (VERDICT r9 re-verified all 12 exact-green), and the 47
     # r5-latest rows. Spent:
-    #   6  new/changed (no green row exists for their current behavior;
+    #   7  new/changed (no green row exists for their current behavior;
     #      er_resolve_customers_capped, the representative-star blocking
-    #      cap, and corpus_temperature_mixture_scale_safe, the
-    #      data-dependent-quota mixture twin, joined mid-round);
+    #      cap, corpus_temperature_mixture_scale_safe, the
+    #      data-dependent-quota mixture twin, and streaming_pack_index,
+    #      the incremental packing index, joined mid-round);
     #   12 r4-stale (after this round no row predates r5);
-    #   32 of the 47 r5-stale.
-    # The 15 deferred r5 rows lead the ROUND-11 head; each keeps
+    #   31 of the 47 r5-stale.
+    # The 16 deferred r5 rows lead the ROUND-11 head; each keeps
     # independent evidence meanwhile: genre_kpis_daily_onepass /
     # genre_kpis_daily_strparse / hourly_kpis_fast are pytest-pinned to
     # the family anchors that DO refresh here; p12_row_count is a bare
@@ -82,7 +83,9 @@ _PRIORITY: tuple[str, ...] = (
     # single-scan aggregate over the embeddings table, the same
     # narrowest-regression-surface class as p13/p14, as is
     # a6_pivot_event_matrix (deferred when the temperature twin landed):
-    # one scan + a pivot hash aggregate.
+    # one scan + a pivot hash aggregate; a5_rollup_hierarchy (deferred
+    # when streaming_pack_index landed) is one scan + a ROLLUP aggregate
+    # whose family anchor a10_cube_returnflag_status refreshes here.
     # Every entry below re-verified locally this round via
     # tools/check_parity.py at sf0.01 (exact value equality) after the
     # round's code changes landed; the new/changed four additionally at
@@ -92,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_mixture_sample_scale_safe",  # NEW (r10): two-phase ranks
     "corpus_temperature_mixture_scale_safe",  # NEW (r10): same pattern
     "er_resolve_customers_capped",  # NEW (r10): representative-star ER
+    "streaming_pack_index",  # NEW (r10): incremental packing index
     "warehouse_bloom_point_skipping",  # changed oracle/output (r10)
     "w6_relative_ranks_scale_safe",  # null-safe offset join (r10)
     # -- r4-stale (the oldest driver rows in the repo) --
@@ -112,7 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "a2_argmax_per_group",
     "a3_hourly_distinct_counts",
     "a4_plays_per_artist_hour",
-    "a5_rollup_hierarchy",
     "dedup_containment",
     "dedup_minhash_lsh",
     "genre_kpis_daily",

@@ -55,7 +55,12 @@ def _capture_plan(name: str, df: DataFrame) -> None:
     PLAN_CAPTURE[name] = buf.getvalue().rstrip()
 
 
-def stage_documents(sf_dir: str, name: str, n_files: int = _N_STAGE_FILES) -> str:
+def stage_documents(
+    sf_dir: str,
+    name: str,
+    n_files: int = _N_STAGE_FILES,
+    columns: tuple[str, ...] = ("doc_id", "text"),
+) -> str:
     """Split the documents table into ``n_files`` drop-folder parquet files
     by ascending doc_id range, mtimes strictly increasing so the file
     stream source replays them in doc_id order."""
@@ -64,7 +69,9 @@ def stage_documents(sf_dir: str, name: str, n_files: int = _N_STAGE_FILES) -> st
     import pyarrow.parquet as pq
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
+    key = hashlib.md5(
+        (os.path.abspath(src) + "|" + ",".join(columns)).encode()
+    ).hexdigest()[:10]
     d = os.path.join(
         tempfile.gettempdir(),
         f"spark_engine_stage_docs_{name}_{key}_{os.path.getmtime(src):.0f}",
@@ -73,7 +80,7 @@ def stage_documents(sf_dir: str, name: str, n_files: int = _N_STAGE_FILES) -> st
     if os.path.exists(done):
         return d
     os.makedirs(d, exist_ok=True)
-    table = pq.read_table(src, columns=["doc_id", "text"])
+    table = pq.read_table(src, columns=list(columns))
     table = table.sort_by("doc_id")
     n = table.num_rows
     base = os.path.getmtime(src)
@@ -815,3 +822,209 @@ def _bind_bm25_index_delete_oracle() -> None:
 
 _bind_bm25_index_oracle()
 _bind_bm25_index_delete_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental packing index — batch-prep maintenance (r10)
+# ---------------------------------------------------------------------------
+
+PACK_IDX_BUCKETS = 8
+DOCS_SRC_SCHEMA = "doc_id long, text string, source string"
+_PACK_TAILS_SCHEMA = "pk string, source string, shard long, pack_id long, used long"
+_PACK_OUT_SCHEMA = (
+    "source string, shard long, doc_id long, n_tokens long, "
+    "pack_id long, pack_used long"
+)
+
+
+def make_pack_index_applier(packs_t, tails_t, n_buckets: int = PACK_IDX_BUCKETS):
+    """foreachBatch callback maintaining a persisted PACKED corpus — the
+    training-batch-prep twin of the BM25 index applier: as documents
+    stream in (doc_id-ordered within each (source, shard), the staging
+    contract), each batch is greedily packed CONTINUING each shard's
+    stored tail state, so the accumulated packs equal what one batch pass
+    over the full corpus would produce — incremental view maintenance
+    applied to sequence packing.
+
+    State (two snapshot tables):
+    - PACKS (source, shard, doc_id, n_tokens, pack_id, pack_used):
+      append-only — pack assignments are immutable once made (greedy
+      packing never revisits a closed pack), so each batch lands as one
+      O(batch) append.
+    - TAILS (pk, source, shard, pack_id, used): each shard's OPEN pack —
+      the only state the recurrence needs — maintained via the bucketed
+      merge (replacement semantics); per-batch cost O(touched shards).
+
+    foreachBatch is at-least-once and the packs append is non-idempotent,
+    so each table carries its own last_batch_id cursor; the packed batch
+    is pinned with an eager localCheckpoint so the append and the tail
+    delta see ONE evaluation (a replay after a crash between the two
+    commits recomputes from the tail state that commit observed).
+
+    Scale: per batch, one repartition on the shard key + one ordered
+    streaming mapInPandas (greedy state <= SHARD_SPAN docs per shard, no
+    per-group Python-call overhead), one append, one bucketed tail merge.
+    Nothing ever rescans the packed corpus."""
+
+    def apply_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        from ..operators.packing import (
+            PACK_BUDGET,
+            SHARD_SPAN,
+            greedy_stream_kernel_seeded,
+        )
+        from ..snapshots import SnapshotTable
+
+        spark_ = batch.sparkSession
+        sized = batch.select(
+            "source",
+            (F.col("doc_id") / SHARD_SPAN).cast("long").alias("shard"),
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        pk = F.concat_ws("|", F.col("source"), F.col("shard").cast("string"))
+        bucket = SnapshotTable.bucket_of(pk, n_buckets)
+        touched = sorted(
+            r["_b"] for r in sized.select(bucket.alias("_b")).distinct().collect()
+        )
+        tails = tails_t.read_buckets(
+            spark_, touched, _PACK_TAILS_SCHEMA, n_buckets=n_buckets
+        ).select(
+            "source",
+            "shard",
+            F.col("pack_id").alias("_init_pack_id"),
+            F.col("used").alias("_init_used"),
+        )
+        kernel = greedy_stream_kernel_seeded(
+            ["source", "shard"],
+            "n_tokens",
+            PACK_BUDGET,
+            ["source", "shard", "doc_id", "n_tokens", "pack_id", "pack_used"],
+        )
+        packed = (
+            sized.join(F.broadcast(tails), ["source", "shard"], "left")
+            .repartition("source", "shard")
+            .sortWithinPartitions("source", "shard", "doc_id")
+            .mapInPandas(kernel, schema=_PACK_OUT_SCHEMA)
+            # ONE evaluation feeds both commits — and a replay must not
+            # observe a tails table the first attempt already advanced
+            .localCheckpoint(eager=True)
+        )
+        last_p = packs_t.latest_manifest_field("last_batch_id")
+        if last_p is None or batch_id > last_p:
+            _capture_plan("streaming_pack_index.batch_packed", packed)
+            packs_t.commit(
+                packed,
+                mode="append" if packs_t.latest_version() > 0 else "overwrite",
+                extra={"last_batch_id": batch_id},
+            )
+        last_t = tails_t.latest_manifest_field("last_batch_id")
+        if last_t is None or batch_id > last_t:
+            new_tails = (
+                packed.groupBy("source", "shard")
+                .agg(
+                    F.max_by(
+                        F.struct("pack_id", "pack_used"), "doc_id"
+                    ).alias("_t")
+                )
+                .select(
+                    F.concat_ws(
+                        "|", F.col("source"), F.col("shard").cast("string")
+                    ).alias("pk"),
+                    F.col("source").alias("d_source"),
+                    F.col("shard").alias("d_shard"),
+                    F.col("_t.pack_id").alias("d_pack_id"),
+                    F.col("_t.pack_used").alias("d_used"),
+                )
+            )
+            tails_t.merge_bucketed(
+                spark_,
+                new_tails,
+                on="pk",
+                update={
+                    "source": "d_source",
+                    "shard": "d_shard",
+                    "pack_id": "d_pack_id",
+                    "used": "d_used",
+                },
+                insert_defaults={
+                    "source": "d_source",
+                    "shard": "d_shard",
+                    "pack_id": "d_pack_id",
+                    "used": "d_used",
+                },
+                n_buckets=n_buckets,
+                schema=_PACK_TAILS_SCHEMA,
+                extra={"last_batch_id": batch_id},
+            )
+
+    return apply_batch
+
+
+from ..operators.packing import PACK_BUDGET as _PACK_BUDGET  # noqa: E402
+from ..operators.packing import SHARD_SPAN as _SHARD_SPAN  # noqa: E402
+
+
+@register(
+    "streaming_pack_index",
+    f"""
+WITH RECURSIVE sized AS (
+    SELECT source, CAST(doc_id // {_SHARD_SPAN} AS BIGINT) AS shard, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ROW_NUMBER() OVER (
+               PARTITION BY source, doc_id // {_SHARD_SPAN} ORDER BY doc_id
+           ) AS rn
+    FROM documents
+),
+packed AS (
+    SELECT source, shard, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_used
+    FROM sized WHERE rn = 1
+    UNION ALL
+    SELECT d.source, d.shard, d.doc_id, d.n_tokens, d.rn,
+           CASE WHEN p.pack_used + d.n_tokens > {_PACK_BUDGET}
+                THEN p.pack_id + 1 ELSE p.pack_id END,
+           CASE WHEN p.pack_used + d.n_tokens > {_PACK_BUDGET}
+                THEN d.n_tokens ELSE p.pack_used + d.n_tokens END
+    FROM packed p
+    JOIN sized d ON d.source = p.source AND d.shard = p.shard
+                AND d.rn = p.rn + 1
+)
+SELECT source, shard, doc_id, n_tokens, pack_id, pack_used FROM packed""",
+    doc="STREAMING INCREMENTAL PACKING INDEX (r10) — the batch-prep twin "
+    "of streaming_bm25_index_topk: documents stream in 4 doc_id-ordered "
+    "micro-batches; each batch is greedily packed per (source, "
+    "doc_id-range shard) CONTINUING the shard's stored tail state (open "
+    "pack id + fill), appended O(batch) to a packs table, and the tails "
+    "advance through a bucketed merge — per-batch cost is O(batch) + "
+    "O(touched shards), nothing ever rescans or repacks the corpus. The "
+    "oracle is pack_sequences_sharded's level-1 recursive CTE over the "
+    "WHOLE corpus verbatim, so the value hash proves maintained == "
+    "recomputed — incremental view maintenance applied to sequence "
+    "packing. Replays are guarded per-table by last_batch_id cursors "
+    "(the packed batch is checkpoint-pinned so both commits and any "
+    "replay see one evaluation).",
+)
+def q_streaming_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    d = stage_documents(
+        sf_dir, "pack_index", columns=("doc_id", "text", "source")
+    )
+    work = fresh_work_dir("streaming_pack_index")
+    packs_t = SnapshotTable(os.path.join(work, "packs"))
+    tails_t = SnapshotTable(os.path.join(work, "tails"))
+    src = spark.readStream.schema(DOCS_SRC_SCHEMA).parquet(d)
+    q = (
+        src.writeStream.foreachBatch(make_pack_index_applier(packs_t, tails_t))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return packs_t.read(spark).select(
+        "source", "shard", "doc_id", "n_tokens", "pack_id", "pack_used"
+    )

@@ -298,3 +298,100 @@ def test_bm25_index_applier_replay_and_incremental(spark, tmp_path):
     )
     apply_batch(b3, 2)  # postings already has batch 2; df catches up
     assert state() == (4, 9, {"a": 2, "b": 2, "c": 1, "d": 2}, 7)
+
+
+def test_pack_index_applier_replay_and_torn_commit(spark, tmp_path):
+    """Replay + torn-commit drills for the incremental packing index
+    (r10): (a) a replayed batch_id is a no-op on both tables (the packs
+    append is non-idempotent, guarded by per-table cursors); (b) a crash
+    between the packs append and the tails merge heals on replay — only
+    the table that is behind applies the batch, and the healed state
+    equals the crash-free run; (c) cross-batch tail seeding: a shard
+    split across batches packs exactly as one pass would."""
+    import pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.packing import (
+        SHARD_SPAN,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_pack_index_applier,
+    )
+
+    packs_t = SnapshotTable(str(tmp_path / "packs"))
+    tails_t = SnapshotTable(str(tmp_path / "tails"))
+    apply_batch = make_pack_index_applier(packs_t, tails_t, n_buckets=4)
+    schema = "doc_id long, text string, source string"
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, "w " * (20 + i % 30), "s0") for i in range(lo, hi)], schema
+        )
+
+    # batch 0 fills half of shard 0; batch 1 continues it (same shard)
+    apply_batch(docs(0, SHARD_SPAN // 2), 0)
+    apply_batch(docs(SHARD_SPAN // 2, SHARD_SPAN), 1)
+    one_pass = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in packs_t.read(spark).collect()
+    }
+    # (c) equals one batch pass over the concatenated rows
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.packing import (
+        pack_documents_sharded,
+    )
+
+    want = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in pack_documents_sharded(docs(0, SHARD_SPAN)).collect()
+    }
+    assert one_pass == want
+
+    # (a) replaying batch 1 changes nothing
+    vp, vt = packs_t.latest_version(), tails_t.latest_version()
+    apply_batch(docs(SHARD_SPAN // 2, SHARD_SPAN), 1)
+    assert (packs_t.latest_version(), tails_t.latest_version()) == (vp, vt)
+
+    # (b) torn between the packs append and the tails merge on batch 2:
+    # fail the SECOND manifest publish (the tails merge's commit)
+    b2 = docs(SHARD_SPAN, SHARD_SPAN + 10)
+    real_publish = SnapshotTable._write_manifest
+    calls = {"n": 0}
+    try:
+        def torn(self, manifest):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated crash before tails commit")
+            return real_publish(self, manifest)
+
+        SnapshotTable._write_manifest = torn
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            apply_batch(b2, 2)
+    finally:
+        SnapshotTable._write_manifest = real_publish
+    assert packs_t.latest_manifest_field("last_batch_id") == 2
+    assert tails_t.latest_manifest_field("last_batch_id") == 1  # behind
+    # restart replays batch 2: packs skip, tails catch up
+    apply_batch(b2, 2)
+    assert tails_t.latest_manifest_field("last_batch_id") == 2
+    healed = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in packs_t.read(spark).collect()
+    }
+    want_all = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in pack_documents_sharded(docs(0, SHARD_SPAN + 10)).collect()
+    }
+    assert healed == want_all
+    # and batch 3 continues from the healed tails
+    apply_batch(docs(SHARD_SPAN + 10, SHARD_SPAN + 20), 3)
+    final = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in packs_t.read(spark).collect()
+    }
+    want_final = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in pack_documents_sharded(docs(0, SHARD_SPAN + 20)).collect()
+    }
+    assert final == want_final
