@@ -41,15 +41,22 @@ def curate_corpus(docs: DataFrame) -> DataFrame:
         (F.size(toks) >= MIN_TOKENS)
         & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= MIN_DISTINCT_RATIO)
     )
-    # exact dedup: survivor = min doc_id per md5(text)
+    # exact dedup: survivor = min doc_id per md5(text). Spelled as a
+    # hash-groupBy over (h, doc_id) pairs + a doc_id semi-join (r10) —
+    # NOT a min-over-Window.partitionBy(h): a window funnels every row of
+    # a hot content hash (boilerplate duplicated 1e8 times at web scale)
+    # through ONE task, while the groupBy's map-side partial mins collapse
+    # the hot hash per partition and the body-bearing join key (doc_id,
+    # unique) spreads perfectly. Same play as operators/dedup.dedup_exact.
+    survivor_ids = (
+        quality.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     exact = (
-        quality.select("doc_id", "text", F.md5("text").alias("h"))
-        .withColumn(
-            "keep",
-            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h")),
-        )
-        .filter("keep")
-        .select("doc_id", "text")
+        quality.select("doc_id", "text")
+        .join(survivor_ids, "doc_id", "semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # near-dup clustering on the exact-deduped corpus

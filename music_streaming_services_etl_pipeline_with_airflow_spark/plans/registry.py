@@ -60,14 +60,17 @@ _PRIORITY: tuple[str, ...] = (
     # offset join became null-safe), the 12 r4-stale rows deferred from
     # the r9 head (VERDICT r9 re-verified all 12 exact-green), and the 47
     # r5-latest rows. Spent:
-    #   7  new/changed (no green row exists for their current behavior;
+    #   8  new/changed (no green row exists for their current behavior;
     #      er_resolve_customers_capped, the representative-star blocking
     #      cap, corpus_temperature_mixture_scale_safe, the
     #      data-dependent-quota mixture twin, and streaming_pack_index,
-    #      the incremental packing index, joined mid-round);
+    #      the incremental packing index, joined mid-round — as did a
+    #      plan change to curate_training_corpus: its exact-dedup
+    #      survivor pick respelled from min-over-Window(h) (hot
+    #      duplicate-cluster funnel) to groupBy+semi-join);
     #   12 r4-stale (after this round no row predates r5);
-    #   31 of the 47 r5-stale.
-    # The 16 deferred r5 rows lead the ROUND-11 head; each keeps
+    #   30 of the 47 r5-stale.
+    # The 17 deferred r5 rows lead the ROUND-11 head; each keeps
     # independent evidence meanwhile: genre_kpis_daily_onepass /
     # genre_kpis_daily_strparse / hourly_kpis_fast are pytest-pinned to
     # the family anchors that DO refresh here; p12_row_count is a bare
@@ -85,7 +88,10 @@ _PRIORITY: tuple[str, ...] = (
     # a6_pivot_event_matrix (deferred when the temperature twin landed):
     # one scan + a pivot hash aggregate; a5_rollup_hierarchy (deferred
     # when streaming_pack_index landed) is one scan + a ROLLUP aggregate
-    # whose family anchor a10_cube_returnflag_status refreshes here.
+    # whose family anchor a10_cube_returnflag_status refreshes here;
+    # text_top_bigrams (deferred when curate_training_corpus's plan
+    # change claimed a slot) shares its tokenize->count shape with the
+    # fresh-rowed tfidf/bm25/bigram-logprob text family.
     # Every entry below re-verified locally this round via
     # tools/check_parity.py at sf0.01 (exact value equality) after the
     # round's code changes landed; the new/changed four additionally at
@@ -96,6 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_temperature_mixture_scale_safe",  # NEW (r10): same pattern
     "er_resolve_customers_capped",  # NEW (r10): representative-star ER
     "streaming_pack_index",  # NEW (r10): incremental packing index
+    "curate_training_corpus",  # changed (r10): groupBy+semi-join dedup
     "warehouse_bloom_point_skipping",  # changed oracle/output (r10)
     "w6_relative_ranks_scale_safe",  # null-safe offset join (r10)
     # -- r4-stale (the oldest driver rows in the repo) --
@@ -139,7 +146,6 @@ _PRIORITY: tuple[str, ...] = (
     "src_orc_roundtrip",
     "streaming_foreachbatch_upsert",
     "streaming_hourly_window",
-    "text_top_bigrams",
     "u1_union_all",
     "w1_user_event_lag_gaps",
     "w2_moving_average_7d",

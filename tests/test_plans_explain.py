@@ -339,8 +339,8 @@ def test_bloom_point_skipping_actually_skips(spark):
     assert pruned.filter(F.col("o_orderkey") == key).count() >= 1
 
 
-def test_source_cap_rank_filter_pushes_map_side(spark):
-    """curate_source_cap's `row_number() <= CONSTANT` must plan a PARTIAL
+def test_constant_rank_caps_push_map_side(spark):
+    """A `row_number() <= CONSTANT` per-group filter must plan a PARTIAL
     WindowGroupLimit BEFORE the exchange (Spark's rank-limit pushdown):
     each map partition keeps only the cap's worth of rows per source, so
     a hot source never funnels its whole document set through the window
@@ -352,8 +352,9 @@ def test_source_cap_rank_filter_pushes_map_side(spark):
         all_specs,
     )
 
-    df = all_specs()["curate_source_cap"].fn(spark, SF)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan
-    head, _, tail = plan.partition("Exchange")
-    assert "WindowGroupLimit" in tail and "Partial" in tail, plan
+    for name in ("curate_source_cap", "sample_class_balanced"):
+        df = all_specs()[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, name
+        head, _, tail = plan.partition("Exchange")
+        assert "WindowGroupLimit" in tail and "Partial" in tail, (name, plan)
