@@ -299,7 +299,10 @@ def pack_documents_sharded(docs: DataFrame, span: int = SHARD_SPAN) -> DataFrame
     instead of OOMing one executor."""
     sized = docs.select(
         "source",
-        (F.col("doc_id") / span).cast("long").alias("shard"),
+        # `div` (exact integral division, same truncate-toward-zero as
+        # DuckDB's `//`) — NOT `/` + cast, whose double intermediate
+        # loses precision above 2^53 doc ids
+        F.expr(f"doc_id div {span}").alias("shard"),
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
@@ -327,7 +330,7 @@ def pack_hierarchical_sharded(
         pack_documents_sharded(docs, span)
         .groupBy("source", "shard", "pack_id")
         .agg(F.sum("n_tokens").cast("long").alias("pack_tokens"))
-        .withColumn("super_shard", (F.col("shard") / fanin).cast("long"))
+        .withColumn("super_shard", F.expr(f"shard div {fanin}"))
         .select("source", "shard", "pack_id", "pack_tokens", "super_shard")
     )
     kernel = _greedy_stream_kernel(
@@ -436,7 +439,6 @@ def greedy_stream_kernel_seeded(
     one batch pass over the concatenated rows would. NULL inits (a shard
     seen for the first time) start fresh. Same cross-Arrow-batch state
     carry as :func:`_greedy_stream_kernel`."""
-    import math
 
     def fn(batches):
         cur_key = None
@@ -455,10 +457,11 @@ def greedy_stream_kernel_seeded(
                 k = keys[i]
                 if k != cur_key:
                     cur_key = k
-                    p0, u0 = init_p[i], init_u[i]
-                    fresh = p0 is None or (
-                        isinstance(p0, float) and math.isnan(p0)
-                    )
+                    p0 = init_p[i]
+                    # pd.isna is scalar-safe across None/NaN/pd.NA —
+                    # nullable extension dtypes surface pd.NA, which a
+                    # manual None/NaN check would miss
+                    fresh = pd.isna(p0)
                     pack_id = 0 if fresh else int(p0)
                     used = 0 if fresh else int(init_u[i])
                 n = int(sizes[i])

@@ -304,7 +304,7 @@ MIX_ALPHA_BUDGET_FRAC = 2  # draw total // 2 documents across sources
 # shared verbatim by corpus_temperature_mixture and its r10 scale twin —
 # the twin changes only HOW the per-source hash-order ranks are computed,
 # never what the recipe draws
-_TEMPERATURE_ORACLE = """WITH counts AS (
+_TEMPERATURE_ORACLE = f"""WITH counts AS (
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT)
                AS sq_milli
@@ -317,7 +317,9 @@ tot AS (
 ),
 quota AS (
     SELECT c.source, c.n_docs,
-           LEAST((tot.total // 2) * c.sq_milli // tot.ssum, c.n_docs) AS take
+           LEAST((tot.total // {MIX_ALPHA_BUDGET_FRAC}) * c.sq_milli
+                     // tot.ssum,
+                 c.n_docs) AS take
     FROM counts c CROSS JOIN tot
 ),
 ranked AS (
@@ -371,7 +373,10 @@ def q_corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     quota = counts.join(F.broadcast(tot)).select(
         "source",
         F.least(
-            F.expr("(total div 2) * sq_milli div ssum"), F.col("n_docs")
+            F.expr(
+                f"(total div {MIX_ALPHA_BUDGET_FRAC}) * sq_milli div ssum"
+            ),
+            F.col("n_docs"),
         ).alias("take"),
     )
     ranked = docs.select(
@@ -427,7 +432,10 @@ def q_corpus_temperature_mixture_scale_safe(
     quota = counts.join(F.broadcast(tot)).select(
         "source",
         F.least(
-            F.expr("(total div 2) * sq_milli div ssum"), F.col("n_docs")
+            F.expr(
+                f"(total div {MIX_ALPHA_BUDGET_FRAC}) * sq_milli div ssum"
+            ),
+            F.col("n_docs"),
         ).alias("take"),
     )
     ranked = two_phase_grouped_row_number(

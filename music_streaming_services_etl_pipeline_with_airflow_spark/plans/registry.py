@@ -118,7 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "p18_array_set_ops",
     "p19_ansi_safe_arith",
     "u4_bag_set_ops",
-    # -- r5-stale (34 of 47; the 13 deferred are listed above) --
+    # -- r5-stale (30 of 47; the 17 deferred are listed above) --
     "a1_group_multi_agg",
     "a2_argmax_per_group",
     "a3_hourly_distinct_counts",

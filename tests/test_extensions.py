@@ -2783,7 +2783,7 @@ def test_sharded_packer_state_carries_across_arrow_batches(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
-def test_capped_er_matches_uncapped_clusters_on_fixture():
+def test_capped_er_matches_uncapped_clusters_on_fixture(spark):
     """On the customer-mention fixture the representative-star cap loses
     NO recall: every variant sits within the levenshtein threshold of the
     exact-record representative (m0), so the star reconstructs exactly
@@ -2792,21 +2792,22 @@ def test_capped_er_matches_uncapped_clusters_on_fixture():
     general cap-trades-recall caveat in the capped doc applies to shapes
     where some mention matches no representative, which this asserts the
     fixture is NOT."""
+    import os
+
+    import pytest
+
     from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import (
         all_specs,
     )
-    from music_streaming_services_etl_pipeline_with_airflow_spark.session import (
-        get_spark,
-    )
 
-    spark = get_spark("test")
-    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(SF):
+        pytest.skip(f"driver testdata missing: {SF}")
     specs = all_specs()
     base = {
-        tuple(r) for r in specs["er_resolve_customers"].fn(spark, sf).collect()
+        tuple(r) for r in specs["er_resolve_customers"].fn(spark, SF).collect()
     }
     capped = {
         tuple(r)
-        for r in specs["er_resolve_customers_capped"].fn(spark, sf).collect()
+        for r in specs["er_resolve_customers_capped"].fn(spark, SF).collect()
     }
     assert base == capped and len(base) > 0
