@@ -829,15 +829,48 @@ _bind_bm25_index_delete_oracle()
 # ---------------------------------------------------------------------------
 
 PACK_IDX_BUCKETS = 8
+# target shard population per tails bucket: bounds what one bucketed
+# merge rewrites. 4096 tail rows ≈ a few hundred KB — far below any
+# executor memory concern, large enough that bucket-dir counts stay sane.
+PACK_IDX_SHARDS_PER_BUCKET = 4096
+# above this many distinct shard keys in one batch, the pruned tails read
+# switches from an isin pushdown to a broadcast semi-join (a multi-10k
+# In-list bloats the plan; the key frame is still tiny)
+_PACK_PK_ISIN_CAP = 10_000
 DOCS_SRC_SCHEMA = "doc_id long, text string, source string"
-_PACK_TAILS_SCHEMA = "pk string, source string, shard long, pack_id long, used long"
+_PACK_TAILS_SCHEMA = (
+    "pk string, source string, shard long, pack_id long, used long, "
+    "last_doc_id long"
+)
 _PACK_OUT_SCHEMA = (
     "source string, shard long, doc_id long, n_tokens long, "
     "pack_id long, pack_used long"
 )
 
 
-def make_pack_index_applier(packs_t, tails_t, n_buckets: int = PACK_IDX_BUCKETS):
+def pack_index_buckets_for(expected_docs: int) -> int:
+    """Size the tails table's bucket count from the corpus the index will
+    cover. Shard count grows LINEARLY with the corpus (docs / SHARD_SPAN
+    — unlike the BM25 df table's vocabulary, which grows sublinearly), so
+    a fixed bucket count silently turns the per-merge bucket rewrite into
+    O(|tails|/constant): at 1e10 docs a fixed 8 buckets would hold ~1e7
+    tails each. Doubling from PACK_IDX_BUCKETS until each bucket holds
+    <= PACK_IDX_SHARDS_PER_BUCKET expected shards keeps every bucket
+    rewrite bounded by a constant. Called ONCE at index creation; the
+    count is recorded in the table manifest and validated on every later
+    read/merge (SnapshotTable._check_n_buckets)."""
+    from ..operators.packing import SHARD_SPAN
+
+    shards = max(1, expected_docs // SHARD_SPAN)
+    n = PACK_IDX_BUCKETS
+    while n * PACK_IDX_SHARDS_PER_BUCKET < shards:
+        n *= 2
+    return n
+
+
+def make_pack_index_applier(
+    packs_t, tails_t, n_buckets: int = PACK_IDX_BUCKETS, record_stats: bool = False
+):
     """foreachBatch callback maintaining a persisted PACKED corpus — the
     training-batch-prep twin of the BM25 index applier: as documents
     stream in (doc_id-ordered within each (source, shard), the staging
@@ -851,20 +884,45 @@ def make_pack_index_applier(packs_t, tails_t, n_buckets: int = PACK_IDX_BUCKETS)
       append-only — pack assignments are immutable once made (greedy
       packing never revisits a closed pack), so each batch lands as one
       O(batch) append.
-    - TAILS (pk, source, shard, pack_id, used): each shard's OPEN pack —
-      the only state the recurrence needs — maintained via the bucketed
+    - TAILS (pk, source, shard, pack_id, used, last_doc_id): each shard's
+      OPEN pack — the only state the recurrence needs — plus the highest
+      doc_id ever packed into the shard, maintained via the bucketed
       merge (replacement semantics); per-batch cost O(touched shards).
 
-    foreachBatch is at-least-once and the packs append is non-idempotent,
-    so each table carries its own last_batch_id cursor; the packed batch
-    is pinned with an eager localCheckpoint so the append and the tail
-    delta see ONE evaluation (a replay after a crash between the two
-    commits recomputes from the tail state that commit observed).
+    The tails READ is pruned to the batch's own (source, shard) keys
+    BEFORE anything is broadcast: a bucket holds every shard hashing to
+    it, and shard count grows linearly with the corpus, so joining whole
+    buckets in would make per-batch tail bytes O(|tails|/n_buckets) —
+    GBs at 1e10 docs — where the pruned read is O(batch shards). Small
+    key sets push down as an In filter on pk (row-group skipping at the
+    parquet scan); past _PACK_PK_ISIN_CAP a broadcast semi-join bounds
+    the broadcast instead. ``n_buckets`` should come from
+    :func:`pack_index_buckets_for` so the merge REWRITE is equally
+    bounded; the count is manifest-recorded and validated per call.
 
-    Scale: per batch, one repartition on the shard key + one ordered
-    streaming mapInPandas (greedy state <= SHARD_SPAN docs per shard, no
-    per-group Python-call overhead), one append, one bucketed tail merge.
-    Nothing ever rescans the packed corpus."""
+    Ordering contract — ENFORCED: continuation correctness requires
+    doc_id-monotone arrival per (source, shard). Each shard's tail
+    carries last_doc_id; a batch delivering any doc_id <= last_doc_id
+    for its shard fails fast BEFORE any commit (same defended failure
+    class as the CDC applier's out-of-order compaction, just with
+    reject-loudly semantics since a late doc cannot be packed without
+    rewriting closed packs).
+
+    foreachBatch is at-least-once and the packs append is non-idempotent,
+    so each table carries its own last_batch_id cursor; a batch both
+    cursors have passed returns before the ordering guard (its doc_ids
+    are already packed — exactly what the guard must not misread as a
+    contract violation), and the packed batch is pinned with an eager
+    localCheckpoint so the append and the tail delta see ONE evaluation
+    (a replay after a crash between the two commits recomputes from the
+    tail state that commit observed).
+
+    Scale: per batch, one distinct over the batch's shard keys, one
+    pruned tails read (O(batch shards) rows), one repartition on the
+    shard key + one ordered streaming mapInPandas (greedy state <=
+    SHARD_SPAN docs per shard, no per-group Python-call overhead), one
+    append, one bucketed tail merge. Nothing ever rescans the packed
+    corpus or the full tails table."""
 
     def apply_batch(batch, batch_id):
         if batch.isEmpty():
@@ -877,24 +935,92 @@ def make_pack_index_applier(packs_t, tails_t, n_buckets: int = PACK_IDX_BUCKETS)
         from ..snapshots import SnapshotTable
 
         spark_ = batch.sparkSession
+        last_p = packs_t.latest_manifest_field("last_batch_id")
+        last_t = tails_t.latest_manifest_field("last_batch_id")
+        if (
+            last_p is not None
+            and batch_id <= last_p
+            and last_t is not None
+            and batch_id <= last_t
+        ):
+            return  # full replay: both tables already applied this batch
         sized = batch.select(
             "source",
-            (F.col("doc_id") / SHARD_SPAN).cast("long").alias("shard"),
+            F.expr(f"doc_id div {SHARD_SPAN}").alias("shard"),
             "doc_id",
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         )
         pk = F.concat_ws("|", F.col("source"), F.col("shard").cast("string"))
         bucket = SnapshotTable.bucket_of(pk, n_buckets)
-        touched = sorted(
-            r["_b"] for r in sized.select(bucket.alias("_b")).distinct().collect()
+        # ONE job over the batch's shard keys yields the touched bucket
+        # ids, the pk prune list AND each shard's minimum doc_id (the
+        # ordering-guard probe) — O(batch shards) rows to the driver,
+        # the same order as the tail broadcast below
+        keys = (
+            sized.groupBy("source", "shard")
+            .agg(F.min("doc_id").alias("_min_doc"))
+            .select(
+                "source", "shard", "_min_doc", pk.alias("pk"), bucket.alias("_b")
+            )
+            .collect()
         )
-        tails = tails_t.read_buckets(
+        touched = sorted({r["_b"] for r in keys})
+        tails_all = tails_t.read_buckets(
             spark_, touched, _PACK_TAILS_SCHEMA, n_buckets=n_buckets
-        ).select(
-            "source",
-            "shard",
-            F.col("pack_id").alias("_init_pack_id"),
-            F.col("used").alias("_init_used"),
+        )
+        if len(keys) <= _PACK_PK_ISIN_CAP:
+            tails_pruned = tails_all.where(
+                F.col("pk").isin([r["pk"] for r in keys])
+            )
+        else:
+            key_df = spark_.createDataFrame(
+                [(r["source"], r["shard"]) for r in keys],
+                "source string, shard long",
+            )
+            tails_pruned = tails_all.join(
+                F.broadcast(key_df), ["source", "shard"], "semi"
+            )
+        _capture_plan("streaming_pack_index.tails_pruned_read", tails_pruned)
+        # O(batch shards) rows — collect once; the ordering guard runs
+        # driver-side for free and the kernel join broadcasts the same
+        # rows back (a broadcast ships them to the driver anyway)
+        tail_rows = tails_pruned.select(
+            "source", "shard", "pack_id", "used", "last_doc_id"
+        ).collect()
+        if record_stats:
+            apply_batch.last_stats = {
+                "batch_id": batch_id,
+                "batch_shards": len(keys),
+                "touched_buckets": len(touched),
+                "tails_read_rows": len(tail_rows),
+            }
+        last_by_shard = {
+            (r["source"], r["shard"]): r["last_doc_id"] for r in tail_rows
+        }
+        stale = [
+            (k["source"], k["shard"], k["_min_doc"], last_by_shard[sk])
+            for k in keys
+            if (sk := (k["source"], k["shard"])) in last_by_shard
+            and k["_min_doc"] <= last_by_shard[sk]
+        ]
+        if stale:
+            detail = ", ".join(
+                f"({s},{sh}): doc {lo} <= last packed {last}"
+                for s, sh, lo, last in stale[:5]
+            )
+            raise ValueError(
+                f"pack index ordering contract violated in batch "
+                f"{batch_id}: doc_ids must arrive monotonically per "
+                f"(source, shard) — {detail}. A late document cannot be "
+                "packed without rewriting closed packs; replay the "
+                "source in order or re-shard."
+            )
+        tails = spark_.createDataFrame(
+            [
+                (r["source"], r["shard"], r["pack_id"], r["used"])
+                for r in tail_rows
+            ],
+            "source string, shard long, _init_pack_id long, _init_used long",
         )
         kernel = greedy_stream_kernel_seeded(
             ["source", "shard"],
@@ -926,7 +1052,8 @@ def make_pack_index_applier(packs_t, tails_t, n_buckets: int = PACK_IDX_BUCKETS)
                 .agg(
                     F.max_by(
                         F.struct("pack_id", "pack_used"), "doc_id"
-                    ).alias("_t")
+                    ).alias("_t"),
+                    F.max("doc_id").alias("d_last_doc_id"),
                 )
                 .select(
                     F.concat_ws(
@@ -936,6 +1063,7 @@ def make_pack_index_applier(packs_t, tails_t, n_buckets: int = PACK_IDX_BUCKETS)
                     F.col("shard").alias("d_shard"),
                     F.col("_t.pack_id").alias("d_pack_id"),
                     F.col("_t.pack_used").alias("d_used"),
+                    "d_last_doc_id",
                 )
             )
             tails_t.merge_bucketed(
@@ -947,12 +1075,14 @@ def make_pack_index_applier(packs_t, tails_t, n_buckets: int = PACK_IDX_BUCKETS)
                     "shard": "d_shard",
                     "pack_id": "d_pack_id",
                     "used": "d_used",
+                    "last_doc_id": "d_last_doc_id",
                 },
                 insert_defaults={
                     "source": "d_source",
                     "shard": "d_shard",
                     "pack_id": "d_pack_id",
                     "used": "d_used",
+                    "last_doc_id": "d_last_doc_id",
                 },
                 n_buckets=n_buckets,
                 schema=_PACK_TAILS_SCHEMA,
@@ -992,19 +1122,28 @@ packed AS (
                 AND d.rn = p.rn + 1
 )
 SELECT source, shard, doc_id, n_tokens, pack_id, pack_used FROM packed""",
-    doc="STREAMING INCREMENTAL PACKING INDEX (r10) — the batch-prep twin "
-    "of streaming_bm25_index_topk: documents stream in 4 doc_id-ordered "
-    "micro-batches; each batch is greedily packed per (source, "
-    "doc_id-range shard) CONTINUING the shard's stored tail state (open "
-    "pack id + fill), appended O(batch) to a packs table, and the tails "
-    "advance through a bucketed merge — per-batch cost is O(batch) + "
-    "O(touched shards), nothing ever rescans or repacks the corpus. The "
-    "oracle is pack_sequences_sharded's level-1 recursive CTE over the "
-    "WHOLE corpus verbatim, so the value hash proves maintained == "
-    "recomputed — incremental view maintenance applied to sequence "
-    "packing. Replays are guarded per-table by last_batch_id cursors "
-    "(the packed batch is checkpoint-pinned so both commits and any "
-    "replay see one evaluation).",
+    doc="STREAMING INCREMENTAL PACKING INDEX (r10, tail maintenance "
+    "bounded r11) — the batch-prep twin of streaming_bm25_index_topk: "
+    "documents stream in 4 doc_id-ordered micro-batches; each batch is "
+    "greedily packed per (source, doc_id-range shard) CONTINUING the "
+    "shard's stored tail state (open pack id + fill), appended O(batch) "
+    "to a packs table, and the tails advance through a bucketed merge. "
+    "Per-batch cost is O(batch) + O(batch shards): the tails READ is "
+    "pruned to the batch's own shard keys before the kernel broadcast "
+    "(an In(pk) pushdown — without it a bucket's whole tail population, "
+    "which grows linearly with the corpus, would ride into every "
+    "batch), and n_buckets is sized from the corpus via "
+    "pack_index_buckets_for so each merge rewrite stays bounded too. "
+    "Nothing ever rescans or repacks the corpus. The ordering contract "
+    "(doc_id-monotone arrival per shard) is ENFORCED: tails carry "
+    "last_doc_id and an out-of-order batch fails fast before any "
+    "commit instead of silently diverging from the oracle. The oracle "
+    "is pack_sequences_sharded's level-1 recursive CTE over the WHOLE "
+    "corpus verbatim, so the value hash proves maintained == recomputed "
+    "— incremental view maintenance applied to sequence packing. "
+    "Replays are guarded per-table by last_batch_id cursors (the packed "
+    "batch is checkpoint-pinned so both commits and any replay see one "
+    "evaluation).",
 )
 def q_streaming_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..snapshots import SnapshotTable
@@ -1016,9 +1155,14 @@ def q_streaming_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = fresh_work_dir("streaming_pack_index")
     packs_t = SnapshotTable(os.path.join(work, "packs"))
     tails_t = SnapshotTable(os.path.join(work, "tails"))
+    n_buckets = pack_index_buckets_for(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    )
     src = spark.readStream.schema(DOCS_SRC_SCHEMA).parquet(d)
     q = (
-        src.writeStream.foreachBatch(make_pack_index_applier(packs_t, tails_t))
+        src.writeStream.foreachBatch(
+            make_pack_index_applier(packs_t, tails_t, n_buckets=n_buckets)
+        )
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)

@@ -395,3 +395,138 @@ def test_pack_index_applier_replay_and_torn_commit(spark, tmp_path):
         for r in pack_documents_sharded(docs(0, SHARD_SPAN + 20)).collect()
     }
     assert final == want_final
+
+
+def test_pack_index_out_of_order_batch_fails_fast(spark, tmp_path):
+    """The incremental packer's ordering contract (doc_id-monotone
+    arrival per (source, shard)) is ENFORCED, not just documented: a
+    batch delivering a doc_id <= a shard's last packed doc_id raises
+    BEFORE any commit — previously such a batch silently produced a
+    packing that no longer equals the whole-corpus recompute (the exact
+    failure class the CDC applier defends against). A replayed batch_id
+    must NOT trip the guard (its doc_ids are already packed)."""
+    import pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_pack_index_applier,
+    )
+
+    packs_t = SnapshotTable(str(tmp_path / "packs"))
+    tails_t = SnapshotTable(str(tmp_path / "tails"))
+    apply_batch = make_pack_index_applier(packs_t, tails_t, n_buckets=4)
+    schema = "doc_id long, text string, source string"
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, "w " * (20 + i % 30), "s0") for i in ids], schema
+        )
+
+    apply_batch(docs(range(0, 10)), 0)
+    vp, vt = packs_t.latest_version(), tails_t.latest_version()
+    # doc 5 already packed in shard 0 -> loud failure, no commit
+    with pytest.raises(ValueError, match="ordering contract"):
+        apply_batch(docs([5, 11]), 1)
+    assert (packs_t.latest_version(), tails_t.latest_version()) == (vp, vt)
+    # equal doc_id (replay of one doc inside a NEW batch id) also fails:
+    # monotone means strictly increasing
+    with pytest.raises(ValueError, match="ordering contract"):
+        apply_batch(docs([9]), 1)
+    # but a full replay of an applied batch id is a cursor-guarded no-op,
+    # not a contract violation
+    apply_batch(docs(range(0, 10)), 0)
+    assert (packs_t.latest_version(), tails_t.latest_version()) == (vp, vt)
+    # and the stream continues normally after the rejected batch
+    apply_batch(docs(range(10, 20)), 1)
+    assert packs_t.read(spark).count() == 20
+
+
+def test_pack_index_tail_read_bounded_by_batch_shards(spark, tmp_path):
+    """Per-batch tail maintenance must track the BATCH's shards, not the
+    bucket population: with 200 pre-existing shard tails in 4 buckets, a
+    batch touching 2 shards must read exactly its 2 tails (In(pk)
+    pushdown at the parquet scan), not the ~50 tails of each touched
+    bucket — the difference between O(batch shards) and O(|tails|/
+    n_buckets) per batch, the r10 100x scale-killer."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.packing import (
+        SHARD_SPAN,
+        pack_documents_sharded,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import (
+        ingest,
+    )
+
+    packs_t = SnapshotTable(str(tmp_path / "packs"))
+    tails_t = SnapshotTable(str(tmp_path / "tails"))
+    apply_batch = ingest.make_pack_index_applier(
+        packs_t, tails_t, n_buckets=4, record_stats=True
+    )
+    schema = "doc_id long, text string, source string"
+
+    def docs(ids):
+        return spark.createDataFrame(
+            [(i, "w " * (20 + i % 30), "s0") for i in ids], schema
+        )
+
+    # batch 0: one doc in each of 200 shards -> 200 tails across 4 buckets
+    seed_ids = [s * SHARD_SPAN for s in range(200)]
+    apply_batch(docs(seed_ids), 0)
+    assert tails_t.read(spark).count() == 200
+    # batch 1: 2 shards, continuing both
+    prev_capture = ingest.PLAN_CAPTURE
+    ingest.PLAN_CAPTURE = {}
+    try:
+        apply_batch(docs([3 * SHARD_SPAN + 1, 7 * SHARD_SPAN + 1]), 1)
+        plan = ingest.PLAN_CAPTURE["streaming_pack_index.tails_pruned_read"]
+    finally:
+        ingest.PLAN_CAPTURE = prev_capture
+    stats = apply_batch.last_stats
+    assert stats["batch_id"] == 1
+    assert stats["batch_shards"] == 2
+    # THE pin: 2 tails read, though each touched bucket holds ~50
+    assert stats["tails_read_rows"] == 2
+    # and the prune reached the parquet scan as a pushed In filter
+    assert "PushedFilters" in plan and "In(pk" in plan
+    # continuation stays correct: equals one pass over the union
+    got = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in packs_t.read(spark).collect()
+    }
+    want = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in pack_documents_sharded(
+            docs(sorted(seed_ids + [3 * SHARD_SPAN + 1, 7 * SHARD_SPAN + 1]))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pack_index_buckets_for_scales_with_corpus():
+    """n_buckets doubles from the floor until each bucket holds at most
+    PACK_IDX_SHARDS_PER_BUCKET expected shards — bounded merge rewrites
+    at any corpus size, power-of-two so re-derivation is stable."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.packing import (
+        SHARD_SPAN,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        PACK_IDX_BUCKETS,
+        PACK_IDX_SHARDS_PER_BUCKET,
+        pack_index_buckets_for,
+    )
+
+    assert pack_index_buckets_for(0) == PACK_IDX_BUCKETS
+    assert pack_index_buckets_for(10_000) == PACK_IDX_BUCKETS
+    for docs in (10**8, 10**10, 10**12):
+        n = pack_index_buckets_for(docs)
+        shards = docs // SHARD_SPAN
+        assert n * PACK_IDX_SHARDS_PER_BUCKET >= shards
+        # and not overshooting by more than one doubling
+        assert n == PACK_IDX_BUCKETS or (
+            (n // 2) * PACK_IDX_SHARDS_PER_BUCKET < shards
+        )
+        assert (n & (n - 1)) == 0
