@@ -66,12 +66,19 @@ def two_phase_row_number(
     return out, acc
 
 
+# ceiling on the O(partitions x groups) offset rows pulled to the driver
+# (~tens of MB at worst) — the helper exists for FEW huge groups; past
+# this, the plain grouped window is already parallel and the right tool
+MAX_OFFSET_ROWS = 200_000
+
+
 def two_phase_grouped_row_number(
     df: DataFrame,
     group_cols: list[str],
     order_cols: list[Column],
     id_col: str = "rn",
     total_col: str = "n_group",
+    max_offset_rows: int = MAX_OFFSET_ROWS,
 ) -> DataFrame:
     """Per-GROUP exact 1-based row numbers (plus each group's total row
     count) without any group-sized window partition — for the few-huge-
@@ -84,8 +91,12 @@ def two_phase_grouped_row_number(
     partition span; offsets are prefix sums per (partition, group). The
     driver map is O(P x G) rows — small exactly when this helper is
     needed (G small); at large G the plain grouped window is already
-    parallel and should be used instead. ``order_cols`` must be strict
-    within each group.
+    parallel and should be used instead. That boundary is ENFORCED, not
+    advisory: the offset collect is capped at ``max_offset_rows``
+    (limit-bounded, so the driver never materializes more than the cap
+    plus one row) and a high-cardinality caller fails fast with the
+    redirect instead of silently flooding the driver. ``order_cols``
+    must be strict within each group.
 
     NULL group keys are first-class: the plain grouped window ranks NULL
     as its own group (SQL grouping semantics), so the offset join below
@@ -101,9 +112,22 @@ def two_phase_grouped_row_number(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    sizes = parted.groupBy("_pid", *group_cols).agg(
-        F.count("*").alias("_n")
-    ).collect()
+    sizes = (
+        parted.groupBy("_pid", *group_cols)
+        .agg(F.count("*").alias("_n"))
+        .limit(max_offset_rows + 1)
+        .collect()
+    )
+    if len(sizes) > max_offset_rows:
+        raise ValueError(
+            f"two_phase_grouped_row_number: offset map exceeds "
+            f"{max_offset_rows} (partition, group) rows — the group "
+            "cardinality is too high for the two-phase form, whose "
+            "driver-side prefix-sum is O(partitions x groups). Use the "
+            "plain grouped window (row_number over partitionBy"
+            f"({group_cols})): at this many groups it is already "
+            "parallel and needs no offset map."
+        )
     by_group: dict[tuple, list] = {}
     for r in sizes:
         by_group.setdefault(tuple(r[c] for c in group_cols), []).append(r)

@@ -2708,6 +2708,37 @@ def test_grouped_two_phase_ranks_match_window(spark):
     assert g == e
 
 
+def test_grouped_two_phase_cardinality_guard(spark):
+    """two_phase_grouped_row_number's offset build collects O(partitions
+    x groups) rows to the driver — bounded for the registered few-group
+    callers but unbounded for a generic one. The guard must fail fast
+    with the plain-window redirect when the (partition, group) map
+    exceeds the cap (limit-bounded collect, so the driver never holds
+    more than cap+1 rows), and be transparent at or under it."""
+    import pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.functions.ranking import (
+        two_phase_grouped_row_number,
+    )
+
+    # per-row groups: the offset map has exactly one row per id no
+    # matter how the range partitioner splits (each group lives in one
+    # partition), so trip/no-trip is deterministic
+    df = spark.createDataFrame(
+        [(i, f"g{i:03d}", i % 5) for i in range(50)],
+        "id long, grp string, v long",
+    )
+    with pytest.raises(ValueError, match="cardinality is too high"):
+        two_phase_grouped_row_number(
+            df, ["grp"], [F.asc("v"), F.asc("id")], max_offset_rows=10
+        )
+    out = two_phase_grouped_row_number(
+        df, ["grp"], [F.asc("v"), F.asc("id")], max_offset_rows=50
+    )
+    assert out.count() == 50
+    assert {r.rn for r in out.collect()} == {1}  # singleton groups
+
+
 def test_registry_specs_fully_documented():
     """Registry invariant (r10): after the full registrant import, EVERY
     spec carries a non-empty doc, and its oracle is either a non-empty

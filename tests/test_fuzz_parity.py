@@ -830,3 +830,115 @@ if _HAS_HYP:
             ).collect()
         }
         assert ggot == gwant
+
+        # cardinality guard: grouping by the unique id makes the offset
+        # map exactly len(rows) entries (every singleton group lives in
+        # one partition), so whether a cap of 3 trips is deterministic
+        import pytest
+
+        if len(rows) > 3:
+            with pytest.raises(ValueError, match="cardinality is too high"):
+                two_phase_grouped_row_number(
+                    df,
+                    ["id"],
+                    [F.desc("v"), F.asc("id")],
+                    max_offset_rows=3,
+                )
+
+
+if _HAS_HYP:
+
+    @st.composite
+    def _pack_corpus_and_cuts(draw):
+        n = draw(st.integers(min_value=0, max_value=70))
+        ids = sorted(
+            draw(
+                st.sets(
+                    st.integers(min_value=0, max_value=600),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        )
+        rows = [
+            (
+                i,
+                draw(st.sampled_from(["sA", "sB"])),
+                draw(st.integers(min_value=1, max_value=60)),
+            )
+            for i in ids
+        ]
+        cuts = sorted(
+            draw(st.sets(st.integers(min_value=0, max_value=n), max_size=5))
+        )
+        return rows, cuts
+
+    @given(data=_pack_corpus_and_cuts())
+    @settings(max_examples=15, deadline=None)
+    def test_seeded_packer_random_batch_boundaries(spark, data):
+        """The maintained == recomputed drills elsewhere use a fixed
+        4-file split; this drives greedy_stream_kernel_seeded + the tail
+        recurrence over RANDOM batch partitions of a random corpus
+        (random doc_id gaps, random sources, random token sizes, 0-6
+        batches including empty ones) and asserts the accumulated packs
+        equal pack_documents_sharded over the whole corpus. Splitting a
+        doc_id-sorted corpus at arbitrary positions preserves the
+        per-shard monotone-arrival contract by construction."""
+        import pandas as pd
+
+        from music_streaming_services_etl_pipeline_with_airflow_spark.operators.packing import (
+            PACK_BUDGET,
+            SHARD_SPAN,
+            greedy_stream_kernel_seeded,
+            pack_documents_sharded,
+        )
+
+        rows, cuts = data
+        out_cols = ["source", "shard", "doc_id", "n_tokens", "pack_id", "pack_used"]
+        kernel = greedy_stream_kernel_seeded(
+            ["source", "shard"], "n_tokens", PACK_BUDGET, out_cols
+        )
+        tails: dict = {}  # (source, shard) -> (pack_id, used)
+        packs: dict = {}  # doc_id -> (source, shard, pack_id, pack_used)
+        bounds = [0, *cuts, len(rows)]
+        for lo, hi in zip(bounds, bounds[1:]):
+            batch = rows[lo:hi]
+            if not batch:
+                continue
+            recs = [
+                (
+                    src,
+                    did // SHARD_SPAN,
+                    did,
+                    tok,
+                    *(tails.get((src, did // SHARD_SPAN)) or (None, None)),
+                )
+                for did, src, tok in batch
+            ]
+            pdf = pd.DataFrame(
+                # shard-contiguous + doc_id-ordered, what the applier's
+                # repartition + sortWithinPartitions guarantees
+                sorted(recs, key=lambda r: (r[0], r[1], r[2])),
+                columns=[*out_cols[:4], "_init_pack_id", "_init_used"],
+            )
+            for out in kernel(iter([pdf])):
+                for r in out.itertuples(index=False):
+                    packs[r.doc_id] = (r.source, r.shard, r.pack_id, r.pack_used)
+                    # tail merge: per shard, the max-doc_id row wins —
+                    # rows arrive doc_id-sorted, so last write is it
+                    tails[(r.source, r.shard)] = (r.pack_id, r.pack_used)
+        df = (
+            spark.createDataFrame(
+                # " ".join (no trailing space): split(text,' ') must count
+                # exactly t tokens
+                [(d, s, " ".join(["w"] * t)) for d, s, t in rows],
+                "doc_id long, source string, text string",
+            )
+            if rows
+            else spark.createDataFrame([], "doc_id long, source string, text string")
+        )
+        want = {
+            r.doc_id: (r.source, r.shard, r.pack_id, r.pack_used)
+            for r in pack_documents_sharded(df).collect()
+        }
+        assert packs == want
