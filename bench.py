@@ -184,6 +184,24 @@ def main() -> None:
     for name in names:
         fn_of(name)(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # CALIBRATION PROBE (round 11): a fixed, data- and repo-independent
+    # JVM-side job (whole-stage-codegen xxhash64 fold over a range) timed
+    # after warm-up. Bench absolute numbers drift with machine state —
+    # r10 saw a uniform +6.7% on untouched code, and the multimodal
+    # codecs measured 0.04-0.12 s in one driver round vs ~0.5 s locally
+    # AT THE SAME COMMIT — so cross-round totals can only be adjudicated
+    # against a constant-work yardstick measured in the same session.
+    # Recorded as calib_sec; compare (total / calib_sec) across rounds to
+    # separate plan regressions from host drift.
+    def calibration_probe() -> float:
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(xxhash64(id)) as s"
+        ).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    calib = round(sorted(calibration_probe() for _ in range(3))[1], 3)
+
     # Queries whose fn() runs EAGER work (two_phase_row_number's
     # checkpoint + offsets collect; the two-stage MaxSim's materialized
     # lexical pool): the timer must wrap fn() too, or the headline number
@@ -275,6 +293,7 @@ def main() -> None:
             if baseline_timings
             else {}
         ),
+        "calib_sec": calib,
         "queries": headline_timings,
         "sf": sf,
         "metric": "headline_queries_total_wall",

@@ -59,11 +59,17 @@ HEAD_ROUND = 11
 # row exists for their current behavior:
 #   streaming_pack_index — tails read pruned to the batch's own shard
 #     keys (In(pk) pushdown), n_buckets sized from the corpus, the
-#     doc_id-monotone ordering contract enforced via last_doc_id, and
-#     exact-div shard keys;
+#     doc_id-monotone ordering contract enforced via last_doc_id,
+#     exact-div shard keys, and the maxFilesPerTrigger fix below;
 #   pack_sequences_sharded — exact-div shard/super-shard keys (was
 #     double-divide + truncation cast, which diverges from the oracle's
-#     integer // above 2^53 or below 0).
+#     integer // above 2^53 or below 0);
+#   streaming_bm25_index_topk / _delete — maxFilesPerTrigger was set on
+#     the writeStream (a SOURCE option, silently ignored there), so both
+#     index streams had been arriving as ONE batch; moved to the
+#     readStream, the incremental path now genuinely runs 4 micro-batches
+#     (the maintained == recomputed oracle is unchanged and stays green —
+#     it is exactly the claim that makes this fix result-invariant).
 # (The r11 two_phase_grouped_row_number cardinality guard and the
 # MIX_ALPHA_BUDGET_FRAC interpolation also touched the w6/mixture twins'
 # source, but their emitted plans and oracle SQL are byte-identical —
@@ -72,21 +78,26 @@ HEAD_ROUND = 11
 ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     "streaming_pack_index",
     "pack_sequences_sharded",
+    "streaming_bm25_index_topk",
+    "streaming_bm25_index_delete",
 )
 
-# Banked this round: all 17 r5-stale rows + 31 of the 39 r6-stale; the 8
-# r6 stragglers lead the r12 rotation (text_tfidf_top_terms,
-# text_token_stats, text_unigram_logprob, tpch_q1_pricing_summary,
-# tpch_q5_local_supplier_volume, warehouse_snapshot_delete,
-# warehouse_snapshot_time_travel, warehouse_zorder_locality) — each keeps
-# independent pytest evidence meanwhile (text family fixtures, the tpch
-# plan tests, the warehouse snapshot drills). Every entry below
-# re-verified locally this round via tools/check_parity.py at sf0.01
-# after the round's code changes landed; the new/changed two additionally
-# at sf0.001 and sf0.1 and under PLAIN=1.
+# Banked this round: all 17 r5-stale rows + 29 of the 39 r6-stale; the 10
+# r6 stragglers lead the r12 rotation (text_quality_scores, text_lang_id,
+# text_tfidf_top_terms, text_token_stats, text_unigram_logprob,
+# tpch_q1_pricing_summary, tpch_q5_local_supplier_volume,
+# warehouse_snapshot_delete, warehouse_snapshot_time_travel,
+# warehouse_zorder_locality) — each keeps independent pytest evidence
+# meanwhile (text family fixtures, the tpch plan tests, the warehouse
+# snapshot drills). Every entry below re-verified locally this round via
+# tools/check_parity.py at sf0.01 after the round's code changes landed;
+# the new/changed four additionally at sf0.001 and sf0.1 and under
+# PLAIN=1.
 _PRIORITY: tuple[str, ...] = (
     "streaming_pack_index",  # new/changed r11
     "pack_sequences_sharded",  # new/changed r11
+    "streaming_bm25_index_topk",  # new/changed r11
+    "streaming_bm25_index_delete",  # new/changed r11
     "a5_rollup_hierarchy",  # last row r5
     "a6_pivot_event_matrix",  # last row r5
     "embedding_dim_stats",  # last row r5
@@ -133,8 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_interval_join_outer",  # last row r6
     "streaming_sessionize_timeout",  # last row r6
     "streaming_topk_event_type",  # last row r6
-    "text_lang_id",  # last row r6
-    "text_quality_scores",  # last row r6
 )
 
 # The ROUND-10 head, kept for the audit trail (every entry below got its

@@ -667,11 +667,17 @@ def _build_bm25_index(spark: SparkSession, sf_dir: str, name: str):
     work = fresh_work_dir(name)
     postings_t = SnapshotTable(os.path.join(work, "postings"))
     df_t = SnapshotTable(os.path.join(work, "df"))
-    src = spark.readStream.schema(DOCS_SCHEMA).parquet(d)
+    # maxFilesPerTrigger is a SOURCE option: on the writeStream it is
+    # silently ignored and the whole staged corpus arrives as ONE batch
+    # (r11 fix — the incremental path now genuinely runs 4 micro-batches)
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
     q = (
         src.writeStream.foreachBatch(make_bm25_index_applier(postings_t, df_t))
         .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -980,7 +986,11 @@ def make_pack_index_applier(
             tails_pruned = tails_all.join(
                 F.broadcast(key_df), ["source", "shard"], "semi"
             )
-        _capture_plan("streaming_pack_index.tails_pruned_read", tails_pruned)
+        if tails_t.latest_version() > 0:
+            # capture a REPRESENTATIVE pruned read (batch 2+): on the
+            # empty first batch the plan is a bare LocalTableScan with
+            # no scan to push the In(pk) filter into
+            _capture_plan("streaming_pack_index.tails_pruned_read", tails_pruned)
         # O(batch shards) rows — collect once; the ordering guard runs
         # driver-side for free and the kernel join broadcasts the same
         # rows back (a broadcast ships them to the driver anyway)
@@ -1158,13 +1168,19 @@ def q_streaming_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buckets = pack_index_buckets_for(
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     )
-    src = spark.readStream.schema(DOCS_SRC_SCHEMA).parquet(d)
+    # maxFilesPerTrigger is a SOURCE option: on the writeStream it is
+    # silently ignored and the whole staged corpus arrives as ONE batch
+    # (r11 fix — the incremental path now genuinely runs 4 micro-batches)
+    src = (
+        spark.readStream.schema(DOCS_SRC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
     q = (
         src.writeStream.foreachBatch(
             make_pack_index_applier(packs_t, tails_t, n_buckets=n_buckets)
         )
         .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
