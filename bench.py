@@ -195,8 +195,10 @@ def main() -> None:
     # separate plan regressions from host drift.
     def calibration_probe() -> float:
         t0 = time.time()
+        # pmod bounds the summand so the fold cannot overflow long under
+        # ANSI mode (sum of raw 64-bit hashes does)
         spark.range(0, 200_000_000, 1, 32).selectExpr(
-            "sum(xxhash64(id)) as s"
+            "sum(pmod(xxhash64(id), 1000000)) as s"
         ).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
