@@ -660,6 +660,7 @@ class SnapshotTable:
         bucket_col: str = "_bucket",
         n_buckets: int | None = None,
         extra: dict | None = None,
+        append: bool = False,
     ) -> int:
         """Commit ``df`` as the FULL new content of the ``touched`` buckets
         (``df`` carries ``bucket_col``, computed with :meth:`bucket_of`);
@@ -668,6 +669,18 @@ class SnapshotTable:
         O(|state|). A touched bucket with zero surviving rows becomes an
         empty bucket (its manifest entry is an empty dir list — Spark's
         partitionBy emits no dir for an absent key).
+
+        ``append=True`` switches to bucket-granular APPEND: the touched
+        buckets' EXISTING dirs stay in place and this commit's new dirs
+        EXTEND their manifest lists (a bucket's entry is a dir LIST for
+        exactly this reason) — write bytes are O(df), never O(bucket),
+        while the lineage stays bucket-prunable on read. This is the
+        postings/LSM shape for keyed state that only ever GROWS (an LSH
+        band index, an inverted index's postings): a replacement merge
+        would rewrite ever-growing buckets per batch. Appends are
+        schema-stable against ALL non-empty buckets (old and new dirs
+        coexist inside one bucket); compaction, when dir counts grow, is
+        a later full-bucket ``commit_buckets`` with the union.
 
         ``n_buckets`` is recorded in the manifest on the first bucketed
         commit and validated on every later one (see
@@ -713,7 +726,9 @@ class SnapshotTable:
             carried = [
                 b
                 for b, ds in buckets.items()
-                if ds and b not in {str(x) for x in touched}
+                # append keeps even the touched buckets' old dirs, so a
+                # schema change has no bucket it could cleanly replace
+                if ds and (append or b not in {str(x) for x in touched})
             ]
             if (
                 psch is not None
@@ -757,7 +772,11 @@ class SnapshotTable:
             )
         for b in touched:
             d = f"{data_dir}/{bucket_col}={b}"
-            buckets[str(b)] = [d] if os.path.isdir(d) else []
+            new_dirs = [d] if os.path.isdir(d) else []
+            if append:
+                buckets[str(b)] = buckets.get(str(b), []) + new_dirs
+            else:
+                buckets[str(b)] = new_dirs
         dirs = sorted(d for ds in buckets.values() for d in ds)
         # new extras override the parent's carried-over metadata (a fresh
         # last_batch_id replaces the previous cursor); format keys win last

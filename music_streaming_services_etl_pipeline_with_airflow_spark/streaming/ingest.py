@@ -1188,3 +1188,309 @@ def q_streaming_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packs_t.read(spark).select(
         "source", "shard", "doc_id", "n_tokens", "pack_id", "pack_used"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental MinHash-LSH near-dup index (r11)
+# ---------------------------------------------------------------------------
+
+MH_IDX_BUCKETS = 8
+# target rows per bucket for the two growing index tables (band rows ≈
+# docs x N_BANDS; shingle rows ≈ docs x shingles/doc) — like
+# pack_index_buckets_for, sized so a bucket read stays bounded
+MH_IDX_ROWS_PER_BUCKET = 500_000
+_MH_BANDS_SCHEMA = "doc_id long, g int, band int, bval string"
+_MH_SHINGLES_SCHEMA = "doc_id long, s string"
+
+
+def minhash_index_buckets_for(expected_rows: int) -> int:
+    """Double from the floor until each bucket holds <=
+    MH_IDX_ROWS_PER_BUCKET expected rows. Both index tables grow linearly
+    with the corpus (unlike a vocabulary), so a fixed bucket count would
+    make any whole-bucket read O(corpus/constant); recorded in the
+    manifest at creation and validated per call."""
+    n = MH_IDX_BUCKETS
+    while n * MH_IDX_ROWS_PER_BUCKET < max(1, expected_rows):
+        n *= 2
+    return n
+
+
+def make_minhash_index_applier(
+    pairs_t, bands_t, shingles_t, n_buckets: int = MH_IDX_BUCKETS, record_stats: bool = False
+):
+    """foreachBatch callback maintaining a persisted NEAR-DUP index — the
+    online-ingestion shape of dedup_minhash_lsh: as documents stream in,
+    each batch is shingled, MinHash-signed and LSH-banded ONCE; new docs
+    probe the STORED band index for collisions with history, candidates
+    are exact-Jaccard verified (history shingles fetched by candidate
+    doc_id only), and verified pairs append — so after any prefix of the
+    stream, PAIRS equals what one whole-corpus dedup_minhash_lsh pass
+    over the documents seen so far would emit. Real pipelines dedup at
+    ingestion exactly this way: the alternative (re-run the batch
+    dedup on every corpus refresh) rescans the world per delivery.
+
+    State (three snapshot tables):
+    - PAIRS (da, db, jaccard): verified near-dup pairs, plain O(batch)
+      appends — the queryable product.
+    - BANDS (doc_id, g, band, bval), bucketed on bval: the LSH index.
+      Grows forever, so it appends via commit_buckets(append=True) — new
+      dirs EXTEND the touched buckets (O(batch) writes) and probes read
+      only the batch's bval buckets, pruned further by an In(bval)
+      pushdown: per-batch probe bytes track the batch's band values, not
+      the index (the pack-tails lesson applied from day one).
+    - SHINGLES (doc_id, s), bucketed on doc_id: verification corpus.
+      Same append discipline; the verify step reads ONLY the candidate
+      history docs' shingles (In(doc_id) pushdown).
+
+    Blocking parity with the batch operator: within-batch candidates use
+    the two-sided size-blocked self-join (probe {g, g+1} x build {g});
+    the history probe explodes {g-1, g, g+1} against the stored side's
+    {g} — both cover every |Δg| <= 1 pair, and Jaccard >= 0.5 forces
+    |Δg| <= 1, so banding collisions are preserved exactly (the blocking
+    only prunes pairs verification would reject anyway). Verified output
+    is therefore ORDER-INDEPENDENT: a pair lands when its later-arriving
+    member's batch runs, whatever the batch partitioning — no ordering
+    contract needed (each doc_id must arrive exactly once, which the
+    file source + cursors guarantee).
+
+    foreachBatch is at-least-once and every append is non-idempotent, so
+    each table carries a last_batch_id cursor. Commit order is PAIRS
+    first — the only computation that reads index state — then BANDS,
+    then SHINGLES (pure functions of the batch): a crash between commits
+    replays into a skip of the already-committed tables and a
+    recompute-free append of the lagging ones, never a probe against an
+    index the same batch already extended."""
+
+    def apply_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        from ..operators.dedup import (
+            JACCARD_THRESHOLD,
+            _pair_jaccard,
+            banded_signatures,
+            doc_shingles,
+            minhash_signatures,
+        )
+        from ..snapshots import SnapshotTable
+
+        spark_ = batch.sparkSession
+        last_pairs = pairs_t.latest_manifest_field("last_batch_id")
+        last_bands = bands_t.latest_manifest_field("last_batch_id")
+        last_sh = shingles_t.latest_manifest_field("last_batch_id")
+        if all(
+            c is not None and batch_id <= c
+            for c in (last_pairs, last_bands, last_sh)
+        ):
+            return  # full replay
+        # ONE evaluation of the batch's shingles and bands feeds the
+        # probe, the verify and both appends
+        sh = doc_shingles(batch).localCheckpoint(eager=True)
+        bands = banded_signatures(minhash_signatures(sh)).localCheckpoint(
+            eager=True
+        )
+        bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
+        id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), n_buckets)
+        # the batch's distinct band values + their buckets, one job —
+        # drives the pruned index probe AND the bands append
+        key_rows = (
+            bands.select("bval")
+            .distinct()
+            .select("bval", bval_bucket.alias("_b"))
+            .collect()
+        )
+        touched_b = sorted({r["_b"] for r in key_rows})
+        stats: dict = {"batch_id": batch_id, "batch_bvals": len(key_rows)}
+        if last_pairs is None or batch_id > last_pairs:
+            # within-batch candidates: the batch operator's size-blocked
+            # self-join, over the already-pinned band relation
+            a = bands.select(
+                F.col("doc_id").alias("da"),
+                "band",
+                "bval",
+                F.explode(F.array(F.col("g"), F.col("g") + 1)).alias("gk"),
+            )
+            b = bands.select(
+                F.col("doc_id").alias("db"), "band", "bval", F.col("g").alias("gk")
+            )
+            within = (
+                a.join(b, ["band", "bval", "gk"])
+                .filter(F.col("da") != F.col("db"))
+                .select(
+                    F.least("da", "db").alias("da"),
+                    F.greatest("da", "db").alias("db"),
+                )
+                .distinct()
+            )
+            # history probe: read ONLY the batch's bval buckets, pruned
+            # to its band values (In pushdown; semi-join past the cap)
+            hist_bands = bands_t.read_buckets(
+                spark_, touched_b, _MH_BANDS_SCHEMA, n_buckets=n_buckets
+            )
+            vals = [r["bval"] for r in key_rows]
+            if len(vals) <= _PACK_PK_ISIN_CAP:
+                hist_bands = hist_bands.where(F.col("bval").isin(vals))
+            else:
+                hist_bands = hist_bands.join(
+                    F.broadcast(
+                        spark_.createDataFrame([(v,) for v in vals], "bval string")
+                    ),
+                    "bval",
+                    "semi",
+                )
+            if bands_t.latest_version() > 0:
+                _capture_plan(
+                    "streaming_minhash_index.bands_pruned_probe", hist_bands
+                )
+            if record_stats:
+                stats["hist_band_rows_read"] = hist_bands.count()
+            probe = bands.select(
+                F.col("doc_id").alias("da"),
+                "band",
+                "bval",
+                F.explode(
+                    F.array(F.col("g") - 1, F.col("g"), F.col("g") + 1)
+                ).alias("gk"),
+            )
+            idx = hist_bands.select(
+                F.col("doc_id").alias("db"), "band", "bval", F.col("g").alias("gk")
+            )
+            cross = (
+                probe.join(idx, ["band", "bval", "gk"])
+                .select(
+                    F.least("da", "db").alias("da"),
+                    F.greatest("da", "db").alias("db"),
+                )
+                .distinct()
+            )
+            cand = within.unionByName(cross).distinct().localCheckpoint(eager=True)
+            # verification shingles: the batch's own + ONLY the candidate
+            # history docs' (collision-bounded, never the corpus)
+            batch_ids = {
+                r["doc_id"] for r in bands.select("doc_id").distinct().collect()
+            }
+            cand_ids = {
+                r["doc_id"]
+                for r in cand.select(
+                    F.explode(F.array("da", "db")).alias("doc_id")
+                )
+                .distinct()
+                .collect()
+            }
+            hist_ids = sorted(cand_ids - batch_ids)
+            stats["cand_hist_docs"] = len(hist_ids)
+            if hist_ids:
+                hid_df = spark_.createDataFrame(
+                    [(i,) for i in hist_ids], "doc_id long"
+                )
+                touched_d = sorted(
+                    r["_b"]
+                    for r in hid_df.select(id_bucket.alias("_b"))
+                    .distinct()
+                    .collect()
+                )
+                hist_sh = shingles_t.read_buckets(
+                    spark_, touched_d, _MH_SHINGLES_SCHEMA, n_buckets=n_buckets
+                )
+                if len(hist_ids) <= _PACK_PK_ISIN_CAP:
+                    hist_sh = hist_sh.where(F.col("doc_id").isin(hist_ids))
+                else:
+                    hist_sh = hist_sh.join(F.broadcast(hid_df), "doc_id", "semi")
+                _capture_plan(
+                    "streaming_minhash_index.shingles_pruned_verify", hist_sh
+                )
+                all_sh = sh.unionByName(hist_sh)
+            else:
+                all_sh = sh
+            verified = (
+                _pair_jaccard(all_sh, cand)
+                .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+                .localCheckpoint(eager=True)
+            )
+            stats["pairs_appended"] = verified.count()
+            pairs_t.commit(
+                verified,
+                mode="append" if pairs_t.latest_version() > 0 else "overwrite",
+                extra={"last_batch_id": batch_id},
+            )
+        if record_stats:
+            apply_batch.last_stats = stats
+        if last_bands is None or batch_id > last_bands:
+            bands_t.commit_buckets(
+                bands.withColumn("_bucket", bval_bucket),
+                touched_b,
+                n_buckets=n_buckets,
+                extra={"last_batch_id": batch_id},
+                append=True,
+            )
+        if last_sh is None or batch_id > last_sh:
+            touched_s = sorted(
+                r["_b"]
+                for r in sh.select(id_bucket.alias("_b")).distinct().collect()
+            )
+            shingles_t.commit_buckets(
+                sh.withColumn("_bucket", id_bucket),
+                touched_s,
+                n_buckets=n_buckets,
+                extra={"last_batch_id": batch_id},
+                append=True,
+            )
+
+    return apply_batch
+
+
+from ..operators.dedup import _minhash_sql as _mh_sql  # noqa: E402
+
+
+@register(
+    "streaming_minhash_index",
+    _mh_sql(),
+    doc="STREAMING INCREMENTAL MINHASH-LSH NEAR-DUP INDEX (r11) — online "
+    "dedup at ingestion, completing the incremental-index family (exact "
+    "dedup r5, BM25 r9, packing r10): documents stream in 4 micro-"
+    "batches; each batch is shingled/signed/banded once, probes the "
+    "STORED band index for history collisions (bval-bucketed read + "
+    "In(bval) pushdown — probe bytes track the batch, not the index), "
+    "verifies candidates by exact Jaccard against ONLY the candidate "
+    "history docs' stored shingles (doc_id-bucketed + In(doc_id) "
+    "pushdown), and appends verified pairs. Both growing index tables "
+    "append via bucket-granular manifest extension (commit_buckets "
+    "append=True): O(batch) write bytes, still bucket-prunable reads. "
+    "The oracle is dedup_minhash_lsh's whole-corpus SQL verbatim, so the "
+    "value hash proves maintained == recomputed; the pair set is "
+    "arrival-order independent (a pair lands with its later member), so "
+    "no ordering contract is needed — only exactly-once doc delivery, "
+    "which the file source + per-table last_batch_id cursors guarantee "
+    "(commit order PAIRS -> BANDS -> SHINGLES keeps a torn batch "
+    "replayable without ever probing an index the same batch already "
+    "extended).",
+)
+def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    d = stage_documents(sf_dir, "minhash_index")
+    work = fresh_work_dir("streaming_minhash_index")
+    pairs_t = SnapshotTable(os.path.join(work, "pairs"))
+    bands_t = SnapshotTable(os.path.join(work, "bands"))
+    shingles_t = SnapshotTable(os.path.join(work, "shingles"))
+    n_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
+    from ..operators.dedup import N_BANDS
+
+    n_buckets = minhash_index_buckets_for(n_docs * N_BANDS)
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            make_minhash_index_applier(pairs_t, bands_t, shingles_t, n_buckets=n_buckets)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return pairs_t.read(spark).select("da", "db", "jaccard")

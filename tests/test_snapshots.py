@@ -1506,3 +1506,211 @@ def test_matview_torn_commit_replays_once(spark, tmp_path):
     assert t.latest_version() == v2
     assert {(str(r.date), r.segment): (r.n_events, r.value_cents)
             for r in t.read(spark).collect()} == got
+
+
+def test_commit_buckets_append_extends_dirs(spark, tmp_path):
+    """commit_buckets(append=True) must EXTEND the touched buckets' dir
+    lists (O(df) write bytes — the postings/LSM shape for grow-only keyed
+    state) while replacement mode keeps replacing; reads see the union;
+    and a schema change is rejected against ANY non-empty bucket, since
+    appended dirs coexist with old dirs inside one bucket."""
+    import pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "bands"))
+    nb = 4
+    bucket = SnapshotTable.bucket_of(F.col("k"), nb)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k string, v long").withColumn(
+            "_bucket", bucket
+        )
+
+    def touched(df):
+        return sorted(r["_b"] for r in df.select(
+            F.col("_bucket").alias("_b")).distinct().collect())
+
+    d1 = frame([("a", 1), ("b", 2)])
+    t.commit_buckets(d1, touched(d1), n_buckets=nb)
+    d2 = frame([("a", 3), ("c", 4)])
+    t.commit_buckets(d2, touched(d2), n_buckets=nb, append=True)
+    got = sorted(
+        (r.k, r.v)
+        for r in t.read_buckets(
+            spark, list(range(nb)), "k string, v long", n_buckets=nb
+        ).collect()
+    )
+    assert got == [("a", 1), ("a", 3), ("b", 2), ("c", 4)]
+    # the shared bucket now carries TWO dirs in the manifest
+    bm = t._bucket_map(t.latest_version())
+    assert max(len(ds) for ds in bm.values()) == 2
+    # bucket-pruned read still prunes: only 'b's bucket -> only b
+    b_bucket = frame([("b", 0)]).select("_bucket").collect()[0][0]
+    only_b = t.read_buckets(spark, [b_bucket], "k string, v long", n_buckets=nb)
+    assert {r.k for r in only_b.collect()} <= {"a", "b", "c"}
+    assert ("b", 2) in {(r.k, r.v) for r in only_b.collect()}
+    # schema change on append fails fast (old dirs coexist in-bucket)
+    d3 = spark.createDataFrame([("z", 1.5)], "k string, v double").withColumn(
+        "_bucket", bucket
+    )
+    with pytest.raises(ValueError, match="schema-stable"):
+        t.commit_buckets(d3, touched(d3), n_buckets=nb, append=True)
+
+
+def test_minhash_index_applier_replay_and_torn_commit(spark, tmp_path):
+    """Drills for the streaming near-dup index (r11): (a) maintained
+    pairs equal the whole-corpus batch operator after every prefix,
+    including cross-batch pairs; (b) a replayed batch_id is a no-op on
+    all three tables; (c) a crash between the pairs commit and the bands
+    append heals on replay (only the lagging tables apply) and the next
+    batch still equals the recompute."""
+    import pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _pair_jaccard,
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_minhash_index_applier,
+    )
+    from pyspark.sql import functions as F
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    apply_batch = make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, n_buckets=4
+    )
+    schema = "doc_id long, text string"
+
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    # near-dup family: doc 1/11/21 share most tokens; 2/12 another family;
+    # 3, 13, 23 unique
+    corpus = [
+        (1, base + "alpha beta gamma delta"),
+        (2, "completely different words one two three four five six seven"),
+        (3, "unique content first " + "x " * 12),
+        (11, base + "alpha beta gamma epsilon"),
+        (12, "completely different words one two three four five six eight"),
+        (13, "unique content second " + "y " * 12),
+        (21, base + "alpha beta zeta delta"),
+        (23, "unique content third " + "z " * 12),
+    ]
+
+    def whole_corpus_pairs(rows):
+        df = spark.createDataFrame(rows, schema)
+        sh = doc_shingles(df)
+        cand = lsh_candidate_pairs(minhash_signatures(sh))
+        return {
+            (r.da, r.db, round(r.jaccard, 9))
+            for r in _pair_jaccard(sh, cand)
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .collect()
+        }
+
+    def stored_pairs():
+        return {
+            (r.da, r.db, round(r.jaccard, 9))
+            for r in pairs_t.read(spark).select("da", "db", "jaccard").collect()
+        }
+
+    b0, b1, b2 = corpus[:3], corpus[3:6], corpus[6:]
+    apply_batch(spark.createDataFrame(b0, schema), 0)
+    assert stored_pairs() == whole_corpus_pairs(b0)
+    apply_batch(spark.createDataFrame(b1, schema), 1)
+    assert stored_pairs() == whole_corpus_pairs(b0 + b1)
+    # cross-batch pairs exist (1,11), (2,12) — the index probe found them
+    assert any(da == 1 and db == 11 for da, db, _ in stored_pairs())
+
+    # (b) replay is a no-op everywhere
+    vs = (pairs_t.latest_version(), bands_t.latest_version(), shingles_t.latest_version())
+    apply_batch(spark.createDataFrame(b1, schema), 1)
+    assert vs == (pairs_t.latest_version(), bands_t.latest_version(), shingles_t.latest_version())
+
+    # (c) torn: pairs commit lands, bands append crashes
+    real_publish = SnapshotTable._write_manifest
+    calls = {"n": 0}
+    try:
+        def torn(self, manifest):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("simulated crash before bands append")
+            return real_publish(self, manifest)
+
+        SnapshotTable._write_manifest = torn
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            apply_batch(spark.createDataFrame(b2, schema), 2)
+    finally:
+        SnapshotTable._write_manifest = real_publish
+    assert pairs_t.latest_manifest_field("last_batch_id") == 2
+    assert bands_t.latest_manifest_field("last_batch_id") == 1  # behind
+    # restart replays batch 2: pairs skip, bands + shingles catch up
+    apply_batch(spark.createDataFrame(b2, schema), 2)
+    assert bands_t.latest_manifest_field("last_batch_id") == 2
+    assert shingles_t.latest_manifest_field("last_batch_id") == 2
+    assert stored_pairs() == whole_corpus_pairs(corpus)
+    # and a further batch probes the healed index correctly
+    b3 = [(31, base + "alpha beta gamma delta extra")]
+    apply_batch(spark.createDataFrame(b3, schema), 3)
+    assert stored_pairs() == whole_corpus_pairs(corpus + b3)
+
+
+def test_minhash_index_probe_bounded_by_batch(spark, tmp_path):
+    """Per-batch probe cost must track the BATCH, not the stored index:
+    with ~200 history docs indexed, a 1-doc batch with no near-dups must
+    read only band rows matching ITS band values (In(bval) pushdown) and
+    fetch NO history shingles; a 1-doc near-dup batch fetches exactly its
+    candidates' shingles."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import (
+        ingest,
+    )
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    apply_batch = ingest.make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, n_buckets=4, record_stats=True
+    )
+    schema = "doc_id long, text string"
+    # 200 history docs with fully DISJOINT token sets (no shared shingles
+    # at all, so no band collisions among them)
+    hist = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(10))) for i in range(200)
+    ]
+    apply_batch(spark.createDataFrame(hist, schema), 0)
+    n_band_rows = bands_t.read(spark).count()
+    assert n_band_rows >= 200  # N_BANDS rows per doc
+
+    # unrelated 1-doc batch: no collisions, no shingle fetches
+    apply_batch(
+        spark.createDataFrame(
+            [(1000, "totally unrelated q w e r t y u i o p")], schema
+        ),
+        1,
+    )
+    st = apply_batch.last_stats
+    assert st["cand_hist_docs"] == 0 and st["pairs_appended"] == 0
+    # the probe read only rows matching the batch's band values — far
+    # below the index population (0 here: nothing shares a band value)
+    assert st["hist_band_rows_read"] < n_band_rows / 10
+
+    # near-dup 1-doc batch (doc 7 with one token changed): candidates
+    # bounded by its own collisions
+    near = " ".join(f"tok7_{j}" for j in range(9)) + " tokX"
+    apply_batch(spark.createDataFrame([(2000, near)], schema), 2)
+    st = apply_batch.last_stats
+    assert 1 <= st["cand_hist_docs"] <= 5
+    assert st["pairs_appended"] >= 1

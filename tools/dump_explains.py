@@ -227,6 +227,7 @@ def main() -> None:
         "streaming_foreachbatch_upsert",
         "streaming_bm25_index_topk",
         "streaming_pack_index",
+        "streaming_minhash_index",
     ):
         specs[name].fn(spark, sf_dir).collect()
     for key in sorted(_ingest.PLAN_CAPTURE):
