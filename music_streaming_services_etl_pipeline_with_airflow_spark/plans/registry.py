@@ -72,7 +72,10 @@ HEAD_ROUND = 11
 #     it is exactly the claim that makes this fix result-invariant).
 #   streaming_minhash_index — NEW (r11): the online near-dup index
 #     completing the incremental-index family; maintained pairs ==
-#     whole-corpus dedup_minhash_lsh (same SQL oracle verbatim).
+#     whole-corpus dedup_minhash_lsh (same SQL oracle verbatim);
+#   streaming_minhash_index_delete — NEW (r11): its GDPR erase-and-serve
+#     lifecycle twin (oracle = the same pairs over documents minus the
+#     erased doc).
 # (The r11 two_phase_grouped_row_number cardinality guard and the
 # MIX_ALPHA_BUDGET_FRAC interpolation also touched the w6/mixture twins'
 # source, but their emitted plans and oracle SQL are byte-identical —
@@ -80,26 +83,28 @@ HEAD_ROUND = 11
 # still attest their current behavior.)
 ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     "streaming_minhash_index",
+    "streaming_minhash_index_delete",
     "streaming_pack_index",
     "pack_sequences_sharded",
     "streaming_bm25_index_topk",
     "streaming_bm25_index_delete",
 )
 
-# Banked this round: all 17 r5-stale rows + 28 of the 39 r6-stale; the 11
-# r6 stragglers lead the r12 rotation (streaming_topk_event_type,
-# text_lang_id, text_quality_scores, text_tfidf_top_terms,
-# text_token_stats, text_unigram_logprob, tpch_q1_pricing_summary,
-# tpch_q5_local_supplier_volume, warehouse_snapshot_delete,
-# warehouse_snapshot_time_travel, warehouse_zorder_locality) — each keeps
-# independent pytest evidence meanwhile (text family fixtures, the tpch
-# plan tests, the warehouse snapshot drills, the live streaming pytest).
-# Every entry below re-verified locally this round via
-# tools/check_parity.py at sf0.01 after the round's code changes landed;
-# the new/changed five additionally at sf0.001 and sf0.1 and under
-# PLAIN=1.
+# Banked this round: all 17 r5-stale rows + 27 of the 39 r6-stale; the
+# 12 r6 stragglers lead the r12 rotation (streaming_sessionize_timeout,
+# streaming_topk_event_type, text_lang_id, text_quality_scores,
+# text_tfidf_top_terms, text_token_stats, text_unigram_logprob,
+# tpch_q1_pricing_summary, tpch_q5_local_supplier_volume,
+# warehouse_snapshot_delete, warehouse_snapshot_time_travel,
+# warehouse_zorder_locality) — each keeps independent pytest evidence
+# meanwhile (text family fixtures, the tpch plan tests, the warehouse
+# snapshot drills, the live streaming pytest). Every entry below
+# re-verified locally this round via tools/check_parity.py at sf0.01
+# after the round's code changes landed; the new/changed six additionally
+# at sf0.001 and sf0.1 and under PLAIN=1.
 _PRIORITY: tuple[str, ...] = (
     "streaming_minhash_index",  # new/changed r11
+    "streaming_minhash_index_delete",  # new/changed r11
     "streaming_pack_index",  # new/changed r11
     "pack_sequences_sharded",  # new/changed r11
     "streaming_bm25_index_topk",  # new/changed r11
@@ -148,7 +153,6 @@ _PRIORITY: tuple[str, ...] = (
     "sample_reservoir_topk",  # last row r6
     "sketch_topk_monthly_rollup",  # last row r6
     "streaming_interval_join_outer",  # last row r6
-    "streaming_sessionize_timeout",  # last row r6
 )
 
 # The ROUND-10 head, kept for the audit trail (every entry below got its

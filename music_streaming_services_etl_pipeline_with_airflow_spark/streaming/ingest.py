@@ -1465,19 +1465,28 @@ from ..operators.dedup import _minhash_sql as _mh_sql  # noqa: E402
     "extended).",
 )
 def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs_t, _, _, _ = _build_minhash_index(
+        spark, sf_dir, "streaming_minhash_index"
+    )
+    return pairs_t.read(spark).select("da", "db", "jaccard")
+
+
+def _build_minhash_index(spark: SparkSession, sf_dir: str, name: str):
+    """Run the 4-batch document stream through the near-dup index applier
+    into a fresh table triple; returns (pairs_t, bands_t, shingles_t,
+    n_buckets)."""
+    from ..operators.dedup import N_BANDS
     from ..snapshots import SnapshotTable
     from ..workdirs import fresh_work_dir
 
     d = stage_documents(sf_dir, "minhash_index")
-    work = fresh_work_dir("streaming_minhash_index")
+    work = fresh_work_dir(name)
     pairs_t = SnapshotTable(os.path.join(work, "pairs"))
     bands_t = SnapshotTable(os.path.join(work, "bands"))
     shingles_t = SnapshotTable(os.path.join(work, "shingles"))
     n_docs = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).count()
-    from ..operators.dedup import N_BANDS
-
     n_buckets = minhash_index_buckets_for(n_docs * N_BANDS)
     src = (
         spark.readStream.schema(DOCS_SCHEMA)
@@ -1493,4 +1502,112 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return pairs_t, bands_t, shingles_t, n_buckets
+
+
+from ..operators.dedup import _minhash_ctes as _mh_ctes  # noqa: E402
+
+
+@register(
+    "streaming_minhash_index_delete",
+    f"""WITH kept AS (
+    SELECT * FROM documents
+    WHERE doc_id <> (SELECT MIN(doc_id) FROM documents)
+), {_mh_ctes(src='kept')}
+SELECT da, db, jaccard FROM minhash_pairs""",
+    doc="GDPR ERASE-AND-SERVE on the streaming near-dup index (r11): "
+    "after the stream builds the index, one document (the MIN doc_id — "
+    "deterministic on both engines) is erased END-TO-END from all three "
+    "tables: its pairs via copy-on-write delete, its shingles and band "
+    "rows via bucketed REPLACEMENT rewrites of exactly the buckets that "
+    "hold them (the doc's bval set is recomputed from its stored "
+    "shingles first — read-before-delete — so only <= N_BANDS band "
+    "buckets + 1 shingle bucket rewrite; the replacement also COMPACTS "
+    "those buckets' appended dir lists back to one dir, the documented "
+    "append-mode compaction path). The oracle recomputes the whole-"
+    "corpus near-dup pairs over documents MINUS the erased doc, so the "
+    "hash proves the erased doc is unreachable through every surface — "
+    "pairs, band index, verification shingles — while every remaining "
+    "pair survives (banding of other docs never depended on the erased "
+    "one).",
+)
+def q_streaming_minhash_index_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs_t, bands_t, shingles_t, nb = _build_minhash_index(
+        spark, sf_dir, "streaming_minhash_index_delete"
+    )
+    erase = int(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .agg(F.min("doc_id"))
+        .first()[0]
+    )
+    erase_doc_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, nb, erase
+    )
     return pairs_t.read(spark).select("da", "db", "jaccard")
+
+
+def erase_doc_from_minhash_index(
+    spark: SparkSession, pairs_t, bands_t, shingles_t, n_buckets: int, erase: int
+) -> None:
+    """Erase one document END-TO-END from the near-dup index triple:
+    pairs via copy-on-write delete; shingles and band rows via bucketed
+    REPLACEMENT rewrites of exactly the buckets that hold them (the
+    doc's bval set is recomputed from its stored shingles FIRST —
+    read-before-delete — so the cost is <= N_BANDS band buckets + 1
+    shingle bucket; the replacement also compacts those buckets'
+    appended dir lists back to one dir)."""
+    from ..operators.dedup import banded_signatures, minhash_signatures
+    from ..snapshots import SnapshotTable
+
+    id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), n_buckets)
+    bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
+    # 1) pairs: plain copy-on-write delete
+    pairs_t.delete_where(spark, f"da = {erase} OR db = {erase}")
+    # 2) shingles: locate the doc's bucket, pin its rows BEFORE the
+    # rewrite (they are the only source of its band values), commit the
+    # bucket's survivors as a replacement
+    sb = (
+        spark.createDataFrame([(erase,)], "doc_id long")
+        .select(id_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_sh = shingles_t.read_buckets(
+        spark, [sb], _MH_SHINGLES_SCHEMA, n_buckets=n_buckets
+    ).localCheckpoint(eager=True)
+    doc_sh = bucket_sh.where(F.col("doc_id") == erase)
+    doc_bvals = [
+        r["bval"]
+        for r in banded_signatures(minhash_signatures(doc_sh))
+        .select("bval")
+        .distinct()
+        .collect()
+    ]
+    shingles_t.commit_buckets(
+        bucket_sh.where(F.col("doc_id") != erase).withColumn(
+            "_bucket", id_bucket
+        ),
+        [sb],
+        n_buckets=n_buckets,
+    )
+    # 3) bands: rewrite only the doc's bval buckets minus its rows
+    if not doc_bvals:
+        return
+    bb = sorted(
+        r["_b"]
+        for r in spark.createDataFrame([(v,) for v in doc_bvals], "bval string")
+        .select(bval_bucket.alias("_b"))
+        .distinct()
+        .collect()
+    )
+    bucket_bands = bands_t.read_buckets(
+        spark, bb, _MH_BANDS_SCHEMA, n_buckets=n_buckets
+    ).localCheckpoint(eager=True)
+    bands_t.commit_buckets(
+        bucket_bands.where(F.col("doc_id") != erase).withColumn(
+            "_bucket", bval_bucket
+        ),
+        bb,
+        n_buckets=n_buckets,
+    )

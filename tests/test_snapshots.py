@@ -1714,3 +1714,64 @@ def test_minhash_index_probe_bounded_by_batch(spark, tmp_path):
     st = apply_batch.last_stats
     assert 1 <= st["cand_hist_docs"] <= 5
     assert st["pairs_appended"] >= 1
+
+
+def test_minhash_index_erase_and_serve(spark, tmp_path):
+    """GDPR erase on the near-dup index, planted so the target HAS pairs:
+    after erasing doc 1, (a) its pairs are gone while unrelated pairs
+    survive, (b) its band rows and shingles are physically absent (a new
+    near-dup of it no longer collides), and (c) the rewritten buckets'
+    appended dir lists are COMPACTED back to one dir."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        erase_doc_from_minhash_index,
+        make_minhash_index_applier,
+    )
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    nb = 4
+    apply_batch = make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, n_buckets=nb
+    )
+    schema = "doc_id long, text string"
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    # two batches so the index tables carry APPENDED dirs before the erase
+    apply_batch(
+        spark.createDataFrame(
+            [(1, fam + "alpha beta"), (2, "totally unrelated " + "q w e r t y u i o p")],
+            schema,
+        ),
+        0,
+    )
+    apply_batch(
+        spark.createDataFrame(
+            [(11, fam + "alpha gamma"), (12, "totally unrelated " + "q w e r t y u i o z")],
+            schema,
+        ),
+        1,
+    )
+    pre = {(r.da, r.db) for r in pairs_t.read(spark).collect()}
+    assert (1, 11) in pre and (2, 12) in pre
+    # appended dirs exist pre-erase
+    bm_pre = bands_t._bucket_map(bands_t.latest_version())
+    assert max(len(ds) for ds in bm_pre.values()) >= 2
+
+    erase_doc_from_minhash_index(spark, pairs_t, bands_t, shingles_t, nb, 1)
+    post = {(r.da, r.db) for r in pairs_t.read(spark).collect()}
+    assert (1, 11) not in post and (2, 12) in post
+    assert bands_t.read(spark).filter("doc_id = 1").count() == 0
+    assert shingles_t.read(spark).filter("doc_id = 1").count() == 0
+    # (c) the rewritten band buckets are compacted to <= 1 dir
+    bm_post = bands_t._bucket_map(bands_t.latest_version())
+    changed = [b for b in bm_post if bm_post[b] != bm_pre.get(b)]
+    assert changed and all(len(bm_post[b]) <= 1 for b in changed)
+    # (b) a new near-dup of the erased doc finds NO collision with it
+    apply_batch(
+        spark.createDataFrame([(21, fam + "alpha delta")], schema), 2
+    )
+    final = {(r.da, r.db) for r in pairs_t.read(spark).collect()}
+    assert (11, 21) in final and (1, 21) not in final
