@@ -196,8 +196,10 @@ def main() -> None:
     def calibration_probe() -> float:
         t0 = time.time()
         # pmod bounds the summand so the fold cannot overflow long under
-        # ANSI mode (sum of raw 64-bit hashes does)
-        spark.range(0, 200_000_000, 1, 32).selectExpr(
+        # ANSI mode (sum of raw 64-bit hashes does); 800M rows ≈ 1 s on
+        # 32 cores — long enough that scheduler jitter stays a small
+        # fraction of the yardstick (a 0.3 s probe measured ±20%)
+        spark.range(0, 800_000_000, 1, 32).selectExpr(
             "sum(pmod(xxhash64(id), 1000000)) as s"
         ).write.format("noop").mode("overwrite").save()
         return time.time() - t0
