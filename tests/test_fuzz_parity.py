@@ -942,3 +942,85 @@ if _HAS_HYP:
             for r in pack_documents_sharded(df).collect()
         }
         assert packs == want
+
+
+if _HAS_HYP:
+
+    @st.composite
+    def _mh_corpus_and_cuts(draw):
+        # families of near-dups: docs in the same family share a long
+        # common prefix and differ in one trailing token; families are
+        # token-disjoint. Random family sizes, random arrival SPLIT.
+        n_fam = draw(st.integers(min_value=1, max_value=4))
+        rows = []
+        did = 0
+        for f in range(n_fam):
+            size = draw(st.integers(min_value=1, max_value=4))
+            base = " ".join(f"f{f}w{j}" for j in range(10))
+            for m in range(size):
+                rows.append((did, base + f" tail{f}_{m}"))
+                did += draw(st.integers(min_value=1, max_value=7))
+        perm = draw(st.permutations(rows))
+        cuts = sorted(
+            draw(st.sets(st.integers(min_value=0, max_value=len(rows)), max_size=3))
+        )
+        return perm, cuts
+
+    @given(data=_mh_corpus_and_cuts())
+    @settings(max_examples=6, deadline=None)
+    def test_minhash_index_random_batch_boundaries(spark, tmp_path_factory, data):
+        """The near-dup index claims ARRIVAL-ORDER INDEPENDENCE: after any
+        batch partitioning of any corpus, maintained pairs equal the
+        whole-corpus batch operator. Drive the applier over a random
+        PERMUTATION of a random dup-family corpus split at random cut
+        points (unlike the pack index, no monotonicity is required) and
+        assert exact pair-set equality including Jaccard values."""
+        from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+            JACCARD_THRESHOLD,
+            _pair_jaccard,
+            doc_shingles,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+        from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+            SnapshotTable,
+        )
+        from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+            make_minhash_index_applier,
+        )
+        from pyspark.sql import functions as F
+
+        rows, cuts = data
+        d = tmp_path_factory.mktemp("mhfuzz")
+        pairs_t = SnapshotTable(str(d / "pairs"))
+        bands_t = SnapshotTable(str(d / "bands"))
+        shingles_t = SnapshotTable(str(d / "shingles"))
+        apply_batch = make_minhash_index_applier(
+            pairs_t, bands_t, shingles_t, n_buckets=4
+        )
+        schema = "doc_id long, text string"
+        bounds = [0, *cuts, len(rows)]
+        bid = 0
+        for lo, hi in zip(bounds, bounds[1:]):
+            if rows[lo:hi]:
+                apply_batch(spark.createDataFrame(rows[lo:hi], schema), bid)
+                bid += 1
+        stored = (
+            {
+                (r.da, r.db, round(r.jaccard, 9))
+                for r in pairs_t.read(spark).collect()
+            }
+            if pairs_t.latest_version() > 0
+            else set()
+        )
+        df = spark.createDataFrame(rows, schema)
+        sh = doc_shingles(df)
+        want = {
+            (r.da, r.db, round(r.jaccard, 9))
+            for r in _pair_jaccard(
+                sh, lsh_candidate_pairs(minhash_signatures(sh))
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .collect()
+        }
+        assert stored == want

@@ -530,3 +530,86 @@ def test_pack_index_buckets_for_scales_with_corpus():
             (n // 2) * PACK_IDX_SHARDS_PER_BUCKET < shards
         )
         assert (n & (n - 1)) == 0
+
+
+def test_index_appliers_semi_join_fallback(spark, tmp_path, monkeypatch):
+    """Past _PACK_PK_ISIN_CAP distinct keys, the pruned index reads switch
+    from an In-list pushdown to a broadcast semi-join (a multi-10k In
+    bloats the plan). Force the cap to 0 so every read takes the fallback
+    branch, and assert both appliers still produce exactly the recompute:
+    the pack index vs pack_documents_sharded, the near-dup index vs the
+    whole-corpus pair set."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _pair_jaccard,
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.packing import (
+        SHARD_SPAN,
+        pack_documents_sharded,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import (
+        ingest,
+    )
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(ingest, "_PACK_PK_ISIN_CAP", 0)
+
+    # pack index under the fallback
+    packs_t = SnapshotTable(str(tmp_path / "packs"))
+    tails_t = SnapshotTable(str(tmp_path / "tails"))
+    pk_apply = ingest.make_pack_index_applier(packs_t, tails_t, n_buckets=4)
+    pschema = "doc_id long, text string, source string"
+
+    def pdocs(lo, hi):
+        return spark.createDataFrame(
+            [(i, "w " * (20 + i % 30), "s0") for i in range(lo, hi)], pschema
+        )
+
+    pk_apply(pdocs(0, SHARD_SPAN // 2), 0)
+    pk_apply(pdocs(SHARD_SPAN // 2, SHARD_SPAN), 1)
+    got = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in packs_t.read(spark).collect()
+    }
+    want = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in pack_documents_sharded(pdocs(0, SHARD_SPAN)).collect()
+    }
+    assert got == want
+
+    # near-dup index under the fallback (both pruned reads)
+    pairs_t = SnapshotTable(str(tmp_path / "mh_pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "mh_bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "mh_shingles"))
+    mh_apply = ingest.make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, n_buckets=4
+    )
+    mschema = "doc_id long, text string"
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    corpus = [
+        (1, fam + "alpha beta"),
+        (2, "totally unrelated q w e r t y u i o p"),
+        (11, fam + "alpha gamma"),
+        (12, "totally unrelated q w e r t y u i o z"),
+    ]
+    mh_apply(spark.createDataFrame(corpus[:2], mschema), 0)
+    mh_apply(spark.createDataFrame(corpus[2:], mschema), 1)
+    stored = {
+        (r.da, r.db, round(r.jaccard, 9))
+        for r in pairs_t.read(spark).collect()
+    }
+    df = spark.createDataFrame(corpus, mschema)
+    sh = doc_shingles(df)
+    want_pairs = {
+        (r.da, r.db, round(r.jaccard, 9))
+        for r in _pair_jaccard(sh, lsh_candidate_pairs(minhash_signatures(sh)))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    assert stored == want_pairs and any(p[:2] == (1, 11) for p in stored)
