@@ -804,6 +804,46 @@ class SnapshotTable:
         self._write_manifest(manifest)
         return version
 
+    def compact_appended(
+        self,
+        spark: SparkSession,
+        schema: str,
+        key_col: str,
+        n_buckets: int,
+        max_dirs: int = 16,
+        extra: dict | None = None,
+    ) -> int | None:
+        """LSM-style compaction for append-mode bucketed lineages: fold
+        every bucket whose manifest dir list exceeds ``max_dirs`` back to
+        one dir (a replacement commit of its own content), leaving calm
+        buckets untouched by reference. Without this, a lineage fed by
+        ``commit_buckets(append=True)`` accumulates one dir per touching
+        batch forever — manifest size and per-read file counts grow
+        O(batches). Content-neutral and atomic (a crash leaves the
+        pre-compaction version current), so appliers can call it
+        opportunistically after their appends; cost is O(crowded
+        buckets' bytes), never O(|table|). ``key_col`` is the column the
+        lineage buckets on (the table format does not record it).
+        Returns the new version, or None when nothing is crowded."""
+        v = self.latest_version()
+        if v == 0:
+            return None
+        bm = self._bucket_map(v)
+        crowded = sorted(int(b) for b, ds in bm.items() if len(ds) > max_dirs)
+        if not crowded:
+            return None
+        from pyspark.sql import functions as F
+
+        base = self.read_buckets(spark, crowded, schema, n_buckets=n_buckets)
+        return self.commit_buckets(
+            base.withColumn(
+                "_bucket", self.bucket_of(F.col(key_col), n_buckets)
+            ),
+            crowded,
+            n_buckets=n_buckets,
+            extra=extra,
+        )
+
     def delete_where(
         self, spark: SparkSession, predicate: str, extra: dict | None = None
     ) -> int:

@@ -1199,6 +1199,9 @@ MH_IDX_BUCKETS = 8
 # docs x N_BANDS; shingle rows ≈ docs x shingles/doc) — like
 # pack_index_buckets_for, sized so a bucket read stays bounded
 MH_IDX_ROWS_PER_BUCKET = 500_000
+# fold an append-mode bucket back to one dir once it carries this many
+# appended dirs (LSM compaction threshold; see SnapshotTable.compact_appended)
+MH_IDX_MAX_DIRS = 16
 _MH_BANDS_SCHEMA = "doc_id long, g int, band int, bval string"
 _MH_SHINGLES_SCHEMA = "doc_id long, s string"
 
@@ -1434,6 +1437,16 @@ def make_minhash_index_applier(
                 extra={"last_batch_id": batch_id},
                 append=True,
             )
+        # opportunistic LSM compaction: append-mode dir lists grow one
+        # dir per touching batch — fold any bucket past MH_IDX_MAX_DIRS
+        # back to one dir (content-neutral, atomic, cursor-preserving;
+        # a replayed batch early-returns before reaching here)
+        bands_t.compact_appended(
+            spark_, _MH_BANDS_SCHEMA, "bval", n_buckets, MH_IDX_MAX_DIRS
+        )
+        shingles_t.compact_appended(
+            spark_, _MH_SHINGLES_SCHEMA, "doc_id", n_buckets, MH_IDX_MAX_DIRS
+        )
 
     return apply_batch
 

@@ -1775,3 +1775,67 @@ def test_minhash_index_erase_and_serve(spark, tmp_path):
     )
     final = {(r.da, r.db) for r in pairs_t.read(spark).collect()}
     assert (11, 21) in final and (1, 21) not in final
+
+
+def test_append_mode_buckets_auto_compact(spark, tmp_path):
+    """An append-mode lineage accumulates one dir per touching batch —
+    O(batches) manifest growth and per-read file counts. The applier's
+    opportunistic compact_appended must fold crowded buckets back to one
+    dir (content-neutral) while calm buckets carry by reference: after
+    many 1-doc batches with a low threshold, no bucket's dir list may
+    exceed threshold+1, and the maintained pairs still equal the
+    whole-corpus recompute."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _pair_jaccard,
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import (
+        ingest,
+    )
+    from pyspark.sql import functions as F
+
+    prev = ingest.MH_IDX_MAX_DIRS
+    ingest.MH_IDX_MAX_DIRS = 3
+    try:
+        pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+        bands_t = SnapshotTable(str(tmp_path / "bands"))
+        shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+        apply_batch = ingest.make_minhash_index_applier(
+            pairs_t, bands_t, shingles_t, n_buckets=2
+        )
+        schema = "doc_id long, text string"
+        fam = "the quick brown fox jumps over the lazy dog again and again "
+        corpus = [
+            (i, fam + f"alpha tail{i}") if i % 3 == 0
+            else (i, " ".join(f"tok{i}_{j}" for j in range(10)))
+            for i in range(12)
+        ]
+        for bid, (row) in enumerate(corpus):
+            apply_batch(spark.createDataFrame([row], schema), bid)
+        for t, label in ((bands_t, "bands"), (shingles_t, "shingles")):
+            bm = t._bucket_map(t.latest_version())
+            worst = max(len(ds) for ds in bm.values())
+            assert worst <= 3 + 1, f"{label}: {worst} dirs in one bucket"
+        stored = {
+            (r.da, r.db, round(r.jaccard, 9))
+            for r in pairs_t.read(spark).collect()
+        }
+        df = spark.createDataFrame(corpus, schema)
+        sh = doc_shingles(df)
+        want = {
+            (r.da, r.db, round(r.jaccard, 9))
+            for r in _pair_jaccard(
+                sh, lsh_candidate_pairs(minhash_signatures(sh))
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .collect()
+        }
+        assert stored == want and len(stored) >= 3
+    finally:
+        ingest.MH_IDX_MAX_DIRS = prev
