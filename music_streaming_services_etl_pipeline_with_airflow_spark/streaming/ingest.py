@@ -1219,7 +1219,12 @@ def minhash_index_buckets_for(expected_rows: int) -> int:
 
 
 def make_minhash_index_applier(
-    pairs_t, bands_t, shingles_t, n_buckets: int = MH_IDX_BUCKETS, record_stats: bool = False
+    pairs_t,
+    bands_t,
+    shingles_t,
+    n_buckets: int = MH_IDX_BUCKETS,
+    shingle_buckets: int | None = None,
+    record_stats: bool = False,
 ):
     """foreachBatch callback maintaining a persisted NEAR-DUP index — the
     online-ingestion shape of dedup_minhash_lsh: as documents stream in,
@@ -1262,7 +1267,14 @@ def make_minhash_index_applier(
     then SHINGLES (pure functions of the batch): a crash between commits
     replays into a skip of the already-committed tables and a
     recompute-free append of the lagging ones, never a probe against an
-    index the same batch already extended."""
+    index the same batch already extended.
+
+    ``shingle_buckets`` sizes the SHINGLES table separately from the
+    bands table (default: same count): shingle rows per doc run ~25x the
+    band rows, so sharing one count would over-stuff the shingle buckets
+    by that factor — inflating exactly the bounded quantities (bucket
+    scan bytes, erase/compaction rewrites) the sizing exists to bound."""
+    shingle_buckets = shingle_buckets or n_buckets
 
     def apply_batch(batch, batch_id):
         if batch.isEmpty():
@@ -1292,7 +1304,7 @@ def make_minhash_index_applier(
             eager=True
         )
         bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
-        id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), n_buckets)
+        id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), shingle_buckets)
         # the batch's distinct band values + their buckets, one job —
         # drives the pruned index probe AND the bands append
         key_rows = (
@@ -1392,7 +1404,10 @@ def make_minhash_index_applier(
                     .collect()
                 )
                 hist_sh = shingles_t.read_buckets(
-                    spark_, touched_d, _MH_SHINGLES_SCHEMA, n_buckets=n_buckets
+                    spark_,
+                    touched_d,
+                    _MH_SHINGLES_SCHEMA,
+                    n_buckets=shingle_buckets,
                 )
                 if len(hist_ids) <= _PACK_PK_ISIN_CAP:
                     hist_sh = hist_sh.where(F.col("doc_id").isin(hist_ids))
@@ -1433,7 +1448,7 @@ def make_minhash_index_applier(
             shingles_t.commit_buckets(
                 sh.withColumn("_bucket", id_bucket),
                 touched_s,
-                n_buckets=n_buckets,
+                n_buckets=shingle_buckets,
                 extra={"last_batch_id": batch_id},
                 append=True,
             )
@@ -1445,7 +1460,11 @@ def make_minhash_index_applier(
             spark_, _MH_BANDS_SCHEMA, "bval", n_buckets, MH_IDX_MAX_DIRS
         )
         shingles_t.compact_appended(
-            spark_, _MH_SHINGLES_SCHEMA, "doc_id", n_buckets, MH_IDX_MAX_DIRS
+            spark_,
+            _MH_SHINGLES_SCHEMA,
+            "doc_id",
+            shingle_buckets,
+            MH_IDX_MAX_DIRS,
         )
 
     return apply_batch
@@ -1497,10 +1516,21 @@ def _build_minhash_index(spark: SparkSession, sf_dir: str, name: str):
     pairs_t = SnapshotTable(os.path.join(work, "pairs"))
     bands_t = SnapshotTable(os.path.join(work, "bands"))
     shingles_t = SnapshotTable(os.path.join(work, "shingles"))
-    n_docs = spark.read.parquet(
-        os.path.join(sf_dir, "documents.parquet")
-    ).count()
+    docs_pq = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs_pq.count()
     n_buckets = minhash_index_buckets_for(n_docs * N_BANDS)
+    # shingle rows run ~(tokens - 2) per doc — dozens of times the band
+    # rows — so the SHINGLES table sizes its buckets from a sampled
+    # average instead of sharing the bands count (one 1k-row sample job)
+    avg_sh = (
+        docs_pq.limit(1000)
+        .selectExpr("avg(size(split(text, ' '))) AS t")
+        .first()[0]
+        or 3.0
+    )
+    shingle_buckets = minhash_index_buckets_for(
+        int(n_docs * max(1.0, avg_sh - 2))
+    )
     src = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -1508,14 +1538,20 @@ def _build_minhash_index(spark: SparkSession, sf_dir: str, name: str):
     )
     q = (
         src.writeStream.foreachBatch(
-            make_minhash_index_applier(pairs_t, bands_t, shingles_t, n_buckets=n_buckets)
+            make_minhash_index_applier(
+                pairs_t,
+                bands_t,
+                shingles_t,
+                n_buckets=n_buckets,
+                shingle_buckets=shingle_buckets,
+            )
         )
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return pairs_t, bands_t, shingles_t, n_buckets
+    return pairs_t, bands_t, shingles_t, (n_buckets, shingle_buckets)
 
 
 from ..operators.dedup import _minhash_ctes as _mh_ctes  # noqa: E402
@@ -1547,7 +1583,7 @@ SELECT da, db, jaccard FROM minhash_pairs""",
 def q_streaming_minhash_index_delete(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    pairs_t, bands_t, shingles_t, nb = _build_minhash_index(
+    pairs_t, bands_t, shingles_t, (nb, sb) = _build_minhash_index(
         spark, sf_dir, "streaming_minhash_index_delete"
     )
     erase = int(
@@ -1556,13 +1592,19 @@ def q_streaming_minhash_index_delete(
         .first()[0]
     )
     erase_doc_from_minhash_index(
-        spark, pairs_t, bands_t, shingles_t, nb, erase
+        spark, pairs_t, bands_t, shingles_t, nb, erase, shingle_buckets=sb
     )
     return pairs_t.read(spark).select("da", "db", "jaccard")
 
 
 def erase_doc_from_minhash_index(
-    spark: SparkSession, pairs_t, bands_t, shingles_t, n_buckets: int, erase: int
+    spark: SparkSession,
+    pairs_t,
+    bands_t,
+    shingles_t,
+    n_buckets: int,
+    erase: int,
+    shingle_buckets: int | None = None,
 ) -> None:
     """Erase one document END-TO-END from the near-dup index triple:
     pairs via copy-on-write delete; shingles and band rows via bucketed
@@ -1574,7 +1616,8 @@ def erase_doc_from_minhash_index(
     from ..operators.dedup import banded_signatures, minhash_signatures
     from ..snapshots import SnapshotTable
 
-    id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), n_buckets)
+    shingle_buckets = shingle_buckets or n_buckets
+    id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), shingle_buckets)
     bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
     # 1) pairs: plain copy-on-write delete
     pairs_t.delete_where(spark, f"da = {erase} OR db = {erase}")
@@ -1587,7 +1630,7 @@ def erase_doc_from_minhash_index(
         .first()[0]
     )
     bucket_sh = shingles_t.read_buckets(
-        spark, [sb], _MH_SHINGLES_SCHEMA, n_buckets=n_buckets
+        spark, [sb], _MH_SHINGLES_SCHEMA, n_buckets=shingle_buckets
     ).localCheckpoint(eager=True)
     doc_sh = bucket_sh.where(F.col("doc_id") == erase)
     doc_bvals = [
@@ -1602,7 +1645,7 @@ def erase_doc_from_minhash_index(
             "_bucket", id_bucket
         ),
         [sb],
-        n_buckets=n_buckets,
+        n_buckets=shingle_buckets,
     )
     # 3) bands: rewrite only the doc's bval buckets minus its rows
     if not doc_bvals:
