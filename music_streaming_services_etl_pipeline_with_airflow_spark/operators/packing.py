@@ -299,9 +299,12 @@ def pack_documents_sharded(docs: DataFrame, span: int = SHARD_SPAN) -> DataFrame
     instead of OOMing one executor."""
     sized = docs.select(
         "source",
-        # `div` (exact integral division, same truncate-toward-zero as
-        # DuckDB's `//`) — NOT `/` + cast, whose double intermediate
-        # loses precision above 2^53 doc ids
+        # `div` (exact integral division) — NOT `/` + cast, whose double
+        # intermediate loses precision above 2^53 doc ids. Oracle parity:
+        # DuckDB's `//` is FLOOR division, Spark `div` truncates toward
+        # zero — identical for the non-negative doc_ids this engine
+        # assigns, divergent below 0 (use floor(doc_id / span) if
+        # negative ids must ever match)
         F.expr(f"doc_id div {span}").alias("shard"),
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),

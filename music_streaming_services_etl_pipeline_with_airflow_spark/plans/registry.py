@@ -63,7 +63,8 @@ HEAD_ROUND = 11
 #     exact-div shard keys, and the maxFilesPerTrigger fix below;
 #   pack_sequences_sharded — exact-div shard/super-shard keys (was
 #     double-divide + truncation cast, which diverges from the oracle's
-#     integer // above 2^53 or below 0);
+#     integer // above 2^53; for NEGATIVE ids Spark div still truncates
+#     where DuckDB // floors — parity claimed for non-negative ids only);
 #   streaming_bm25_index_topk / _delete — maxFilesPerTrigger was set on
 #     the writeStream (a SOURCE option, silently ignored there), so both
 #     index streams had been arriving as ONE batch; moved to the

@@ -1004,8 +1004,15 @@ def make_pack_index_applier(
                 "touched_buckets": len(touched),
                 "tails_read_rows": len(tail_rows),
             }
+        # last_doc_id can be NULL when resuming a pre-r11 tails lineage
+        # (old 5-column parquet read under the 6-column schema): there is
+        # no recorded tail cursor to check against, so the guard skips
+        # that shard for ONE batch — the merge below writes last_doc_id
+        # and the contract is enforced from the next batch on
         last_by_shard = {
-            (r["source"], r["shard"]): r["last_doc_id"] for r in tail_rows
+            (r["source"], r["shard"]): r["last_doc_id"]
+            for r in tail_rows
+            if r["last_doc_id"] is not None
         }
         stale = [
             (k["source"], k["shard"], k["_min_doc"], last_by_shard[sk])
@@ -1424,7 +1431,8 @@ def make_minhash_index_applier(
                 .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
                 .localCheckpoint(eager=True)
             )
-            stats["pairs_appended"] = verified.count()
+            if record_stats:
+                stats["pairs_appended"] = verified.count()
             pairs_t.commit(
                 verified,
                 mode="append" if pairs_t.latest_version() > 0 else "overwrite",

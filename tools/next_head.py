@@ -36,7 +36,13 @@ def latest_rounds(repo_root: str = _REPO, before_round: int | None = None) -> di
     only CORRECTNESS_r{N}.json with N < before_round (all files if None)."""
     hist: dict[str, int] = {}
     for p in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        # fullmatch on the basename: a stray CORRECTNESS_r11_backup.json
+        # matches the glob but is not a driver round file — skip it
+        # instead of crashing every pytest run on .group(1) of None
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(p))
+        if m is None:
+            continue
+        rnd = int(m.group(1))
         if before_round is not None and rnd >= before_round:
             continue
         with open(p) as fh:
