@@ -1197,27 +1197,37 @@ def q_streaming_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 # ---------------------------------------------------------------------------
-# Streaming incremental MinHash-LSH near-dup index (r11)
+# Streaming incremental MinHash-LSH near-dup index (r11; exact-collapse
+# front + driver-free candidate verification r12)
 # ---------------------------------------------------------------------------
 
 MH_IDX_BUCKETS = 8
-# target rows per bucket for the two growing index tables (band rows ≈
-# docs x N_BANDS; shingle rows ≈ docs x shingles/doc) — like
-# pack_index_buckets_for, sized so a bucket read stays bounded
+# target rows per bucket for the growing index tables (band rows ≈
+# distinct-texts x N_BANDS; shingle rows ≈ distinct-texts x shingles/doc;
+# member rows = docs) — like pack_index_buckets_for, sized so a bucket
+# read stays bounded
 MH_IDX_ROWS_PER_BUCKET = 500_000
 # fold an append-mode bucket back to one dir once it carries this many
-# appended dirs (LSM compaction threshold; see SnapshotTable.compact_appended)
+# appended dirs (LSM compaction threshold; see SnapshotTable.compact_appended
+# for bucketed lineages and _compact_append_chain for flat ones)
 MH_IDX_MAX_DIRS = 16
 _MH_BANDS_SCHEMA = "doc_id long, g int, band int, bval string"
 _MH_SHINGLES_SCHEMA = "doc_id long, s string"
+# the exact-collapse front: one GROUPS row per distinct text (gid = the
+# first-arrival member's doc_id — a stable group KEY, not a live doc
+# reference), one MEMBERS row per document ever ingested
+_MH_GROUPS_SCHEMA = "th string, gid long, shingled boolean, n_members long"
+_MH_MEMBERS_SCHEMA = "doc_id long, gid long, th string"
 
 
 def minhash_index_buckets_for(expected_rows: int) -> int:
     """Double from the floor until each bucket holds <=
-    MH_IDX_ROWS_PER_BUCKET expected rows. Both index tables grow linearly
-    with the corpus (unlike a vocabulary), so a fixed bucket count would
-    make any whole-bucket read O(corpus/constant); recorded in the
+    MH_IDX_ROWS_PER_BUCKET expected rows. The index tables grow linearly
+    with distinct content (unlike a vocabulary), so a fixed bucket count
+    would make any whole-bucket read O(corpus/constant); recorded in the
     manifest at creation and validated per call."""
     n = MH_IDX_BUCKETS
     while n * MH_IDX_ROWS_PER_BUCKET < max(1, expected_rows):
@@ -1225,63 +1235,105 @@ def minhash_index_buckets_for(expected_rows: int) -> int:
     return n
 
 
+def _compact_append_chain(spark: SparkSession, table, max_dirs: int) -> None:
+    """Dir-count-gated fold for NON-bucketed append lineages (the minhash
+    PAIRS table, the BM25 postings table): a plain ``commit(append)``
+    chain adds one data dir per batch forever — manifest size and
+    per-read file counts grow O(batches). Once the manifest carries more
+    than ``max_dirs`` dirs, fold the small ones into one via
+    ``compact_small`` — tiered LSM compaction: runs that have grown past
+    the size threshold carry by reference, so repeated folds rewrite the
+    recent small-dir mass, never the table. Content-neutral, atomic, and
+    cursor-preserving (caller metadata such as last_batch_id rides
+    through the fold)."""
+    v = table.latest_version()
+    if v == 0:
+        return
+    if len(table._manifest(v)["dirs"]) > max_dirs:
+        table.compact_small(spark)
+
+
 def make_minhash_index_applier(
     pairs_t,
     bands_t,
     shingles_t,
+    groups_t,
+    members_t,
     n_buckets: int = MH_IDX_BUCKETS,
     shingle_buckets: int | None = None,
+    group_buckets: int | None = None,
+    member_buckets: int | None = None,
     record_stats: bool = False,
 ):
     """foreachBatch callback maintaining a persisted NEAR-DUP index — the
-    online-ingestion shape of dedup_minhash_lsh: as documents stream in,
-    each batch is shingled, MinHash-signed and LSH-banded ONCE; new docs
-    probe the STORED band index for collisions with history, candidates
-    are exact-Jaccard verified (history shingles fetched by candidate
-    doc_id only), and verified pairs append — so after any prefix of the
-    stream, PAIRS equals what one whole-corpus dedup_minhash_lsh pass
-    over the documents seen so far would emit. Real pipelines dedup at
-    ingestion exactly this way: the alternative (re-run the batch
-    dedup on every corpus refresh) rescans the world per delivery.
+    online-ingestion shape of dedup_minhash_lsh, with the batch operator's
+    EXACT-COLLAPSE-FIRST composition (operators/dedup.py q_dedup_minhash
+    stage 1) applied to the stream: only each distinct text's FIRST
+    ARRIVAL (the group canonical) is shingled, MinHash-signed, banded,
+    probed and stored; an exact copy appends one MEMBERS row and never
+    re-enters the near-dup machinery — a viral doc repeated 10^6 times in
+    the stream costs 10^6 O(1) member appends, not 10^6 signatures and a
+    quadratic verify. The queryable pair set is reconstructed RELATIONALLY
+    at serve time (:func:`serve_minhash_pairs`) exactly like the batch
+    operator's stage-3 expansion: canonical-level pairs expand through
+    MEMBERS, and identical-text pairs come from group membership alone.
 
-    State (three snapshot tables):
-    - PAIRS (da, db, jaccard): verified near-dup pairs, plain O(batch)
-      appends — the queryable product.
-    - BANDS (doc_id, g, band, bval), bucketed on bval: the LSH index.
-      Grows forever, so it appends via commit_buckets(append=True) — new
-      dirs EXTEND the touched buckets (O(batch) writes) and probes read
-      only the batch's bval buckets, pruned further by an In(bval)
-      pushdown: per-batch probe bytes track the batch's band values, not
-      the index (the pack-tails lesson applied from day one).
-    - SHINGLES (doc_id, s), bucketed on doc_id: verification corpus.
-      Same append discipline; the verify step reads ONLY the candidate
-      history docs' shingles (In(doc_id) pushdown).
+    State (five snapshot tables):
+    - PAIRS (da, db, jaccard): verified CANONICAL-level pairs, plain
+      O(batch) appends; the append chain folds via dir-count-gated
+      compact_small (see :func:`_compact_append_chain`).
+    - BANDS (doc_id, g, band, bval), bucketed on bval: the LSH index over
+      canonicals. Appends via commit_buckets(append=True); probes read
+      only the batch's bval buckets pruned by an In(bval) pushdown.
+    - SHINGLES (doc_id, s), bucketed on doc_id: canonical verification
+      corpus, same append discipline.
+    - GROUPS (th, gid, shingled, n_members), bucketed on th=md5(text):
+      the exact-collapse front — one row per distinct text, maintained
+      via merge_bucketed (matched: n_members += batch copies; unmatched:
+      insert with gid = the first arrival's doc_id and whether the text
+      shingles at all). The per-batch read is pruned to the batch's own
+      th values (In pushdown; semi-join past the cap).
+    - MEMBERS (doc_id, gid, th), bucketed on doc_id: one row per document
+      ever ingested — the serve-time expansion relation and the GDPR
+      erase lookup.
 
-    Blocking parity with the batch operator: within-batch candidates use
-    the two-sided size-blocked self-join (probe {g, g+1} x build {g});
-    the history probe explodes {g-1, g, g+1} against the stored side's
-    {g} — both cover every |Δg| <= 1 pair, and Jaccard >= 0.5 forces
-    |Δg| <= 1, so banding collisions are preserved exactly (the blocking
-    only prunes pairs verification would reject anyway). Verified output
-    is therefore ORDER-INDEPENDENT: a pair lands when its later-arriving
-    member's batch runs, whatever the batch partitioning — no ordering
-    contract needed (each doc_id must arrive exactly once, which the
-    file source + cursors guarantee).
+    Candidate verification is DRIVER-FREE (r12, replacing the r11
+    collected id lists): history candidate ids are a distributed
+    anti-join (candidate ids minus the batch's canonicals), the touched
+    shingle buckets come from a <= shingle_buckets-row aggregate, and the
+    verify read is pruned by a semi-join against that id FRAME — no
+    candidate id ever rides through the driver, so a hot band colliding
+    with millions of history docs stays executor-side (AQE turns the
+    semi-join into a broadcast when the set is small). The only keyed
+    driver collects left are O(batch) by construction: the batch's
+    distinct text-hashes and band values (both bounded by batch size,
+    which maxFilesPerTrigger bounds by config), and per-table touched-
+    bucket sets (bounded by the bucket counts); ``record_stats`` makes
+    the accounting visible via ``last_stats["driver_collected_rows"]``.
 
-    foreachBatch is at-least-once and every append is non-idempotent, so
-    each table carries a last_batch_id cursor. Commit order is PAIRS
-    first — the only computation that reads index state — then BANDS,
-    then SHINGLES (pure functions of the batch): a crash between commits
-    replays into a skip of the already-committed tables and a
-    recompute-free append of the lagging ones, never a probe against an
-    index the same batch already extended.
+    Blocking parity with the batch operator is unchanged: within-batch
+    candidates use the two-sided size-blocked self-join (probe {g, g+1} x
+    build {g}); the history probe explodes {g-1, g, g+1} against the
+    stored side's {g} — both cover every |Δg| <= 1 pair, and
+    Jaccard >= 0.5 forces |Δg| <= 1. Served output is ARRIVAL-ORDER
+    INDEPENDENT: gid VALUES depend on arrival order, the expanded pair
+    set does not (identical texts have identical shingle sets, so any
+    member's signature is the group's).
 
-    ``shingle_buckets`` sizes the SHINGLES table separately from the
-    bands table (default: same count): shingle rows per doc run ~25x the
-    band rows, so sharing one count would over-stuff the shingle buckets
-    by that factor — inflating exactly the bounded quantities (bucket
-    scan bytes, erase/compaction rewrites) the sizing exists to bound."""
+    foreachBatch is at-least-once and every update is non-idempotent, so
+    each table carries a last_batch_id cursor. Commit order: PAIRS first
+    (the only computation that probes stored BANDS/SHINGLES state), then
+    BANDS, SHINGLES, then GROUPS, MEMBERS. GROUPS advances only after
+    every consumer of its PRE-batch state has committed, so a torn batch
+    replays into cursor skips for the committed prefix and a recompute of
+    the lagging suffix that observes exactly the state the first attempt
+    observed; MEMBERS rows are reconstructible even after GROUPS has
+    advanced because the advanced lookup returns the same gid the batch
+    assigned (gid = min batch doc_id of the th, whichever side computes
+    it)."""
     shingle_buckets = shingle_buckets or n_buckets
+    group_buckets = group_buckets or n_buckets
+    member_buckets = member_buckets or n_buckets
 
     def apply_batch(batch, batch_id):
         if batch.isEmpty():
@@ -1296,33 +1348,84 @@ def make_minhash_index_applier(
         from ..snapshots import SnapshotTable
 
         spark_ = batch.sparkSession
-        last_pairs = pairs_t.latest_manifest_field("last_batch_id")
-        last_bands = bands_t.latest_manifest_field("last_batch_id")
-        last_sh = shingles_t.latest_manifest_field("last_batch_id")
-        if all(
-            c is not None and batch_id <= c
-            for c in (last_pairs, last_bands, last_sh)
-        ):
+        cur = {
+            "pairs": pairs_t.latest_manifest_field("last_batch_id"),
+            "bands": bands_t.latest_manifest_field("last_batch_id"),
+            "shingles": shingles_t.latest_manifest_field("last_batch_id"),
+            "groups": groups_t.latest_manifest_field("last_batch_id"),
+            "members": members_t.latest_manifest_field("last_batch_id"),
+        }
+        if all(c is not None and batch_id <= c for c in cur.values()):
             return  # full replay
-        # ONE evaluation of the batch's shingles and bands feeds the
-        # probe, the verify and both appends
-        sh = doc_shingles(batch).localCheckpoint(eager=True)
+        stats: dict = {"batch_id": batch_id, "driver_collected_rows": 0}
+
+        # ---- exact-collapse front: classify the batch against GROUPS ----
+        th_bucket = SnapshotTable.bucket_of(F.col("th"), group_buckets)
+        hashed = batch.select(
+            "doc_id", F.md5("text").alias("th")
+        ).localCheckpoint(eager=True)
+        # the batch's distinct text-hashes: O(batch) rows — the In(th)
+        # prune list for the groups read AND its touched-bucket set
+        th_rows = (
+            hashed.select("th")
+            .distinct()
+            .select("th", th_bucket.alias("_b"))
+            .collect()
+        )
+        stats["driver_collected_rows"] += len(th_rows)
+        touched_g = sorted({r["_b"] for r in th_rows})
+        groups_all = groups_t.read_buckets(
+            spark_, touched_g, _MH_GROUPS_SCHEMA, n_buckets=group_buckets
+        )
+        th_vals = [r["th"] for r in th_rows]
+        if len(th_vals) <= _PACK_PK_ISIN_CAP:
+            exist = groups_all.where(F.col("th").isin(th_vals))
+        else:
+            exist = groups_all.join(
+                F.broadcast(hashed.select("th").distinct()), "th", "semi"
+            )
+        if groups_t.latest_version() > 0:
+            _capture_plan("streaming_minhash_index.groups_pruned_read", exist)
+        # pin the PRE-batch group view: classification must see one
+        # consistent read across the later groups merge and any replay
+        exist = exist.select("th", "gid").localCheckpoint(eager=True)
+        batch_min = hashed.groupBy("th").agg(F.min("doc_id").alias("_bgid"))
+        assign = (
+            hashed.join(exist, "th", "left")
+            .join(batch_min, "th")
+            .select("doc_id", "th", F.coalesce("gid", "_bgid").alias("gid"))
+            .localCheckpoint(eager=True)
+        )
+        # canonicals = first arrivals of groups NEW this batch (an
+        # existing group's gid is a prior batch's doc_id, never equal to
+        # any doc_id in this batch — ids arrive exactly once)
+        canon_docs = batch.join(
+            assign.where(F.col("doc_id") == F.col("gid")).select("doc_id"),
+            "doc_id",
+        )
+
+        # ---- near-dup machinery over CANONICALS only ----
+        # ONE evaluation of the canonicals' shingles and bands feeds the
+        # probe, the verify, both appends and the groups' shingled flag
+        sh = doc_shingles(canon_docs).localCheckpoint(eager=True)
         bands = banded_signatures(minhash_signatures(sh)).localCheckpoint(
             eager=True
         )
         bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
         id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), shingle_buckets)
-        # the batch's distinct band values + their buckets, one job —
-        # drives the pruned index probe AND the bands append
+        # the canonicals' distinct band values + their buckets, one job —
+        # O(batch canonicals x N_BANDS) rows: drives the pruned index
+        # probe AND the bands append
         key_rows = (
             bands.select("bval")
             .distinct()
             .select("bval", bval_bucket.alias("_b"))
             .collect()
         )
+        stats["driver_collected_rows"] += len(key_rows)
+        stats["batch_bvals"] = len(key_rows)
         touched_b = sorted({r["_b"] for r in key_rows})
-        stats: dict = {"batch_id": batch_id, "batch_bvals": len(key_rows)}
-        if last_pairs is None or batch_id > last_pairs:
+        if cur["pairs"] is None or batch_id > cur["pairs"]:
             # within-batch candidates: the batch operator's size-blocked
             # self-join, over the already-pinned band relation
             a = bands.select(
@@ -1385,41 +1488,35 @@ def make_minhash_index_applier(
                 .distinct()
             )
             cand = within.unionByName(cross).distinct().localCheckpoint(eager=True)
-            # verification shingles: the batch's own + ONLY the candidate
-            # history docs' (collision-bounded, never the corpus)
-            batch_ids = {
-                r["doc_id"] for r in bands.select("doc_id").distinct().collect()
-            }
-            cand_ids = {
-                r["doc_id"]
-                for r in cand.select(
-                    F.explode(F.array("da", "db")).alias("doc_id")
-                )
+            # history-candidate ids, DISTRIBUTED (r12): candidate ids
+            # minus the batch's canonicals — an anti-join, never a
+            # collected set. Collision volume is unbounded under a hot
+            # band; it stays executor-side end-to-end.
+            hist_ids = (
+                cand.select(F.explode(F.array("da", "db")).alias("doc_id"))
                 .distinct()
-                .collect()
-            }
-            hist_ids = sorted(cand_ids - batch_ids)
-            stats["cand_hist_docs"] = len(hist_ids)
-            if hist_ids:
-                hid_df = spark_.createDataFrame(
-                    [(i,) for i in hist_ids], "doc_id long"
-                )
+                .join(bands.select("doc_id").distinct(), "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            n_hist = hist_ids.count()  # one scalar drives the empty skip
+            stats["cand_hist_docs"] = n_hist
+            if n_hist:
+                # touched buckets from a <= shingle_buckets-row aggregate
                 touched_d = sorted(
                     r["_b"]
-                    for r in hid_df.select(id_bucket.alias("_b"))
+                    for r in hist_ids.select(id_bucket.alias("_b"))
                     .distinct()
                     .collect()
                 )
+                stats["driver_collected_rows"] += len(touched_d)
+                # verify shingles: bucket-pruned read, semi-joined to the
+                # candidate id FRAME (AQE broadcasts it when small)
                 hist_sh = shingles_t.read_buckets(
                     spark_,
                     touched_d,
                     _MH_SHINGLES_SCHEMA,
                     n_buckets=shingle_buckets,
-                )
-                if len(hist_ids) <= _PACK_PK_ISIN_CAP:
-                    hist_sh = hist_sh.where(F.col("doc_id").isin(hist_ids))
-                else:
-                    hist_sh = hist_sh.join(F.broadcast(hid_df), "doc_id", "semi")
+                ).join(hist_ids, "doc_id", "semi")
                 _capture_plan(
                     "streaming_minhash_index.shingles_pruned_verify", hist_sh
                 )
@@ -1438,9 +1535,7 @@ def make_minhash_index_applier(
                 mode="append" if pairs_t.latest_version() > 0 else "overwrite",
                 extra={"last_batch_id": batch_id},
             )
-        if record_stats:
-            apply_batch.last_stats = stats
-        if last_bands is None or batch_id > last_bands:
+        if cur["bands"] is None or batch_id > cur["bands"]:
             bands_t.commit_buckets(
                 bands.withColumn("_bucket", bval_bucket),
                 touched_b,
@@ -1448,11 +1543,12 @@ def make_minhash_index_applier(
                 extra={"last_batch_id": batch_id},
                 append=True,
             )
-        if last_sh is None or batch_id > last_sh:
+        if cur["shingles"] is None or batch_id > cur["shingles"]:
             touched_s = sorted(
                 r["_b"]
                 for r in sh.select(id_bucket.alias("_b")).distinct().collect()
             )
+            stats["driver_collected_rows"] += len(touched_s)
             shingles_t.commit_buckets(
                 sh.withColumn("_bucket", id_bucket),
                 touched_s,
@@ -1460,10 +1556,66 @@ def make_minhash_index_applier(
                 extra={"last_batch_id": batch_id},
                 append=True,
             )
+        if cur["groups"] is None or batch_id > cur["groups"]:
+            # one delta row per batch th: member-count increment, plus
+            # (consumed on insert only) the new group's gid and whether
+            # its canonical shingles at all — the flag that gates
+            # identical-text pairs at serve time, mirroring the batch
+            # operator's shingled_reps join
+            sh_flags = (
+                sh.select("doc_id")
+                .distinct()
+                .select(
+                    F.col("doc_id").alias("_sgid"), F.lit(True).alias("_sflag")
+                )
+            )
+            delta_g = (
+                assign.groupBy("th")
+                .agg(F.count("*").alias("d_n"), F.min("gid").alias("d_gid"))
+                .join(sh_flags, F.col("d_gid") == F.col("_sgid"), "left")
+                .select(
+                    "th",
+                    "d_gid",
+                    F.coalesce("_sflag", F.lit(False)).alias("d_shingled"),
+                    "d_n",
+                )
+            )
+            groups_t.merge_bucketed(
+                spark_,
+                delta_g,
+                on="th",
+                update={"n_members": "n_members + d_n"},
+                insert_defaults={
+                    "gid": "d_gid",
+                    "shingled": "d_shingled",
+                    "n_members": "d_n",
+                },
+                n_buckets=group_buckets,
+                schema=_MH_GROUPS_SCHEMA,
+                extra={"last_batch_id": batch_id},
+            )
+        if cur["members"] is None or batch_id > cur["members"]:
+            mem_bucket = SnapshotTable.bucket_of(
+                F.col("doc_id"), member_buckets
+            )
+            mem = assign.select("doc_id", "gid", "th")
+            touched_m = sorted(
+                r["_b"]
+                for r in mem.select(mem_bucket.alias("_b")).distinct().collect()
+            )
+            stats["driver_collected_rows"] += len(touched_m)
+            members_t.commit_buckets(
+                mem.withColumn("_bucket", mem_bucket),
+                touched_m,
+                n_buckets=member_buckets,
+                extra={"last_batch_id": batch_id},
+                append=True,
+            )
         # opportunistic LSM compaction: append-mode dir lists grow one
         # dir per touching batch — fold any bucket past MH_IDX_MAX_DIRS
-        # back to one dir (content-neutral, atomic, cursor-preserving;
-        # a replayed batch early-returns before reaching here)
+        # back to one dir, and fold the flat pairs append chain the same
+        # way (content-neutral, atomic, cursor-preserving; a replayed
+        # batch early-returns before reaching here)
         bands_t.compact_appended(
             spark_, _MH_BANDS_SCHEMA, "bval", n_buckets, MH_IDX_MAX_DIRS
         )
@@ -1474,8 +1626,60 @@ def make_minhash_index_applier(
             shingle_buckets,
             MH_IDX_MAX_DIRS,
         )
+        members_t.compact_appended(
+            spark_,
+            _MH_MEMBERS_SCHEMA,
+            "doc_id",
+            member_buckets,
+            MH_IDX_MAX_DIRS,
+        )
+        _compact_append_chain(spark_, pairs_t, MH_IDX_MAX_DIRS)
+        if record_stats:
+            apply_batch.last_stats = stats
 
     return apply_batch
+
+
+def serve_minhash_pairs(
+    spark: SparkSession, pairs_t, groups_t, members_t
+) -> DataFrame:
+    """The query half of the near-dup index: expand the stored CANONICAL
+    pair set back to member pairs — the batch operator's stage-3
+    expansion run against the maintained state. Cross-group: every member
+    pair of two near-dup groups shares the canonicals' jaccard (identical
+    texts ⇒ identical shingle sets). Within-group: members of any
+    SHINGLED group of >= 2 are exact copies ⇒ jaccard 1.0 (groups whose
+    text is too short to shingle never pair, matching the whole-corpus
+    recompute). All joins are output-proportional — the serve cost tracks
+    the answer, which is itself quadratic only inside dup cliques."""
+    rep = pairs_t.read(spark).select(
+        F.col("da").alias("ga"), F.col("db").alias("gb"), "jaccard"
+    )
+    mem = members_t.read(spark).select("doc_id", "gid")
+    ma = mem.select(F.col("gid").alias("ga"), F.col("doc_id").alias("xa"))
+    mb = mem.select(F.col("gid").alias("gb"), F.col("doc_id").alias("xb"))
+    cross = (
+        rep.join(ma, "ga")
+        .join(mb, "gb")
+        .select(
+            F.least("xa", "xb").alias("da"),
+            F.greatest("xa", "xb").alias("db"),
+            "jaccard",
+        )
+    )
+    wg = (
+        groups_t.read(spark)
+        .where((F.col("n_members") >= 2) & F.col("shingled"))
+        .select("gid")
+    )
+    wm = mem.join(wg, "gid")
+    within = (
+        wm.select("gid", F.col("doc_id").alias("da"))
+        .join(wm.select("gid", F.col("doc_id").alias("db")), "gid")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 from ..operators.dedup import _minhash_sql as _mh_sql  # noqa: E402
@@ -1484,37 +1688,43 @@ from ..operators.dedup import _minhash_sql as _mh_sql  # noqa: E402
 @register(
     "streaming_minhash_index",
     _mh_sql(),
-    doc="STREAMING INCREMENTAL MINHASH-LSH NEAR-DUP INDEX (r11) — online "
-    "dedup at ingestion, completing the incremental-index family (exact "
-    "dedup r5, BM25 r9, packing r10): documents stream in 4 micro-"
-    "batches; each batch is shingled/signed/banded once, probes the "
-    "STORED band index for history collisions (bval-bucketed read + "
-    "In(bval) pushdown — probe bytes track the batch, not the index), "
-    "verifies candidates by exact Jaccard against ONLY the candidate "
-    "history docs' stored shingles (doc_id-bucketed + In(doc_id) "
-    "pushdown), and appends verified pairs. Both growing index tables "
-    "append via bucket-granular manifest extension (commit_buckets "
-    "append=True): O(batch) write bytes, still bucket-prunable reads. "
-    "The oracle is dedup_minhash_lsh's whole-corpus SQL verbatim, so the "
-    "value hash proves maintained == recomputed; the pair set is "
-    "arrival-order independent (a pair lands with its later member), so "
-    "no ordering contract is needed — only exactly-once doc delivery, "
-    "which the file source + per-table last_batch_id cursors guarantee "
-    "(commit order PAIRS -> BANDS -> SHINGLES keeps a torn batch "
-    "replayable without ever probing an index the same batch already "
-    "extended).",
+    doc="STREAMING INCREMENTAL MINHASH-LSH NEAR-DUP INDEX (r11; exact-"
+    "collapse front + driver-free verification r12) — online dedup at "
+    "ingestion, completing the incremental-index family (exact dedup r5, "
+    "BM25 r9, packing r10): documents stream in 4 micro-batches; each "
+    "batch first collapses against a persisted text-hash GROUPS table "
+    "(the batch operator's stage-1 applied online), so only FIRST-"
+    "ARRIVAL canonicals are shingled/signed/banded — exact copies cost "
+    "one member-row append each, and the index stores one signature per "
+    "distinct text. Canonicals probe the STORED band index for history "
+    "collisions (bval-bucketed read + In(bval) pushdown — probe bytes "
+    "track the batch, not the index), candidates are exact-Jaccard "
+    "verified against ONLY the candidate history docs' stored shingles "
+    "(doc_id-bucketed read, semi-joined to a DISTRIBUTED anti-join id "
+    "frame — no candidate id ever rides through the driver), and "
+    "verified canonical pairs append. The query side expands canonical "
+    "pairs through the membership relation (cross-group jaccard carries "
+    "over; within-group copies pair at 1.0 when the text shingles) — "
+    "the batch operator's own stage-3, so the oracle is "
+    "dedup_minhash_lsh's whole-corpus SQL verbatim and the value hash "
+    "proves maintained == recomputed. The served set is arrival-order "
+    "independent; replays are guarded by per-table last_batch_id "
+    "cursors (commit order PAIRS -> BANDS -> SHINGLES -> GROUPS -> "
+    "MEMBERS keeps a torn batch replayable against exactly the state "
+    "the first attempt observed).",
 )
 def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs_t, _, _, _ = _build_minhash_index(
+    pairs_t, _, _, groups_t, members_t, _ = _build_minhash_index(
         spark, sf_dir, "streaming_minhash_index"
     )
-    return pairs_t.read(spark).select("da", "db", "jaccard")
+    return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
 
 
 def _build_minhash_index(spark: SparkSession, sf_dir: str, name: str):
     """Run the 4-batch document stream through the near-dup index applier
-    into a fresh table triple; returns (pairs_t, bands_t, shingles_t,
-    n_buckets)."""
+    into a fresh five-table state; returns (pairs_t, bands_t, shingles_t,
+    groups_t, members_t, (n_buckets, shingle_buckets, group_buckets,
+    member_buckets))."""
     from ..operators.dedup import N_BANDS
     from ..snapshots import SnapshotTable
     from ..workdirs import fresh_work_dir
@@ -1524,6 +1734,8 @@ def _build_minhash_index(spark: SparkSession, sf_dir: str, name: str):
     pairs_t = SnapshotTable(os.path.join(work, "pairs"))
     bands_t = SnapshotTable(os.path.join(work, "bands"))
     shingles_t = SnapshotTable(os.path.join(work, "shingles"))
+    groups_t = SnapshotTable(os.path.join(work, "groups"))
+    members_t = SnapshotTable(os.path.join(work, "members"))
     docs_pq = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs_pq.count()
     n_buckets = minhash_index_buckets_for(n_docs * N_BANDS)
@@ -1539,6 +1751,10 @@ def _build_minhash_index(spark: SparkSession, sf_dir: str, name: str):
     shingle_buckets = minhash_index_buckets_for(
         int(n_docs * max(1.0, avg_sh - 2))
     )
+    # GROUPS <= one row per distinct text, MEMBERS = one per doc: both
+    # bounded by the corpus row count
+    group_buckets = minhash_index_buckets_for(n_docs)
+    member_buckets = minhash_index_buckets_for(n_docs)
     src = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -1550,8 +1766,12 @@ def _build_minhash_index(spark: SparkSession, sf_dir: str, name: str):
                 pairs_t,
                 bands_t,
                 shingles_t,
+                groups_t,
+                members_t,
                 n_buckets=n_buckets,
                 shingle_buckets=shingle_buckets,
+                group_buckets=group_buckets,
+                member_buckets=member_buckets,
             )
         )
         .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -1559,7 +1779,14 @@ def _build_minhash_index(spark: SparkSession, sf_dir: str, name: str):
         .start()
     )
     q.awaitTermination()
-    return pairs_t, bands_t, shingles_t, (n_buckets, shingle_buckets)
+    return (
+        pairs_t,
+        bands_t,
+        shingles_t,
+        groups_t,
+        members_t,
+        (n_buckets, shingle_buckets, group_buckets, member_buckets),
+    )
 
 
 from ..operators.dedup import _minhash_ctes as _mh_ctes  # noqa: E402
@@ -1572,37 +1799,49 @@ from ..operators.dedup import _minhash_ctes as _mh_ctes  # noqa: E402
     WHERE doc_id <> (SELECT MIN(doc_id) FROM documents)
 ), {_mh_ctes(src='kept')}
 SELECT da, db, jaccard FROM minhash_pairs""",
-    doc="GDPR ERASE-AND-SERVE on the streaming near-dup index (r11): "
-    "after the stream builds the index, one document (the MIN doc_id — "
-    "deterministic on both engines) is erased END-TO-END from all three "
-    "tables: its pairs via copy-on-write delete, its shingles and band "
-    "rows via bucketed REPLACEMENT rewrites of exactly the buckets that "
-    "hold them (the doc's bval set is recomputed from its stored "
-    "shingles first — read-before-delete — so only <= N_BANDS band "
-    "buckets + 1 shingle bucket rewrite; the replacement also COMPACTS "
-    "those buckets' appended dir lists back to one dir, the documented "
-    "append-mode compaction path). The oracle recomputes the whole-"
-    "corpus near-dup pairs over documents MINUS the erased doc, so the "
-    "hash proves the erased doc is unreachable through every surface — "
-    "pairs, band index, verification shingles — while every remaining "
-    "pair survives (banding of other docs never depended on the erased "
-    "one).",
+    doc="GDPR ERASE-AND-SERVE on the streaming near-dup index (r11, "
+    "collapse-aware r12): after the stream builds the index, one "
+    "document (the MIN doc_id — deterministic on both engines) is erased "
+    "END-TO-END with bounded bucket rewrites, never a table scan: one "
+    "MEMBERS bucket locates and drops its row, one GROUPS bucket "
+    "decrements its group — and only when the group EMPTIES does the "
+    "near-dup state change at all (pairs copy-on-write delete, <= "
+    "N_BANDS band buckets + 1 shingle bucket rewritten, bvals recomputed "
+    "from the stored shingles first, read-before-delete; the rewrites "
+    "also compact those buckets' appended dir lists). An exact copy's "
+    "erase touches neither band nor shingle state — identical surviving "
+    "texts keep the group's signature alive, which is exactly what the "
+    "oracle (the whole-corpus near-dup pairs over documents MINUS the "
+    "erased doc) computes, so the hash proves the erased doc is "
+    "unreachable through every surface — membership, pairs, band index, "
+    "verification shingles — while every remaining pair survives.",
 )
 def q_streaming_minhash_index_delete(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    pairs_t, bands_t, shingles_t, (nb, sb) = _build_minhash_index(
-        spark, sf_dir, "streaming_minhash_index_delete"
+    pairs_t, bands_t, shingles_t, groups_t, members_t, buckets = (
+        _build_minhash_index(spark, sf_dir, "streaming_minhash_index_delete")
     )
+    nb, sb, gb, mb = buckets
     erase = int(
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .agg(F.min("doc_id"))
         .first()[0]
     )
     erase_doc_from_minhash_index(
-        spark, pairs_t, bands_t, shingles_t, nb, erase, shingle_buckets=sb
+        spark,
+        pairs_t,
+        bands_t,
+        shingles_t,
+        groups_t,
+        members_t,
+        nb,
+        erase,
+        shingle_buckets=sb,
+        group_buckets=gb,
+        member_buckets=mb,
     )
-    return pairs_t.read(spark).select("da", "db", "jaccard")
+    return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
 
 
 def erase_doc_from_minhash_index(
@@ -1610,37 +1849,106 @@ def erase_doc_from_minhash_index(
     pairs_t,
     bands_t,
     shingles_t,
+    groups_t,
+    members_t,
     n_buckets: int,
     erase: int,
     shingle_buckets: int | None = None,
+    group_buckets: int | None = None,
+    member_buckets: int | None = None,
 ) -> None:
-    """Erase one document END-TO-END from the near-dup index triple:
-    pairs via copy-on-write delete; shingles and band rows via bucketed
-    REPLACEMENT rewrites of exactly the buckets that hold them (the
-    doc's bval set is recomputed from its stored shingles FIRST —
-    read-before-delete — so the cost is <= N_BANDS band buckets + 1
-    shingle bucket; the replacement also compacts those buckets'
-    appended dir lists back to one dir)."""
+    """Erase one document END-TO-END from the near-dup index — bounded
+    bucket rewrites, never a table scan:
+
+    1. MEMBERS: one doc_id-bucket read locates the doc's (gid, th); the
+       bucket rewrites without the row (compacting its dir list).
+    2. GROUPS: one th-bucket rewrite decrements the group's n_members.
+    3. Only when the group EMPTIES does near-dup state change: the
+       group's canonical pairs delete copy-on-write and its band rows /
+       shingles rewrite exactly <= N_BANDS band buckets + 1 shingle
+       bucket (the gid's bval set is recomputed from its stored shingles
+       FIRST — read-before-delete). While any exact copy survives, the
+       group's signature must stay: the oracle's recompute over the
+       remaining docs still contains that text.
+
+    The gid is a stable group KEY (the first arrival's doc_id), not a
+    live doc reference — erasing the first arrival of a multi-member
+    group keeps gid as the key; served pairs only ever emit doc_ids from
+    MEMBERS, so the erased id is unreachable the moment its member row
+    is gone."""
     from ..operators.dedup import banded_signatures, minhash_signatures
     from ..snapshots import SnapshotTable
 
     shingle_buckets = shingle_buckets or n_buckets
+    group_buckets = group_buckets or n_buckets
+    member_buckets = member_buckets or n_buckets
+    mem_bucket = SnapshotTable.bucket_of(F.col("doc_id"), member_buckets)
+    th_bucket = SnapshotTable.bucket_of(F.col("th"), group_buckets)
     id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), shingle_buckets)
     bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
-    # 1) pairs: plain copy-on-write delete
-    pairs_t.delete_where(spark, f"da = {erase} OR db = {erase}")
-    # 2) shingles: locate the doc's bucket, pin its rows BEFORE the
-    # rewrite (they are the only source of its band values), commit the
-    # bucket's survivors as a replacement
-    sb = (
+    # 1) membership: locate + drop, one bucket
+    mb = (
         spark.createDataFrame([(erase,)], "doc_id long")
+        .select(mem_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_mem = members_t.read_buckets(
+        spark, [mb], _MH_MEMBERS_SCHEMA, n_buckets=member_buckets
+    ).localCheckpoint(eager=True)
+    row = bucket_mem.where(F.col("doc_id") == erase).first()
+    if row is None:
+        return  # unknown doc — nothing to erase
+    gid, th = row["gid"], row["th"]
+    members_t.commit_buckets(
+        bucket_mem.where(F.col("doc_id") != erase).withColumn(
+            "_bucket", mem_bucket
+        ),
+        [mb],
+        n_buckets=member_buckets,
+    )
+    # 2) group bookkeeping: one th bucket
+    gb = (
+        spark.createDataFrame([(th,)], "th string")
+        .select(th_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_g = groups_t.read_buckets(
+        spark, [gb], _MH_GROUPS_SCHEMA, n_buckets=group_buckets
+    ).localCheckpoint(eager=True)
+    n_mem = bucket_g.where(F.col("th") == th).first()["n_members"]
+    if n_mem > 1:
+        # exact copies survive: decrement and stop — the group's
+        # signature (bands, shingles, pairs) must stay serveable
+        groups_t.commit_buckets(
+            bucket_g.withColumn(
+                "n_members",
+                F.when(
+                    F.col("th") == th, F.col("n_members") - 1
+                ).otherwise(F.col("n_members")),
+            ).withColumn("_bucket", th_bucket),
+            [gb],
+            n_buckets=group_buckets,
+        )
+        return
+    groups_t.commit_buckets(
+        bucket_g.where(F.col("th") != th).withColumn("_bucket", th_bucket),
+        [gb],
+        n_buckets=group_buckets,
+    )
+    # 3) group emptied: the canonical signature leaves every surface.
+    # NOTE gid, not erase — pairs/bands/shingles are keyed by the group's
+    # canonical id, which may differ from the erased doc after earlier
+    # member erases.
+    pairs_t.delete_where(spark, f"da = {gid} OR db = {gid}")
+    sb = (
+        spark.createDataFrame([(gid,)], "doc_id long")
         .select(id_bucket.alias("_b"))
         .first()[0]
     )
     bucket_sh = shingles_t.read_buckets(
         spark, [sb], _MH_SHINGLES_SCHEMA, n_buckets=shingle_buckets
     ).localCheckpoint(eager=True)
-    doc_sh = bucket_sh.where(F.col("doc_id") == erase)
+    doc_sh = bucket_sh.where(F.col("doc_id") == gid)
     doc_bvals = [
         r["bval"]
         for r in banded_signatures(minhash_signatures(doc_sh))
@@ -1649,13 +1957,12 @@ def erase_doc_from_minhash_index(
         .collect()
     ]
     shingles_t.commit_buckets(
-        bucket_sh.where(F.col("doc_id") != erase).withColumn(
+        bucket_sh.where(F.col("doc_id") != gid).withColumn(
             "_bucket", id_bucket
         ),
         [sb],
         n_buckets=shingle_buckets,
     )
-    # 3) bands: rewrite only the doc's bval buckets minus its rows
     if not doc_bvals:
         return
     bb = sorted(
@@ -1669,7 +1976,7 @@ def erase_doc_from_minhash_index(
         spark, bb, _MH_BANDS_SCHEMA, n_buckets=n_buckets
     ).localCheckpoint(eager=True)
     bands_t.commit_buckets(
-        bucket_bands.where(F.col("doc_id") != erase).withColumn(
+        bucket_bands.where(F.col("doc_id") != gid).withColumn(
             "_bucket", bval_bucket
         ),
         bb,

@@ -950,7 +950,9 @@ if _HAS_HYP:
     def _mh_corpus_and_cuts(draw):
         # families of near-dups: docs in the same family share a long
         # common prefix and differ in one trailing token; families are
-        # token-disjoint. Random family sizes, random arrival SPLIT.
+        # token-disjoint. Some members are EXACT copies of their family's
+        # first text (exercising the r12 exact-collapse front across
+        # arbitrary arrival orders). Random family sizes, random SPLIT.
         n_fam = draw(st.integers(min_value=1, max_value=4))
         rows = []
         did = 0
@@ -958,7 +960,11 @@ if _HAS_HYP:
             size = draw(st.integers(min_value=1, max_value=4))
             base = " ".join(f"f{f}w{j}" for j in range(10))
             for m in range(size):
-                rows.append((did, base + f" tail{f}_{m}"))
+                if m > 0 and draw(st.booleans()):
+                    text = base + f" tail{f}_0"  # exact copy of member 0
+                else:
+                    text = base + f" tail{f}_{m}"
+                rows.append((did, text))
                 did += draw(st.integers(min_value=1, max_value=7))
         perm = draw(st.permutations(rows))
         cuts = sorted(
@@ -987,6 +993,7 @@ if _HAS_HYP:
         )
         from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
             make_minhash_index_applier,
+            serve_minhash_pairs,
         )
         from pyspark.sql import functions as F
 
@@ -995,8 +1002,10 @@ if _HAS_HYP:
         pairs_t = SnapshotTable(str(d / "pairs"))
         bands_t = SnapshotTable(str(d / "bands"))
         shingles_t = SnapshotTable(str(d / "shingles"))
+        groups_t = SnapshotTable(str(d / "groups"))
+        members_t = SnapshotTable(str(d / "members"))
         apply_batch = make_minhash_index_applier(
-            pairs_t, bands_t, shingles_t, n_buckets=4
+            pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=4
         )
         schema = "doc_id long, text string"
         bounds = [0, *cuts, len(rows)]
@@ -1008,7 +1017,9 @@ if _HAS_HYP:
         stored = (
             {
                 (r.da, r.db, round(r.jaccard, 9))
-                for r in pairs_t.read(spark).collect()
+                for r in serve_minhash_pairs(
+                    spark, pairs_t, groups_t, members_t
+                ).collect()
             }
             if pairs_t.latest_version() > 0
             else set()

@@ -1582,14 +1582,17 @@ def test_minhash_index_applier_replay_and_torn_commit(spark, tmp_path):
     )
     from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
         make_minhash_index_applier,
+        serve_minhash_pairs,
     )
     from pyspark.sql import functions as F
 
     pairs_t = SnapshotTable(str(tmp_path / "pairs"))
     bands_t = SnapshotTable(str(tmp_path / "bands"))
     shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
     apply_batch = make_minhash_index_applier(
-        pairs_t, bands_t, shingles_t, n_buckets=4
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=4
     )
     schema = "doc_id long, text string"
 
@@ -1621,7 +1624,9 @@ def test_minhash_index_applier_replay_and_torn_commit(spark, tmp_path):
     def stored_pairs():
         return {
             (r.da, r.db, round(r.jaccard, 9))
-            for r in pairs_t.read(spark).select("da", "db", "jaccard").collect()
+            for r in serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
+            .select("da", "db", "jaccard")
+            .collect()
         }
 
     b0, b1, b2 = corpus[:3], corpus[3:6], corpus[6:]
@@ -1633,9 +1638,10 @@ def test_minhash_index_applier_replay_and_torn_commit(spark, tmp_path):
     assert any(da == 1 and db == 11 for da, db, _ in stored_pairs())
 
     # (b) replay is a no-op everywhere
-    vs = (pairs_t.latest_version(), bands_t.latest_version(), shingles_t.latest_version())
+    tables = (pairs_t, bands_t, shingles_t, groups_t, members_t)
+    vs = tuple(t.latest_version() for t in tables)
     apply_batch(spark.createDataFrame(b1, schema), 1)
-    assert vs == (pairs_t.latest_version(), bands_t.latest_version(), shingles_t.latest_version())
+    assert vs == tuple(t.latest_version() for t in tables)
 
     # (c) torn: pairs commit lands, bands append crashes
     real_publish = SnapshotTable._write_manifest
@@ -1654,10 +1660,10 @@ def test_minhash_index_applier_replay_and_torn_commit(spark, tmp_path):
         SnapshotTable._write_manifest = real_publish
     assert pairs_t.latest_manifest_field("last_batch_id") == 2
     assert bands_t.latest_manifest_field("last_batch_id") == 1  # behind
-    # restart replays batch 2: pairs skip, bands + shingles catch up
+    # restart replays batch 2: pairs skip, the four lagging tables catch up
     apply_batch(spark.createDataFrame(b2, schema), 2)
-    assert bands_t.latest_manifest_field("last_batch_id") == 2
-    assert shingles_t.latest_manifest_field("last_batch_id") == 2
+    for t in (bands_t, shingles_t, groups_t, members_t):
+        assert t.latest_manifest_field("last_batch_id") == 2
     assert stored_pairs() == whole_corpus_pairs(corpus)
     # and a further batch probes the healed index correctly
     b3 = [(31, base + "alpha beta gamma delta extra")]
@@ -1681,8 +1687,16 @@ def test_minhash_index_probe_bounded_by_batch(spark, tmp_path):
     pairs_t = SnapshotTable(str(tmp_path / "pairs"))
     bands_t = SnapshotTable(str(tmp_path / "bands"))
     shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
     apply_batch = ingest.make_minhash_index_applier(
-        pairs_t, bands_t, shingles_t, n_buckets=4, record_stats=True
+        pairs_t,
+        bands_t,
+        shingles_t,
+        groups_t,
+        members_t,
+        n_buckets=4,
+        record_stats=True,
     )
     schema = "doc_id long, text string"
     # 200 history docs with fully DISJOINT token sets (no shared shingles
@@ -1706,6 +1720,9 @@ def test_minhash_index_probe_bounded_by_batch(spark, tmp_path):
     # the probe read only rows matching the batch's band values — far
     # below the index population (0 here: nothing shares a band value)
     assert st["hist_band_rows_read"] < n_band_rows / 10
+    # driver traffic is O(batch + touched buckets): 1 th + N_BANDS bvals
+    # + a handful of bucket ids for a 1-doc batch — never index-sized
+    assert st["driver_collected_rows"] < 30
 
     # near-dup 1-doc batch (doc 7 with one token changed): candidates
     # bounded by its own collisions
@@ -1728,15 +1745,26 @@ def test_minhash_index_erase_and_serve(spark, tmp_path):
     from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
         erase_doc_from_minhash_index,
         make_minhash_index_applier,
+        serve_minhash_pairs,
     )
 
     pairs_t = SnapshotTable(str(tmp_path / "pairs"))
     bands_t = SnapshotTable(str(tmp_path / "bands"))
     shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
     nb = 4
     apply_batch = make_minhash_index_applier(
-        pairs_t, bands_t, shingles_t, n_buckets=nb
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=nb
     )
+
+    def served():
+        return {
+            (r.da, r.db)
+            for r in serve_minhash_pairs(
+                spark, pairs_t, groups_t, members_t
+            ).collect()
+        }
     schema = "doc_id long, text string"
     fam = "the quick brown fox jumps over the lazy dog again and again "
     # two batches so the index tables carry APPENDED dirs before the erase
@@ -1754,14 +1782,16 @@ def test_minhash_index_erase_and_serve(spark, tmp_path):
         ),
         1,
     )
-    pre = {(r.da, r.db) for r in pairs_t.read(spark).collect()}
+    pre = served()
     assert (1, 11) in pre and (2, 12) in pre
     # appended dirs exist pre-erase
     bm_pre = bands_t._bucket_map(bands_t.latest_version())
     assert max(len(ds) for ds in bm_pre.values()) >= 2
 
-    erase_doc_from_minhash_index(spark, pairs_t, bands_t, shingles_t, nb, 1)
-    post = {(r.da, r.db) for r in pairs_t.read(spark).collect()}
+    erase_doc_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb, 1
+    )
+    post = served()
     assert (1, 11) not in post and (2, 12) in post
     assert bands_t.read(spark).filter("doc_id = 1").count() == 0
     assert shingles_t.read(spark).filter("doc_id = 1").count() == 0
@@ -1773,7 +1803,7 @@ def test_minhash_index_erase_and_serve(spark, tmp_path):
     apply_batch(
         spark.createDataFrame([(21, fam + "alpha delta")], schema), 2
     )
-    final = {(r.da, r.db) for r in pairs_t.read(spark).collect()}
+    final = served()
     assert (11, 21) in final and (1, 21) not in final
 
 
@@ -1806,8 +1836,10 @@ def test_append_mode_buckets_auto_compact(spark, tmp_path):
         pairs_t = SnapshotTable(str(tmp_path / "pairs"))
         bands_t = SnapshotTable(str(tmp_path / "bands"))
         shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+        groups_t = SnapshotTable(str(tmp_path / "groups"))
+        members_t = SnapshotTable(str(tmp_path / "members"))
         apply_batch = ingest.make_minhash_index_applier(
-            pairs_t, bands_t, shingles_t, n_buckets=2
+            pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=2
         )
         schema = "doc_id long, text string"
         fam = "the quick brown fox jumps over the lazy dog again and again "
@@ -1818,13 +1850,23 @@ def test_append_mode_buckets_auto_compact(spark, tmp_path):
         ]
         for bid, (row) in enumerate(corpus):
             apply_batch(spark.createDataFrame([row], schema), bid)
-        for t, label in ((bands_t, "bands"), (shingles_t, "shingles")):
+        for t, label in (
+            (bands_t, "bands"),
+            (shingles_t, "shingles"),
+            (members_t, "members"),
+        ):
             bm = t._bucket_map(t.latest_version())
             worst = max(len(ds) for ds in bm.values())
             assert worst <= 3 + 1, f"{label}: {worst} dirs in one bucket"
+        # the flat PAIRS append chain folds the same way (r12): 12
+        # one-commit batches must not leave 12 data dirs in the manifest
+        pairs_dirs = len(pairs_t._manifest(pairs_t.latest_version())["dirs"])
+        assert pairs_dirs <= 3 + 1, f"pairs: {pairs_dirs} dirs"
         stored = {
             (r.da, r.db, round(r.jaccard, 9))
-            for r in pairs_t.read(spark).collect()
+            for r in ingest.serve_minhash_pairs(
+                spark, pairs_t, groups_t, members_t
+            ).collect()
         }
         df = spark.createDataFrame(corpus, schema)
         sh = doc_shingles(df)
@@ -1839,3 +1881,170 @@ def test_append_mode_buckets_auto_compact(spark, tmp_path):
         assert stored == want and len(stored) >= 3
     finally:
         ingest.MH_IDX_MAX_DIRS = prev
+
+
+def test_minhash_index_hot_cluster_stays_linear(spark, tmp_path):
+    """The r12 exact-collapse front: a document repeated 500 times across
+    batches (the viral-doc / boilerplate reality of web corpora) must cost
+    the near-dup machinery ONE signature, not 500 — copy batches band
+    nothing, verify nothing, collect O(1) driver rows, and the index
+    stores one canonical's bands/shingles. The full 500x499/2 pair clique
+    (plus every copy's pair with a near-dup) is reconstructed at serve
+    time from membership alone."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        N_BANDS,
+        _pair_jaccard,
+        doc_shingles,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_minhash_index_applier,
+        serve_minhash_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
+    apply_batch = make_minhash_index_applier(
+        pairs_t,
+        bands_t,
+        shingles_t,
+        groups_t,
+        members_t,
+        n_buckets=4,
+        record_stats=True,
+    )
+    schema = "doc_id long, text string"
+    viral = "breaking news the same viral boilerplate paragraph shared everywhere " + "pad " * 5
+    near = viral.replace("shared", "copied")
+    copies = [(i, viral) for i in range(500)]
+    # 5 batches of 100 copies, then the near-dup alone
+    for b in range(5):
+        apply_batch(
+            spark.createDataFrame(copies[b * 100 : (b + 1) * 100], schema), b
+        )
+        st = apply_batch.last_stats
+        if b == 0:
+            assert st["batch_bvals"] == N_BANDS  # ONE canonical banded
+        else:
+            # pure-copy batch: nothing shingled, banded, probed, verified
+            assert st["batch_bvals"] == 0
+            assert st["cand_hist_docs"] == 0
+            assert st["pairs_appended"] == 0
+            # driver traffic: 1 distinct th + 0 bvals + a few bucket ids
+            assert st["driver_collected_rows"] <= 5
+    # index state is CANONICAL-sized, not corpus-sized
+    assert bands_t.read(spark).count() == N_BANDS
+    assert shingles_t.read(spark).select("doc_id").distinct().count() == 1
+    assert members_t.read(spark).count() == 500
+    apply_batch(spark.createDataFrame([(1000, near)], schema), 5)
+    st = apply_batch.last_stats
+    assert st["cand_hist_docs"] == 1  # the canonical — never the 500 copies
+    # serve: the full clique + the near-dup's pair with EVERY copy
+    served = serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
+    n_within = served.where(F.col("jaccard") == 1.0).count()
+    assert n_within == 500 * 499 // 2
+    two = spark.createDataFrame([(0, viral), (1000, near)], schema)
+    sh2 = doc_shingles(two)
+    want_j = round(
+        _pair_jaccard(
+            sh2, spark.createDataFrame([(0, 1000)], "da long, db long")
+        )
+        .first()["jaccard"],
+        9,
+    )
+    cross = served.where(F.col("db") == 1000)
+    assert cross.count() == 500
+    assert {round(r["jaccard"], 9) for r in cross.collect()} == {want_j}
+    assert served.count() == 500 * 499 // 2 + 500
+
+
+def test_minhash_index_erase_rewrites_bounded_dirs(spark, tmp_path):
+    """GDPR-erase cost pins (r12): erasing an exact COPY rewrites exactly
+    one members bucket + one groups bucket and must not touch pairs,
+    bands or shingles (the group's signature stays serveable for the
+    survivors); erasing the LAST member of a group additionally rewrites
+    <= N_BANDS band buckets + 1 shingle bucket — never a table scan,
+    whatever the index population."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.dedup import (
+        N_BANDS,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        erase_doc_from_minhash_index,
+        make_minhash_index_applier,
+        serve_minhash_pairs,
+    )
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
+    nb = 8
+    apply_batch = make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=nb
+    )
+    schema = "doc_id long, text string"
+    # a large-ish index population so "bounded" is distinguishable from
+    # "proportional": 60 distinct docs + a 3-copy group
+    filler = [
+        (100 + i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(60)
+    ]
+    dup = "the exact duplicated paragraph with plenty of shared tokens here"
+    apply_batch(spark.createDataFrame(filler[:30] + [(1, dup)], schema), 0)
+    apply_batch(spark.createDataFrame(filler[30:] + [(2, dup), (3, dup)], schema), 1)
+
+    def vmaps():
+        return {
+            "pairs_v": pairs_t.latest_version(),
+            "bands_v": bands_t.latest_version(),
+            "sh_v": shingles_t.latest_version(),
+            "bands_bm": bands_t._bucket_map(bands_t.latest_version()),
+            "sh_bm": shingles_t._bucket_map(shingles_t.latest_version()),
+            "mem_bm": members_t._bucket_map(members_t.latest_version()),
+            "grp_bm": groups_t._bucket_map(groups_t.latest_version()),
+        }
+
+    def changed(pre_bm, post_bm):
+        keys = set(pre_bm) | set(post_bm)
+        return [b for b in keys if pre_bm.get(b) != post_bm.get(b)]
+
+    # (a) copy erase: group survives — near-dup state untouched
+    pre = vmaps()
+    erase_doc_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb, 3
+    )
+    post = vmaps()
+    assert post["pairs_v"] == pre["pairs_v"]  # no pairs rewrite
+    assert post["bands_v"] == pre["bands_v"]  # no band rewrite
+    assert post["sh_v"] == pre["sh_v"]  # no shingle rewrite
+    assert len(changed(pre["mem_bm"], post["mem_bm"])) == 1
+    assert len(changed(pre["grp_bm"], post["grp_bm"])) == 1
+    served = serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
+    assert {(r.da, r.db) for r in served.collect()} == {(1, 2)}
+
+    # (b) drain the group: the LAST member's erase clears the signature
+    # with <= N_BANDS band buckets + 1 shingle bucket rewritten
+    erase_doc_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb, 2
+    )
+    pre = vmaps()
+    erase_doc_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb, 1
+    )
+    post = vmaps()
+    assert 1 <= len(changed(pre["bands_bm"], post["bands_bm"])) <= N_BANDS
+    assert len(changed(pre["sh_bm"], post["sh_bm"])) == 1
+    assert bands_t.read(spark).filter("doc_id = 1").count() == 0
+    assert shingles_t.read(spark).filter("doc_id = 1").count() == 0
+    assert serve_minhash_pairs(spark, pairs_t, groups_t, members_t).count() == 0
+    # the filler population was never rewritten: its rows still served
+    assert bands_t.read(spark).count() >= 60 * N_BANDS

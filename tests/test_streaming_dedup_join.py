@@ -583,12 +583,15 @@ def test_index_appliers_semi_join_fallback(spark, tmp_path, monkeypatch):
     }
     assert got == want
 
-    # near-dup index under the fallback (both pruned reads)
+    # near-dup index under the fallback (all three pruned reads: groups,
+    # bands, shingles)
     pairs_t = SnapshotTable(str(tmp_path / "mh_pairs"))
     bands_t = SnapshotTable(str(tmp_path / "mh_bands"))
     shingles_t = SnapshotTable(str(tmp_path / "mh_shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "mh_groups"))
+    members_t = SnapshotTable(str(tmp_path / "mh_members"))
     mh_apply = ingest.make_minhash_index_applier(
-        pairs_t, bands_t, shingles_t, n_buckets=4
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=4
     )
     mschema = "doc_id long, text string"
     fam = "the quick brown fox jumps over the lazy dog again and again "
@@ -602,7 +605,9 @@ def test_index_appliers_semi_join_fallback(spark, tmp_path, monkeypatch):
     mh_apply(spark.createDataFrame(corpus[2:], mschema), 1)
     stored = {
         (r.da, r.db, round(r.jaccard, 9))
-        for r in pairs_t.read(spark).collect()
+        for r in ingest.serve_minhash_pairs(
+            spark, pairs_t, groups_t, members_t
+        ).collect()
     }
     df = spark.createDataFrame(corpus, mschema)
     sh = doc_shingles(df)
