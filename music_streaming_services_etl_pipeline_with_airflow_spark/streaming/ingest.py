@@ -578,6 +578,63 @@ def q_streaming_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BM25_IDX_BUCKETS = 8
+# target distinct terms per df-table bucket: bounds what one bucketed
+# merge rewrites (a bucket holds every term hashing to it, so per-batch
+# merge cost is O(touched buckets' TERM population), and this caps it)
+BM25_IDX_TERMS_PER_BUCKET = 50_000
+# fold the flat postings append chain once it carries this many dirs
+# (see _compact_append_chain)
+BM25_IDX_MAX_DIRS = 16
+
+
+def bm25_index_buckets_for(expected_terms: int) -> int:
+    """Size the df table's bucket count from the VOCABULARY the index
+    will accumulate — the r11 pack-tails lesson applied to the term
+    dimension (r12). Real 100 TB vocabularies (ids, typos, code tokens)
+    grow near-linearly, so a fixed bucket count silently turns each
+    merge's bucket rewrite into O(|vocabulary|/constant): the r11 100x
+    fresh-key probe measured exactly that (17.1x wall for 100x docs,
+    SCALING.md). Doubling from the floor until each bucket holds <=
+    BM25_IDX_TERMS_PER_BUCKET expected terms keeps every rewrite bounded
+    by a constant. Called ONCE at index creation; recorded in the table
+    manifest and validated on every later read/merge."""
+    n = BM25_IDX_BUCKETS
+    while n * BM25_IDX_TERMS_PER_BUCKET < max(1, expected_terms):
+        n *= 2
+    return n
+
+
+def estimate_vocabulary(docs: DataFrame, n_docs: int, sample: int = 1000) -> int:
+    """Expected distinct-term count of a corpus, from one bounded sample:
+    Heaps' law V(n) = K * n^beta, with beta FIT from the sample's two
+    halves (V at sample/4 vs V at sample) instead of assumed — id-heavy
+    corpora run beta ~ 1, prose ~ 0.5. beta clamps to [0.5, 1.0]: the
+    floor keeps a short repetitive sample from extrapolating sublinearly
+    past what real tails do; the ceiling is the physical bound (every
+    token new). Over-estimation is the safe direction — it buys more,
+    smaller buckets — so the fit rounds conservatively. Two aggregates
+    over <= ``sample`` docs, no corpus scan."""
+    import math
+
+    s2 = min(sample, max(1, n_docs))
+    s1 = max(1, s2 // 4)
+    v2 = (
+        docs.limit(s2)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    v1 = (
+        docs.limit(s1)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    if n_docs <= s2 or v1 == 0 or v2 == 0:
+        return max(1, v2)
+    beta = math.log(max(v2, v1 + 1) / v1) / math.log(s2 / s1)
+    beta = min(1.0, max(0.5, beta))
+    return int(v2 * (n_docs / s2) ** beta) + 1
 
 
 def make_bm25_index_applier(postings_t, df_t, n_buckets: int = BM25_IDX_BUCKETS):
@@ -653,13 +710,19 @@ def make_bm25_index_applier(postings_t, df_t, n_buckets: int = BM25_IDX_BUCKETS)
                 schema="term string, df long",
                 extra={"last_batch_id": batch_id},
             )
+        # the postings append chain adds one dir per batch forever — fold
+        # it once crowded (content-neutral, cursor-preserving; r12)
+        _compact_append_chain(spark_, postings_t, BM25_IDX_MAX_DIRS)
 
     return apply_batch
 
 
 def _build_bm25_index(spark: SparkSession, sf_dir: str, name: str):
     """Run the 4-batch document stream through the index applier into a
-    fresh pair of snapshot tables; returns (postings_t, df_t)."""
+    fresh pair of snapshot tables; returns (postings_t, df_t,
+    df_buckets). The df table's bucket count is sized from the corpus's
+    ESTIMATED VOCABULARY (Heaps-fit sample, r12) so each merge rewrite
+    stays bounded as the vocabulary grows."""
     from ..snapshots import SnapshotTable
     from ..workdirs import fresh_work_dir
 
@@ -667,6 +730,10 @@ def _build_bm25_index(spark: SparkSession, sf_dir: str, name: str):
     work = fresh_work_dir(name)
     postings_t = SnapshotTable(os.path.join(work, "postings"))
     df_t = SnapshotTable(os.path.join(work, "df"))
+    docs_pq = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df_buckets = bm25_index_buckets_for(
+        estimate_vocabulary(docs_pq, docs_pq.count())
+    )
     # maxFilesPerTrigger is a SOURCE option: on the writeStream it is
     # silently ignored and the whole staged corpus arrives as ONE batch
     # (r11 fix — the incremental path now genuinely runs 4 micro-batches)
@@ -676,13 +743,15 @@ def _build_bm25_index(spark: SparkSession, sf_dir: str, name: str):
         .parquet(d)
     )
     q = (
-        src.writeStream.foreachBatch(make_bm25_index_applier(postings_t, df_t))
+        src.writeStream.foreachBatch(
+            make_bm25_index_applier(postings_t, df_t, n_buckets=df_buckets)
+        )
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return postings_t, df_t
+    return postings_t, df_t, df_buckets
 
 
 def _serve_bm25_from_index(spark: SparkSession, postings_t, df_t) -> DataFrame:
@@ -722,7 +791,9 @@ def _serve_bm25_from_index(spark: SparkSession, postings_t, df_t) -> DataFrame:
     doc="",
 )
 def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    postings_t, df_t = _build_bm25_index(spark, sf_dir, "streaming_bm25_index")
+    postings_t, df_t, _ = _build_bm25_index(
+        spark, sf_dir, "streaming_bm25_index"
+    )
     return _serve_bm25_from_index(spark, postings_t, df_t)
 
 
@@ -741,7 +812,7 @@ def q_streaming_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame
     from the post-erase index. The oracle recomputes batch BM25 over
     documents MINUS the erased doc, so the hash proves the erased doc is
     unreachable through every scoring path (postings, df, counters)."""
-    postings_t, df_t = _build_bm25_index(
+    postings_t, df_t, df_buckets = _build_bm25_index(
         spark, sf_dir, "streaming_bm25_index_delete"
     )
     erase = postings_t.read(spark).agg(F.min("doc_id")).first()[0]
@@ -767,7 +838,7 @@ def q_streaming_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame
         on="term",
         update={"df": "df - d_df"},
         insert_defaults={"df": "0"},  # unreachable: erased terms exist
-        n_buckets=BM25_IDX_BUCKETS,
+        n_buckets=df_buckets,  # the table's own (vocabulary-sized) count
         schema="term string, df long",
     )
     return _serve_bm25_from_index(spark, postings_t, df_t)
@@ -790,8 +861,11 @@ def _bind_bm25_index_oracle() -> None:
         "APPENDS its postings (doc, dl, term, tf) in O(batch) with the "
         "corpus counters (n_docs, sum_dl) riding the same manifest "
         "atomically, and folds its per-term df contributions into a "
-        "vocabulary-bucketed table via merge_bucketed (O(touched "
-        "buckets), never O(vocab)). Replays are guarded per-table by "
+        "vocabulary-bucketed table via merge_bucketed (bucket count "
+        "SIZED from a Heaps-fit vocabulary estimate r12, so a rewrite "
+        "is O(touched buckets' bounded term population), never "
+        "O(vocab)). The postings append chain LSM-folds past 16 dirs. "
+        "Replays are guarded per-table by "
         "last_batch_id cursors (both updates are non-idempotent sums). "
         "The query side then serves BM25 top-k FROM THE STORED INDEX "
         "through the same _bm25_score_from_stats arithmetic the batch "

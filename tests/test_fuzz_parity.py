@@ -592,7 +592,9 @@ def test_fuzz_snapshot_format_against_model(spark, tmp_path_factory, data):
 @given(data=st.data())
 def test_fuzz_bucketed_lineage_against_model(spark, tmp_path_factory, data):
     """Model-based fuzz of the BUCKETED snapshot lineage: random sequences
-    of merge_bucketed (upserts with summing updates), delete_where,
+    of merge_bucketed (upserts with summing updates), append-mode
+    commit_buckets (grow-only inserts), compact_appended (the r11 LSM
+    fold — content-neutral by contract, fuzzed r12), delete_where,
     restore and expire against an in-memory dict model — after every op
     the live table equals the model, the bucket map stays readable
     (read_buckets over all buckets == full read), and plain commit()
@@ -602,6 +604,7 @@ def test_fuzz_bucketed_lineage_against_model(spark, tmp_path_factory, data):
     from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
         SnapshotTable,
     )
+    from pyspark.sql import functions as F
 
     n_buckets = 4
     schema = "id long, v long"
@@ -626,11 +629,38 @@ def test_fuzz_bucketed_lineage_against_model(spark, tmp_path_factory, data):
     n_ops = data.draw(st.integers(min_value=3, max_value=6))
     for _ in range(n_ops):
         cur = t.latest_version()
-        ops = ["merge"]
+        ops = ["merge", "append"]
         if cur > 0:
-            ops += ["delete", "restore", "expire"]
+            ops += ["delete", "restore", "expire", "compact"]
         op = data.draw(st.sampled_from(ops))
-        if op == "merge":
+        if op == "append":
+            # append-mode is for grow-only keyed state: NEW ids only
+            # (duplicate keys would break the dict model, as they would
+            # break any keyed consumer of an append lineage)
+            base = versions.get(cur, {})
+            pool = [i for i in range(21, 60) if i not in base]
+            n = data.draw(st.integers(min_value=1, max_value=5))
+            ids = data.draw(
+                st.lists(st.sampled_from(pool), min_size=n, max_size=n, unique=True)
+            )
+            delta = {
+                i: data.draw(st.integers(min_value=1, max_value=9)) for i in ids
+            }
+            dfb = spark.createDataFrame(
+                [(k, dv) for k, dv in delta.items()], schema
+            ).withColumn("_bucket", SnapshotTable.bucket_of(F.col("id"), n_buckets))
+            touched = sorted(
+                r["_bucket"] for r in dfb.select("_bucket").distinct().collect()
+            )
+            v = t.commit_buckets(dfb, touched, n_buckets=n_buckets, append=True)
+            versions[v] = {**base, **delta}
+        elif op == "compact":
+            # content-neutral whatever the threshold: the model is COPIED
+            max_dirs = data.draw(st.integers(min_value=0, max_value=3))
+            v = t.compact_appended(spark, schema, "id", n_buckets, max_dirs)
+            if v is not None:
+                versions[v] = dict(versions[cur])
+        elif op == "merge":
             delta = seed_delta()
             df = spark.createDataFrame(
                 [(k, dv) for k, dv in delta.items()], "id long, dv long"

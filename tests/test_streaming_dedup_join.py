@@ -618,3 +618,113 @@ def test_index_appliers_semi_join_fallback(spark, tmp_path, monkeypatch):
         .collect()
     }
     assert stored == want_pairs and any(p[:2] == (1, 11) for p in stored)
+
+
+def test_bm25_df_buckets_sized_and_merge_bounded(spark, tmp_path):
+    """r12: the BM25 df table's bucket count is sized from the expected
+    VOCABULARY (the r11 pack-tails lesson on the term dimension) — the
+    sizing helper doubles until each bucket holds a bounded term
+    population, the Heaps-fit estimator extrapolates id-heavy corpora
+    near-linearly and prose sublinearly, and a small batch's merge
+    rewrites only its own terms' buckets with bounded bytes, never
+    O(vocabulary)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import (
+        ingest,
+    )
+    from pyspark.sql import functions as F
+
+    # sizing helper: floor below the target, doubling above, power of 2
+    assert ingest.bm25_index_buckets_for(0) == ingest.BM25_IDX_BUCKETS
+    assert ingest.bm25_index_buckets_for(10_000) == ingest.BM25_IDX_BUCKETS
+    for terms in (10**6, 10**7, 10**9):
+        n = ingest.bm25_index_buckets_for(terms)
+        assert n * ingest.BM25_IDX_TERMS_PER_BUCKET >= terms
+        assert n == ingest.BM25_IDX_BUCKETS or (
+            (n // 2) * ingest.BM25_IDX_TERMS_PER_BUCKET < terms
+        )
+        assert (n & (n - 1)) == 0
+
+    # Heaps-fit estimator: id-heavy corpus (every token unique) must
+    # extrapolate ~linearly; a closed vocabulary must stay ~flat
+    ids = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"u{j}_"), F.col("id")) for j in range(10)]
+        ).alias("text"),
+    )
+    est_ids = ingest.estimate_vocabulary(ids, 200_000)
+    assert est_ids >= 1_000_000  # ~10 new terms per doc at 200k docs
+    prose = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same ten words repeated in every document body x").alias(
+            "text"
+        ),
+    )
+    est_prose = ingest.estimate_vocabulary(prose, 200_000)
+    assert est_prose <= 1_000  # sqrt-clamped, nowhere near linear
+
+    # merge-rewrite pin: with vocabulary-sized buckets, a 5-term batch
+    # touches <= 5 buckets and rewrites ~vocab/n_buckets term rows, not
+    # the vocabulary
+    postings_t = SnapshotTable(str(tmp_path / "postings"))
+    df_t = SnapshotTable(str(tmp_path / "df"))
+    nb = 64
+    apply_batch = ingest.make_bm25_index_applier(postings_t, df_t, n_buckets=nb)
+    schema = "doc_id long, text string"
+    big = [
+        (i, " ".join(f"t{i}_{j}" for j in range(20))) for i in range(100)
+    ]  # 2000 distinct terms
+    apply_batch(spark.createDataFrame(big, schema), 0)
+    bm_pre = df_t._bucket_map(df_t.latest_version())
+    apply_batch(
+        spark.createDataFrame([(1000, "t0_0 t0_1 alpha beta gamma")], schema), 1
+    )
+    bm_post = df_t._bucket_map(df_t.latest_version())
+    changed = [
+        b for b in set(bm_pre) | set(bm_post) if bm_pre.get(b) != bm_post.get(b)
+    ]
+    assert 1 <= len(changed) <= 5
+    vocab = df_t.read(spark).count()
+    assert vocab >= 2000
+    rewritten = spark.read.parquet(
+        *[d for b in changed for d in bm_post[b]]
+    ).count()
+    # each rewritten bucket holds ~vocab/nb terms; 5 buckets' worth is a
+    # small constant fraction — a fixed-8 layout would rewrite ~5/8 of
+    # the whole vocabulary instead
+    assert rewritten <= 5 * (vocab // nb + 1) + 5
+
+
+def test_bm25_postings_chain_folds(spark, tmp_path, monkeypatch):
+    """r12: the flat postings append chain LSM-folds once past the dir
+    threshold — 12 one-doc batches must not leave 12 data dirs — while
+    the manifest counters (n_docs, sum_dl) and cursor ride through the
+    fold untouched."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import (
+        ingest,
+    )
+
+    monkeypatch.setattr(ingest, "BM25_IDX_MAX_DIRS", 3)
+    postings_t = SnapshotTable(str(tmp_path / "postings"))
+    df_t = SnapshotTable(str(tmp_path / "df"))
+    apply_batch = ingest.make_bm25_index_applier(postings_t, df_t, n_buckets=4)
+    schema = "doc_id long, text string"
+    for i in range(12):
+        apply_batch(
+            spark.createDataFrame(
+                [(i, " ".join(f"w{i}_{j}" for j in range(5)))], schema
+            ),
+            i,
+        )
+    dirs = len(postings_t._manifest(postings_t.latest_version())["dirs"])
+    assert dirs <= 3 + 1, f"postings: {dirs} dirs"
+    assert postings_t.latest_manifest_field("n_docs") == 12
+    assert postings_t.latest_manifest_field("sum_dl") == 60
+    assert postings_t.latest_manifest_field("last_batch_id") == 11
+    assert postings_t.read(spark).count() == 12 * 5
