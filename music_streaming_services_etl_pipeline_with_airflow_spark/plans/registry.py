@@ -53,7 +53,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # driver slot (all_specs() additionally hard-fails on phantom/oracle-less
 # names). Per round: bump HEAD_ROUND, refresh ROUND_NEW_OR_CHANGED, run
 # `python tools/next_head.py`, paste.
-HEAD_ROUND = 11
+HEAD_ROUND = 12
 
 # Queries whose Spark plan/behavior changed in round 11 — no green driver
 # row exists for their current behavior:
@@ -83,27 +83,81 @@ HEAD_ROUND = 11
 # re-verified via check_parity at sf0.01 this round — so their r10 rows
 # still attest their current behavior.)
 ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
+    # r12: the minhash index gained the exact-collapse front + relational
+    # serve expansion + driver-free candidate verification; its delete
+    # gained the member/group-aware erase. The BM25 index's df table is
+    # now vocabulary-bucket-sized and its postings chain LSM-folds.
     "streaming_minhash_index",
     "streaming_minhash_index_delete",
-    "streaming_pack_index",
-    "pack_sequences_sharded",
     "streaming_bm25_index_topk",
     "streaming_bm25_index_delete",
 )
 
-# Banked this round: all 17 r5-stale rows + 27 of the 39 r6-stale; the
-# 12 r6 stragglers lead the r12 rotation (streaming_sessionize_timeout,
-# streaming_topk_event_type, text_lang_id, text_quality_scores,
-# text_tfidf_top_terms, text_token_stats, text_unigram_logprob,
-# tpch_q1_pricing_summary, tpch_q5_local_supplier_volume,
-# warehouse_snapshot_delete, warehouse_snapshot_time_travel,
-# warehouse_zorder_locality) — each keeps independent pytest evidence
-# meanwhile (text family fixtures, the tpch plan tests, the warehouse
-# snapshot drills, the live streaming pytest). Every entry below
+# Banked in r11: the entire r5 cohort + most of r6. The r12 head leads
+# with this round's four reworked index queries (minhash collapse front /
+# driver-free verify; BM25 vocabulary-sized df buckets + postings fold),
+# then the 12 r6 stragglers the r11 verdict named, then the oldest r7
+# rows (q4/q6 are the two SURVEY-§2 rows still at r7). Every entry below
 # re-verified locally this round via tools/check_parity.py at sf0.01
-# after the round's code changes landed; the new/changed six additionally
-# at sf0.001 and sf0.1 and under PLAIN=1.
+# after the round's code changes landed; the new/changed four
+# additionally at sf0.001 and under PLAIN=1.
 _PRIORITY: tuple[str, ...] = (
+    "streaming_minhash_index",  # new/changed
+    "streaming_minhash_index_delete",  # new/changed
+    "streaming_bm25_index_topk",  # new/changed
+    "streaming_bm25_index_delete",  # new/changed
+    "streaming_sessionize_timeout",  # last row r6
+    "streaming_topk_event_type",  # last row r6
+    "text_lang_id",  # last row r6
+    "text_quality_scores",  # last row r6
+    "text_tfidf_top_terms",  # last row r6
+    "text_token_stats",  # last row r6
+    "text_unigram_logprob",  # last row r6
+    "tpch_q1_pricing_summary",  # last row r6
+    "tpch_q5_local_supplier_volume",  # last row r6
+    "warehouse_snapshot_delete",  # last row r6
+    "warehouse_snapshot_time_travel",  # last row r6
+    "warehouse_zorder_locality",  # last row r6
+    "a13_approx_percentiles",  # last row r7
+    "a17_grouping_sets",  # last row r7
+    "a3_hourly_distinct_approx",  # last row r7
+    "corpus_dup_stats",  # last row r7
+    "corpus_temperature_mixture",  # last row r7
+    "corpus_trigram_novelty",  # last row r7
+    "curate_quality_verdicts",  # last row r7
+    "curate_source_cap",  # last row r7
+    "decontam_semantic",  # last row r7
+    "dedup_incremental_batch",  # last row r7
+    "dedup_minhash_incremental",  # last row r7
+    "dedup_normalized_exact",  # last row r7
+    "dedup_source_overlap",  # last row r7
+    "gopher_repetition_full",  # last row r7
+    "graph_triangle_counts",  # last row r7
+    "j14_asof_tolerance_join",  # last row r7
+    "j8_bloom_prefilter_join",  # last row r7
+    "multimodal_audio_energy",  # last row r7
+    "multimodal_feature_stats",  # last row r7
+    "multimodal_phash_dedup",  # last row r7
+    "multimodal_resize_thumbnail",  # last row r7
+    "multimodal_scene_cuts",  # last row r7
+    "q4_most_popular_track_per_day_genre",  # last row r7
+    "q6_top_artist_per_hour",  # last row r7
+    "similarity_hard_negatives",  # last row r7
+    "similarity_int8_topk",  # last row r7
+    "similarity_topk_bruteforce",  # last row r7
+    "similarity_ts_topk_subsequence",  # last row r7
+    "sketch_daily_quantiles_rollup",  # last row r7
+    "sketch_daily_uniques_rollup",  # last row r7
+    "streaming_cdc_apply",  # last row r7
+    "streaming_dedup_ingest",  # last row r7
+    "streaming_interval_join_full",  # last row r7
+    "streaming_ohlc_window",  # last row r7
+)
+
+# The ROUND-11 head, kept for the audit trail (every entry below got its
+# hash-green row in CORRECTNESS_r11.json — 50/50, the fifth fully green
+# driver round):
+_R11_HEAD_ARCHIVE: tuple[str, ...] = (
     "streaming_minhash_index",  # new/changed r11
     "streaming_minhash_index_delete",  # new/changed r11
     "streaming_pack_index",  # new/changed r11

@@ -2048,3 +2048,52 @@ def test_minhash_index_erase_rewrites_bounded_dirs(spark, tmp_path):
     assert serve_minhash_pairs(spark, pairs_t, groups_t, members_t).count() == 0
     # the filler population was never rewritten: its rows still served
     assert bands_t.read(spark).count() >= 60 * N_BANDS
+
+
+def test_minhash_index_hot_band_candidates_stay_distributed(spark, tmp_path):
+    """Hot-BAND drill (r12): 300 DISTINCT near-dup docs (shared
+    boilerplate, unique tails) pile their band rows onto a handful of hot
+    bvals. A 1-doc probe against that index legitimately yields ~300
+    candidates — the pin is that those ids never ride through the driver
+    (driver_collected_rows stays O(buckets), the r11 collect would have
+    been O(candidates)) and every candidate is REAL (the band collision
+    is output-proportional at this threshold, not a false-positive
+    explosion)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_minhash_index_applier,
+    )
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
+    apply_batch = make_minhash_index_applier(
+        pairs_t,
+        bands_t,
+        shingles_t,
+        groups_t,
+        members_t,
+        n_buckets=8,
+        record_stats=True,
+    )
+    schema = "doc_id long, text string"
+    boiler = "subscribe to our newsletter for the latest updates and offers"
+    hot = [(i, f"{boiler} item{i}") for i in range(300)]
+    apply_batch(spark.createDataFrame(hot[:150], schema), 0)
+    apply_batch(spark.createDataFrame(hot[150:], schema), 1)
+    # the 1-doc probe: collides with every stored boilerplate doc
+    apply_batch(
+        spark.createDataFrame([(9999, f"{boiler} item_fresh")], schema), 2
+    )
+    st = apply_batch.last_stats
+    assert st["cand_hist_docs"] >= 250  # nearly all 300 collide
+    # r12 invariant: candidate ids stayed executor-side — driver traffic
+    # is 1 th + N_BANDS bvals + touched-bucket ids, NOT ~300 candidate ids
+    assert st["driver_collected_rows"] <= 30
+    # and the collisions were real work, not waste: the probe doc pairs
+    # with (almost) every boilerplate doc at jaccard >= 0.5
+    assert st["pairs_appended"] >= 250
