@@ -221,13 +221,13 @@ def _ivf_search(
 _IVF_INDEX_SCHEMA = "vec_id long, cid long, v array<double>"
 
 
-@register(
-    "similarity_ivf_persisted",
-    # EXACT oracle — identical to similarity_ivf_multiprobe's: the persisted
-    # index (base build + incremental delta add) must hold exactly the
-    # nearest-centroid assignment relation, and bucket-pruned probing must
-    # return exactly what assignment-filtered probing returns.
-    f"""
+# EXACT oracle — identical to similarity_ivf_multiprobe's: a persisted
+# index (however it was built or maintained — base+delta commits here,
+# the streaming applier in streaming/ann.py) must hold exactly the
+# nearest-centroid assignment relation, and bucket-pruned probing must
+# return exactly what assignment-filtered probing returns. Shared with
+# streaming_ivf_index_topk so the two lifecycles cannot drift.
+IVF_PERSISTED_SQL = f"""
 WITH {_IVF_ASSIGN_CTE},
 queries AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
 qprobe AS (
@@ -250,7 +250,12 @@ SELECT qid, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
     FROM scored
-) WHERE rank <= {TOP_K}""",
+) WHERE rank <= {TOP_K}"""
+
+
+@register(
+    "similarity_ivf_persisted",
+    IVF_PERSISTED_SQL,
     doc=f"PERSISTED multi-probe IVF — the vector-database shape: the "
     f"{N_LIST} inverted lists are stored in the snapshot-table format, one "
     "bucket per list (identity bucket function on the list id), built in "

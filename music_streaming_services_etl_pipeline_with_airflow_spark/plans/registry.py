@@ -86,26 +86,33 @@ ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     # r12: the minhash index gained the exact-collapse front + relational
     # serve expansion + driver-free candidate verification; its delete
     # gained the member/group-aware erase. The BM25 index's df table is
-    # now vocabulary-bucket-sized and its postings chain LSM-folds.
+    # now vocabulary-bucket-sized and its postings chain LSM-folds. NEW:
+    # the streaming IVF index pair (streaming/ann.py) completes the
+    # incremental-index family.
     "streaming_minhash_index",
     "streaming_minhash_index_delete",
     "streaming_bm25_index_topk",
     "streaming_bm25_index_delete",
+    "streaming_ivf_index_topk",
+    "streaming_ivf_index_delete",
 )
 
 # Banked in r11: the entire r5 cohort + most of r6. The r12 head leads
-# with this round's four reworked index queries (minhash collapse front /
-# driver-free verify; BM25 vocabulary-sized df buckets + postings fold),
-# then the 12 r6 stragglers the r11 verdict named, then the oldest r7
-# rows (q4/q6 are the two SURVEY-§2 rows still at r7). Every entry below
-# re-verified locally this round via tools/check_parity.py at sf0.01
-# after the round's code changes landed; the new/changed four
-# additionally at sf0.001 and under PLAIN=1.
+# with this round's six new/reworked index queries (minhash collapse
+# front / driver-free verify; BM25 vocabulary-sized df buckets +
+# postings fold; the NEW streaming IVF pair), then the 12 r6 stragglers
+# the r11 verdict named, then the oldest r7 rows (q4/q6 are the two
+# SURVEY-§2 rows still at r7). Every entry below re-verified locally
+# this round via tools/check_parity.py (the FULL registry ran green at
+# sf0.01 after the round's code changes landed); the new/changed six
+# additionally at sf0.001 and sf0.1, and the IVF pair under PLAIN=1.
 _PRIORITY: tuple[str, ...] = (
     "streaming_minhash_index",  # new/changed
     "streaming_minhash_index_delete",  # new/changed
     "streaming_bm25_index_topk",  # new/changed
     "streaming_bm25_index_delete",  # new/changed
+    "streaming_ivf_index_topk",  # new/changed
+    "streaming_ivf_index_delete",  # new/changed
     "streaming_sessionize_timeout",  # last row r6
     "streaming_topk_event_type",  # last row r6
     "text_lang_id",  # last row r6
@@ -150,8 +157,6 @@ _PRIORITY: tuple[str, ...] = (
     "sketch_daily_uniques_rollup",  # last row r7
     "streaming_cdc_apply",  # last row r7
     "streaming_dedup_ingest",  # last row r7
-    "streaming_interval_join_full",  # last row r7
-    "streaming_ohlc_window",  # last row r7
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its
@@ -645,6 +650,7 @@ def all_specs() -> dict[str, QuerySpec]:
         sketches,
         text,
     )
+    from ..streaming import ann as streaming_ann  # noqa: F401
     from ..streaming import dedup_join as streaming_dedup_join  # noqa: F401
     from ..streaming import hourly_stream  # noqa: F401
     from ..streaming import ingest as streaming_ingest  # noqa: F401

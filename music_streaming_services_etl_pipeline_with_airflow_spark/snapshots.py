@@ -812,6 +812,7 @@ class SnapshotTable:
         n_buckets: int,
         max_dirs: int = 16,
         extra: dict | None = None,
+        bucket_expr=None,
     ) -> int | None:
         """LSM-style compaction for append-mode bucketed lineages: fold
         every bucket whose manifest dir list exceeds ``max_dirs`` back to
@@ -823,7 +824,10 @@ class SnapshotTable:
         pre-compaction version current), so appliers can call it
         opportunistically after their appends; cost is O(crowded
         buckets' bytes), never O(|table|). ``key_col`` is the column the
-        lineage buckets on (the table format does not record it).
+        lineage buckets on (the table format does not record it);
+        ``bucket_expr`` overrides the default hash ``bucket_of(key_col)``
+        for lineages bucketed by a non-hash rule (e.g. an IVF index's
+        identity list-id buckets).
         Returns the new version, or None when nothing is crowded."""
         v = self.latest_version()
         if v == 0:
@@ -835,10 +839,10 @@ class SnapshotTable:
         from pyspark.sql import functions as F
 
         base = self.read_buckets(spark, crowded, schema, n_buckets=n_buckets)
+        if bucket_expr is None:
+            bucket_expr = self.bucket_of(F.col(key_col), n_buckets)
         return self.commit_buckets(
-            base.withColumn(
-                "_bucket", self.bucket_of(F.col(key_col), n_buckets)
-            ),
+            base.withColumn("_bucket", bucket_expr),
             crowded,
             n_buckets=n_buckets,
             extra=extra,

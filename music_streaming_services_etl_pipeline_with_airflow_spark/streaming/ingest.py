@@ -55,20 +55,22 @@ def _capture_plan(name: str, df: DataFrame) -> None:
     PLAN_CAPTURE[name] = buf.getvalue().rstrip()
 
 
-def stage_documents(
+def stage_table(
     sf_dir: str,
     name: str,
+    table_file: str,
+    sort_col: str,
     n_files: int = _N_STAGE_FILES,
     columns: tuple[str, ...] = ("doc_id", "text"),
 ) -> str:
-    """Split the documents table into ``n_files`` drop-folder parquet files
-    by ascending doc_id range, mtimes strictly increasing so the file
-    stream source replays them in doc_id order."""
+    """Split a testdata table into ``n_files`` drop-folder parquet files
+    by ascending ``sort_col`` range, mtimes strictly increasing so the
+    file stream source replays them in key order."""
     import hashlib
 
     import pyarrow.parquet as pq
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, table_file)
     key = hashlib.md5(
         (os.path.abspath(src) + "|" + ",".join(columns)).encode()
     ).hexdigest()[:10]
@@ -81,7 +83,7 @@ def stage_documents(
         return d
     os.makedirs(d, exist_ok=True)
     table = pq.read_table(src, columns=list(columns))
-    table = table.sort_by("doc_id")
+    table = table.sort_by(sort_col)
     n = table.num_rows
     base = os.path.getmtime(src)
     for i in range(n_files):
@@ -95,6 +97,21 @@ def stage_documents(
     with open(done, "w") as fh:
         fh.write("ok")
     return d
+
+
+def stage_documents(
+    sf_dir: str,
+    name: str,
+    n_files: int = _N_STAGE_FILES,
+    columns: tuple[str, ...] = ("doc_id", "text"),
+) -> str:
+    """Documents drop folder (the original stager, now a view over
+    :func:`stage_table`) — kept under its own name/cache key so every
+    existing caller and staged dir stays valid."""
+    return stage_table(
+        sf_dir, name, "documents.parquet", "doc_id",
+        n_files=n_files, columns=columns,
+    )
 
 
 def dedup_ingest_each_batch(index_path: str):
