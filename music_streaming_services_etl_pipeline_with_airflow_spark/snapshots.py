@@ -863,13 +863,16 @@ class SnapshotTable:
         erased rows updates them atomically with the delete.
 
         Dir-level pruning, the same play Delta/Iceberg make at file level:
-        each manifest dir is first probed with a pushed-down ``LIMIT 1``
-        scan (parquet footer stats make a no-hit probe metadata-cheap), and
-        only dirs that actually contain matches are rewritten — untouched
-        dirs carry over into the new manifest by reference, so a delete
-        that touches one ingest batch rewrites one batch, not the table.
-        The probe loop is driver-side but O(manifest dirs) = O(commits),
-        never O(files) or O(rows).
+        ONE parallel probe job scans every manifest dir with the predicate
+        pushed down and reports the dirs that actually contain matches
+        (``input_file_name()`` over only the MATCHING rows — parquet
+        footer stats make no-hit files metadata-cheap), and only those
+        dirs are rewritten — untouched dirs carry over into the new
+        manifest by reference, so a delete that touches one ingest batch
+        rewrites one batch, not the table. (A per-dir LIMIT-1 loop — the
+        pre-r12 shape — is O(manifest dirs) SEQUENTIAL driver jobs: at
+        thousands of commits the job-launch overhead dominates the erase
+        wall; one cluster-parallel pass does not.)
 
         SQL DELETE three-valued logic: rows where the predicate is NULL
         are NOT deleted (kept), matching ``DELETE FROM t WHERE p``."""
@@ -896,10 +899,40 @@ class SnapshotTable:
                 ).parquet(d)
             return spark.read.parquet(d)
 
+        def union_reader():
+            # the UNION-schema reader every multi-dir read on an evolved
+            # lineage needs (see read_dir)
+            if mixed and pm.get("schema"):
+                from pyspark.sql.types import StructType
+
+                return spark.read.schema(StructType.fromJson(pm["schema"]))
+            return spark.read
+
         untouched, touched = [], []
-        for d in pm["dirs"]:
-            hit = read_dir(d).filter(predicate).limit(1).count() > 0
-            (touched if hit else untouched).append(d)
+        if pm["dirs"]:
+            from urllib.parse import unquote, urlparse
+
+            # one parallel probe over every dir: project the matching
+            # rows down to their file names, fold to the distinct dir set
+            # — O(matching files) rows to the driver, bounded by the
+            # manifest size
+            hit_files = (
+                union_reader()
+                .parquet(*pm["dirs"])
+                .filter(predicate)
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            )
+            hit_dirs = {
+                os.path.dirname(unquote(urlparse(r.f).path))
+                for r in hit_files
+            }
+            for d in pm["dirs"]:
+                if os.path.abspath(d) in hit_dirs:
+                    touched.append(d)
+                else:
+                    untouched.append(d)
         version = parent + 1
         if "buckets" in pm:
             # BUCKETED parent: preserve the bucket map — rewrite each
@@ -958,13 +991,7 @@ class SnapshotTable:
             # NOT enough — if only pre-evolution dirs matched, their
             # merged schema lacks the added column and the predicate
             # crashes with UNRESOLVED_COLUMN instead of seeing NULL
-            if mixed and pm.get("schema"):
-                from pyspark.sql.types import StructType
-
-                reader = spark.read.schema(StructType.fromJson(pm["schema"]))
-            else:
-                reader = spark.read
-            kept = reader.parquet(*touched).filter(
+            kept = union_reader().parquet(*touched).filter(
                 ~F.coalesce(F.expr(predicate), F.lit(False))
             )
             data_dir = self._fresh_data_dir(version)

@@ -35,7 +35,9 @@ def synth(spark, lo: int, hi: int):
     return spark.range(lo, hi).select(
         F.col("id").alias("vec_id"),
         F.expr(
-            f"transform(sequence(1, {DIM}), k -> cast(sin(id * k) as float))"
+            # (id+1): id=0 would give the all-zero vector (cosine
+            # undefined / ANSI divide-by-zero)
+            f"transform(sequence(1, {DIM}), k -> cast(sin((id + 1) * k) as float))"
         ).alias("embedding"),
     )
 
