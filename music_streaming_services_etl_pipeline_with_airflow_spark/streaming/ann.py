@@ -101,7 +101,7 @@ def make_ivf_index_applier(
         )
         # argmax as a hash aggregate (max_by over (cos, -cid)) — folds
         # map-side; a row_number window would sort-shuffle the batch
-        assign = (
+        assign_frame = (
             scored.groupBy("vec_id")
             .agg(
                 F.first("v").alias("v"),
@@ -110,13 +110,14 @@ def make_ivf_index_applier(
                 ).alias("cid"),
             )
             .select("vec_id", "cid", "v")
-            # one evaluation feeds touched-list discovery AND the commit
-            .localCheckpoint(eager=True)
         )
+        # capture the real broadcast-argmax plan, then pin one evaluation
+        # to feed touched-list discovery AND the commit
+        _capture_plan("streaming_ivf_index_topk.batch_assign", assign_frame)
+        assign = assign_frame.localCheckpoint(eager=True)
         touched = sorted(
             int(r.cid) for r in assign.select("cid").distinct().collect()
         )
-        _capture_plan("streaming_ivf_index_topk.batch_assign", assign)
         index_t.commit_buckets(
             assign.withColumn("_bucket", F.col("cid").cast("int")),
             touched,

@@ -228,6 +228,9 @@ def main() -> None:
         "streaming_bm25_index_topk",
         "streaming_pack_index",
         "streaming_minhash_index",
+        # round 12: the streaming IVF pair (batch_assign + pruned_search
+        # frames; the delete twin's search plan is identical)
+        "streaming_ivf_index_topk",
     ):
         specs[name].fn(spark, sf_dir).collect()
     for key in sorted(_ingest.PLAN_CAPTURE):
