@@ -445,8 +445,9 @@ _DELETE_PRED = "o_orderstatus = 'F' AND o_custkey % 10 < 3"
     doc="Copy-on-write DELETE in the snapshot format (GDPR-erasure shape): "
     "orders committed as two append batches split by status, then "
     "`SnapshotTable.delete_where` removes a keyed slice of the 'F' rows. "
-    "Dir-level pruning — each manifest dir is probed with a pushed-down "
-    "LIMIT 1 scan and only dirs containing matches are rewritten, so the "
+    "Dir-level pruning — ONE parallel pushed-down probe over all manifest "
+    "dirs finds the match-bearing ones (r12; a per-dir LIMIT-1 loop is "
+    "O(commits) serial driver jobs) and only those are rewritten, so the "
     "delete rewrites the one batch it touches and carries the other by "
     "reference (pinned in test_snapshots). The audit diffs the pre- and "
     "post-delete TIME-TRAVEL READS per status; the oracle recomputes it "

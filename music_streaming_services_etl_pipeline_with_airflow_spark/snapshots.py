@@ -94,6 +94,45 @@ def _check_extra_keys(extra: dict | None) -> None:
         raise ValueError(f"extra manifest fields shadow reserved keys: {clash}")
 
 
+def _norm_dir(d: str) -> tuple[str, str]:
+    """One normal form for both sides of delete_where's dir attribution:
+    (authority, path) — scheme-qualified dirs (hdfs://nn/x, s3a://b/x)
+    keep their authority; local paths resolve against the cwd exactly
+    once here."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" in d:
+        u = urlparse(d)
+        return (u.netloc, unquote(u.path).rstrip("/"))
+    return ("", os.path.abspath(d))
+
+
+def _attribute_hit_dirs(
+    hit_files: list[str], dirs: list[str], label: str
+) -> set[str]:
+    """Map the probe's matching-file URIs (``input_file_name()`` output)
+    back to their manifest dirs. A hit that maps to NO manifest dir means
+    the two path representations diverged (e.g. the driver chdir'd after
+    the session started, so ``abspath`` and Spark's working-dir
+    resolution disagree) — failing loudly beats silently classifying
+    every dir untouched and committing a no-op "delete"."""
+    from urllib.parse import unquote, urlparse
+
+    hit_dirs = set()
+    for f in hit_files:
+        u = urlparse(f)
+        hit_dirs.add((u.netloc, os.path.dirname(unquote(u.path))))
+    by_norm = {_norm_dir(d): d for d in dirs}
+    orphans = hit_dirs - set(by_norm)
+    if orphans:
+        raise ValueError(
+            f"{label}: delete probe matched rows in {sorted(orphans)[:3]} "
+            "which map to no manifest dir — path representations "
+            "diverged; refusing a delete that could silently miss matches"
+        )
+    return {by_norm[h] for h in hit_dirs}
+
+
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path.rstrip("/")
@@ -885,33 +924,23 @@ class SnapshotTable:
         pm = self._manifest(parent)
         mixed = pm.get("mixed_schemas", False)
 
-        def read_dir(d: str):
-            # on a schema-evolved lineage every per-dir read must see the
-            # UNION schema (the current commit's, recorded in the
-            # manifest), or a predicate on an added column crashes with
+        def union_reader():
+            # on a schema-evolved lineage every read must see the UNION
+            # schema (the current commit's, recorded in the manifest), or
+            # a predicate on an added column crashes with
             # UNRESOLVED_COLUMN on pre-evolution dirs instead of reading
             # NULL (ADD COLUMN semantics)
-            if mixed and pm.get("schema"):
-                from pyspark.sql.types import StructType
-
-                return spark.read.schema(
-                    StructType.fromJson(pm["schema"])
-                ).parquet(d)
-            return spark.read.parquet(d)
-
-        def union_reader():
-            # the UNION-schema reader every multi-dir read on an evolved
-            # lineage needs (see read_dir)
             if mixed and pm.get("schema"):
                 from pyspark.sql.types import StructType
 
                 return spark.read.schema(StructType.fromJson(pm["schema"]))
             return spark.read
 
+        def read_dir(d: str):
+            return union_reader().parquet(d)
+
         untouched, touched = [], []
         if pm["dirs"]:
-            from urllib.parse import unquote, urlparse
-
             # one parallel probe over every dir: project the matching
             # rows down to their file names, fold to the distinct dir set
             # — O(matching files) rows to the driver, bounded by the
@@ -924,15 +953,11 @@ class SnapshotTable:
                 .distinct()
                 .collect()
             )
-            hit_dirs = {
-                os.path.dirname(unquote(urlparse(r.f).path))
-                for r in hit_files
-            }
+            touched_set = _attribute_hit_dirs(
+                [r.f for r in hit_files], pm["dirs"], f"{self.path} v{parent}"
+            )
             for d in pm["dirs"]:
-                if os.path.abspath(d) in hit_dirs:
-                    touched.append(d)
-                else:
-                    untouched.append(d)
+                (touched if d in touched_set else untouched).append(d)
         version = parent + 1
         if "buckets" in pm:
             # BUCKETED parent: preserve the bucket map — rewrite each

@@ -266,8 +266,9 @@ SELECT qid, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
     doc="GDPR ERASE-AND-SERVE on the streaming IVF index (r12): after "
     "the 4-batch build, one vector (the max vec_id) is erased END-TO-END "
     "with the bucketed copy-on-write delete_where — ONLY the bucket dirs "
-    "holding that vector rewrite (dir-level LIMIT-1 probing; every calm "
-    "list carries over by reference, pytest-pinned), then the same "
+    "holding that vector rewrite (one parallel pushed-down probe over "
+    "all dirs finds them; every calm list carries over by reference, "
+    "pytest-pinned), then the same "
     "bucket-pruned search serves from the surviving index. The oracle "
     "recomputes the whole persisted-IVF answer over embeddings MINUS the "
     "erased vector, so the value hash proves the vector is unreachable "
@@ -276,9 +277,7 @@ SELECT qid, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM (
 def q_streaming_ivf_index_delete(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    t = build_streaming_ivf_index(
-        spark, sf_dir, "streaming_ivf_index_delete"
-    )
+    # fail fast BEFORE the 4-batch build: the guard costs one aggregate
     ev = int(_corpus(spark, sf_dir).agg(F.max("vec_id")).first()[0])
     if ev < N_QUERIES:
         raise ValueError(
@@ -286,6 +285,9 @@ def q_streaming_ivf_index_delete(
             f"(< {N_QUERIES}) — the delete oracle assumes the corpus "
             "extends past the query/quantizer prefix"
         )
+    t = build_streaming_ivf_index(
+        spark, sf_dir, "streaming_ivf_index_delete"
+    )
     t.delete_where(spark, f"vec_id = {ev}")
     return _search_with_captured_plan(
         spark, sf_dir, t, "streaming_ivf_index_delete.pruned_search"

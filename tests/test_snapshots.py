@@ -2097,3 +2097,39 @@ def test_minhash_index_hot_band_candidates_stay_distributed(spark, tmp_path):
     # and the collisions were real work, not waste: the probe doc pairs
     # with (almost) every boilerplate doc at jaccard >= 0.5
     assert st["pairs_appended"] >= 250
+
+
+def test_delete_probe_dir_attribution_and_divergence_guard():
+    """The one-job delete probe's file->dir attribution (r12): local and
+    scheme-qualified URIs map back to their manifest dirs under one
+    normal form, and a hit that maps to no manifest dir (path
+    representations diverged) raises instead of silently classifying
+    every dir untouched."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        _attribute_hit_dirs,
+    )
+
+    dirs = ["/tmp/t/data-v1-a", "/tmp/t/data-v2-b", "s3a://bkt/t/data-v3-c"]
+    got = _attribute_hit_dirs(
+        [
+            "file:///tmp/t/data-v1-a/part-0.parquet",
+            "s3a://bkt/t/data-v3-c/part-1.parquet",
+        ],
+        dirs,
+        "t",
+    )
+    assert got == {"/tmp/t/data-v1-a", "s3a://bkt/t/data-v3-c"}
+    # no hits -> nothing touched
+    assert _attribute_hit_dirs([], dirs, "t") == set()
+    # a hit outside every manifest dir must fail loudly
+    with _pytest.raises(ValueError, match="diverged"):
+        _attribute_hit_dirs(
+            ["file:///elsewhere/data-v1-a/part-0.parquet"], dirs, "t"
+        )
+    # same-path different-authority is NOT the same dir
+    with _pytest.raises(ValueError, match="diverged"):
+        _attribute_hit_dirs(
+            ["s3a://other-bkt/t/data-v3-c/part-1.parquet"], dirs, "t"
+        )

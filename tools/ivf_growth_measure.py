@@ -3,8 +3,9 @@ the inverted-list table with N vectors, then time a CONSTANT 1k-vector
 ingest batch at 1x and 10x seed size — per-batch cost must track the
 BATCH (one broadcast-assign pass + bucket-granular appends), never the
 stored index. Also pins the erase bound: deleting one vector rewrites
-only the dirs of its own list that actually hold it (dir-level LIMIT-1
-probing), every other list carrying over by reference.
+only the dirs of its own list that actually hold it (one parallel
+pushed-down probe over all dirs), every other list carrying over by
+reference.
 
 Synthetic fixture: deterministic pseudo-random unit-free vectors
 (sin(id*k) per dimension) over a 64-list quantizer — larger than the
