@@ -891,18 +891,18 @@ def _lsh_rep_pairs(
     )
 
 
-@register(
-    "dedup_embedding_lsh",
-    # Pair-SET oracle (no float column): candidates are verified by exact
-    # cosine so precision is 1.0, and with the seeded hyperplanes the pair
-    # set equals the threshold pairs of dedup_embedding_cosine at the
-    # driver's scales (empirical recall 1.0; analytic miss probability
-    # ~8e-5/pair at the duplicate cosines present, and the nearest pair
-    # cosine sits 1.6e-3 from τ — far beyond einsum-vs-fold float noise).
-    # The cos value itself is NOT emitted: the Arrow verify kernel sums in
-    # einsum order, which differs from the oracle's sequential fold in the
-    # last ulp.
-    f"""WITH nrm AS (
+# Pair-SET oracle (no float column): candidates are verified by exact
+# cosine so precision is 1.0, and with the seeded hyperplanes the pair
+# set equals the threshold pairs of dedup_embedding_cosine at the
+# driver's scales (empirical recall 1.0; analytic miss probability
+# ~8e-5/pair at the duplicate cosines present, and the nearest pair
+# cosine sits 1.6e-3 from τ — far beyond einsum-vs-fold float noise).
+# The cos value itself is NOT emitted: the Arrow verify kernel sums in
+# einsum order, which differs from the oracle's sequential fold in the
+# last ulp. Shared with streaming_semantic_index (streaming/ann.py) so
+# the online index's maintained pair set is checked against the SAME
+# whole-corpus recompute.
+EMB_LSH_SQL = f"""WITH nrm AS (
     SELECT vec_id, embedding, {V.norm_sql('embedding')} AS n FROM embeddings
 ),
 nv AS (
@@ -912,7 +912,12 @@ nv AS (
 )
 SELECT a.vec_id AS va, b.vec_id AS vb
 FROM nv a JOIN nv b ON a.vec_id < b.vec_id
-WHERE {V.dot_sql('a.v', 'b.v')} >= {COSINE_DUP_THRESHOLD}""",
+WHERE {V.dot_sql('a.v', 'b.v')} >= {COSINE_DUP_THRESHOLD}"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    EMB_LSH_SQL,
     doc=f"Embedding near-dup via random-hyperplane LSH: {LSH_BANDS} bands x "
     f"{LSH_BITS_PER_BAND} sign bits (seeded hyperplanes), candidates = pairs "
     "sharing any band code (equi-join on (band, code)), then exact-cosine "

@@ -87,25 +87,33 @@ ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     # serve expansion + driver-free candidate verification; its delete
     # gained the member/group-aware erase. The BM25 index's df table is
     # now vocabulary-bucket-sized and its postings chain LSM-folds. NEW:
-    # the streaming IVF index pair (streaming/ann.py) completes the
-    # incremental-index family.
+    # the streaming IVF index pair and the streaming SEMANTIC near-dup
+    # pair (both streaming/ann.py) complete the incremental-index family.
     "streaming_minhash_index",
     "streaming_minhash_index_delete",
     "streaming_bm25_index_topk",
     "streaming_bm25_index_delete",
     "streaming_ivf_index_topk",
     "streaming_ivf_index_delete",
+    "streaming_semantic_index",
+    "streaming_semantic_index_delete",
 )
 
 # Banked in r11: the entire r5 cohort + most of r6. The r12 head leads
-# with this round's six new/reworked index queries (minhash collapse
+# with this round's eight new/reworked index queries (minhash collapse
 # front / driver-free verify; BM25 vocabulary-sized df buckets +
-# postings fold; the NEW streaming IVF pair), then the 12 r6 stragglers
-# the r11 verdict named, then the oldest r7 rows (q4/q6 are the two
-# SURVEY-§2 rows still at r7). Every entry below re-verified locally
-# this round via tools/check_parity.py (the FULL registry ran green at
-# sf0.01 after the round's code changes landed); the new/changed six
-# additionally at sf0.001 and sf0.1, and the IVF pair under PLAIN=1.
+# postings fold; the NEW streaming IVF pair; the NEW streaming semantic
+# near-dup pair), then the 12 r6 stragglers the r11 verdict named, then
+# the oldest r7 rows (q4/q6 are the two SURVEY-§2 rows still at r7).
+# Every entry below re-verified locally this round via
+# tools/check_parity.py (the FULL registry ran green at sf0.01 after the
+# round's code changes landed); the new/changed eight additionally at
+# sf0.001, and the IVF/semantic pairs under PLAIN=1 and at sf0.1 (where
+# streaming_semantic_index serves the IDENTICAL pair set as its batch
+# twin dedup_embedding_lsh — both sit 3 pairs under the all-pairs oracle
+# there, the documented analytic-recall property of the seeded 16x4
+# layout at tau=0.45; the driver gate scale is sf0.01, where both match
+# the oracle exactly).
 _PRIORITY: tuple[str, ...] = (
     "streaming_minhash_index",  # new/changed
     "streaming_minhash_index_delete",  # new/changed
@@ -113,6 +121,8 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_bm25_index_delete",  # new/changed
     "streaming_ivf_index_topk",  # new/changed
     "streaming_ivf_index_delete",  # new/changed
+    "streaming_semantic_index",  # new/changed
+    "streaming_semantic_index_delete",  # new/changed
     "streaming_sessionize_timeout",  # last row r6
     "streaming_topk_event_type",  # last row r6
     "text_lang_id",  # last row r6
@@ -155,8 +165,6 @@ _PRIORITY: tuple[str, ...] = (
     "similarity_ts_topk_subsequence",  # last row r7
     "sketch_daily_quantiles_rollup",  # last row r7
     "sketch_daily_uniques_rollup",  # last row r7
-    "streaming_cdc_apply",  # last row r7
-    "streaming_dedup_ingest",  # last row r7
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its

@@ -292,3 +292,652 @@ def q_streaming_ivf_index_delete(
     return _search_with_captured_plan(
         spark, sf_dir, t, "streaming_ivf_index_delete.pruned_search"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic (embedding-LSH) near-dup index — the online-ingestion
+# shape of operators/dedup.q_embedding_lsh, completing the streaming
+# near-dup story: lexical (minhash, streaming/ingest.py) + semantic (here).
+# ---------------------------------------------------------------------------
+
+_SEM_BANDS_SCHEMA = "vec_id long, band int, code int, bk long"
+_SEM_VECS_SCHEMA = "vec_id long, v array<double>"
+_SEM_GROUPS_SCHEMA = "vh long, gid long, selfdup boolean, n_members long"
+_SEM_MEMBERS_SCHEMA = "vec_id long, gid long, vh long"
+_SEM_PAIRS_SCHEMA = "va long, vb long"
+# In()-pushdown cap shared with the other index appliers
+_SEM_ISIN_CAP = 10_000
+
+
+def make_semantic_index_applier(
+    pairs_t,
+    bands_t,
+    vecs_t,
+    groups_t,
+    members_t,
+    band_buckets: int,
+    vec_buckets: int,
+    group_buckets: int,
+    member_buckets: int,
+    record_stats: bool = False,
+):
+    """foreachBatch callback maintaining a persisted SEMANTIC near-dup
+    index — random-hyperplane LSH over embeddings with the batch
+    operator's EXACT-VECTOR-COLLAPSE front applied online: only each
+    distinct vector's FIRST ARRIVAL (the group canonical) is normalized,
+    sign-banded, probed against the stored index and stored; an exact
+    copy appends one MEMBERS row. The queryable pair set is reconstructed
+    relationally at serve time (:func:`serve_semantic_pairs`), so the
+    oracle is ``dedup_embedding_lsh``'s whole-corpus SQL verbatim.
+
+    State (five snapshot tables), mirroring the minhash index's protocol
+    (streaming/ingest.py make_minhash_index_applier — commit order PAIRS
+    -> BANDS -> VECS -> GROUPS -> MEMBERS, one last_batch_id cursor per
+    table, replays skip per table):
+    - PAIRS (va, vb): verified CANONICAL pairs, flat O(batch) appends +
+      dir-count fold.
+    - BANDS (vec_id, band, code, bk), bucketed on bk = band*2^r + code:
+      the LSH index over canonicals; probes read only the batch's bk
+      buckets with an In(bk) pushdown.
+    - VECS (vec_id, v): canonical NORMALIZED vectors — the verification
+      corpus; bucketed on vec_id, read pruned to candidate ids.
+    - GROUPS (vh, gid, selfdup, n_members), bucketed on vh =
+      xxhash64(raw vector) (the batch operator's collapse key): selfdup
+      records whether the canonical's self-cosine clears the threshold —
+      the gate for identical-vector pairs at serve time (a zero vector's
+      copies must NOT pair, exactly as the oracle computes).
+    - MEMBERS (vec_id, gid, vh), bucketed on vec_id.
+
+    Candidate verification is driver-free: history candidate ids are a
+    distributed anti-join; the vector read is bucket-pruned and
+    semi-joined to the id frame; the exact-cosine verify is one
+    Arrow-vectorized pair_dot join. Unlike minhash there is no size
+    blocking — sign-bit LSH candidates are exactly the same-(band,code)
+    pairs. Served output is arrival-order independent: assignment of a
+    vector to a group and a canonical's signature depend only on vector
+    content."""
+    from ..operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        LSH_BITS_PER_BAND,
+        _make_lsh_udfs,
+    )
+    from ..streaming.ingest import _compact_append_chain
+
+    band_codes, pair_dot = _make_lsh_udfs()
+    SEM_MAX_DIRS = 16
+
+    def apply_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        spark_ = batch.sparkSession
+        cur = {
+            "pairs": pairs_t.latest_manifest_field("last_batch_id"),
+            "bands": bands_t.latest_manifest_field("last_batch_id"),
+            "vecs": vecs_t.latest_manifest_field("last_batch_id"),
+            "groups": groups_t.latest_manifest_field("last_batch_id"),
+            "members": members_t.latest_manifest_field("last_batch_id"),
+        }
+        if all(c is not None and batch_id <= c for c in cur.values()):
+            return  # full replay
+        stats: dict = {"batch_id": batch_id, "driver_collected_rows": 0}
+
+        vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
+        id_bucket = SnapshotTable.bucket_of(F.col("vec_id"), vec_buckets)
+        bk_bucket = SnapshotTable.bucket_of(F.col("bk"), band_buckets)
+        mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
+
+        # ---- exact-vector-collapse front ----
+        hashed = batch.select(
+            "vec_id",
+            V.to_double_array("embedding").alias("dv"),
+        ).withColumn("vh", F.xxhash64("dv")).localCheckpoint(eager=True)
+        vh_rows = (
+            hashed.select("vh")
+            .distinct()
+            .select("vh", vh_bucket.alias("_b"))
+            .collect()
+        )
+        stats["driver_collected_rows"] += len(vh_rows)
+        touched_g = sorted({r["_b"] for r in vh_rows})
+        groups_all = groups_t.read_buckets(
+            spark_, touched_g, _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
+        )
+        vh_vals = [r["vh"] for r in vh_rows]
+        if len(vh_vals) <= _SEM_ISIN_CAP:
+            exist = groups_all.where(F.col("vh").isin(vh_vals))
+        else:
+            exist = groups_all.join(
+                F.broadcast(hashed.select("vh").distinct()), "vh", "semi"
+            )
+        if groups_t.latest_version() > 0:
+            _capture_plan("streaming_semantic_index.groups_pruned_read", exist)
+        exist = exist.select("vh", "gid").localCheckpoint(eager=True)
+        batch_min = hashed.groupBy("vh").agg(F.min("vec_id").alias("_bgid"))
+        assign = (
+            hashed.select("vec_id", "vh")
+            .join(exist, "vh", "left")
+            .join(batch_min, "vh")
+            .select("vec_id", "vh", F.coalesce("gid", "_bgid").alias("gid"))
+            .localCheckpoint(eager=True)
+        )
+        canon = hashed.join(
+            assign.where(F.col("vec_id") == F.col("gid")).select("vec_id"),
+            "vec_id",
+        )
+
+        # ---- LSH machinery over CANONICALS only ----
+        nv = (
+            canon.withColumn("nrm", V.norm(F.col("dv")))
+            .select(
+                "vec_id",
+                F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        bands = (
+            nv.select(
+                "vec_id",
+                F.posexplode(band_codes("v")).alias("band", "code"),
+            )
+            .withColumn(
+                "bk",
+                (
+                    F.col("band").cast("long")
+                    * (1 << LSH_BITS_PER_BAND)
+                    + F.col("code")
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        key_rows = (
+            bands.select("bk")
+            .distinct()
+            .select("bk", bk_bucket.alias("_b"))
+            .collect()
+        )
+        stats["driver_collected_rows"] += len(key_rows)
+        stats["batch_bks"] = len(key_rows)
+        touched_b = sorted({r["_b"] for r in key_rows})
+
+        if cur["pairs"] is None or batch_id > cur["pairs"]:
+            within = (
+                bands.select(F.col("vec_id").alias("va"), "bk")
+                .join(bands.select(F.col("vec_id").alias("vb"), "bk"), "bk")
+                .filter(F.col("va") < F.col("vb"))
+                .select("va", "vb")
+                .distinct()
+            )
+            hist_bands = bands_t.read_buckets(
+                spark_, touched_b, _SEM_BANDS_SCHEMA, n_buckets=band_buckets
+            )
+            bks = [r["bk"] for r in key_rows]
+            if len(bks) <= _SEM_ISIN_CAP:
+                hist_bands = hist_bands.where(F.col("bk").isin(bks))
+            else:
+                hist_bands = hist_bands.join(
+                    F.broadcast(bands.select("bk").distinct()), "bk", "semi"
+                )
+            if bands_t.latest_version() > 0:
+                _capture_plan(
+                    "streaming_semantic_index.bands_pruned_probe", hist_bands
+                )
+            if record_stats:
+                stats["hist_band_rows_read"] = hist_bands.count()
+            cross = (
+                bands.select(F.col("vec_id").alias("va"), "bk")
+                .join(
+                    hist_bands.select(F.col("vec_id").alias("vb"), "bk"), "bk"
+                )
+                .select(
+                    F.least("va", "vb").alias("va"),
+                    F.greatest("va", "vb").alias("vb"),
+                )
+                .distinct()
+            )
+            cand = (
+                within.unionByName(cross).distinct().localCheckpoint(eager=True)
+            )
+            hist_ids = (
+                cand.select(F.explode(F.array("va", "vb")).alias("vec_id"))
+                .distinct()
+                .join(nv.select("vec_id"), "vec_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            n_hist = hist_ids.count()
+            stats["cand_hist_vecs"] = n_hist
+            if n_hist:
+                touched_v = sorted(
+                    r["_b"]
+                    for r in hist_ids.select(id_bucket.alias("_b"))
+                    .distinct()
+                    .collect()
+                )
+                stats["driver_collected_rows"] += len(touched_v)
+                hist_v = vecs_t.read_buckets(
+                    spark_, touched_v, _SEM_VECS_SCHEMA, n_buckets=vec_buckets
+                ).join(hist_ids, "vec_id", "semi")
+                _capture_plan(
+                    "streaming_semantic_index.vecs_pruned_verify", hist_v
+                )
+                all_v = nv.unionByName(hist_v)
+            else:
+                all_v = nv
+            va_vec = all_v.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
+            vb_vec = all_v.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
+            verified = (
+                cand.join(va_vec, "va")
+                .join(vb_vec, "vb")
+                .select(
+                    "va",
+                    "vb",
+                    pair_dot(F.col("veca"), F.col("vecb")).alias("cos"),
+                )
+                .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+                .select("va", "vb")
+                .localCheckpoint(eager=True)
+            )
+            if record_stats:
+                stats["pairs_appended"] = verified.count()
+            pairs_t.commit(
+                verified,
+                mode="append" if pairs_t.latest_version() > 0 else "overwrite",
+                extra={"last_batch_id": batch_id},
+            )
+        if cur["bands"] is None or batch_id > cur["bands"]:
+            bands_t.commit_buckets(
+                bands.withColumn("_bucket", bk_bucket),
+                touched_b,
+                n_buckets=band_buckets,
+                extra={"last_batch_id": batch_id},
+                append=True,
+            )
+        if cur["vecs"] is None or batch_id > cur["vecs"]:
+            touched_v2 = sorted(
+                r["_b"]
+                for r in nv.select(id_bucket.alias("_b")).distinct().collect()
+            )
+            stats["driver_collected_rows"] += len(touched_v2)
+            vecs_t.commit_buckets(
+                nv.withColumn("_bucket", id_bucket),
+                touched_v2,
+                n_buckets=vec_buckets,
+                extra={"last_batch_id": batch_id},
+                append=True,
+            )
+        if cur["groups"] is None or batch_id > cur["groups"]:
+            # selfdup: the canonical's self-cosine clears the threshold —
+            # computed, not assumed, so degenerate zero vectors stay out
+            # of serve-time identical-vector pairs (oracle parity)
+            selfdup = nv.select(
+                F.col("vec_id").alias("_sgid"),
+                (
+                    pair_dot(F.col("v"), F.col("v")) >= COSINE_DUP_THRESHOLD
+                ).alias("_sflag"),
+            )
+            delta_g = (
+                assign.groupBy("vh")
+                .agg(F.count("*").alias("d_n"), F.min("gid").alias("d_gid"))
+                .join(selfdup, F.col("d_gid") == F.col("_sgid"), "left")
+                .select(
+                    "vh",
+                    "d_gid",
+                    F.coalesce("_sflag", F.lit(False)).alias("d_selfdup"),
+                    "d_n",
+                )
+            )
+            groups_t.merge_bucketed(
+                spark_,
+                delta_g,
+                on="vh",
+                update={"n_members": "n_members + d_n"},
+                insert_defaults={
+                    "gid": "d_gid",
+                    "selfdup": "d_selfdup",
+                    "n_members": "d_n",
+                },
+                n_buckets=group_buckets,
+                schema=_SEM_GROUPS_SCHEMA,
+                extra={"last_batch_id": batch_id},
+            )
+        if cur["members"] is None or batch_id > cur["members"]:
+            mem = assign.select("vec_id", "gid", "vh")
+            touched_m = sorted(
+                r["_b"]
+                for r in mem.select(mem_bucket.alias("_b")).distinct().collect()
+            )
+            stats["driver_collected_rows"] += len(touched_m)
+            members_t.commit_buckets(
+                mem.withColumn("_bucket", mem_bucket),
+                touched_m,
+                n_buckets=member_buckets,
+                extra={"last_batch_id": batch_id},
+                append=True,
+            )
+        bands_t.compact_appended(
+            spark_, _SEM_BANDS_SCHEMA, "bk", band_buckets, SEM_MAX_DIRS
+        )
+        vecs_t.compact_appended(
+            spark_, _SEM_VECS_SCHEMA, "vec_id", vec_buckets, SEM_MAX_DIRS
+        )
+        members_t.compact_appended(
+            spark_, _SEM_MEMBERS_SCHEMA, "vec_id", member_buckets, SEM_MAX_DIRS
+        )
+        _compact_append_chain(spark_, pairs_t, SEM_MAX_DIRS)
+        if record_stats:
+            apply_batch.last_stats = stats
+
+    return apply_batch
+
+
+def serve_semantic_pairs(spark, pairs_t, groups_t, members_t):
+    """The query half: expand stored CANONICAL pairs to member pairs.
+    Cross-group pairs carry over to every member combination (identical
+    vectors share the canonicals' cosine exactly); within-group, members
+    of any selfdup group of >= 2 are identical vectors whose pair clears
+    the threshold by the canonical's own self-cosine. Output-proportional
+    joins; the answer itself is quadratic only inside dup cliques."""
+    rep = pairs_t.read(spark).select("va", "vb")
+    mem = members_t.read(spark).select("vec_id", "gid")
+    ma = mem.select(F.col("gid").alias("va"), F.col("vec_id").alias("xa"))
+    mb = mem.select(F.col("gid").alias("vb"), F.col("vec_id").alias("xb"))
+    cross = (
+        rep.join(ma, "va")
+        .join(mb, "vb")
+        .select(
+            F.least("xa", "xb").alias("va"),
+            F.greatest("xa", "xb").alias("vb"),
+        )
+    )
+    wg = (
+        groups_t.read(spark)
+        .where((F.col("n_members") >= 2) & F.col("selfdup"))
+        .select("gid")
+    )
+    wm = mem.join(wg, "gid")
+    within = (
+        wm.select("gid", F.col("vec_id").alias("va"))
+        .join(wm.select("gid", F.col("vec_id").alias("vb")), "gid")
+        .where(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+    )
+    return cross.unionByName(within)
+
+
+def _build_semantic_index(spark: SparkSession, sf_dir: str, name: str):
+    """Run the 4-batch embeddings stream through the semantic near-dup
+    applier into a fresh five-table state."""
+    from ..operators.dedup import LSH_BANDS
+    from .ingest import minhash_index_buckets_for
+
+    d = stage_embeddings(sf_dir, "semantic_index")
+    work = fresh_work_dir(name)
+    pairs_t = SnapshotTable(os.path.join(work, "pairs"))
+    bands_t = SnapshotTable(os.path.join(work, "bands"))
+    vecs_t = SnapshotTable(os.path.join(work, "vecs"))
+    groups_t = SnapshotTable(os.path.join(work, "groups"))
+    members_t = SnapshotTable(os.path.join(work, "members"))
+    n_vecs = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).count()
+    band_buckets = minhash_index_buckets_for(n_vecs * LSH_BANDS)
+    vec_buckets = minhash_index_buckets_for(n_vecs)
+    group_buckets = minhash_index_buckets_for(n_vecs)
+    member_buckets = minhash_index_buckets_for(n_vecs)
+    src = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            make_semantic_index_applier(
+                pairs_t,
+                bands_t,
+                vecs_t,
+                groups_t,
+                members_t,
+                band_buckets=band_buckets,
+                vec_buckets=vec_buckets,
+                group_buckets=group_buckets,
+                member_buckets=member_buckets,
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        pairs_t,
+        bands_t,
+        vecs_t,
+        groups_t,
+        members_t,
+        (band_buckets, vec_buckets, group_buckets, member_buckets),
+    )
+
+
+from ..operators.dedup import EMB_LSH_SQL as _emb_lsh_sql  # noqa: E402
+
+
+@register(
+    "streaming_semantic_index",
+    _emb_lsh_sql,
+    doc="STREAMING SEMANTIC NEAR-DUP INDEX (r12) — the online-ingestion "
+    "shape of dedup_embedding_lsh, completing streaming near-dup with "
+    "the semantic member (lexical minhash shipped r11): embeddings "
+    "stream in 4 micro-batches; each batch first collapses against a "
+    "persisted xxhash64-vector GROUPS table (the batch operator's "
+    "exact-vector-collapse applied online), so only FIRST-ARRIVAL "
+    "canonicals are normalized, sign-banded (16 bands x 4 seeded-"
+    "hyperplane bits, Arrow-vectorized), probed against the stored "
+    "bk-bucketed band index (In(bk) pushdown — probe bytes track the "
+    "batch), and exact-cosine verified against ONLY candidate history "
+    "vectors (bucket-pruned VECS read semi-joined to a DISTRIBUTED "
+    "anti-join id frame — no candidate id rides through the driver). "
+    "Verified canonical pairs append; the serve side expands them "
+    "through membership (identical vectors share the canonical's cosine "
+    "exactly; a selfdup flag keeps degenerate zero vectors out). The "
+    "oracle is dedup_embedding_lsh's whole-corpus SQL VERBATIM — the "
+    "value hash proves maintained == recomputed, arrival-order "
+    "independent. Five last_batch_id cursors guard at-least-once "
+    "replays (commit order PAIRS -> BANDS -> VECS -> GROUPS -> "
+    "MEMBERS); append-mode buckets LSM-fold via compact_appended. "
+    "Recall is the batch operator's EXACTLY (shared planes, threshold, "
+    "collapse): streaming == dedup_embedding_lsh pytest-pinned, and at "
+    "sf0.1 both serve the identical pair set (the all-pairs oracle "
+    "holds 3 more there — the documented analytic-recall property; at "
+    "the driver's gate scales both match the oracle exactly).",
+)
+def q_streaming_semantic_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs_t, _, _, groups_t, members_t, _ = _build_semantic_index(
+        spark, sf_dir, "streaming_semantic_index"
+    )
+    return serve_semantic_pairs(spark, pairs_t, groups_t, members_t)
+
+
+def erase_semantic_vec(
+    spark: SparkSession,
+    erase: int,
+    pairs_t,
+    bands_t,
+    vecs_t,
+    groups_t,
+    members_t,
+    band_buckets: int,
+    vec_buckets: int,
+    group_buckets: int,
+    member_buckets: int,
+) -> None:
+    """GDPR erase from the semantic index, collapse-aware (mirrors the
+    minhash index's erase, streaming/ingest.py): drop the MEMBERS row
+    (one bucket); while exact copies survive, only decrement the group —
+    the canonical signature must stay serveable (the oracle's recompute
+    over the remaining vectors still contains that vector content). Only
+    the LAST member's erase clears the signature: pairs COW-delete,
+    the canonical's band rows leave their ≤ LSH_BANDS bk buckets (bk set
+    recomputed from the stored normalized vector first — read before
+    delete), and the VECS row leaves its bucket. The gid is a stable
+    group KEY, not a live doc reference; served pairs only emit ids from
+    MEMBERS, so the erased id is unreachable once its member row is
+    gone."""
+    from ..operators.dedup import LSH_BITS_PER_BAND, _make_lsh_udfs
+
+    band_codes, _ = _make_lsh_udfs()
+    mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
+    vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
+    id_bucket = SnapshotTable.bucket_of(F.col("vec_id"), vec_buckets)
+    bk_bucket = SnapshotTable.bucket_of(F.col("bk"), band_buckets)
+    # 1) membership: locate + drop, one bucket
+    mb = (
+        spark.createDataFrame([(erase,)], "vec_id long")
+        .select(mem_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_mem = members_t.read_buckets(
+        spark, [mb], _SEM_MEMBERS_SCHEMA, n_buckets=member_buckets
+    ).localCheckpoint(eager=True)
+    row = bucket_mem.where(F.col("vec_id") == erase).first()
+    if row is None:
+        return  # unknown vector — nothing to erase
+    gid, vh = row["gid"], row["vh"]
+    members_t.commit_buckets(
+        bucket_mem.where(F.col("vec_id") != erase).withColumn(
+            "_bucket", mem_bucket
+        ),
+        [mb],
+        n_buckets=member_buckets,
+    )
+    # 2) group bookkeeping: one vh bucket
+    gb = (
+        spark.createDataFrame([(vh,)], "vh long")
+        .select(vh_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_g = groups_t.read_buckets(
+        spark, [gb], _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
+    ).localCheckpoint(eager=True)
+    n_mem = bucket_g.where(F.col("vh") == vh).first()["n_members"]
+    if n_mem > 1:
+        groups_t.commit_buckets(
+            bucket_g.withColumn(
+                "n_members",
+                F.when(
+                    F.col("vh") == vh, F.col("n_members") - 1
+                ).otherwise(F.col("n_members")),
+            ).withColumn("_bucket", vh_bucket),
+            [gb],
+            n_buckets=group_buckets,
+        )
+        return
+    groups_t.commit_buckets(
+        bucket_g.where(F.col("vh") != vh).withColumn("_bucket", vh_bucket),
+        [gb],
+        n_buckets=group_buckets,
+    )
+    # 3) group emptied: the canonical signature leaves every surface
+    # (keyed by gid — the group's canonical id, which may differ from the
+    # erased doc after earlier member erases)
+    pairs_t.delete_where(spark, f"va = {gid} OR vb = {gid}")
+    vb_ = (
+        spark.createDataFrame([(gid,)], "vec_id long")
+        .select(id_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_v = vecs_t.read_buckets(
+        spark, [vb_], _SEM_VECS_SCHEMA, n_buckets=vec_buckets
+    ).localCheckpoint(eager=True)
+    doc_v = bucket_v.where(F.col("vec_id") == gid)
+    doc_bks = [
+        r["bk"]
+        for r in doc_v.select(
+            F.posexplode(band_codes("v")).alias("band", "code")
+        )
+        .select(
+            (
+                F.col("band").cast("long") * (1 << LSH_BITS_PER_BAND)
+                + F.col("code")
+            ).alias("bk")
+        )
+        .distinct()
+        .collect()
+    ]
+    vecs_t.commit_buckets(
+        bucket_v.where(F.col("vec_id") != gid).withColumn(
+            "_bucket", id_bucket
+        ),
+        [vb_],
+        n_buckets=vec_buckets,
+    )
+    if not doc_bks:
+        return
+    bb = sorted(
+        {
+            r["_b"]
+            for r in spark.createDataFrame([(v,) for v in doc_bks], "bk long")
+            .select(bk_bucket.alias("_b"))
+            .distinct()
+            .collect()
+        }
+    )
+    bucket_b = bands_t.read_buckets(
+        spark, bb, _SEM_BANDS_SCHEMA, n_buckets=band_buckets
+    ).localCheckpoint(eager=True)
+    bands_t.commit_buckets(
+        bucket_b.where(F.col("vec_id") != gid).withColumn(
+            "_bucket", bk_bucket
+        ),
+        bb,
+        n_buckets=band_buckets,
+    )
+
+
+from ..operators.dedup import COSINE_DUP_THRESHOLD as _SEM_COS_TAU  # noqa: E402
+
+_SEM_DELETE_SQL = f"""WITH base AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id <> (SELECT MAX(vec_id) FROM embeddings)
+),
+nrm AS (
+    SELECT vec_id, embedding, {V.norm_sql('embedding')} AS n FROM base
+),
+nv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS v
+    FROM nrm
+)
+SELECT a.vec_id AS va, b.vec_id AS vb
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE {V.dot_sql('a.v', 'b.v')} >= {_SEM_COS_TAU}"""
+
+
+@register(
+    "streaming_semantic_index_delete",
+    _SEM_DELETE_SQL,
+    doc="GDPR ERASE-AND-SERVE on the streaming semantic index (r12), "
+    "collapse-aware like the minhash erase: after the 4-batch build, one "
+    "vector (the max vec_id) is erased END-TO-END — its MEMBERS row "
+    "leaves its bucket; while exact copies survive only the group "
+    "decrements (the canonical signature must stay serveable, which is "
+    "what the corpus-minus-vector oracle computes); the LAST member's "
+    "erase deletes the canonical's pairs copy-on-write and removes its "
+    "band rows (<= LSH_BANDS bk buckets, recomputed read-before-delete "
+    "from the stored normalized vector) and its VECS row, every calm "
+    "bucket carrying over by reference. The oracle recomputes "
+    "dedup_embedding_lsh's whole answer over embeddings MINUS the erased "
+    "vector — the value hash proves the vector unreachable through "
+    "every serve path.",
+)
+def q_streaming_semantic_index_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = int(_corpus(spark, sf_dir).agg(F.max("vec_id")).first()[0])
+    pairs_t, bands_t, vecs_t, groups_t, members_t, bk = _build_semantic_index(
+        spark, sf_dir, "streaming_semantic_index_delete"
+    )
+    erase_semantic_vec(
+        spark, ev, pairs_t, bands_t, vecs_t, groups_t, members_t, *bk
+    )
+    return serve_semantic_pairs(spark, pairs_t, groups_t, members_t)

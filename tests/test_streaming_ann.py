@@ -133,3 +133,207 @@ def test_streaming_ann_queries_registered_with_oracles():
     specs = all_specs()
     for name in ("streaming_ivf_index_topk", "streaming_ivf_index_delete"):
         assert name in specs and specs[name].oracle is not None
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic (embedding-LSH) near-dup index
+# ---------------------------------------------------------------------------
+
+
+def _sem_tables(tmp_path, n_buckets=8):
+    names = ("pairs", "bands", "vecs", "groups", "members")
+    ts = tuple(SnapshotTable(str(tmp_path / n)) for n in names)
+    return ts, dict(
+        band_buckets=n_buckets,
+        vec_buckets=n_buckets,
+        group_buckets=n_buckets,
+        member_buckets=n_buckets,
+    )
+
+
+def test_semantic_stream_equals_batch_operator(spark):
+    """The maintained pair set equals the BATCH operator's output exactly
+    — a stronger pin than the oracle (which analytically bounds LSH
+    recall only at the driver's scales): both engines share planes,
+    threshold and collapse, so their sets must be identical at EVERY
+    scale."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        _build_semantic_index,
+        serve_semantic_pairs,
+    )
+
+    specs = all_specs()
+    batch = {
+        (r.va, r.vb)
+        for r in specs["dedup_embedding_lsh"].fn(spark, SF).collect()
+    }
+    pairs_t, _, _, groups_t, members_t, _ = _build_semantic_index(
+        spark, SF, "pytest_sem_stream"
+    )
+    stream = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(
+            spark, pairs_t, groups_t, members_t
+        ).collect()
+    }
+    assert stream == batch and stream
+
+
+def test_semantic_applier_replay_and_copy_collapse(spark, tmp_path):
+    """Replaying a batch id is a no-op on every table; exact copies cost
+    one member row each (one stored signature per distinct vector) and
+    pair at serve time through group membership."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        make_semantic_index_applier,
+        serve_semantic_pairs,
+    )
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    apply_batch = make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+    )
+    base = [0.0] * 63
+    rows = [
+        (1, [1.0] + base),
+        (2, [1.0] + base),  # exact copy of 1
+        (3, [-1.0] + base),  # far from 1/2
+    ]
+    b1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    apply_batch(b1, 0)
+    vs = [t.latest_version() for t in (pairs_t, bands_t, vecs_t, groups_t, members_t)]
+    apply_batch(b1, 0)  # at-least-once replay
+    assert [
+        t.latest_version() for t in (pairs_t, bands_t, vecs_t, groups_t, members_t)
+    ] == vs
+    # one signature per distinct vector, three member rows
+    assert vecs_t.read(spark).count() == 2
+    assert members_t.read(spark).count() == 3
+    served = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert served == {(1, 2)}  # copies pair; the opposite vector does not
+    # a later batch adds another copy of the same vector: member-only
+    b2 = spark.createDataFrame(
+        [(4, [1.0] + base)], "vec_id long, embedding array<float>"
+    )
+    apply_batch(b2, 1)
+    assert vecs_t.read(spark).count() == 2  # no new signature
+    served2 = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert served2 == {(1, 2), (1, 4), (2, 4)}
+
+
+def test_semantic_arrival_order_independent(spark, tmp_path):
+    """Two different batch splits of the same vectors serve the same
+    pair set (gid VALUES may differ; the expanded set may not)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        make_semantic_index_applier,
+        serve_semantic_pairs,
+    )
+
+    emb = (
+        spark.read.parquet(_os.path.join(SF, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 120)
+    )
+
+    def build(splits, root):
+        (p, b, v, g, m), bk = _sem_tables(root)
+        ab = make_semantic_index_applier(p, b, v, g, m, **bk)
+        for i, (lo, hi) in enumerate(splits):
+            ab(
+                emb.where(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                ),
+                i,
+            )
+        return {
+            (r.va, r.vb)
+            for r in serve_semantic_pairs(spark, p, g, m).collect()
+        }
+
+    s1 = build([(0, 40), (40, 80), (80, 120)], tmp_path / "a")
+    s2 = build([(0, 120)], tmp_path / "b")
+    s3 = build([(0, 100), (100, 120)], tmp_path / "c")
+    assert s1 == s2 == s3
+
+
+def test_semantic_erase_copy_then_last_member(spark, tmp_path):
+    """Collapse-aware erase: removing an exact copy only decrements the
+    group (pairs/bands/vecs untouched — calm buckets carry over by
+    reference); removing the LAST member clears the signature from every
+    surface and its pairs become unreachable."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        erase_semantic_vec,
+        make_semantic_index_applier,
+        serve_semantic_pairs,
+    )
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    apply_batch = make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+    )
+    base = [0.0] * 62
+    rows = [
+        (1, [1.0, 0.0] + base),
+        (2, [1.0, 0.0] + base),  # copy of 1
+        (3, [1.0, 0.1] + base),  # near-dup of 1/2 (cos ~ 0.995)
+    ]
+    apply_batch(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"), 0
+    )
+    served = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert served == {(1, 2), (1, 3), (2, 3)}
+    # erase the COPY: group decrements, stored signature stays
+    bands_v = bands_t.latest_version()
+    vecs_v = vecs_t.latest_version()
+    pairs_v = pairs_t.latest_version()
+    erase_semantic_vec(
+        spark, 2, pairs_t, bands_t, vecs_t, groups_t, members_t,
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    assert bands_t.latest_version() == bands_v  # untouched
+    assert vecs_t.latest_version() == vecs_v
+    assert pairs_t.latest_version() == pairs_v
+    served = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert served == {(1, 3)}
+    # erase the LAST member of the group: signature leaves every surface
+    erase_semantic_vec(
+        spark, 1, pairs_t, bands_t, vecs_t, groups_t, members_t,
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    assert vecs_t.read(spark).where("vec_id = 1").count() == 0
+    assert bands_t.read(spark).where("vec_id = 1").count() == 0
+    assert pairs_t.read(spark).where("va = 1 OR vb = 1").count() == 0
+    served = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert served == set()
+
+
+def test_semantic_queries_registered_with_oracles():
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    for name in (
+        "streaming_semantic_index",
+        "streaming_semantic_index_delete",
+    ):
+        assert name in specs and specs[name].oracle is not None
