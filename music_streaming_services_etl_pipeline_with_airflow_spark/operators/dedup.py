@@ -786,16 +786,27 @@ LSH_BITS_PER_BAND = 4
 _EMB_DIM = 64
 
 
-def _hyperplanes() -> list[list[float]]:
-    """Deterministic random hyperplanes (seeded), LSH_BANDS*LSH_BITS_PER_BAND
-    of them — part of the operator definition, not data-dependent."""
+def _hyperplanes(
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS_PER_BAND,
+    dim: int = _EMB_DIM,
+) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded), bands*bits of them —
+    part of the operator definition, not data-dependent. The defaults are
+    the registry layout (16x4, tuned to tau=0.45 at the driver's
+    scales); production deployments raise ``bits`` (8-12 with a higher
+    tau) to prune candidates 2^bits-way through the same kernels."""
     import numpy as np
 
     rng = np.random.default_rng(42)
-    return rng.standard_normal((LSH_BANDS * LSH_BITS_PER_BAND, _EMB_DIM)).tolist()
+    return rng.standard_normal((bands * bits, dim)).tolist()
 
 
-def _make_lsh_udfs():
+def _make_lsh_udfs(
+    bands: int = LSH_BANDS,
+    bits: int = LSH_BITS_PER_BAND,
+    dim: int = _EMB_DIM,
+):
     """Arrow-vectorized kernels for the LSH hot path. The pure-Catalyst
     formulation (64 aggregate-fold dots per row for signatures, one fold per
     candidate pair for verification) evaluates higher-order-function lambdas
@@ -805,16 +816,16 @@ def _make_lsh_udfs():
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.asarray(_hyperplanes())  # (64, dim) — captured in closures
+    planes = np.asarray(_hyperplanes(bands, bits, dim))  # captured in closures
 
     @pandas_udf("array<integer>")
     def band_codes(v: pd.Series) -> pd.Series:
         mat = np.stack(v.to_numpy())  # batch x dim
-        signs = (mat @ planes.T) >= 0  # batch x 64 sign bits
-        codes = np.zeros((len(mat), LSH_BANDS), dtype=np.int32)
-        for b in range(LSH_BANDS):
-            for j in range(LSH_BITS_PER_BAND):
-                codes[:, b] |= signs[:, b * LSH_BITS_PER_BAND + j].astype(
+        signs = (mat @ planes.T) >= 0  # batch x bands*bits sign bits
+        codes = np.zeros((len(mat), bands), dtype=np.int32)
+        for b in range(bands):
+            for j in range(bits):
+                codes[:, b] |= signs[:, b * bits + j].astype(
                     np.int32
                 ) << j
         return pd.Series(list(codes))

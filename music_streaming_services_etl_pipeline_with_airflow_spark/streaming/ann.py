@@ -320,6 +320,8 @@ def make_semantic_index_applier(
     group_buckets: int,
     member_buckets: int,
     record_stats: bool = False,
+    lsh_bands: int | None = None,
+    lsh_bits: int | None = None,
 ):
     """foreachBatch callback maintaining a persisted SEMANTIC near-dup
     index — random-hyperplane LSH over embeddings with the batch
@@ -358,12 +360,18 @@ def make_semantic_index_applier(
     content."""
     from ..operators.dedup import (
         COSINE_DUP_THRESHOLD,
+        LSH_BANDS,
         LSH_BITS_PER_BAND,
         _make_lsh_udfs,
     )
     from ..streaming.ingest import _compact_append_chain
 
-    band_codes, pair_dot = _make_lsh_udfs()
+    # the registry layout by default; production deployments raise
+    # lsh_bits (8-12 with a higher tau) — candidates prune 2^bits-way
+    # through the same protocol (measured: tools/semantic_growth_measure)
+    lsh_bands = lsh_bands or LSH_BANDS
+    lsh_bits = lsh_bits or LSH_BITS_PER_BAND
+    band_codes, pair_dot = _make_lsh_udfs(bands=lsh_bands, bits=lsh_bits)
     SEM_MAX_DIRS = 16
 
     def apply_batch(batch, batch_id):
@@ -443,7 +451,7 @@ def make_semantic_index_applier(
                 "bk",
                 (
                     F.col("band").cast("long")
-                    * (1 << LSH_BITS_PER_BAND)
+                    * (1 << lsh_bits)
                     + F.col("code")
                 ),
             )
@@ -770,6 +778,8 @@ def erase_semantic_vec(
     vec_buckets: int,
     group_buckets: int,
     member_buckets: int,
+    lsh_bands: int | None = None,
+    lsh_bits: int | None = None,
 ) -> None:
     """GDPR erase from the semantic index, collapse-aware (mirrors the
     minhash index's erase, streaming/ingest.py): drop the MEMBERS row
@@ -783,9 +793,11 @@ def erase_semantic_vec(
     group KEY, not a live doc reference; served pairs only emit ids from
     MEMBERS, so the erased id is unreachable once its member row is
     gone."""
-    from ..operators.dedup import LSH_BITS_PER_BAND, _make_lsh_udfs
+    from ..operators.dedup import LSH_BANDS, LSH_BITS_PER_BAND, _make_lsh_udfs
 
-    band_codes, _ = _make_lsh_udfs()
+    lsh_bands = lsh_bands or LSH_BANDS
+    lsh_bits = lsh_bits or LSH_BITS_PER_BAND
+    band_codes, _ = _make_lsh_udfs(bands=lsh_bands, bits=lsh_bits)
     mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
     vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
     id_bucket = SnapshotTable.bucket_of(F.col("vec_id"), vec_buckets)
@@ -857,7 +869,7 @@ def erase_semantic_vec(
         )
         .select(
             (
-                F.col("band").cast("long") * (1 << LSH_BITS_PER_BAND)
+                F.col("band").cast("long") * (1 << lsh_bits)
                 + F.col("code")
             ).alias("bk")
         )

@@ -229,8 +229,11 @@ def main() -> None:
         "streaming_pack_index",
         "streaming_minhash_index",
         # round 12: the streaming IVF pair (batch_assign + pruned_search
-        # frames; the delete twin's search plan is identical)
+        # frames; the delete twin's search plan is identical) and the
+        # streaming semantic near-dup index (groups/bands/vecs pruned
+        # frames)
         "streaming_ivf_index_topk",
+        "streaming_semantic_index",
     ):
         specs[name].fn(spark, sf_dir).collect()
     for key in sorted(_ingest.PLAN_CAPTURE):
