@@ -305,8 +305,6 @@ _SEM_VECS_SCHEMA = "vec_id long, v array<double>"
 _SEM_GROUPS_SCHEMA = "vh long, gid long, selfdup boolean, n_members long"
 _SEM_MEMBERS_SCHEMA = "vec_id long, gid long, vh long"
 _SEM_PAIRS_SCHEMA = "va long, vb long"
-# In()-pushdown cap shared with the other index appliers
-_SEM_ISIN_CAP = 10_000
 
 
 def make_semantic_index_applier(
@@ -364,6 +362,7 @@ def make_semantic_index_applier(
         LSH_BITS_PER_BAND,
         _make_lsh_udfs,
     )
+    from ..streaming.ingest import _PACK_PK_ISIN_CAP as _SEM_ISIN_CAP
     from ..streaming.ingest import _compact_append_chain
 
     # the registry layout by default; production deployments raise
@@ -434,8 +433,13 @@ def make_semantic_index_applier(
         )
 
         # ---- LSH machinery over CANONICALS only ----
+        # zero-norm vectors never enter the machinery: the divide would
+        # throw under ANSI, and the oracle's NaN dot keeps them out of
+        # every pair anyway — they stay group members with
+        # selfdup=False (the coalesce below)
         nv = (
             canon.withColumn("nrm", V.norm(F.col("dv")))
+            .where(F.col("nrm") > 0)
             .select(
                 "vec_id",
                 F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
@@ -556,7 +560,13 @@ def make_semantic_index_applier(
                 bands.withColumn("_bucket", bk_bucket),
                 touched_b,
                 n_buckets=band_buckets,
-                extra={"last_batch_id": batch_id},
+                # the layout rides the manifest so the erase path can
+                # never recompute bk under different planes/encoding
+                extra={
+                    "last_batch_id": batch_id,
+                    "lsh_bands": lsh_bands,
+                    "lsh_bits": lsh_bits,
+                },
                 append=True,
             )
         if cur["vecs"] is None or batch_id > cur["vecs"]:
@@ -766,92 +776,24 @@ def q_streaming_semantic_index(
     return serve_semantic_pairs(spark, pairs_t, groups_t, members_t)
 
 
-def erase_semantic_vec(
+def _clear_semantic_signature(
     spark: SparkSession,
-    erase: int,
+    gid: int,
     pairs_t,
     bands_t,
     vecs_t,
-    groups_t,
-    members_t,
     band_buckets: int,
     vec_buckets: int,
-    group_buckets: int,
-    member_buckets: int,
-    lsh_bands: int | None = None,
-    lsh_bits: int | None = None,
+    band_codes,
+    lsh_bits: int,
 ) -> None:
-    """GDPR erase from the semantic index, collapse-aware (mirrors the
-    minhash index's erase, streaming/ingest.py): drop the MEMBERS row
-    (one bucket); while exact copies survive, only decrement the group —
-    the canonical signature must stay serveable (the oracle's recompute
-    over the remaining vectors still contains that vector content). Only
-    the LAST member's erase clears the signature: pairs COW-delete,
-    the canonical's band rows leave their ≤ LSH_BANDS bk buckets (bk set
-    recomputed from the stored normalized vector first — read before
-    delete), and the VECS row leaves its bucket. The gid is a stable
-    group KEY, not a live doc reference; served pairs only emit ids from
-    MEMBERS, so the erased id is unreachable once its member row is
-    gone."""
-    from ..operators.dedup import LSH_BANDS, LSH_BITS_PER_BAND, _make_lsh_udfs
-
-    lsh_bands = lsh_bands or LSH_BANDS
-    lsh_bits = lsh_bits or LSH_BITS_PER_BAND
-    band_codes, _ = _make_lsh_udfs(bands=lsh_bands, bits=lsh_bits)
-    mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
-    vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
+    """Remove an emptied group's canonical signature from every surface
+    — pairs (COW delete), VECS row, band rows (bk set recomputed from
+    the stored normalized vector FIRST: read before delete). IDEMPOTENT:
+    rerunning after a crash is a no-op on already-cleared surfaces, which
+    is what makes the last-member erase resumable."""
     id_bucket = SnapshotTable.bucket_of(F.col("vec_id"), vec_buckets)
     bk_bucket = SnapshotTable.bucket_of(F.col("bk"), band_buckets)
-    # 1) membership: locate + drop, one bucket
-    mb = (
-        spark.createDataFrame([(erase,)], "vec_id long")
-        .select(mem_bucket.alias("_b"))
-        .first()[0]
-    )
-    bucket_mem = members_t.read_buckets(
-        spark, [mb], _SEM_MEMBERS_SCHEMA, n_buckets=member_buckets
-    ).localCheckpoint(eager=True)
-    row = bucket_mem.where(F.col("vec_id") == erase).first()
-    if row is None:
-        return  # unknown vector — nothing to erase
-    gid, vh = row["gid"], row["vh"]
-    members_t.commit_buckets(
-        bucket_mem.where(F.col("vec_id") != erase).withColumn(
-            "_bucket", mem_bucket
-        ),
-        [mb],
-        n_buckets=member_buckets,
-    )
-    # 2) group bookkeeping: one vh bucket
-    gb = (
-        spark.createDataFrame([(vh,)], "vh long")
-        .select(vh_bucket.alias("_b"))
-        .first()[0]
-    )
-    bucket_g = groups_t.read_buckets(
-        spark, [gb], _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
-    ).localCheckpoint(eager=True)
-    n_mem = bucket_g.where(F.col("vh") == vh).first()["n_members"]
-    if n_mem > 1:
-        groups_t.commit_buckets(
-            bucket_g.withColumn(
-                "n_members",
-                F.when(
-                    F.col("vh") == vh, F.col("n_members") - 1
-                ).otherwise(F.col("n_members")),
-            ).withColumn("_bucket", vh_bucket),
-            [gb],
-            n_buckets=group_buckets,
-        )
-        return
-    groups_t.commit_buckets(
-        bucket_g.where(F.col("vh") != vh).withColumn("_bucket", vh_bucket),
-        [gb],
-        n_buckets=group_buckets,
-    )
-    # 3) group emptied: the canonical signature leaves every surface
-    # (keyed by gid — the group's canonical id, which may differ from the
-    # erased doc after earlier member erases)
     pairs_t.delete_where(spark, f"va = {gid} OR vb = {gid}")
     vb_ = (
         spark.createDataFrame([(gid,)], "vec_id long")
@@ -906,6 +848,115 @@ def erase_semantic_vec(
     )
 
 
+def erase_semantic_vec(
+    spark: SparkSession,
+    erase: int,
+    pairs_t,
+    bands_t,
+    vecs_t,
+    groups_t,
+    members_t,
+    band_buckets: int,
+    vec_buckets: int,
+    group_buckets: int,
+    member_buckets: int,
+    lsh_bands: int | None = None,
+    lsh_bits: int | None = None,
+) -> None:
+    """GDPR erase from the semantic index, collapse-aware (mirrors the
+    minhash index's erase, streaming/ingest.py): drop the MEMBERS row
+    (one bucket); while exact copies survive, only decrement the group —
+    the canonical signature must stay serveable (the oracle's recompute
+    over the remaining vectors still contains that vector content). Only
+    the LAST member's erase clears the signature: pairs COW-delete,
+    the canonical's band rows leave their ≤ LSH_BANDS bk buckets (bk set
+    recomputed from the stored normalized vector first — read before
+    delete), and the VECS row leaves its bucket. The gid is a stable
+    group KEY, not a live doc reference; served pairs only emit ids from
+    MEMBERS, so the erased id is unreachable once its member row is
+    gone."""
+    from ..operators.dedup import LSH_BANDS, LSH_BITS_PER_BAND, _make_lsh_udfs
+
+    # the BANDS manifest records the layout the index was BUILT with —
+    # always preferred over caller args (a mismatched recompute of bk
+    # would silently delete nothing: a GDPR retention leak)
+    lsh_bands = (
+        bands_t.latest_manifest_field("lsh_bands") or lsh_bands or LSH_BANDS
+    )
+    lsh_bits = (
+        bands_t.latest_manifest_field("lsh_bits") or lsh_bits or LSH_BITS_PER_BAND
+    )
+    band_codes, _ = _make_lsh_udfs(bands=lsh_bands, bits=lsh_bits)
+    mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
+    vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
+    id_bucket = SnapshotTable.bucket_of(F.col("vec_id"), vec_buckets)
+    bk_bucket = SnapshotTable.bucket_of(F.col("bk"), band_buckets)
+    # 1) membership: locate + drop, one bucket
+    mb = (
+        spark.createDataFrame([(erase,)], "vec_id long")
+        .select(mem_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_mem = members_t.read_buckets(
+        spark, [mb], _SEM_MEMBERS_SCHEMA, n_buckets=member_buckets
+    ).localCheckpoint(eager=True)
+    row = bucket_mem.where(F.col("vec_id") == erase).first()
+    if row is None:
+        return  # unknown vector — nothing to erase
+    gid, vh = row["gid"], row["vh"]
+    # 2) group bookkeeping: one vh bucket
+    gb = (
+        spark.createDataFrame([(vh,)], "vh long")
+        .select(vh_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_g = groups_t.read_buckets(
+        spark, [gb], _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
+    ).localCheckpoint(eager=True)
+
+    def drop_member_row():
+        members_t.commit_buckets(
+            bucket_mem.where(F.col("vec_id") != erase).withColumn(
+                "_bucket", mem_bucket
+            ),
+            [mb],
+            n_buckets=member_buckets,
+        )
+
+    grow = bucket_g.where(F.col("vh") == vh).first()
+    n_mem = grow["n_members"] if grow is not None else 1
+    if n_mem > 1:
+        # copies survive: member row out, counter down. The crash window
+        # between the two commits leaves the counter high — detectable
+        # and repairable by audit_and_repair_semantic_index (fsck).
+        drop_member_row()
+        groups_t.commit_buckets(
+            bucket_g.withColumn(
+                "n_members",
+                F.when(
+                    F.col("vh") == vh, F.col("n_members") - 1
+                ).otherwise(F.col("n_members")),
+            ).withColumn("_bucket", vh_bucket),
+            [gb],
+            n_buckets=group_buckets,
+        )
+        return
+    # LAST member: clear the signature FIRST (idempotent — see
+    # _clear_semantic_signature), so a crash anywhere in this path makes
+    # a plain retry converge (the member row is still present, n_mem is
+    # still 1, the re-clear is a no-op); member and group rows leave last
+    _clear_semantic_signature(
+        spark, gid, pairs_t, bands_t, vecs_t,
+        band_buckets, vec_buckets, band_codes, lsh_bits,
+    )
+    drop_member_row()
+    groups_t.commit_buckets(
+        bucket_g.where(F.col("vh") != vh).withColumn("_bucket", vh_bucket),
+        [gb],
+        n_buckets=group_buckets,
+    )
+
+
 from ..operators.dedup import COSINE_DUP_THRESHOLD as _SEM_COS_TAU  # noqa: E402
 
 _SEM_DELETE_SQL = f"""WITH base AS (
@@ -953,3 +1004,100 @@ def q_streaming_semantic_index_delete(
         spark, ev, pairs_t, bands_t, vecs_t, groups_t, members_t, *bk
     )
     return serve_semantic_pairs(spark, pairs_t, groups_t, members_t)
+
+
+def audit_and_repair_semantic_index(
+    spark: SparkSession,
+    pairs_t,
+    bands_t,
+    vecs_t,
+    groups_t,
+    members_t,
+    band_buckets: int,
+    vec_buckets: int,
+    group_buckets: int,
+    member_buckets: int,
+) -> list[dict]:
+    """fsck for the collapse front (the table-format answer to the one
+    non-resumable erase window): recompute every group's live member
+    count from the MEMBERS relation — one full scan, this is an AUDIT,
+    not a serve path — and repair what a torn multi-member erase can
+    leave behind (a crash between the MEMBERS and GROUPS commits leaves
+    ``n_members`` one high; a later last-member erase would then take
+    the decrement-only path and retain the signature forever):
+
+    - counter drift (stored n_members != live count, live > 0): rewrite
+      only the affected vh buckets with the true counts;
+    - orphaned groups (0 live members): complete the interrupted erase —
+      clear the canonical signature (idempotent) and drop the group row.
+
+    Returns the repair report (one dict per repaired group); an empty
+    list means the index is consistent. Run after any crashed erase, or
+    periodically the way real table formats schedule fsck/maintenance."""
+    from collections import defaultdict
+
+    from ..operators.dedup import LSH_BANDS, LSH_BITS_PER_BAND, _make_lsh_udfs
+
+    lsh_bands = bands_t.latest_manifest_field("lsh_bands") or LSH_BANDS
+    lsh_bits = bands_t.latest_manifest_field("lsh_bits") or LSH_BITS_PER_BAND
+    band_codes, _ = _make_lsh_udfs(bands=lsh_bands, bits=lsh_bits)
+    vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
+    if groups_t.latest_version() == 0:
+        return []
+    live = (
+        members_t.read(spark)
+        .groupBy("vh")
+        .agg(F.count("*").alias("live_n"))
+    )
+    drift = (
+        groups_t.read(spark)
+        .join(live, "vh", "left")
+        .withColumn("live_n", F.coalesce("live_n", F.lit(0)))
+        .where(F.col("n_members") != F.col("live_n"))
+        .select("vh", "gid", "n_members", "live_n", vh_bucket.alias("_b"))
+        .collect()  # bounded by crash damage, not by the table
+    )
+    if not drift:
+        return []
+    report = []
+    by_bucket: dict[int, list] = defaultdict(list)
+    for r in drift:
+        by_bucket[r["_b"]].append(r)
+        report.append(
+            {
+                "vh": r["vh"],
+                "gid": r["gid"],
+                "stored_n": r["n_members"],
+                "live_n": r["live_n"],
+                "action": "dropped" if r["live_n"] == 0 else "recounted",
+            }
+        )
+    for r in drift:
+        if r["live_n"] == 0:
+            _clear_semantic_signature(
+                spark, r["gid"], pairs_t, bands_t, vecs_t,
+                band_buckets, vec_buckets, band_codes, lsh_bits,
+            )
+    for b, rows in by_bucket.items():
+        corr = spark.createDataFrame(
+            [(r["vh"], r["live_n"]) for r in rows], "vh long, true_n long"
+        )
+        bucket_g = groups_t.read_buckets(
+            spark, [b], _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
+        )
+        fixed = (
+            bucket_g.join(F.broadcast(corr), "vh", "left")
+            .where(F.coalesce(F.col("true_n"), F.lit(1)) > 0)
+            .select(
+                "vh",
+                "gid",
+                "selfdup",
+                F.coalesce("true_n", "n_members").alias("n_members"),
+            )
+        )
+        groups_t.commit_buckets(
+            fixed.withColumn("_bucket", vh_bucket),
+            [b],
+            n_buckets=group_buckets,
+        )
+    return report

@@ -1935,7 +1935,7 @@ def q_streaming_minhash_index_delete(
     return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
 
 
-def erase_doc_from_minhash_index(
+def audit_and_repair_minhash_index(
     spark: SparkSession,
     pairs_t,
     bands_t,
@@ -1943,93 +1943,104 @@ def erase_doc_from_minhash_index(
     groups_t,
     members_t,
     n_buckets: int,
-    erase: int,
     shingle_buckets: int | None = None,
     group_buckets: int | None = None,
-    member_buckets: int | None = None,
-) -> None:
-    """Erase one document END-TO-END from the near-dup index — bounded
-    bucket rewrites, never a table scan:
+) -> list[dict]:
+    """fsck for the minhash collapse front — the same repair the
+    semantic index ships (streaming/ann.py
+    audit_and_repair_semantic_index): recompute every group's live
+    member count from MEMBERS (one full scan; an audit, not a serve
+    path) and repair what a torn multi-member erase leaves behind
+    (counter one high after a crash between the MEMBERS and GROUPS
+    commits) plus orphaned 0-member groups (complete the interrupted
+    last-member erase: clear the signature, drop the group row).
+    Returns one dict per repaired group; [] means consistent."""
+    from collections import defaultdict
 
-    1. MEMBERS: one doc_id-bucket read locates the doc's (gid, th); the
-       bucket rewrites without the row (compacting its dir list).
-    2. GROUPS: one th-bucket rewrite decrements the group's n_members.
-    3. Only when the group EMPTIES does near-dup state change: the
-       group's canonical pairs delete copy-on-write and its band rows /
-       shingles rewrite exactly <= N_BANDS band buckets + 1 shingle
-       bucket (the gid's bval set is recomputed from its stored shingles
-       FIRST — read-before-delete). While any exact copy survives, the
-       group's signature must stay: the oracle's recompute over the
-       remaining docs still contains that text.
-
-    The gid is a stable group KEY (the first arrival's doc_id), not a
-    live doc reference — erasing the first arrival of a multi-member
-    group keeps gid as the key; served pairs only ever emit doc_ids from
-    MEMBERS, so the erased id is unreachable the moment its member row
-    is gone."""
-    from ..operators.dedup import banded_signatures, minhash_signatures
     from ..snapshots import SnapshotTable
 
     shingle_buckets = shingle_buckets or n_buckets
     group_buckets = group_buckets or n_buckets
-    member_buckets = member_buckets or n_buckets
-    mem_bucket = SnapshotTable.bucket_of(F.col("doc_id"), member_buckets)
     th_bucket = SnapshotTable.bucket_of(F.col("th"), group_buckets)
-    id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), shingle_buckets)
-    bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
-    # 1) membership: locate + drop, one bucket
-    mb = (
-        spark.createDataFrame([(erase,)], "doc_id long")
-        .select(mem_bucket.alias("_b"))
-        .first()[0]
+    if groups_t.latest_version() == 0:
+        return []
+    live = (
+        members_t.read(spark).groupBy("th").agg(F.count("*").alias("live_n"))
     )
-    bucket_mem = members_t.read_buckets(
-        spark, [mb], _MH_MEMBERS_SCHEMA, n_buckets=member_buckets
-    ).localCheckpoint(eager=True)
-    row = bucket_mem.where(F.col("doc_id") == erase).first()
-    if row is None:
-        return  # unknown doc — nothing to erase
-    gid, th = row["gid"], row["th"]
-    members_t.commit_buckets(
-        bucket_mem.where(F.col("doc_id") != erase).withColumn(
-            "_bucket", mem_bucket
-        ),
-        [mb],
-        n_buckets=member_buckets,
+    drift = (
+        groups_t.read(spark)
+        .join(live, "th", "left")
+        .withColumn("live_n", F.coalesce("live_n", F.lit(0)))
+        .where(F.col("n_members") != F.col("live_n"))
+        .select("th", "gid", "n_members", "live_n", th_bucket.alias("_b"))
+        .collect()  # bounded by crash damage, not by the table
     )
-    # 2) group bookkeeping: one th bucket
-    gb = (
-        spark.createDataFrame([(th,)], "th string")
-        .select(th_bucket.alias("_b"))
-        .first()[0]
-    )
-    bucket_g = groups_t.read_buckets(
-        spark, [gb], _MH_GROUPS_SCHEMA, n_buckets=group_buckets
-    ).localCheckpoint(eager=True)
-    n_mem = bucket_g.where(F.col("th") == th).first()["n_members"]
-    if n_mem > 1:
-        # exact copies survive: decrement and stop — the group's
-        # signature (bands, shingles, pairs) must stay serveable
+    if not drift:
+        return []
+    report = []
+    by_bucket: dict[int, list] = defaultdict(list)
+    for r in drift:
+        by_bucket[r["_b"]].append(r)
+        report.append(
+            {
+                "th": r["th"],
+                "gid": r["gid"],
+                "stored_n": r["n_members"],
+                "live_n": r["live_n"],
+                "action": "dropped" if r["live_n"] == 0 else "recounted",
+            }
+        )
+    for r in drift:
+        if r["live_n"] == 0:
+            _clear_minhash_signature(
+                spark, r["gid"], pairs_t, bands_t, shingles_t,
+                n_buckets, shingle_buckets,
+            )
+    for b, rows in by_bucket.items():
+        corr = spark.createDataFrame(
+            [(r["th"], r["live_n"]) for r in rows], "th string, true_n long"
+        )
+        bucket_g = groups_t.read_buckets(
+            spark, [b], _MH_GROUPS_SCHEMA, n_buckets=group_buckets
+        )
+        fixed = (
+            bucket_g.join(F.broadcast(corr), "th", "left")
+            .where(F.coalesce(F.col("true_n"), F.lit(1)) > 0)
+            .select(
+                "th",
+                "gid",
+                "shingled",
+                F.coalesce("true_n", "n_members").alias("n_members"),
+            )
+        )
         groups_t.commit_buckets(
-            bucket_g.withColumn(
-                "n_members",
-                F.when(
-                    F.col("th") == th, F.col("n_members") - 1
-                ).otherwise(F.col("n_members")),
-            ).withColumn("_bucket", th_bucket),
-            [gb],
+            fixed.withColumn("_bucket", th_bucket),
+            [b],
             n_buckets=group_buckets,
         )
-        return
-    groups_t.commit_buckets(
-        bucket_g.where(F.col("th") != th).withColumn("_bucket", th_bucket),
-        [gb],
-        n_buckets=group_buckets,
-    )
-    # 3) group emptied: the canonical signature leaves every surface.
-    # NOTE gid, not erase — pairs/bands/shingles are keyed by the group's
-    # canonical id, which may differ from the erased doc after earlier
-    # member erases.
+    return report
+
+
+def _clear_minhash_signature(
+    spark: SparkSession,
+    gid: int,
+    pairs_t,
+    bands_t,
+    shingles_t,
+    n_buckets: int,
+    shingle_buckets: int,
+) -> None:
+    """Remove an emptied group's canonical signature from every near-dup
+    surface — pairs (COW delete), shingles (1 doc_id bucket; the bval set
+    recomputed from the stored shingles FIRST, read-before-delete), band
+    rows (<= N_BANDS bval buckets). IDEMPOTENT: rerunning after a crash
+    no-ops on already-cleared surfaces — the resumability of the
+    last-member erase (and the fsck's orphan completion) rest on it."""
+    from ..operators.dedup import banded_signatures, minhash_signatures
+    from ..snapshots import SnapshotTable
+
+    id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), shingle_buckets)
+    bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
     pairs_t.delete_where(spark, f"da = {gid} OR db = {gid}")
     sb = (
         spark.createDataFrame([(gid,)], "doc_id long")
@@ -2072,4 +2083,114 @@ def erase_doc_from_minhash_index(
         ),
         bb,
         n_buckets=n_buckets,
+    )
+
+
+def erase_doc_from_minhash_index(
+    spark: SparkSession,
+    pairs_t,
+    bands_t,
+    shingles_t,
+    groups_t,
+    members_t,
+    n_buckets: int,
+    erase: int,
+    shingle_buckets: int | None = None,
+    group_buckets: int | None = None,
+    member_buckets: int | None = None,
+) -> None:
+    """Erase one document END-TO-END from the near-dup index — bounded
+    bucket rewrites, never a table scan:
+
+    1. MEMBERS: one doc_id-bucket read locates the doc's (gid, th); the
+       bucket rewrites without the row (compacting its dir list).
+    2. GROUPS: one th-bucket rewrite decrements the group's n_members.
+    3. Only when the group EMPTIES does near-dup state change: the
+       group's canonical pairs delete copy-on-write and its band rows /
+       shingles rewrite exactly <= N_BANDS band buckets + 1 shingle
+       bucket (the gid's bval set is recomputed from its stored shingles
+       FIRST — read-before-delete). While any exact copy survives, the
+       group's signature must stay: the oracle's recompute over the
+       remaining docs still contains that text.
+
+    The gid is a stable group KEY (the first arrival's doc_id), not a
+    live doc reference — erasing the first arrival of a multi-member
+    group keeps gid as the key; served pairs only ever emit doc_ids from
+    MEMBERS, so the erased id is unreachable the moment its member row
+    is gone."""
+    from ..snapshots import SnapshotTable
+
+    shingle_buckets = shingle_buckets or n_buckets
+    group_buckets = group_buckets or n_buckets
+    member_buckets = member_buckets or n_buckets
+    mem_bucket = SnapshotTable.bucket_of(F.col("doc_id"), member_buckets)
+    th_bucket = SnapshotTable.bucket_of(F.col("th"), group_buckets)
+    # 1) membership: locate, one bucket (the row leaves inside whichever
+    # branch runs below)
+    mb = (
+        spark.createDataFrame([(erase,)], "doc_id long")
+        .select(mem_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_mem = members_t.read_buckets(
+        spark, [mb], _MH_MEMBERS_SCHEMA, n_buckets=member_buckets
+    ).localCheckpoint(eager=True)
+    row = bucket_mem.where(F.col("doc_id") == erase).first()
+    if row is None:
+        return  # unknown doc — nothing to erase
+    gid, th = row["gid"], row["th"]
+
+    def drop_member_row():
+        members_t.commit_buckets(
+            bucket_mem.where(F.col("doc_id") != erase).withColumn(
+                "_bucket", mem_bucket
+            ),
+            [mb],
+            n_buckets=member_buckets,
+        )
+
+    # 2) group bookkeeping: one th bucket
+    gb = (
+        spark.createDataFrame([(th,)], "th string")
+        .select(th_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_g = groups_t.read_buckets(
+        spark, [gb], _MH_GROUPS_SCHEMA, n_buckets=group_buckets
+    ).localCheckpoint(eager=True)
+    grow = bucket_g.where(F.col("th") == th).first()
+    n_mem = grow["n_members"] if grow is not None else 1
+    if n_mem > 1:
+        # exact copies survive: member row out, counter down — the
+        # group's signature (bands, shingles, pairs) must stay
+        # serveable. The crash window between the two commits leaves
+        # the counter high; audit_and_repair_minhash_index (fsck)
+        # detects and repairs it.
+        drop_member_row()
+        groups_t.commit_buckets(
+            bucket_g.withColumn(
+                "n_members",
+                F.when(
+                    F.col("th") == th, F.col("n_members") - 1
+                ).otherwise(F.col("n_members")),
+            ).withColumn("_bucket", th_bucket),
+            [gb],
+            n_buckets=group_buckets,
+        )
+        return
+    # 3) LAST member: the canonical signature leaves every surface FIRST
+    # (idempotent — see _clear_minhash_signature), so a crash anywhere in
+    # this path makes a plain retry converge (the member row is still
+    # present, n_mem still 1, the re-clear no-ops); the member and group
+    # rows leave last. NOTE gid, not erase — pairs/bands/shingles are
+    # keyed by the group's canonical id, which may differ from the erased
+    # doc after earlier member erases.
+    _clear_minhash_signature(
+        spark, gid, pairs_t, bands_t, shingles_t, n_buckets, shingle_buckets
+    )
+    drop_member_row()
+    groups_t.commit_buckets(
+        bucket_g.where(F.col("th") != th).withColumn("_bucket", th_bucket),
+        [gb],
+        n_buckets=group_buckets,
     )

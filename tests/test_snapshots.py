@@ -2133,3 +2133,98 @@ def test_delete_probe_dir_attribution_and_divergence_guard():
         _attribute_hit_dirs(
             ["s3a://other-bkt/t/data-v3-c/part-1.parquet"], dirs, "t"
         )
+
+
+def test_minhash_fsck_repairs_torn_multi_member_erase(spark, tmp_path):
+    """The minhash twin of the semantic index's fsck (r12): simulate the
+    one non-resumable erase window (member row removed, counter not
+    decremented) — the audit detects the drift and recounts; an orphaned
+    0-member group (torn last-member erase) is completed by the fsck
+    itself (signature cleared, group row dropped)."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        _MH_MEMBERS_SCHEMA,
+        audit_and_repair_minhash_index,
+        erase_doc_from_minhash_index,
+        make_minhash_index_applier,
+        serve_minhash_pairs,
+    )
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
+    nb = 4
+    apply_batch = make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=nb
+    )
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    apply_batch(
+        spark.createDataFrame(
+            [
+                (1, fam + "alpha beta"),
+                (2, fam + "alpha beta"),  # exact copy of 1 -> group {1,2}
+                (3, fam + "alpha gamma"),  # near-dup neighbor
+            ],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    assert audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    ) == []
+    # torn multi-member erase of doc 2: member row out, counter untouched
+    mem_bucket = SnapshotTable.bucket_of(F.col("doc_id"), nb)
+    mb = (
+        spark.createDataFrame([(2,)], "doc_id long")
+        .select(mem_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_mem = members_t.read_buckets(
+        spark, [mb], _MH_MEMBERS_SCHEMA, n_buckets=nb
+    ).localCheckpoint(eager=True)
+    members_t.commit_buckets(
+        bucket_mem.where(F.col("doc_id") != 2).withColumn("_bucket", mem_bucket),
+        [mb],
+        n_buckets=nb,
+    )
+    rep = audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    )
+    assert len(rep) == 1 and rep[0]["action"] == "recounted"
+    assert rep[0]["stored_n"] == 2 and rep[0]["live_n"] == 1
+    # the repaired index now erases doc 1 (the true last member) fully
+    erase_doc_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb, 1
+    )
+    assert shingles_t.read(spark).where("doc_id = 1").count() == 0
+    assert pairs_t.read(spark).where("da = 1 OR db = 1").count() == 0
+    # orphan: remove doc 3's member row with no erase at all; fsck
+    # completes the interrupted last-member erase end-to-end
+    mb3 = (
+        spark.createDataFrame([(3,)], "doc_id long")
+        .select(mem_bucket.alias("_b"))
+        .first()[0]
+    )
+    bm3 = members_t.read_buckets(
+        spark, [mb3], _MH_MEMBERS_SCHEMA, n_buckets=nb
+    ).localCheckpoint(eager=True)
+    members_t.commit_buckets(
+        bm3.where(F.col("doc_id") != 3).withColumn("_bucket", mem_bucket),
+        [mb3],
+        n_buckets=nb,
+    )
+    rep2 = audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    )
+    assert len(rep2) == 1 and rep2[0]["action"] == "dropped"
+    assert groups_t.read(spark).count() == 0
+    assert {
+        (r.da, r.db)
+        for r in serve_minhash_pairs(spark, pairs_t, groups_t, members_t).collect()
+    } == set()

@@ -337,3 +337,160 @@ def test_semantic_queries_registered_with_oracles():
         "streaming_semantic_index_delete",
     ):
         assert name in specs and specs[name].oracle is not None
+
+
+def test_semantic_zero_vector_never_pairs_and_does_not_crash(spark, tmp_path):
+    """A degenerate all-zero vector must not crash the batch (ANSI
+    divide) and its exact copies must NOT pair (the oracle's NaN dot),
+    while it still counts as a group member."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        make_semantic_index_applier,
+        serve_semantic_pairs,
+    )
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    apply_batch = make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+    )
+    zeros = [0.0] * 64
+    rows = [
+        (1, zeros),
+        (2, zeros),  # exact copy of the zero vector
+        (3, [1.0] + [0.0] * 63),
+        (4, [1.0] + [0.0] * 63),  # copy of 3
+    ]
+    apply_batch(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"), 0
+    )
+    assert members_t.read(spark).count() == 4
+    assert vecs_t.read(spark).count() == 1  # only the non-zero canonical
+    served = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert served == {(3, 4)}  # zero-vector copies never pair
+
+
+def test_semantic_erase_layout_read_from_manifest(spark, tmp_path):
+    """An index built at a non-default layout (10 bits) erases correctly
+    even when the caller omits the layout — the BANDS manifest records
+    it, so the bk recompute can never run under the wrong planes."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        erase_semantic_vec,
+        make_semantic_index_applier,
+    )
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    apply_batch = make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, lsh_bits=10, **bk
+    )
+    rows = [(1, [1.0] + [0.0] * 63), (2, [0.0, 1.0] + [0.0] * 62)]
+    apply_batch(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"), 0
+    )
+    assert bands_t.latest_manifest_field("lsh_bits") == 10
+    assert bands_t.read(spark).where("vec_id = 1").count() > 0
+    # erase WITHOUT passing the layout: manifest wins
+    erase_semantic_vec(
+        spark, 1, pairs_t, bands_t, vecs_t, groups_t, members_t,
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    assert bands_t.read(spark).where("vec_id = 1").count() == 0
+    assert vecs_t.read(spark).where("vec_id = 1").count() == 0
+
+
+def test_semantic_fsck_repairs_torn_multi_member_erase(spark, tmp_path):
+    """Simulate the one non-resumable erase window (crash between the
+    MEMBERS and GROUPS commits of a multi-member erase): the counter
+    stays high, a later last-member erase would leak the signature —
+    audit_and_repair detects the drift, recounts, and a subsequent erase
+    then clears everything. Also: an orphaned 0-member group (crash in a
+    torn LAST-member erase just after the member row left) is completed
+    by the fsck itself."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        audit_and_repair_semantic_index,
+        erase_semantic_vec,
+        make_semantic_index_applier,
+        serve_semantic_pairs,
+    )
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    args = (
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    apply_batch = make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+    )
+    base = [0.0] * 62
+    rows = [
+        (1, [1.0, 0.0] + base),
+        (2, [1.0, 0.0] + base),  # copy of 1 -> group {1,2}
+        (3, [1.0, 0.1] + base),  # near-dup neighbor
+    ]
+    apply_batch(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"), 0
+    )
+    # consistent index: audit reports nothing
+    assert audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    ) == []
+    # simulate the torn erase of vec 2: member row removed, counter NOT
+    # decremented (the crash window)
+    mem_bucket = SnapshotTable.bucket_of(
+        F.col("vec_id"), bk["member_buckets"]
+    )
+    mb = (
+        spark.createDataFrame([(2,)], "vec_id long")
+        .select(mem_bucket.alias("_b"))
+        .first()[0]
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import _SEM_MEMBERS_SCHEMA
+    bucket_mem = members_t.read_buckets(
+        spark, [mb], _SEM_MEMBERS_SCHEMA, n_buckets=bk["member_buckets"]
+    ).localCheckpoint(eager=True)
+    members_t.commit_buckets(
+        bucket_mem.where(F.col("vec_id") != 2).withColumn("_bucket", mem_bucket),
+        [mb],
+        n_buckets=bk["member_buckets"],
+    )
+    # fsck: detects the drift and recounts
+    rep = audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    )
+    assert len(rep) == 1 and rep[0]["action"] == "recounted"
+    assert rep[0]["stored_n"] == 2 and rep[0]["live_n"] == 1
+    # the repaired index now erases vec 1 (the true last member) fully
+    erase_semantic_vec(
+        spark, 1, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    )
+    assert vecs_t.read(spark).where("vec_id = 1").count() == 0
+    assert pairs_t.read(spark).where("va = 1 OR vb = 1").count() == 0
+    served = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert served == set()
+    # orphan scenario: remove vec 3's member row without any erase at all
+    mb3 = (
+        spark.createDataFrame([(3,)], "vec_id long")
+        .select(mem_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_mem3 = members_t.read_buckets(
+        spark, [mb3], _SEM_MEMBERS_SCHEMA, n_buckets=bk["member_buckets"]
+    ).localCheckpoint(eager=True)
+    members_t.commit_buckets(
+        bucket_mem3.where(F.col("vec_id") != 3).withColumn(
+            "_bucket", mem_bucket
+        ),
+        [mb3],
+        n_buckets=bk["member_buckets"],
+    )
+    rep2 = audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    )
+    assert len(rep2) == 1 and rep2[0]["action"] == "dropped"
+    assert groups_t.read(spark).count() == 0
+    assert vecs_t.read(spark).count() == 0

@@ -16,7 +16,8 @@ it member-append-only (no banding, no probe, no verify).
 Synthetic fixture: deterministic unit-spread vectors (sin((id+1)k) per
 dimension, 64 dims to match the LSH planes).
 
-Usage: python tools/semantic_growth_measure.py [seed_n] (default 5000)
+Usage: python tools/semantic_growth_measure.py [seed_n] [lsh_bits]
+(defaults: seed_n=2000, the registry 4-bit layout)
 """
 
 from __future__ import annotations
