@@ -494,3 +494,101 @@ def test_semantic_fsck_repairs_torn_multi_member_erase(spark, tmp_path):
     assert len(rep2) == 1 and rep2[0]["action"] == "dropped"
     assert groups_t.read(spark).count() == 0
     assert vecs_t.read(spark).count() == 0
+
+
+def test_semantic_index_random_interleaved_batches_and_erases(spark, tmp_path):
+    """Seeded interleaving fuzz over the full lifecycle: clustered
+    vectors (exact copies + tight near-dups per cluster, clusters far
+    apart) stream in random batch splits with random erases in between;
+    after every schedule the served pair set must equal the analytic
+    expectation — all surviving same-cluster pairs, nothing else.
+    Cluster geometry keeps every true pair's cosine ~0.99 (per-band
+    collision ~0.83, any-of-16 ≈ 1), so LSH recall is not the variable
+    under test; the applier/erase/serve machinery is."""
+    import random
+
+    import numpy as np
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        audit_and_repair_semantic_index,
+        erase_semantic_vec,
+        make_semantic_index_applier,
+        serve_semantic_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    pyrng = random.Random(7)
+    n_clusters, per_cluster = 4, 5
+    vecs = {}  # vec_id -> (cluster, list[float])
+    vid = 0
+    for c in range(n_clusters):
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        for k in range(per_cluster):
+            if k % 2 == 1:
+                v = base  # exact copy of the cluster base
+            else:
+                v = base + 0.05 * rng.standard_normal(64)
+                v = v / np.linalg.norm(v)
+            vecs[vid] = (c, [float(x) for x in v])
+            vid += 1
+
+    for trial in range(3):
+        root = tmp_path / f"t{trial}"
+        (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(root)
+        args = (
+            bk["band_buckets"], bk["vec_buckets"],
+            bk["group_buckets"], bk["member_buckets"],
+        )
+        apply_batch = make_semantic_index_applier(
+            pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+        )
+        ids = list(vecs)
+        pyrng.shuffle(ids)
+        # random batch boundaries
+        cuts = sorted(pyrng.sample(range(1, len(ids)), 3))
+        batches = [
+            ids[a:b] for a, b in zip([0] + cuts, cuts + [len(ids)])
+        ]
+        alive = set()
+        erased = []
+        bid = 0
+        for batch_ids in batches:
+            apply_batch(
+                spark.createDataFrame(
+                    [(i, vecs[i][1]) for i in batch_ids],
+                    "vec_id long, embedding array<float>",
+                ),
+                bid,
+            )
+            bid += 1
+            alive |= set(batch_ids)
+            # erase a random already-ingested vector between batches
+            if alive and pyrng.random() < 0.7:
+                target = pyrng.choice(sorted(alive))
+                erase_semantic_vec(
+                    spark, target, pairs_t, bands_t, vecs_t,
+                    groups_t, members_t, *args,
+                )
+                alive.discard(target)
+                erased.append(target)
+        served = {
+            (r.va, r.vb)
+            for r in serve_semantic_pairs(
+                spark, pairs_t, groups_t, members_t
+            ).collect()
+        }
+        expected = {
+            (a, b)
+            for a in alive
+            for b in alive
+            if a < b and vecs[a][0] == vecs[b][0]
+        }
+        assert served == expected, (
+            f"trial {trial}: erased={erased} diff="
+            f"{(served - expected, expected - served)}"
+        )
+        # the lifecycle left a consistent index: fsck reports nothing
+        assert audit_and_repair_semantic_index(
+            spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+        ) == []
