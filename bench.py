@@ -45,10 +45,14 @@ def _prev_bench(repo_root: str):
         calib = float(re.search(r'"calib_sec": ([0-9.]+)', tail).group(1))
         total = float(re.search(r'"value": ([0-9.]+)\}\s*$', tail).group(1))
         qm = re.search(r'"queries": (\{[^{}]*\})', tail)
+        # second probe shape (r13+): absent in older rounds — the
+        # comparison then falls back to the codegen probe alone
+        m2 = re.search(r'"calib_shuffle_sec": ([0-9.]+)', tail)
         return {
             "round": rnd,
             "total": total,
             "calib_sec": calib,
+            "calib_shuffle_sec": float(m2.group(1)) if m2 else None,
             "queries": json.loads(qm.group(1)) if qm else {},
         }
     except (AttributeError, ValueError, json.JSONDecodeError):
@@ -239,6 +243,33 @@ def main() -> None:
 
     calib = round(sorted(calibration_probe() for _ in range(3))[1], 3)
 
+    # SECOND PROBE SHAPE (round 13, VERDICT r12 ask 8): the codegen fold
+    # above exercises only whole-stage codegen — if host drift moves
+    # shuffle machinery (disk, page cache, IPC) differently from pure
+    # CPU, a single-shape yardstick mis-adjudicates every shuffle-heavy
+    # query. This probe is a real two-exchange aggregate (hash partition
+    # -> partial/final agg) over the same data-independent range source.
+    # Both probes are recorded; vs_prev normalizes by their GEOMEAN when
+    # the previous round carries both, so a probe-vs-workload mix shift
+    # is measurable instead of argued.
+    def calibration_probe_shuffle() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("pmod(xxhash64(id), 2000000) as k", "id as v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .selectExpr("sum(`sum(v)`) as s")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    calib_shuffle = round(
+        sorted(calibration_probe_shuffle() for _ in range(3))[1], 3
+    )
+
     # Queries whose fn() runs EAGER work (two_phase_row_number's
     # checkpoint + offsets collect; the two-stage MaxSim's materialized
     # lexical pool): the timer must wrap fn() too, or the headline number
@@ -325,7 +356,15 @@ def main() -> None:
     vs_prev = None
     if prev and prev["total"] > 0 and prev["calib_sec"] > 0:
         def cal_ratio(now_s: float, then_s: float) -> float:
-            return (now_s / calib) / (then_s / prev["calib_sec"])
+            r1 = (now_s / calib) / (then_s / prev["calib_sec"])
+            # geomean across probe shapes once both rounds carry both
+            # (r13+); single-probe fallback against pre-r13 rounds
+            if prev.get("calib_shuffle_sec") and calib_shuffle > 0:
+                r2 = (now_s / calib_shuffle) / (
+                    then_s / prev["calib_shuffle_sec"]
+                )
+                return (r1 * r2) ** 0.5
+            return r1
 
         vs_prev = {
             "round": prev["round"],
@@ -365,6 +404,7 @@ def main() -> None:
             else {}
         ),
         **({"vs_prev": vs_prev} if vs_prev else {}),
+        "calib_shuffle_sec": calib_shuffle,
         "calib_sec": calib,
         "queries": headline_timings,
         "sf": sf,

@@ -94,17 +94,58 @@ def _check_extra_keys(extra: dict | None) -> None:
         raise ValueError(f"extra manifest fields shadow reserved keys: {clash}")
 
 
+# Well-known default ports per filesystem scheme: an authority that spells
+# the default port explicitly (hdfs://nn:8020/x) names the SAME filesystem
+# as one that omits it (hdfs://nn/x) — representation, not identity.
+_DEFAULT_PORTS = {
+    "hdfs": 8020,
+    "viewfs": 8020,
+    "webhdfs": 9870,
+    "http": 80,
+    "https": 443,
+    "ftp": 21,
+}
+
+
+def _norm_authority(netloc: str, scheme: str = "") -> str:
+    """Hostname case and an explicit-vs-implicit default port are benign
+    URI-representation differences (r13, ADVICE): fold both so the
+    delete probe's dir attribution doesn't abort on a deployment where
+    Spark reports ``hdfs://NN:8020/...`` for a manifest dir written as
+    ``hdfs://nn/...``."""
+    netloc = netloc.lower()
+    host, sep, port = netloc.rpartition(":")
+    if sep and port.isdigit() and _DEFAULT_PORTS.get(scheme.lower()) == int(port):
+        return host
+    return netloc
+
+
+def _norm_local(p: str) -> str:
+    """realpath, not abspath: Spark resolves symlinked working dirs
+    (macOS /tmp -> /private/tmp is the classic) when stamping
+    input_file_name(), so both sides of the attribution must resolve
+    them the same way or every delete aborts with the divergence
+    guard."""
+    return os.path.realpath(os.path.abspath(p))
+
+
 def _norm_dir(d: str) -> tuple[str, str]:
     """One normal form for both sides of delete_where's dir attribution:
     (authority, path) — scheme-qualified dirs (hdfs://nn/x, s3a://b/x)
-    keep their authority; local paths resolve against the cwd exactly
-    once here."""
+    keep their normalized authority (case-folded, default port
+    stripped); ``file://`` and bare local paths resolve symlinks and
+    the cwd exactly once here."""
     from urllib.parse import unquote, urlparse
 
     if "://" in d:
         u = urlparse(d)
-        return (u.netloc, unquote(u.path).rstrip("/"))
-    return ("", os.path.abspath(d))
+        if u.scheme.lower() == "file":
+            return ("", _norm_local(unquote(u.path)))
+        return (
+            _norm_authority(u.netloc, u.scheme),
+            unquote(u.path).rstrip("/"),
+        )
+    return ("", _norm_local(d))
 
 
 def _attribute_hit_dirs(
@@ -121,7 +162,11 @@ def _attribute_hit_dirs(
     hit_dirs = set()
     for f in hit_files:
         u = urlparse(f)
-        hit_dirs.add((u.netloc, os.path.dirname(unquote(u.path))))
+        pdir = os.path.dirname(unquote(u.path))
+        if u.scheme.lower() in ("", "file"):
+            hit_dirs.add(("", _norm_local(pdir)))
+        else:
+            hit_dirs.add((_norm_authority(u.netloc, u.scheme), pdir))
     by_norm = {_norm_dir(d): d for d in dirs}
     orphans = hit_dirs - set(by_norm)
     if orphans:
@@ -700,6 +745,7 @@ class SnapshotTable:
         n_buckets: int | None = None,
         extra: dict | None = None,
         append: bool = False,
+        replace_all_buckets: bool = False,
     ) -> int:
         """Commit ``df`` as the FULL new content of the ``touched`` buckets
         (``df`` carries ``bucket_col``, computed with :meth:`bucket_of`);
@@ -736,16 +782,31 @@ class SnapshotTable:
         parent's is accepted ONLY when it replaces every non-empty bucket
         (a full rewrite — the lineage's visible file set is single-schema
         again, Delta's overwriteSchema shape); otherwise it fails fast,
-        BEFORE any data is written."""
+        BEFORE any data is written.
+
+        ``replace_all_buckets=True`` starts from an EMPTY bucket map:
+        nothing carries over by reference, ``df`` + ``touched`` define
+        the table's entire new content. This is the one case where the
+        bucket COUNT may legally change (the ``_check_n_buckets``
+        invariant protects carried-over buckets from a hash-mod drift;
+        with no carry-over there is nothing to protect) — the rebucketing
+        primitive an IVF re-quantization migration or a
+        bucket-count-doubling resize commits through. Caller metadata and
+        the parent's extras still carry forward as on any commit."""
         _check_extra_keys(extra)
         parent = self.latest_version()
         # resolve the parent's bucket map BEFORE writing any data: a
         # wrong-lineage call (non-bucketed parent) must fail fast like
         # commit() does, not leave an orphan data dir on every retry
         buckets: dict[str, list[str]] = (
-            dict(self._bucket_map(parent)) if parent > 0 else {}
+            dict(self._bucket_map(parent))
+            if parent > 0 and not replace_all_buckets
+            else {}
         )
-        self._check_n_buckets(n_buckets)
+        if parent > 0 and replace_all_buckets:
+            self._bucket_map(parent)  # still fail fast on a wrong lineage
+        if not replace_all_buckets:
+            self._check_n_buckets(n_buckets)
         new_schema = df.drop(bucket_col).schema.jsonValue()
 
         def shape(js: dict) -> frozenset:

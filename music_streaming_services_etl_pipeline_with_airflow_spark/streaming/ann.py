@@ -182,6 +182,110 @@ def build_streaming_ivf_index(
     return t
 
 
+def ivf_list_skew_audit(spark: SparkSession, index_t: SnapshotTable) -> dict:
+    """One-scan occupancy audit of the inverted lists (r13): max-list /
+    mean-list occupancy is the number that tells an operator when the
+    quantizer has drifted from the data — a skew ratio of k means the
+    hottest list costs k× the average probe, and erase/compaction
+    rewrites concentrate on it. Run it on the same maintenance cadence as
+    fsck; when skew crosses the deployment's threshold, retrain and
+    migrate via :func:`requantize_ivf_index`."""
+    occ = (
+        index_t.read(spark)
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.max("n").alias("mx"),
+            F.avg("n").alias("mean"),
+            F.count("*").alias("nonempty"),
+            F.sum("n").alias("total"),
+        )
+        .first()
+    )
+    if occ["total"] is None:
+        return {"n_vectors": 0, "nonempty_lists": 0, "max_list": 0,
+                "mean_list": 0.0, "skew": 0.0}
+    return {
+        "n_vectors": int(occ["total"]),
+        "nonempty_lists": int(occ["nonempty"]),
+        "max_list": int(occ["mx"]),
+        "mean_list": round(float(occ["mean"]), 2),
+        "skew": round(int(occ["mx"]) / float(occ["mean"]), 2),
+    }
+
+
+def requantize_ivf_index(
+    spark: SparkSession,
+    index_t: SnapshotTable,
+    new_centroid_rows: list[tuple[int, list[float]]],
+    n_lists: int | None = None,
+) -> dict:
+    """Quantizer lifecycle migration (r13, VERDICT r12 ask 3): at 100 TB
+    the coarse quantizer is not forever — data drift unbalances the
+    inverted lists and real systems periodically retrain centroids and
+    reassign. This is that migration as ONE bounded rewrite:
+
+    - read every stored vector ONCE (a migration is O(|index|) by
+      necessity — but one pass, not per-list jobs);
+    - reassign with the SAME broadcast map-side max_by argmax kernel the
+      ingest applier uses (no shuffle of stored state beyond the final
+      bucket-aligned write);
+    - commit the new bucket map atomically via
+      ``commit_buckets(replace_all_buckets=True)`` — the one commit shape
+      under which the list COUNT may change, because nothing carries over
+      by reference. A crash mid-migration leaves the pre-migration
+      version current (manifest-swap atomicity), so the migration is
+      all-or-nothing, same model-fuzz class as ``compact_appended``.
+
+    Cursor-preserving: the ``last_batch_id`` replay cursor (and every
+    other caller extra) carries forward through the commit, so the
+    stream resumes exactly where it left off — against a NEW applier
+    built with the new quantizer (the quantizer ships with the applier,
+    so hand the retrained rows to ``make_ivf_index_applier``).
+
+    Returns ``{"before": <skew audit>, "after": <skew audit>,
+    "version": <new version>}``."""
+    n_new = n_lists or len(new_centroid_rows)
+    bad = [c for c, _ in new_centroid_rows if not (0 <= c < n_new)]
+    if bad:
+        raise ValueError(
+            f"centroid ids {bad[:5]} outside [0, {n_new}) — inverted "
+            "lists are identity-bucketed by cid, so every centroid id "
+            "must be a valid list id"
+        )
+    before = ivf_list_skew_audit(spark, index_t)
+    centroids = spark.createDataFrame(
+        new_centroid_rows, "cid long, cv array<double>"
+    )
+    vecs = index_t.read(spark).select("vec_id", "v")
+    reassigned = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "cid",
+            V.cosine(F.col("v"), F.col("cv")).alias("cos_c"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.max_by("cid", F.struct(F.col("cos_c"), -F.col("cid"))).alias(
+                "cid"
+            ),
+        )
+        .select("vec_id", "cid", "v")
+    )
+    version = index_t.commit_buckets(
+        reassigned.withColumn("_bucket", F.col("cid").cast("int")),
+        list(range(n_new)),
+        n_buckets=n_new,
+        replace_all_buckets=True,
+    )
+    return {
+        "before": before,
+        "after": ivf_list_skew_audit(spark, index_t),
+        "version": version,
+    }
+
+
 def _search_with_captured_plan(
     spark: SparkSession, sf_dir: str, t: SnapshotTable, capture: str
 ) -> DataFrame:
@@ -788,10 +892,18 @@ def _clear_semantic_signature(
     lsh_bits: int,
 ) -> None:
     """Remove an emptied group's canonical signature from every surface
-    — pairs (COW delete), VECS row, band rows (bk set recomputed from
-    the stored normalized vector FIRST: read before delete). IDEMPOTENT:
-    rerunning after a crash is a no-op on already-cleared surfaces, which
-    is what makes the last-member erase resumable."""
+    — pairs (COW delete), band rows (bk set recomputed from the stored
+    normalized vector: read before delete), then the VECS row. COMMIT
+    ORDER IS LOAD-BEARING (r13, ADVICE): the VECS row is the ONLY source
+    for recomputing the canonical's bk set, so it must be deleted LAST —
+    derived surfaces first, recompute source last. The previous order
+    (VECS before BANDS) had a crash window in which the band rows leaked
+    FOREVER: the retry found no stored vector, recomputed an empty bk
+    set, and returned, retaining derived data of an erased vector.
+    IDEMPOTENT AND RESUMABLE: a retry after any crash converges — while
+    the VECS row survives, the bk set recomputes identically and the
+    band delete no-ops if already applied; once the VECS row is gone,
+    every derived surface is guaranteed already cleared."""
     id_bucket = SnapshotTable.bucket_of(F.col("vec_id"), vec_buckets)
     bk_bucket = SnapshotTable.bucket_of(F.col("bk"), band_buckets)
     pairs_t.delete_where(spark, f"va = {gid} OR vb = {gid}")
@@ -818,14 +930,9 @@ def _clear_semantic_signature(
         .distinct()
         .collect()
     ]
-    vecs_t.commit_buckets(
-        bucket_v.where(F.col("vec_id") != gid).withColumn(
-            "_bucket", id_bucket
-        ),
-        [vb_],
-        n_buckets=vec_buckets,
-    )
     if not doc_bks:
+        # no stored vector: the clear already completed (or the vector
+        # never reached VECS) — every derived surface is already gone
         return
     bb = sorted(
         {
@@ -845,6 +952,13 @@ def _clear_semantic_signature(
         ),
         bb,
         n_buckets=band_buckets,
+    )
+    vecs_t.commit_buckets(
+        bucket_v.where(F.col("vec_id") != gid).withColumn(
+            "_bucket", id_bucket
+        ),
+        [vb_],
+        n_buckets=vec_buckets,
     )
 
 

@@ -814,31 +814,66 @@ def q_streaming_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _serve_bm25_from_index(spark, postings_t, df_t)
 
 
-@register(
-    "streaming_bm25_index_delete",
-    None,  # bound below: the batch oracle over the corpus minus the doc
-    doc="",
-)
-def q_streaming_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GDPR erase-and-serve on the incremental BM25 index: after the
-    stream builds the index, one document (the MIN doc_id — deterministic
-    on both engines) is erased END-TO-END — postings deleted copy-on-write
-    with the corpus counters shrinking ATOMICALLY in the same manifest
-    (delete_where(extra=...)), per-term df decremented through the same
-    bucketed merge the ingest path uses — and the query side then serves
-    from the post-erase index. The oracle recomputes batch BM25 over
-    documents MINUS the erased doc, so the hash proves the erased doc is
-    unreachable through every scoring path (postings, df, counters)."""
-    postings_t, df_t, df_buckets = _build_bm25_index(
-        spark, sf_dir, "streaming_bm25_index_delete"
+def erase_doc_from_bm25_index(
+    spark: SparkSession,
+    postings_t,
+    df_t,
+    erase: int,
+    df_buckets: int | None = None,
+) -> None:
+    """GDPR erase from the incremental BM25 index, RETRY-CONVERGENT
+    (r13 — closes the torn window the near-dup indexes already closed):
+    the doc's postings rows are the ONLY source for recomputing its
+    per-term df contribution, so the commit order is derived-surface
+    FIRST, recompute source LAST —
+
+    1. df decrement via the same vocabulary-bucketed merge the ingest
+       path uses. A SUM-merge is NOT idempotent, so it is guarded by an
+       erase marker (``last_erase_marker = "<doc>@<postings version>"``)
+       recorded atomically in the df manifest by the merge itself: a
+       retry that finds the marker skips the decrement instead of
+       double-subtracting.
+    2. postings delete copy-on-write, the corpus counters (n_docs,
+       sum_dl) shrinking ATOMICALLY in the same manifest
+       (delete_where(extra=...)).
+
+    Crash anywhere -> plain retry converges: while the postings survive,
+    the df delta recomputes identically (marker decides whether it
+    already applied); once the postings are gone, the df decrement is
+    guaranteed already committed and the erase no-ops. The marker binds
+    to the postings VERSION the erase read, so re-ingesting a previously
+    erased doc_id and erasing it again decrements correctly (recovery
+    contract: retry the interrupted erase before committing new postings
+    batches). audit_and_repair_bm25_index is the independent fsck."""
+    df_buckets = (
+        df_buckets
+        or df_t.latest_manifest_field("n_buckets")
+        or BM25_IDX_BUCKETS
     )
-    erase = postings_t.read(spark).agg(F.min("doc_id")).first()[0]
     doc_post = (
         postings_t.read(spark)
         .filter(F.col("doc_id") == erase)
-        .localCheckpoint(eager=True)  # read BEFORE the delete rewrites it
+        .localCheckpoint(eager=True)  # read BEFORE any delete rewrites it
     )
-    dl = doc_post.select("dl").first()[0]
+    head = doc_post.select("dl").first()
+    if head is None:
+        # no stored postings: the erase already completed (df commits
+        # first, so it cannot be pending), or the doc never existed
+        return
+    dl = head[0]
+    marker = f"{erase}@{postings_t.latest_version()}"
+    if df_t.latest_manifest_field("last_erase_marker") != marker:
+        ddf = doc_post.groupBy("term").agg(F.count("*").alias("d_df"))
+        df_t.merge_bucketed(
+            spark,
+            ddf,
+            on="term",
+            update={"df": "df - d_df"},
+            insert_defaults={"df": "0"},  # unreachable: erased terms exist
+            n_buckets=df_buckets,  # the table's own (vocabulary-sized) count
+            schema="term string, df long",
+            extra={"last_erase_marker": marker},
+        )
     postings_t.delete_where(
         spark,
         f"doc_id = {erase}",
@@ -848,16 +883,127 @@ def q_streaming_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame
             - int(dl),
         },
     )
-    ddf = doc_post.groupBy("term").agg(F.count("*").alias("d_df"))
-    df_t.merge_bucketed(
-        spark,
-        ddf,
-        on="term",
-        update={"df": "df - d_df"},
-        insert_defaults={"df": "0"},  # unreachable: erased terms exist
-        n_buckets=df_buckets,  # the table's own (vocabulary-sized) count
-        schema="term string, df long",
+
+
+def audit_and_repair_bm25_index(
+    spark: SparkSession, postings_t, df_t, df_buckets: int | None = None
+) -> list[dict]:
+    """fsck for the BM25 index (r13) — recompute the ground truth from
+    the postings (ONE full scan; an audit, not a serve path) and repair
+    every derived surface a torn erase or a pre-r13 crash can have left
+    inconsistent:
+
+    - per-term df drift (stored df != live postings row count per term;
+      a row per (doc, term) IS a document occurrence): rewrite only the
+      drifted terms' vocabulary buckets with the true counts via
+      merge_bucketed;
+    - corpus-counter drift (manifest n_docs / sum_dl vs the postings'
+      distinct-doc aggregate): republish the counters in a
+      metadata-only manifest step (a no-match delete_where carries every
+      dir over by reference).
+
+    Returns one dict per repair ({"kind": "df_drift"|"counter_drift",
+    ...}); [] means the index is consistent."""
+    if postings_t.latest_version() == 0:
+        return []
+    df_buckets = (
+        df_buckets
+        or df_t.latest_manifest_field("n_buckets")
+        or BM25_IDX_BUCKETS
     )
+    report: list[dict] = []
+    post = postings_t.read(spark)
+    true_df = post.groupBy("term").agg(F.count("*").alias("true_df"))
+    stored = (
+        df_t.read(spark)
+        if df_t.latest_version() > 0
+        else spark.createDataFrame([], "term string, df long")
+    )
+    drift = (
+        stored.join(true_df, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("df", F.lit(0)).alias("df"),
+            F.coalesce("true_df", F.lit(0)).alias("true_df"),
+        )
+        .where(F.col("df") != F.col("true_df"))
+        .collect()  # bounded by crash damage (one doc's vocabulary), not |vocab|
+    )
+    if drift:
+        for r in drift:
+            report.append(
+                {
+                    "kind": "df_drift",
+                    "term": r["term"],
+                    "stored_df": r["df"],
+                    "true_df": r["true_df"],
+                }
+            )
+        corr = spark.createDataFrame(
+            [(r["term"], r["true_df"]) for r in drift],
+            "term string, true_df long",
+        )
+        df_t.merge_bucketed(
+            spark,
+            corr,
+            on="term",
+            update={"df": "true_df"},
+            insert_defaults={"df": "true_df"},
+            n_buckets=df_buckets,
+            schema="term string, df long",
+        )
+    n_docs_true, sum_dl_true = (
+        post.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count("*"), F.coalesce(F.sum("dl"), F.lit(0)))
+        .first()
+    )
+    n_docs_m = int(postings_t.latest_manifest_field("n_docs", 0))
+    sum_dl_m = int(postings_t.latest_manifest_field("sum_dl", 0))
+    if (n_docs_m, sum_dl_m) != (int(n_docs_true), int(sum_dl_true)):
+        report.append(
+            {
+                "kind": "counter_drift",
+                "stored": {"n_docs": n_docs_m, "sum_dl": sum_dl_m},
+                "true": {
+                    "n_docs": int(n_docs_true),
+                    "sum_dl": int(sum_dl_true),
+                },
+            }
+        )
+        # metadata-only manifest step: predicate matches nothing, every
+        # data dir carries over by reference, corrected counters ride in
+        postings_t.delete_where(
+            spark,
+            "doc_id IS NULL AND dl IS NULL",
+            extra={
+                "n_docs": int(n_docs_true),
+                "sum_dl": int(sum_dl_true),
+            },
+        )
+    return report
+
+
+@register(
+    "streaming_bm25_index_delete",
+    None,  # bound below: the batch oracle over the corpus minus the doc
+    doc="",
+)
+def q_streaming_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erase-and-serve on the incremental BM25 index: after the
+    stream builds the index, one document (the MIN doc_id — deterministic
+    on both engines) is erased END-TO-END through
+    erase_doc_from_bm25_index (retry-convergent r13: marker-guarded df
+    decrement first, postings delete with atomically-shrunk counters
+    last) — and the query side then serves from the post-erase index.
+    The oracle recomputes batch BM25 over documents MINUS the erased
+    doc, so the hash proves the erased doc is unreachable through every
+    scoring path (postings, df, counters)."""
+    postings_t, df_t, df_buckets = _build_bm25_index(
+        spark, sf_dir, "streaming_bm25_index_delete"
+    )
+    erase = postings_t.read(spark).agg(F.min("doc_id")).first()[0]
+    erase_doc_from_bm25_index(spark, postings_t, df_t, erase, df_buckets)
     return _serve_bm25_from_index(spark, postings_t, df_t)
 
 
@@ -2031,11 +2177,21 @@ def _clear_minhash_signature(
     shingle_buckets: int,
 ) -> None:
     """Remove an emptied group's canonical signature from every near-dup
-    surface — pairs (COW delete), shingles (1 doc_id bucket; the bval set
-    recomputed from the stored shingles FIRST, read-before-delete), band
-    rows (<= N_BANDS bval buckets). IDEMPOTENT: rerunning after a crash
-    no-ops on already-cleared surfaces — the resumability of the
-    last-member erase (and the fsck's orphan completion) rest on it."""
+    surface — pairs (COW delete), band rows (<= N_BANDS bval buckets; the
+    bval set recomputed from the stored shingles: read before delete),
+    then the shingles row (1 doc_id bucket). COMMIT ORDER IS LOAD-BEARING
+    (r13, ADVICE): the shingles row is the ONLY source for recomputing
+    the canonical's bval set, so it must be deleted LAST — derived
+    surfaces first, recompute source last. The previous order (shingles
+    before bands) had a crash window in which the band rows leaked
+    FOREVER: the retry recomputed an empty bval set and returned,
+    retaining derived data of erased text. IDEMPOTENT AND RESUMABLE: a
+    retry after any crash converges — while the shingles survive, the
+    bval set recomputes identically and the band delete no-ops if
+    already applied; once the shingles row is gone, every derived
+    surface is guaranteed already cleared (an UNSHINGLED gid — too short
+    to shingle — never had band rows, so the early return is right for
+    it too)."""
     from ..operators.dedup import banded_signatures, minhash_signatures
     from ..snapshots import SnapshotTable
 
@@ -2058,14 +2214,9 @@ def _clear_minhash_signature(
         .distinct()
         .collect()
     ]
-    shingles_t.commit_buckets(
-        bucket_sh.where(F.col("doc_id") != gid).withColumn(
-            "_bucket", id_bucket
-        ),
-        [sb],
-        n_buckets=shingle_buckets,
-    )
     if not doc_bvals:
+        # no stored shingles: clear already completed, or the gid was
+        # never shingled — either way no band rows exist to remove
         return
     bb = sorted(
         r["_b"]
@@ -2083,6 +2234,13 @@ def _clear_minhash_signature(
         ),
         bb,
         n_buckets=n_buckets,
+    )
+    shingles_t.commit_buckets(
+        bucket_sh.where(F.col("doc_id") != gid).withColumn(
+            "_bucket", id_bucket
+        ),
+        [sb],
+        n_buckets=shingle_buckets,
     )
 
 

