@@ -1143,7 +1143,12 @@ def audit_and_repair_semantic_index(
     - counter drift (stored n_members != live count, live > 0): rewrite
       only the affected vh buckets with the true counts;
     - orphaned groups (0 live members): complete the interrupted erase —
-      clear the canonical signature (idempotent) and drop the group row.
+      clear the canonical signature (idempotent) and drop the group row;
+    - orphaned BAND rows (vec_ids with no VECS row — the permanent leak
+      a pre-r13 clear's crash window could leave, r13 ADVICE): purge
+      them from their bk buckets. The r13 commit order (bands before
+      vecs) can no longer produce this state; the check keeps the
+      retention guarantee AUDITABLE rather than assumed.
 
     Returns the repair report (one dict per repaired group); an empty
     list means the index is consistent. Run after any crashed erase, or
@@ -1171,47 +1176,76 @@ def audit_and_repair_semantic_index(
         .select("vh", "gid", "n_members", "live_n", vh_bucket.alias("_b"))
         .collect()  # bounded by crash damage, not by the table
     )
-    if not drift:
-        return []
     report = []
-    by_bucket: dict[int, list] = defaultdict(list)
-    for r in drift:
-        by_bucket[r["_b"]].append(r)
-        report.append(
-            {
-                "vh": r["vh"],
-                "gid": r["gid"],
-                "stored_n": r["n_members"],
-                "live_n": r["live_n"],
-                "action": "dropped" if r["live_n"] == 0 else "recounted",
-            }
-        )
-    for r in drift:
-        if r["live_n"] == 0:
-            _clear_semantic_signature(
-                spark, r["gid"], pairs_t, bands_t, vecs_t,
-                band_buckets, vec_buckets, band_codes, lsh_bits,
+    if drift:
+        by_bucket: dict[int, list] = defaultdict(list)
+        for r in drift:
+            by_bucket[r["_b"]].append(r)
+            report.append(
+                {
+                    "vh": r["vh"],
+                    "gid": r["gid"],
+                    "stored_n": r["n_members"],
+                    "live_n": r["live_n"],
+                    "action": "dropped" if r["live_n"] == 0 else "recounted",
+                }
             )
-    for b, rows in by_bucket.items():
-        corr = spark.createDataFrame(
-            [(r["vh"], r["live_n"]) for r in rows], "vh long, true_n long"
-        )
-        bucket_g = groups_t.read_buckets(
-            spark, [b], _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
-        )
-        fixed = (
-            bucket_g.join(F.broadcast(corr), "vh", "left")
-            .where(F.coalesce(F.col("true_n"), F.lit(1)) > 0)
-            .select(
-                "vh",
-                "gid",
-                "selfdup",
-                F.coalesce("true_n", "n_members").alias("n_members"),
+        for r in drift:
+            if r["live_n"] == 0:
+                _clear_semantic_signature(
+                    spark, r["gid"], pairs_t, bands_t, vecs_t,
+                    band_buckets, vec_buckets, band_codes, lsh_bits,
+                )
+        for b, rows in by_bucket.items():
+            corr = spark.createDataFrame(
+                [(r["vh"], r["live_n"]) for r in rows], "vh long, true_n long"
             )
+            bucket_g = groups_t.read_buckets(
+                spark, [b], _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
+            )
+            fixed = (
+                bucket_g.join(F.broadcast(corr), "vh", "left")
+                .where(F.coalesce(F.col("true_n"), F.lit(1)) > 0)
+                .select(
+                    "vh",
+                    "gid",
+                    "selfdup",
+                    F.coalesce("true_n", "n_members").alias("n_members"),
+                )
+            )
+            groups_t.commit_buckets(
+                fixed.withColumn("_bucket", vh_bucket),
+                [b],
+                n_buckets=group_buckets,
+            )
+    # phase 2 (r13): orphaned band rows — vec_ids in BANDS with no VECS
+    # row. The r13 clear order (bands first, vecs last) cannot create
+    # them; a pre-r13 crash could, permanently. One anti-join over the
+    # audit scan detects; the purge rewrites only the orphans' bk buckets.
+    if bands_t.latest_version() > 0 and vecs_t.latest_version() > 0:
+        bk_bucket = SnapshotTable.bucket_of(F.col("bk"), band_buckets)
+        bands_all = bands_t.read(spark)
+        orphan_rows = bands_all.join(
+            vecs_t.read(spark).select("vec_id"), "vec_id", "left_anti"
         )
-        groups_t.commit_buckets(
-            fixed.withColumn("_bucket", vh_bucket),
-            [b],
-            n_buckets=group_buckets,
-        )
+        orphans = orphan_rows.select(
+            "vec_id", bk_bucket.alias("_b")
+        ).distinct().collect()  # bounded by crash damage
+        if orphans:
+            orphan_ids = sorted({r["vec_id"] for r in orphans})
+            bb = sorted({r["_b"] for r in orphans})
+            bucket_b = bands_t.read_buckets(
+                spark, bb, _SEM_BANDS_SCHEMA, n_buckets=band_buckets
+            ).localCheckpoint(eager=True)
+            bands_t.commit_buckets(
+                bucket_b.where(~F.col("vec_id").isin(orphan_ids)).withColumn(
+                    "_bucket", bk_bucket
+                ),
+                bb,
+                n_buckets=band_buckets,
+            )
+            report.extend(
+                {"vec_id": i, "action": "orphan_bands_purged"}
+                for i in orphan_ids
+            )
     return report

@@ -2121,49 +2121,84 @@ def audit_and_repair_minhash_index(
         .select("th", "gid", "n_members", "live_n", th_bucket.alias("_b"))
         .collect()  # bounded by crash damage, not by the table
     )
-    if not drift:
-        return []
     report = []
-    by_bucket: dict[int, list] = defaultdict(list)
-    for r in drift:
-        by_bucket[r["_b"]].append(r)
-        report.append(
-            {
-                "th": r["th"],
-                "gid": r["gid"],
-                "stored_n": r["n_members"],
-                "live_n": r["live_n"],
-                "action": "dropped" if r["live_n"] == 0 else "recounted",
-            }
-        )
-    for r in drift:
-        if r["live_n"] == 0:
-            _clear_minhash_signature(
-                spark, r["gid"], pairs_t, bands_t, shingles_t,
-                n_buckets, shingle_buckets,
+    if drift:
+        by_bucket: dict[int, list] = defaultdict(list)
+        for r in drift:
+            by_bucket[r["_b"]].append(r)
+            report.append(
+                {
+                    "th": r["th"],
+                    "gid": r["gid"],
+                    "stored_n": r["n_members"],
+                    "live_n": r["live_n"],
+                    "action": "dropped" if r["live_n"] == 0 else "recounted",
+                }
             )
-    for b, rows in by_bucket.items():
-        corr = spark.createDataFrame(
-            [(r["th"], r["live_n"]) for r in rows], "th string, true_n long"
-        )
-        bucket_g = groups_t.read_buckets(
-            spark, [b], _MH_GROUPS_SCHEMA, n_buckets=group_buckets
-        )
-        fixed = (
-            bucket_g.join(F.broadcast(corr), "th", "left")
-            .where(F.coalesce(F.col("true_n"), F.lit(1)) > 0)
-            .select(
-                "th",
-                "gid",
-                "shingled",
-                F.coalesce("true_n", "n_members").alias("n_members"),
+        for r in drift:
+            if r["live_n"] == 0:
+                _clear_minhash_signature(
+                    spark, r["gid"], pairs_t, bands_t, shingles_t,
+                    n_buckets, shingle_buckets,
+                )
+        for b, rows in by_bucket.items():
+            corr = spark.createDataFrame(
+                [(r["th"], r["live_n"]) for r in rows], "th string, true_n long"
             )
+            bucket_g = groups_t.read_buckets(
+                spark, [b], _MH_GROUPS_SCHEMA, n_buckets=group_buckets
+            )
+            fixed = (
+                bucket_g.join(F.broadcast(corr), "th", "left")
+                .where(F.coalesce(F.col("true_n"), F.lit(1)) > 0)
+                .select(
+                    "th",
+                    "gid",
+                    "shingled",
+                    F.coalesce("true_n", "n_members").alias("n_members"),
+                )
+            )
+            groups_t.commit_buckets(
+                fixed.withColumn("_bucket", th_bucket),
+                [b],
+                n_buckets=group_buckets,
+            )
+    # phase 2 (r13): orphaned band rows — gids in BANDS with no shingles
+    # row (bands derive from shingles, so this is inconsistent in every
+    # legal state). The r13 clear order (bands first, shingles last)
+    # cannot create them; a pre-r13 crash could, permanently. One
+    # anti-join detects; the purge rewrites only the orphans' bval
+    # buckets.
+    if bands_t.latest_version() > 0 and shingles_t.latest_version() > 0:
+        bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
+        orphans = (
+            bands_t.read(spark)
+            .join(
+                shingles_t.read(spark).select("doc_id").distinct(),
+                "doc_id",
+                "left_anti",
+            )
+            .select("doc_id", bval_bucket.alias("_b"))
+            .distinct()
+            .collect()  # bounded by crash damage
         )
-        groups_t.commit_buckets(
-            fixed.withColumn("_bucket", th_bucket),
-            [b],
-            n_buckets=group_buckets,
-        )
+        if orphans:
+            orphan_ids = sorted({r["doc_id"] for r in orphans})
+            bb = sorted({r["_b"] for r in orphans})
+            bucket_bands = bands_t.read_buckets(
+                spark, bb, _MH_BANDS_SCHEMA, n_buckets=n_buckets
+            ).localCheckpoint(eager=True)
+            bands_t.commit_buckets(
+                bucket_bands.where(
+                    ~F.col("doc_id").isin(orphan_ids)
+                ).withColumn("_bucket", bval_bucket),
+                bb,
+                n_buckets=n_buckets,
+            )
+            report.extend(
+                {"doc_id": i, "action": "orphan_bands_purged"}
+                for i in orphan_ids
+            )
     return report
 
 

@@ -2406,3 +2406,73 @@ def test_commit_buckets_replace_all_allows_bucket_count_change(
         t.commit_buckets(
             rows.withColumn("_bucket", b4), list(range(4)), n_buckets=4
         )
+
+
+def test_minhash_fsck_purges_pre_r13_orphan_band_rows(spark, tmp_path):
+    """Minhash twin of the semantic orphan purge: a pre-r13 clear that
+    deleted the shingles row first and crashed before the bands delete
+    left band rows keyed by a gid with no shingles — permanently, since
+    the retry recomputed an empty bval set. fsck phase 2 (r13) anti-joins
+    BANDS against shingles and purges exactly the orphans' bval buckets."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        _MH_SHINGLES_SCHEMA,
+        audit_and_repair_minhash_index,
+        erase_doc_from_minhash_index,
+        make_minhash_index_applier,
+    )
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
+    nb = 4
+    apply_batch = make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=nb
+    )
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    apply_batch(
+        spark.createDataFrame(
+            [(1, fam + "alpha beta"), (2, fam + "delta gamma")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    n_band_rows_1 = bands_t.read(spark).where("doc_id = 1").count()
+    assert n_band_rows_1 > 0
+    # manufacture the pre-r13 order: shingles row deleted FIRST, crash
+    # before the bands delete
+    id_bucket = SnapshotTable.bucket_of(F.col("doc_id"), nb)
+    sb = (
+        spark.createDataFrame([(1,)], "doc_id long")
+        .select(id_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_sh = shingles_t.read_buckets(
+        spark, [sb], _MH_SHINGLES_SCHEMA, n_buckets=nb
+    ).localCheckpoint(eager=True)
+    shingles_t.commit_buckets(
+        bucket_sh.where(F.col("doc_id") != 1).withColumn("_bucket", id_bucket),
+        [sb],
+        n_buckets=nb,
+    )
+    # the pre-r13 retry: clear finds no shingles, no-ops on bands;
+    # member/group drop — band rows orphaned
+    erase_doc_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb, 1
+    )
+    assert bands_t.read(spark).where("doc_id = 1").count() == n_band_rows_1
+    rep = audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    )
+    assert rep == [{"doc_id": 1, "action": "orphan_bands_purged"}]
+    assert bands_t.read(spark).where("doc_id = 1").count() == 0
+    assert bands_t.read(spark).where("doc_id = 2").count() > 0
+    assert audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    ) == []

@@ -749,3 +749,100 @@ def test_ivf_requantize_rejects_out_of_range_centroid_ids(spark, tmp_path):
     bad = [(N_LIST + 3, [0.0] * 64)]
     with pytest.raises(ValueError, match="identity-bucketed"):
         requantize_ivf_index(spark, t, bad, n_lists=N_LIST)
+
+
+def test_ivf_erase_crash_leaves_pre_delete_version_and_retry_converges(
+    spark, tmp_path
+):
+    """IVF erase resumability (r13, VERDICT ask 6): the erase is ONE
+    copy-on-write delete_where commit, so a crash at any point before
+    the manifest publish leaves the pre-delete version current (the
+    vector still fully served — no torn intermediate), and a plain
+    retry completes it. This is the single-table case the multi-table
+    indexes contrast with."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable as _ST,
+    )
+
+    t = SnapshotTable(str(tmp_path / "idx"))
+    apply_batch = make_ivf_index_applier(t, _centroid_rows(spark))
+    apply_batch(_batch(spark, 0, 100), 0)
+    v0 = t.latest_version()
+    real_publish = _ST._write_manifest
+    try:
+        def crashing(self, manifest):
+            raise RuntimeError("simulated crash before delete publish")
+
+        _ST._write_manifest = crashing
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            t.delete_where(spark, "vec_id = 99")
+    finally:
+        _ST._write_manifest = real_publish
+    # pre-delete version is still current; the vector is still served
+    assert t.latest_version() == v0
+    assert t.read(spark).where("vec_id = 99").count() == 1
+    # plain retry converges
+    t.delete_where(spark, "vec_id = 99")
+    assert t.read(spark).where("vec_id = 99").count() == 0
+    assert t.read(spark).count() == 99
+
+
+def test_semantic_fsck_purges_pre_r13_orphan_band_rows(spark, tmp_path):
+    """The permanent-leak state a PRE-r13 clear could leave (VECS row
+    deleted first, crash before the BANDS delete, then a retry that
+    no-ops and drops member/group): band rows of an erased vector with
+    no VECS row. The r13 fsck phase 2 detects them by anti-join and
+    purges exactly their bk buckets."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        _SEM_VECS_SCHEMA,
+        audit_and_repair_semantic_index,
+        erase_semantic_vec,
+        make_semantic_index_applier,
+    )
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    apply_batch = make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+    )
+    rows = [(1, [1.0, 0.0] + [0.0] * 62), (2, [0.0, 1.0] + [0.0] * 62)]
+    apply_batch(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"), 0
+    )
+    n_band_rows_1 = bands_t.read(spark).where("vec_id = 1").count()
+    assert n_band_rows_1 > 0
+    args = (
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    # manufacture the pre-r13 order: VECS row deleted FIRST, crash
+    # before the bands delete
+    id_bucket = SnapshotTable.bucket_of(F.col("vec_id"), bk["vec_buckets"])
+    vb = (
+        spark.createDataFrame([(1,)], "vec_id long")
+        .select(id_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_v = vecs_t.read_buckets(
+        spark, [vb], _SEM_VECS_SCHEMA, n_buckets=bk["vec_buckets"]
+    ).localCheckpoint(eager=True)
+    vecs_t.commit_buckets(
+        bucket_v.where(F.col("vec_id") != 1).withColumn("_bucket", id_bucket),
+        [vb],
+        n_buckets=bk["vec_buckets"],
+    )
+    # the pre-r13 retry: clear finds no stored vector and no-ops on
+    # bands; member/group rows drop — band rows now orphaned forever
+    erase_semantic_vec(
+        spark, 1, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    )
+    assert bands_t.read(spark).where("vec_id = 1").count() == n_band_rows_1
+    rep = audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    )
+    assert rep == [{"vec_id": 1, "action": "orphan_bands_purged"}]
+    assert bands_t.read(spark).where("vec_id = 1").count() == 0
+    # the surviving vector's state is untouched and the index is clean
+    assert bands_t.read(spark).where("vec_id = 2").count() > 0
+    assert audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    ) == []
