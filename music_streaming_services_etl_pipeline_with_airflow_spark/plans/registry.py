@@ -53,118 +53,87 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # driver slot (all_specs() additionally hard-fails on phantom/oracle-less
 # names). Per round: bump HEAD_ROUND, refresh ROUND_NEW_OR_CHANGED, run
 # `python tools/next_head.py`, paste.
-HEAD_ROUND = 12
+HEAD_ROUND = 13
 
-# Queries whose Spark plan/behavior changed in round 11 — no green driver
-# row exists for their current behavior:
-#   streaming_pack_index — tails read pruned to the batch's own shard
-#     keys (In(pk) pushdown), n_buckets sized from the corpus, the
-#     doc_id-monotone ordering contract enforced via last_doc_id,
-#     exact-div shard keys, and the maxFilesPerTrigger fix below;
-#   pack_sequences_sharded — exact-div shard/super-shard keys (was
-#     double-divide + truncation cast, which diverges from the oracle's
-#     integer // above 2^53; for NEGATIVE ids Spark div still truncates
-#     where DuckDB // floors — parity claimed for non-negative ids only);
-#   streaming_bm25_index_topk / _delete — maxFilesPerTrigger was set on
-#     the writeStream (a SOURCE option, silently ignored there), so both
-#     index streams had been arriving as ONE batch; moved to the
-#     readStream, the incremental path now genuinely runs 4 micro-batches
-#     (the maintained == recomputed oracle is unchanged and stays green —
-#     it is exactly the claim that makes this fix result-invariant).
-#   streaming_minhash_index — NEW (r11): the online near-dup index
-#     completing the incremental-index family; maintained pairs ==
-#     whole-corpus dedup_minhash_lsh (same SQL oracle verbatim);
-#   streaming_minhash_index_delete — NEW (r11): its GDPR erase-and-serve
-#     lifecycle twin (oracle = the same pairs over documents minus the
-#     erased doc).
-# (The r11 two_phase_grouped_row_number cardinality guard and the
-# MIX_ALPHA_BUDGET_FRAC interpolation also touched the w6/mixture twins'
-# source, but their emitted plans and oracle SQL are byte-identical —
-# re-verified via check_parity at sf0.01 this round — so their r10 rows
-# still attest their current behavior.)
+# Queries whose Spark plan/behavior changed THIS round — no green driver
+# row exists for their current behavior (older rounds' rationales live in
+# git history of this block):
 ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
-    # r12: the minhash index gained the exact-collapse front + relational
-    # serve expansion + driver-free candidate verification; its delete
-    # gained the member/group-aware erase. The BM25 index's df table is
-    # now vocabulary-bucket-sized and its postings chain LSM-folds. NEW:
-    # the streaming IVF index pair and the streaming SEMANTIC near-dup
-    # pair (both streaming/ann.py) complete the incremental-index family.
-    "streaming_minhash_index",
+    # r13: the three GDPR-erase queries whose erase commit ORDER changed
+    # (ADVICE r12 + VERDICT ask 2) — results are provably identical (the
+    # oracles are unchanged and check_parity re-verified all three at
+    # sf0.01 after the rework), but the executed path differs, so they
+    # re-attest first:
+    #   streaming_minhash_index_delete / streaming_semantic_index_delete
+    #     — the clear now deletes derived band rows BEFORE the recompute
+    #     source (shingles / VECS), making a torn clear retry-convergent;
+    #   streaming_bm25_index_delete — erase extracted to
+    #     erase_doc_from_bm25_index: marker-guarded df decrement first,
+    #     postings delete (atomically-shrunk counters) last.
     "streaming_minhash_index_delete",
-    "streaming_bm25_index_topk",
-    "streaming_bm25_index_delete",
-    "streaming_ivf_index_topk",
-    "streaming_ivf_index_delete",
-    "streaming_semantic_index",
     "streaming_semantic_index_delete",
+    "streaming_bm25_index_delete",
 )
 
-# Banked in r11: the entire r5 cohort + most of r6. The r12 head leads
-# with this round's eight new/reworked index queries (minhash collapse
-# front / driver-free verify; BM25 vocabulary-sized df buckets +
-# postings fold; the NEW streaming IVF pair; the NEW streaming semantic
-# near-dup pair), then the 12 r6 stragglers the r11 verdict named, then
-# the oldest r7 rows (q4/q6 are the two SURVEY-§2 rows still at r7).
+# Banked in r12: all remaining r6 rows (50/50 green, 6th consecutive).
+# The r13 head leads with the three reworked erase queries, then banks
+# the ENTIRE r7 cohort (18 rows — VERDICT r12 ask 5: after
+# CORRECTNESS_r13 no latest row predates r8) and the oldest r8 rows.
 # Every entry below re-verified locally this round via
 # tools/check_parity.py (the FULL registry ran green at sf0.01 after the
-# round's code changes landed); the new/changed eight additionally at
-# sf0.001, and the IVF/semantic pairs under PLAIN=1 and at sf0.1 (where
-# streaming_semantic_index serves the IDENTICAL pair set as its batch
-# twin dedup_embedding_lsh — both sit 3 pairs under the all-pairs oracle
-# there, the documented analytic-recall property of the seeded 16x4
-# layout at tau=0.45; the driver gate scale is sf0.01, where both match
-# the oracle exactly).
+# erase rework landed — 232 OK + rows-only, 0 failures); the three
+# new/changed erase queries additionally at sf0.001.
 _PRIORITY: tuple[str, ...] = (
-    "streaming_minhash_index",  # new/changed
     "streaming_minhash_index_delete",  # new/changed
-    "streaming_bm25_index_topk",  # new/changed
-    "streaming_bm25_index_delete",  # new/changed
-    "streaming_ivf_index_topk",  # new/changed
-    "streaming_ivf_index_delete",  # new/changed
-    "streaming_semantic_index",  # new/changed
     "streaming_semantic_index_delete",  # new/changed
-    "streaming_sessionize_timeout",  # last row r6
-    "streaming_topk_event_type",  # last row r6
-    "text_lang_id",  # last row r6
-    "text_quality_scores",  # last row r6
-    "text_tfidf_top_terms",  # last row r6
-    "text_token_stats",  # last row r6
-    "text_unigram_logprob",  # last row r6
-    "tpch_q1_pricing_summary",  # last row r6
-    "tpch_q5_local_supplier_volume",  # last row r6
-    "warehouse_snapshot_delete",  # last row r6
-    "warehouse_snapshot_time_travel",  # last row r6
-    "warehouse_zorder_locality",  # last row r6
-    "a13_approx_percentiles",  # last row r7
-    "a17_grouping_sets",  # last row r7
-    "a3_hourly_distinct_approx",  # last row r7
-    "corpus_dup_stats",  # last row r7
-    "corpus_temperature_mixture",  # last row r7
-    "corpus_trigram_novelty",  # last row r7
-    "curate_quality_verdicts",  # last row r7
-    "curate_source_cap",  # last row r7
-    "decontam_semantic",  # last row r7
-    "dedup_incremental_batch",  # last row r7
-    "dedup_minhash_incremental",  # last row r7
-    "dedup_normalized_exact",  # last row r7
-    "dedup_source_overlap",  # last row r7
-    "gopher_repetition_full",  # last row r7
-    "graph_triangle_counts",  # last row r7
-    "j14_asof_tolerance_join",  # last row r7
-    "j8_bloom_prefilter_join",  # last row r7
-    "multimodal_audio_energy",  # last row r7
-    "multimodal_feature_stats",  # last row r7
-    "multimodal_phash_dedup",  # last row r7
-    "multimodal_resize_thumbnail",  # last row r7
-    "multimodal_scene_cuts",  # last row r7
-    "q4_most_popular_track_per_day_genre",  # last row r7
-    "q6_top_artist_per_hour",  # last row r7
-    "similarity_hard_negatives",  # last row r7
-    "similarity_int8_topk",  # last row r7
-    "similarity_topk_bruteforce",  # last row r7
-    "similarity_ts_topk_subsequence",  # last row r7
-    "sketch_daily_quantiles_rollup",  # last row r7
-    "sketch_daily_uniques_rollup",  # last row r7
+    "streaming_bm25_index_delete",  # new/changed
+    "streaming_cdc_apply",  # last row r7
+    "streaming_dedup_ingest",  # last row r7
+    "streaming_interval_join_full",  # last row r7
+    "streaming_ohlc_window",  # last row r7
+    "streaming_static_enrich",  # last row r7
+    "text_bigram_logprob",  # last row r7
+    "tpch_q10_returned_items",  # last row r7
+    "tpch_q13_order_count_distribution",  # last row r7
+    "tpch_q14_promotion_effect",  # last row r7
+    "tpch_q15_top_supplier",  # last row r7
+    "tpch_q17_small_quantity_revenue",  # last row r7
+    "tpch_q18_large_volume_customers",  # last row r7
+    "tpch_q3_shipping_priority",  # last row r7
+    "tpch_q6_forecast_revenue",  # last row r7
+    "tpch_q7_volume_shipping",  # last row r7
+    "tpch_q8_national_market_share",  # last row r7
+    "w10_mad_outliers",  # last row r7
+    "w11_ohlc_resample",  # last row r7
+    "bpe_tokenize_corpus",  # last row r8
+    "corpus_curriculum_phases",  # last row r8
+    "corpus_mixture_sample",  # last row r8
+    "decontam_ngram_overlap",  # last row r8
+    "dedup_semantic_prune",  # last row r8
+    "dedup_simhash",  # last row r8
+    "dq_join_skew_report",  # last row r8
+    "entity_mask",  # last row r8
+    "er_resolve_customers",  # last row r8
+    "funnel_signup_click_purchase",  # last row r8
+    "graph_bfs_hops",  # last row r8
+    "graph_pagerank_parts",  # last row r8
+    "ivm_from_change_feed",  # last row r8
+    "ivm_incremental_join_enrich",  # last row r8
+    "kmeans_embeddings",  # last row r8
+    "ml_perceptron_quality_distill",  # last row r8
+    "multimodal_jpeg_entropy_roundtrip",  # last row r8
+    "multimodal_png_pixel_roundtrip",  # last row r8
+    "pack_sequences_greedy",  # last row r8
+    "privacy_dp_lang_counts",  # last row r8
+    "privacy_k_anonymity",  # last row r8
+    "retrieval_bm25_cosine_rerank",  # last row r8
+    "retrieval_maxsim_late_interaction",  # last row r8
+    "retrieval_rrf_hybrid",  # last row r8
+    "sample_bernoulli_rng",  # last row r8
+    "similarity_ivf_kmeans",  # last row r8
+    "similarity_ivf_persisted",  # last row r8
+    "similarity_ivf_persisted_delete",  # last row r8
+    "similarity_ivfpq_topk",  # last row r8
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its
