@@ -73,6 +73,16 @@ ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     "streaming_minhash_index_delete",
     "streaming_semantic_index_delete",
     "streaming_bm25_index_delete",
+    # NEW (r13): driver-checked lifecycle queries —
+    #   streaming_ivf_requantize: ingest under a drifted quantizer, then
+    #     requantize_ivf_index migrates to the canonical one; oracle =
+    #     whole-corpus similarity_ivf_persisted SQL verbatim (migrated ==
+    #     recomputed-from-scratch);
+    #   streaming_bm25_index_fsck_repair: a pre-r13 torn erase is
+    #     deliberately inflicted, audit_and_repair_bm25_index repairs,
+    #     the serve must match batch BM25 over documents minus the doc.
+    "streaming_ivf_requantize",
+    "streaming_bm25_index_fsck_repair",
 )
 
 # Banked in r12: all remaining r6 rows (50/50 green, 6th consecutive).
@@ -87,6 +97,8 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_minhash_index_delete",  # new/changed
     "streaming_semantic_index_delete",  # new/changed
     "streaming_bm25_index_delete",  # new/changed
+    "streaming_ivf_requantize",  # new/changed
+    "streaming_bm25_index_fsck_repair",  # new/changed
     "streaming_cdc_apply",  # last row r7
     "streaming_dedup_ingest",  # last row r7
     "streaming_interval_join_full",  # last row r7
@@ -132,8 +144,6 @@ _PRIORITY: tuple[str, ...] = (
     "sample_bernoulli_rng",  # last row r8
     "similarity_ivf_kmeans",  # last row r8
     "similarity_ivf_persisted",  # last row r8
-    "similarity_ivf_persisted_delete",  # last row r8
-    "similarity_ivfpq_topk",  # last row r8
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its

@@ -323,6 +323,55 @@ def q_streaming_ivf_index_topk(
     )
 
 
+@register(
+    "streaming_ivf_requantize",
+    IVF_PERSISTED_SQL,
+    doc="QUANTIZER LIFECYCLE MIGRATION (r13, VERDICT r12 ask 3): the "
+    "4-batch embeddings stream first ingests under a deliberately "
+    "DRIFTED quantizer (centroid i = the vector of vec_id 8+i — wrong "
+    "geometry, same list ids), then requantize_ivf_index migrates the "
+    "index to the canonical first-N_LIST quantizer in ONE bounded "
+    "rewrite: read every stored vector once, reassign with the same "
+    "broadcast map-side max_by argmax kernel the applier uses, commit "
+    "the new bucket map atomically via "
+    "commit_buckets(replace_all_buckets=True) — all-or-nothing under a "
+    "crash, replay-cursor-preserving. The oracle is the whole-corpus "
+    "similarity_ivf_persisted SQL VERBATIM under the canonical "
+    "quantizer, so the value hash proves the migration erased all "
+    "assignment history: migrated == recomputed-from-scratch.",
+)
+def q_streaming_ivf_requantize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = stage_embeddings(sf_dir, "ivf_index")
+    work = fresh_work_dir("streaming_ivf_requantize")
+    t = SnapshotTable(os.path.join(work, "index"))
+    vecs = {
+        int(r.vec_id): list(r.v)
+        for r in _corpus(spark, sf_dir)
+        .filter(F.col("vec_id") < 2 * N_LIST)
+        .collect()
+    }
+    drifted = [(i, vecs[N_LIST + i]) for i in range(N_LIST)]
+    canonical = [(i, vecs[i]) for i in range(N_LIST)]
+    src = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        src.writeStream.foreachBatch(make_ivf_index_applier(t, drifted))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    requantize_ivf_index(spark, t, canonical)
+    return _search_with_captured_plan(
+        spark, sf_dir, t, "streaming_ivf_requantize.pruned_search"
+    )
+
+
 # EXACT oracle over the surviving corpus: the erased vector (the max
 # vec_id — always >= N_QUERIES in the testdata, so the query set and the
 # quantizer are untouched) must be unreachable through assignment AND

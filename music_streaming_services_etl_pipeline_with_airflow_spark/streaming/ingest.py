@@ -1007,6 +1007,49 @@ def q_streaming_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame
     return _serve_bm25_from_index(spark, postings_t, df_t)
 
 
+@register(
+    "streaming_bm25_index_fsck_repair",
+    None,  # bound below: the batch oracle over the corpus minus the doc
+    doc="",
+)
+def q_streaming_bm25_index_fsck_repair(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """fsck-REPAIRS-then-serves (r13): after the stream builds the index,
+    a PRE-r13 torn erase is deliberately inflicted — the MIN doc_id's
+    postings delete with atomically-shrunk counters, but the per-term df
+    decrement never runs (the crash window VERDICT r12 flagged: IDF
+    permanently inflated, invisible to retry). audit_and_repair_bm25_index
+    then recomputes df ground truth from the postings in one scan and
+    rewrites only the drifted terms' vocabulary buckets; the query side
+    serves from the repaired index. The oracle is batch BM25 over
+    documents MINUS the erased doc — the value hash proves the fsck
+    restored every scoring surface exactly."""
+    postings_t, df_t, df_buckets = _build_bm25_index(
+        spark, sf_dir, "streaming_bm25_index_fsck_repair"
+    )
+    erase = postings_t.read(spark).agg(F.min("doc_id")).first()[0]
+    dl = (
+        postings_t.read(spark)
+        .filter(F.col("doc_id") == erase)
+        .select("dl")
+        .first()[0]
+    )
+    # the pre-r13 torn state: postings + counters shrink, df never does
+    postings_t.delete_where(
+        spark,
+        f"doc_id = {erase}",
+        extra={
+            "n_docs": int(postings_t.latest_manifest_field("n_docs")) - 1,
+            "sum_dl": int(postings_t.latest_manifest_field("sum_dl"))
+            - int(dl),
+        },
+    )
+    repairs = audit_and_repair_bm25_index(spark, postings_t, df_t, df_buckets)
+    assert repairs, "fsck must detect the inflicted df drift"
+    return _serve_bm25_from_index(spark, postings_t, df_t)
+
+
 # Late-bind the oracle: it is the batch text_bm25_topk oracle verbatim —
 # one oracle string, two execution paths (whole-corpus recompute vs the
 # incrementally maintained index), which IS the maintenance contract.
@@ -1063,8 +1106,37 @@ def _bind_bm25_index_delete_oracle() -> None:
     )
 
 
+def _bind_bm25_index_fsck_oracle() -> None:
+    from ..operators.retrieval import _bm25_oracle
+    from ..plans.registry import _REGISTRY
+
+    live = "(SELECT * FROM documents WHERE doc_id <> (SELECT MIN(doc_id) FROM documents))"
+    spec = _REGISTRY["streaming_bm25_index_fsck_repair"]
+    _REGISTRY["streaming_bm25_index_fsck_repair"] = type(spec)(
+        fn=spec.fn,
+        oracle=_bm25_oracle(live),
+        doc="fsck-REPAIRS-THEN-SERVES on the incremental BM25 index "
+        "(r13): the stream builds the index, a PRE-r13 torn erase is "
+        "deliberately inflicted (postings + counters shrink for the MIN "
+        "doc_id, per-term df never decremented — permanently-inflated "
+        "IDF, the crash window VERDICT r12 flagged), then "
+        "audit_and_repair_bm25_index recomputes df ground truth from the "
+        "postings in ONE scan (a df table row per (doc,term) occurrence) "
+        "and rewrites only the drifted terms' vocabulary buckets via the "
+        "same merge_bucketed the ingest path uses; corpus-counter drift "
+        "republishes metadata-only (a no-match delete_where carries "
+        "every dir by reference). The oracle is batch BM25 over "
+        "documents MINUS the erased doc — the value hash proves the "
+        "fsck restored every scoring surface (postings, df, counters) "
+        "exactly; the paired crash drills are "
+        "test_bm25_erase_torn_window_retry_converges and "
+        "test_bm25_fsck_repairs_pre_r13_torn_erase_and_counter_drift.",
+    )
+
+
 _bind_bm25_index_oracle()
 _bind_bm25_index_delete_oracle()
+_bind_bm25_index_fsck_oracle()
 
 
 # ---------------------------------------------------------------------------
