@@ -234,6 +234,9 @@ def main() -> None:
         # frames)
         "streaming_ivf_index_topk",
         "streaming_semantic_index",
+        # round 13: the post-migration pruned search (the plan must be
+        # the same bucket-pruned shape as the un-migrated index's)
+        "streaming_ivf_requantize",
     ):
         specs[name].fn(spark, sf_dir).collect()
     for key in sorted(_ingest.PLAN_CAPTURE):
