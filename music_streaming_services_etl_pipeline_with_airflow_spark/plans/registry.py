@@ -83,6 +83,12 @@ ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     #     the serve must match batch BM25 over documents minus the doc.
     "streaming_ivf_requantize",
     "streaming_bm25_index_fsck_repair",
+    #   streaming_pack_index_delete: GDPR tombstone erase on the packing
+    #     index (one COW delete, survivors byte-identical, no repack);
+    #     oracle = the whole-corpus recursive-CTE pack MINUS exactly the
+    #     erased output row — completes the erase story across all five
+    #     streaming indexes.
+    "streaming_pack_index_delete",
 )
 
 # Banked in r12: all remaining r6 rows (50/50 green, 6th consecutive).
@@ -99,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_bm25_index_delete",  # new/changed
     "streaming_ivf_requantize",  # new/changed
     "streaming_bm25_index_fsck_repair",  # new/changed
+    "streaming_pack_index_delete",  # new/changed
     "streaming_cdc_apply",  # last row r7
     "streaming_dedup_ingest",  # last row r7
     "streaming_interval_join_full",  # last row r7
@@ -143,7 +150,6 @@ _PRIORITY: tuple[str, ...] = (
     "retrieval_rrf_hybrid",  # last row r8
     "sample_bernoulli_rng",  # last row r8
     "similarity_ivf_kmeans",  # last row r8
-    "similarity_ivf_persisted",  # last row r8
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its

@@ -1422,9 +1422,10 @@ from ..operators.packing import PACK_BUDGET as _PACK_BUDGET  # noqa: E402
 from ..operators.packing import SHARD_SPAN as _SHARD_SPAN  # noqa: E402
 
 
-@register(
-    "streaming_pack_index",
-    f"""
+# the level-1 recursive-CTE greedy pack over the WHOLE corpus — shared by
+# the maintain-then-serve query and the erase twin (which tombstones ONE
+# output row, so its oracle is this SQL minus that row)
+_PACK_IDX_SQL = f"""
 WITH RECURSIVE sized AS (
     SELECT source, CAST(doc_id // {_SHARD_SPAN} AS BIGINT) AS shard, doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1447,7 +1448,12 @@ packed AS (
     JOIN sized d ON d.source = p.source AND d.shard = p.shard
                 AND d.rn = p.rn + 1
 )
-SELECT source, shard, doc_id, n_tokens, pack_id, pack_used FROM packed""",
+SELECT source, shard, doc_id, n_tokens, pack_id, pack_used FROM packed"""
+
+
+@register(
+    "streaming_pack_index",
+    _PACK_IDX_SQL,
     doc="STREAMING INCREMENTAL PACKING INDEX (r10, tail maintenance "
     "bounded r11) — the batch-prep twin of streaming_bm25_index_topk: "
     "documents stream in 4 doc_id-ordered micro-batches; each batch is "
@@ -1501,6 +1507,77 @@ def q_streaming_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    return packs_t.read(spark).select(
+        "source", "shard", "doc_id", "n_tokens", "pack_id", "pack_used"
+    )
+
+
+def erase_doc_from_pack_index(spark: SparkSession, packs_t, erase: int) -> None:
+    """GDPR erase from the packing index (r13) — TOMBSTONE semantics,
+    deliberately: the doc's row leaves the packs table copy-on-write
+    (dir-pruned delete_where — one atomic commit, so the erase is
+    trivially retry-convergent like the IVF one), and NOTHING else moves.
+    No repack: pack assignments are immutable once made — repacking the
+    survivors would rewrite closed packs (O(corpus) churn and every
+    downstream consumer's batch boundaries shift), which is exactly what
+    real training-data pipelines avoid; the erased doc's tokens become a
+    hole in its pack (pack_used keeps the historical budget watermark).
+    TAILS stay untouched on purpose: the open pack's ``used`` and
+    ``last_doc_id`` describe the packing RECURRENCE's history, and
+    future batches must continue as if the doc had been packed (the
+    ordering guard's monotonicity bound stays conservative and correct).
+    The doc's CONTENT never lives in this index — only (doc_id, token
+    count, pack assignment) — so the one row is the full retention
+    surface."""
+    packs_t.delete_where(spark, f"doc_id = {erase}")
+
+
+@register(
+    "streaming_pack_index_delete",
+    f"""SELECT * FROM ({_PACK_IDX_SQL})
+WHERE doc_id <> (SELECT MIN(doc_id) FROM documents)""",
+    doc="GDPR ERASE-AND-SERVE on the packing index (r13), completing the "
+    "erase story across all five streaming indexes: after the 4-batch "
+    "build, the MIN doc_id's row is TOMBSTONED — one dir-pruned "
+    "copy-on-write delete, nothing else moves (no repack: assignments "
+    "are immutable, survivors' pack boundaries must not shift under an "
+    "erase). The oracle is the whole-corpus recursive-CTE pack MINUS "
+    "exactly that output row, so the value hash proves BOTH halves of "
+    "the tombstone contract: the erased doc is gone from every serve "
+    "path, and every surviving doc's assignment (pack_id, pack_used) is "
+    "BYTE-IDENTICAL to the never-erased packing.",
+)
+def q_streaming_pack_index_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    d = stage_documents(
+        sf_dir, "pack_index", columns=("doc_id", "text", "source")
+    )
+    work = fresh_work_dir("streaming_pack_index_delete")
+    packs_t = SnapshotTable(os.path.join(work, "packs"))
+    tails_t = SnapshotTable(os.path.join(work, "tails"))
+    n_buckets = pack_index_buckets_for(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    )
+    src = (
+        spark.readStream.schema(DOCS_SRC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            make_pack_index_applier(packs_t, tails_t, n_buckets=n_buckets)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    erase = packs_t.read(spark).agg(F.min("doc_id")).first()[0]
+    erase_doc_from_pack_index(spark, packs_t, erase)
     return packs_t.read(spark).select(
         "source", "shard", "doc_id", "n_tokens", "pack_id", "pack_used"
     )

@@ -837,3 +837,91 @@ def test_bm25_fsck_repairs_pre_r13_torn_erase_and_counter_drift(
     assert postings_t.latest_manifest_field("n_docs") == 1
     assert postings_t.latest_manifest_field("sum_dl") == 2
     assert audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
+
+
+def test_pack_index_erase_tombstones_without_disturbing_survivors(
+    spark, tmp_path
+):
+    """Pack-index GDPR erase (r13): tombstone semantics — the erased
+    doc's row leaves; every surviving row is BYTE-IDENTICAL; the tails
+    are untouched so a post-erase batch packs exactly as it would have
+    without the erase; a repeat erase no-ops; and the erase is one
+    atomic commit (crash before publish leaves the pre-erase version)."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.operators.packing import (
+        SHARD_SPAN,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        erase_doc_from_pack_index,
+        make_pack_index_applier,
+    )
+
+    packs_t = SnapshotTable(str(tmp_path / "packs"))
+    tails_t = SnapshotTable(str(tmp_path / "tails"))
+    apply_batch = make_pack_index_applier(packs_t, tails_t, n_buckets=4)
+    schema = "doc_id long, text string, source string"
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, "w " * (20 + i % 30), "s0") for i in range(lo, hi)], schema
+        )
+
+    apply_batch(docs(0, 40), 0)
+    before = {
+        r.doc_id: (r.shard, r.n_tokens, r.pack_id, r.pack_used)
+        for r in packs_t.read(spark).collect()
+    }
+    tails_v = tails_t.latest_version()
+    # crash drill: publish dies -> pre-erase version stays current
+    real_publish = SnapshotTable._write_manifest
+    try:
+        def crashing(self, manifest):
+            raise RuntimeError("simulated crash before erase publish")
+
+        SnapshotTable._write_manifest = crashing
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            erase_doc_from_pack_index(spark, packs_t, 7)
+    finally:
+        SnapshotTable._write_manifest = real_publish
+    assert packs_t.read(spark).where("doc_id = 7").count() == 1
+    # the real erase: doc 7 gone, survivors byte-identical, tails calm
+    erase_doc_from_pack_index(spark, packs_t, 7)
+    after = {
+        r.doc_id: (r.shard, r.n_tokens, r.pack_id, r.pack_used)
+        for r in packs_t.read(spark).collect()
+    }
+    assert 7 not in after
+    assert after == {k: v for k, v in before.items() if k != 7}
+    assert tails_t.latest_version() == tails_v
+    # repeat erase converges: content identical (delete_where always
+    # publishes a lineage step — that carry-forward is what the BM25
+    # fsck's metadata-only republish rides — but no dir rewrites: every
+    # dir carries over by reference when the probe finds no matches)
+    dirs_before = packs_t._manifest(packs_t.latest_version())["dirs"]
+    erase_doc_from_pack_index(spark, packs_t, 7)
+    assert packs_t._manifest(packs_t.latest_version())["dirs"] == dirs_before
+    assert {
+        r.doc_id: (r.shard, r.n_tokens, r.pack_id, r.pack_used)
+        for r in packs_t.read(spark).collect()
+    } == after
+    # continuation is unchanged: the next batch packs exactly as a
+    # never-erased index would (same shard tail state)
+    apply_batch(docs(40, 60), 1)
+    cont = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in packs_t.read(spark).where("doc_id >= 40").collect()
+    }
+    packs2 = SnapshotTable(str(tmp_path / "packs2"))
+    tails2 = SnapshotTable(str(tmp_path / "tails2"))
+    apply2 = make_pack_index_applier(packs2, tails2, n_buckets=4)
+    apply2(docs(0, 40), 0)
+    apply2(docs(40, 60), 1)
+    want = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_used)
+        for r in packs2.read(spark).where("doc_id >= 40").collect()
+    }
+    assert cont == want
