@@ -841,10 +841,20 @@ def erase_doc_from_bm25_index(
     the df delta recomputes identically (marker decides whether it
     already applied); once the postings are gone, the df decrement is
     guaranteed already committed and the erase no-ops. The marker binds
-    to the postings VERSION the erase read, so re-ingesting a previously
-    erased doc_id and erasing it again decrements correctly (recovery
-    contract: retry the interrupted erase before committing new postings
-    batches). audit_and_repair_bm25_index is the independent fsck."""
+    to the postings VERSION the erase read, and two ambiguity states the
+    marker alone cannot adjudicate FAIL LOUDLY instead of guessing
+    (r13 hardening — both would otherwise double-subtract df):
+
+    - a DIFFERENT erase started while one is torn (the pending doc still
+      has postings): retry or fsck the pending one first;
+    - the SAME doc's marker exists under a different postings version
+      (an ingest batch committed between the torn erase's df half and
+      this retry, or a fully-erased doc_id was re-ingested): run
+      audit_and_repair_bm25_index — it restores df ground truth from the
+      postings and clears the marker, after which this erase re-applies
+      cleanly from scratch.
+
+    audit_and_repair_bm25_index is the independent fsck either way."""
     df_buckets = (
         df_buckets
         or df_t.latest_manifest_field("n_buckets")
@@ -861,8 +871,37 @@ def erase_doc_from_bm25_index(
         # first, so it cannot be pending), or the doc never existed
         return
     dl = head[0]
+    stored = df_t.latest_manifest_field("last_erase_marker") or None
+    sdoc = int(stored.split("@", 1)[0]) if stored else None
+    if sdoc is not None and sdoc != erase:
+        # a prior erase of ANOTHER doc: pending only if its postings
+        # survive (one pushed-down probe — erases are rare enough)
+        pending = (
+            postings_t.read(spark)
+            .filter(F.col("doc_id") == sdoc)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if pending:
+            raise ValueError(
+                f"erase of doc_id={sdoc} is incomplete (marker {stored!r}"
+                " with its postings still present) — retry that erase, or"
+                " run audit_and_repair_bm25_index, before starting a new"
+                " one; proceeding would strand its df decrement"
+            )
     marker = f"{erase}@{postings_t.latest_version()}"
-    if df_t.latest_manifest_field("last_erase_marker") != marker:
+    if stored != marker:
+        if sdoc == erase:
+            raise ValueError(
+                f"ambiguous erase state for doc_id={erase}: marker"
+                f" {stored!r} was recorded under a different postings"
+                f" version than the current one ({marker!r}) — either an"
+                " ingest batch committed mid-erase or an erased doc_id"
+                " was re-ingested. Run audit_and_repair_bm25_index (it"
+                " restores df from the postings ground truth and clears"
+                " the marker), then retry this erase"
+            )
         ddf = doc_post.groupBy("term").agg(F.count("*").alias("d_df"))
         df_t.merge_bucketed(
             spark,
@@ -981,6 +1020,28 @@ def audit_and_repair_bm25_index(
                 "sum_dl": int(sum_dl_true),
             },
         )
+    # erase-marker hygiene (r13): with df restored to the postings ground
+    # truth, a stale marker is only a hazard when it points at a doc that
+    # STILL has postings (a torn erase this fsck just neutralized, or a
+    # re-ingested doc_id) or when this run repaired drift — in those
+    # cases clear it (metadata-only: the no-match predicate carries every
+    # dir and the bucket map by reference) so the guarded erase path can
+    # re-apply from scratch instead of failing loudly forever. A marker
+    # whose doc is gone and whose df is consistent is left in place: it
+    # is the completed-erase receipt the plain-retry path keys on.
+    stored = df_t.latest_manifest_field("last_erase_marker") or None
+    if stored and df_t.latest_version() > 0:
+        sdoc = int(stored.split("@", 1)[0])
+        pending = (
+            post.filter(F.col("doc_id") == sdoc).limit(1).count() > 0
+        )
+        if report or pending:
+            df_t.delete_where(
+                spark, "term IS NULL", extra={"last_erase_marker": ""}
+            )
+            report.append(
+                {"kind": "erase_marker_cleared", "marker": stored}
+            )
     return report
 
 

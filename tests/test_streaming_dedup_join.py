@@ -925,3 +925,81 @@ def test_pack_index_erase_tombstones_without_disturbing_survivors(
         for r in packs2.read(spark).where("doc_id >= 40").collect()
     }
     assert cont == want
+
+
+def test_bm25_erase_ambiguity_guards_fail_loud_and_fsck_resolves(
+    spark, tmp_path
+):
+    """The two marker-ambiguity states the r13 erase refuses to guess on
+    (each would silently double-subtract df): (A) an ingest batch commits
+    between a torn erase's df half and the retry — the retry's marker no
+    longer matches, the guard raises, and the fsck restores df ground
+    truth + clears the marker so a fresh erase applies cleanly; (B) a
+    SECOND doc's erase starts while the first is torn — the guard raises
+    until the pending erase is retried to completion."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        audit_and_repair_bm25_index,
+        erase_doc_from_bm25_index,
+        make_bm25_index_applier,
+    )
+
+    postings_t = SnapshotTable(str(tmp_path / "postings"))
+    df_t = SnapshotTable(str(tmp_path / "df"))
+    apply_batch = make_bm25_index_applier(postings_t, df_t, n_buckets=4)
+    apply_batch(
+        spark.createDataFrame(
+            [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+        ),
+        0,
+    )
+
+    def tear_erase(doc):
+        real = postings_t.delete_where
+        try:
+            def crash(*a, **k):
+                raise RuntimeError("torn")
+
+            postings_t.delete_where = crash
+            with _pytest.raises(RuntimeError, match="torn"):
+                erase_doc_from_bm25_index(spark, postings_t, df_t, doc, 4)
+        finally:
+            postings_t.delete_where = real
+
+    # (B) second erase while the first is torn
+    tear_erase(1)
+    with _pytest.raises(ValueError, match="incomplete"):
+        erase_doc_from_bm25_index(spark, postings_t, df_t, 2, 4)
+    # retrying the pending erase completes it; doc 2's erase then runs
+    erase_doc_from_bm25_index(spark, postings_t, df_t, 1, 4)
+    erase_doc_from_bm25_index(spark, postings_t, df_t, 2, 4)
+    assert postings_t.read(spark).count() == 0
+    assert {r.term: r.df for r in df_t.read(spark).collect()} == {
+        "a": 0, "b": 0, "c": 0,
+    }
+
+    # (A) ingest between the torn df half and the retry
+    apply_batch(
+        spark.createDataFrame([(3, "d e")], "doc_id long, text string"), 1
+    )
+    tear_erase(3)
+    apply_batch(
+        spark.createDataFrame([(4, "d f")], "doc_id long, text string"), 2
+    )
+    with _pytest.raises(ValueError, match="ambiguous"):
+        erase_doc_from_bm25_index(spark, postings_t, df_t, 3, 4)
+    rep = audit_and_repair_bm25_index(spark, postings_t, df_t, 4)
+    kinds = [r["kind"] for r in rep]
+    # df restored UP for doc 3's terms (its decrement is neutralized
+    # while its postings survive) and the stale marker cleared
+    assert "df_drift" in kinds and "erase_marker_cleared" in kinds
+    # the fresh erase now applies from scratch and converges
+    erase_doc_from_bm25_index(spark, postings_t, df_t, 3, 4)
+    assert postings_t.read(spark).filter("doc_id = 3").count() == 0
+    dfm = {r.term: r.df for r in df_t.read(spark).collect() if r.df > 0}
+    assert dfm == {"d": 1, "f": 1}  # doc 4 alone
+    assert postings_t.latest_manifest_field("n_docs") == 1
+    assert audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
