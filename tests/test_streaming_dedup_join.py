@@ -1003,3 +1003,122 @@ def test_bm25_erase_ambiguity_guards_fail_loud_and_fsck_resolves(
     assert dfm == {"d": 1, "f": 1}  # doc 4 alone
     assert postings_t.latest_manifest_field("n_docs") == 1
     assert audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
+
+
+def test_bm25_index_random_interleaved_batches_and_erases(spark, tmp_path):
+    """Seeded lifecycle fuzz for the BM25 index (r13, the retrieval twin
+    of the semantic index's r12 fuzz): a small corpus streams in random
+    batch splits with erases interleaved — some erases TORN mid-way
+    (crash before the postings delete) and resolved by plain retry or by
+    the fsck, per the seeded coin. After every schedule the maintained
+    index must serve EXACTLY what a one-shot rebuild over the surviving
+    docs serves (same top-k, same scores, same drafted queries — the
+    incremental-view-maintenance contract), and the fsck must report the
+    index consistent."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        _serve_bm25_from_index,
+        audit_and_repair_bm25_index,
+        erase_doc_from_bm25_index,
+        make_bm25_index_applier,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "kappa", "omega", "sigma"]
+    pyrng = random.Random(13)
+    docs = {
+        i: " ".join(pyrng.choices(words, k=pyrng.randint(4, 12)))
+        for i in range(24)
+    }
+
+    def rebuild_and_serve(survivors: dict[int, str], root) -> set:
+        p2 = SnapshotTable(str(root / "p2"))
+        d2 = SnapshotTable(str(root / "d2"))
+        apply2 = make_bm25_index_applier(p2, d2, n_buckets=4)
+        apply2(
+            spark.createDataFrame(
+                list(survivors.items()), "doc_id long, text string"
+            ),
+            0,
+        )
+        return {
+            tuple(r)
+            for r in _serve_bm25_from_index(spark, p2, d2).collect()
+        }
+
+    for trial in range(3):
+        root = tmp_path / f"t{trial}"
+        postings_t = SnapshotTable(str(root / "postings"))
+        df_t = SnapshotTable(str(root / "df"))
+        apply_batch = make_bm25_index_applier(postings_t, df_t, n_buckets=4)
+        ids = list(docs)
+        pyrng.shuffle(ids)
+        cuts = sorted(pyrng.sample(range(1, len(ids)), 2))
+        batches = [ids[a:b] for a, b in zip([0] + cuts, cuts + [len(ids)])]
+        alive: dict[int, str] = {}
+        bid = 0
+        for batch_ids in batches:
+            apply_batch(
+                spark.createDataFrame(
+                    [(i, docs[i]) for i in batch_ids],
+                    "doc_id long, text string",
+                ),
+                bid,
+            )
+            bid += 1
+            alive.update({i: docs[i] for i in batch_ids})
+            if len(alive) > 2 and pyrng.random() < 0.8:
+                victim = pyrng.choice(sorted(alive))
+                if pyrng.random() < 0.5:
+                    # torn erase: crash before the postings delete
+                    real = postings_t.delete_where
+                    try:
+                        def crash(*a, **k):
+                            raise RuntimeError("torn")
+
+                        postings_t.delete_where = crash
+                        try:
+                            erase_doc_from_bm25_index(
+                                spark, postings_t, df_t, victim, 4
+                            )
+                        except RuntimeError:
+                            pass
+                    finally:
+                        postings_t.delete_where = real
+                    if pyrng.random() < 0.5:
+                        # resolve by plain retry
+                        erase_doc_from_bm25_index(
+                            spark, postings_t, df_t, victim, 4
+                        )
+                    else:
+                        # resolve by fsck (restores df, clears marker)
+                        # then a fresh erase
+                        audit_and_repair_bm25_index(
+                            spark, postings_t, df_t, 4
+                        )
+                        erase_doc_from_bm25_index(
+                            spark, postings_t, df_t, victim, 4
+                        )
+                else:
+                    erase_doc_from_bm25_index(
+                        spark, postings_t, df_t, victim, 4
+                    )
+                del alive[victim]
+            # maintained == rebuilt after every schedule step
+            served = {
+                tuple(r)
+                for r in _serve_bm25_from_index(
+                    spark, postings_t, df_t
+                ).collect()
+            }
+            want = rebuild_and_serve(alive, root / f"rb{bid}")
+            assert served == want, (
+                f"trial {trial} step {bid}: diff "
+                f"{(served - want, want - served)}"
+            )
+        rep = audit_and_repair_bm25_index(spark, postings_t, df_t, 4)
+        # only marker hygiene may remain; no data drift
+        assert all(r["kind"] == "erase_marker_cleared" for r in rep)
