@@ -244,7 +244,11 @@ def requantize_ivf_index(
     so hand the retrained rows to ``make_ivf_index_applier``).
 
     Returns ``{"before": <skew audit>, "after": <skew audit>,
-    "version": <new version>}``."""
+    "version": <new version>}``. (The MIGRATION reads the data once; the
+    two occupancy audits bracketing it are separate cid-only scans —
+    column-pruned to the 8-byte list id, they read ~1% of the index
+    bytes each and ride in the report because skew-before/after is the
+    number the operator retrained FOR.)"""
     n_new = n_lists or len(new_centroid_rows)
     bad = [c for c, _ in new_centroid_rows if not (0 <= c < n_new)]
     if bad:
