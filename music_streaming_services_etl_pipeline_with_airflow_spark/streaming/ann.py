@@ -562,6 +562,21 @@ def make_semantic_index_applier(
             .collect()
         )
         stats["driver_collected_rows"] += len(vh_rows)
+        # pending-clear guard (r13, mirrors the minhash applier): a copy
+        # of a half-cleared vector must not resurrect its group around a
+        # signature whose pairs/bands are already gone — fail loudly;
+        # the erase retry or audit_and_repair_semantic_index resolves.
+        pending = groups_t.latest_manifest_field("pending_clear") or None
+        if pending:
+            pvh = int(pending.split("@", 1)[1])
+            if any(r["vh"] == pvh for r in vh_rows):
+                raise ValueError(
+                    f"batch {batch_id} contains a vector whose group has "
+                    f"an INCOMPLETE last-member erase (pending_clear "
+                    f"{pending!r}) — retry that erase or run "
+                    "audit_and_repair_semantic_index before ingesting "
+                    "copies of it"
+                )
         touched_g = sorted({r["_b"] for r in vh_rows})
         groups_all = groups_t.read_buckets(
             spark_, touched_g, _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
@@ -1111,7 +1126,24 @@ def erase_semantic_vec(
     # LAST member: clear the signature FIRST (idempotent — see
     # _clear_semantic_signature), so a crash anywhere in this path makes
     # a plain retry converge (the member row is still present, n_mem is
-    # still 1, the re-clear is a no-op); member and group rows leave last
+    # still 1, the re-clear is a no-op); member and group rows leave last.
+    # PENDING-CLEAR MARKER (r13, mirrors the minhash erase): commits into
+    # the GROUPS manifest before any clear damage and leaves atomically
+    # with the group-row drop, so a copy arriving before the retry fails
+    # loudly in the applier instead of resurrecting the group around a
+    # half-cleared signature; the fsck completes a marked erase.
+    token = f"{gid}@{vh}"
+    pending = groups_t.latest_manifest_field("pending_clear") or None
+    if pending and pending != token:
+        raise ValueError(
+            f"a last-member erase is pending for another group "
+            f"({pending!r}) — retry it or run "
+            "audit_and_repair_semantic_index before starting this one"
+        )
+    if pending != token:
+        groups_t.delete_where(
+            spark, "gid IS NULL", extra={"pending_clear": token}
+        )
     _clear_semantic_signature(
         spark, gid, pairs_t, bands_t, vecs_t,
         band_buckets, vec_buckets, band_codes, lsh_bits,
@@ -1121,6 +1153,7 @@ def erase_semantic_vec(
         bucket_g.where(F.col("vh") != vh).withColumn("_bucket", vh_bucket),
         [gb],
         n_buckets=group_buckets,
+        extra={"pending_clear": ""},  # cleared atomically with the drop
     )
 
 
@@ -1216,6 +1249,56 @@ def audit_and_repair_semantic_index(
     vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
     if groups_t.latest_version() == 0:
         return []
+    report = []
+    # phase 0 (r13, mirrors the minhash fsck): complete a marked
+    # last-member erase end-to-end before auditing anything else
+    pending = groups_t.latest_manifest_field("pending_clear") or None
+    if pending:
+        pgid = int(pending.split("@", 1)[0])
+        pvh = int(pending.split("@", 1)[1])
+        _clear_semantic_signature(
+            spark, pgid, pairs_t, bands_t, vecs_t,
+            band_buckets, vec_buckets, band_codes, lsh_bits,
+        )
+        mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
+        if members_t.latest_version() > 0:
+            victims = (
+                members_t.read(spark)
+                .where(F.col("vh") == pvh)
+                .select("vec_id", mem_bucket.alias("_b"))
+                .collect()  # the interrupted group's sole member, if any
+            )
+            if victims:
+                vb = sorted({r["_b"] for r in victims})
+                bucket_mem = members_t.read_buckets(
+                    spark, vb, _SEM_MEMBERS_SCHEMA, n_buckets=member_buckets
+                ).localCheckpoint(eager=True)
+                members_t.commit_buckets(
+                    bucket_mem.where(F.col("vh") != pvh).withColumn(
+                        "_bucket", mem_bucket
+                    ),
+                    vb,
+                    n_buckets=member_buckets,
+                )
+        pgb = (
+            spark.createDataFrame([(pvh,)], "vh long")
+            .select(vh_bucket.alias("_b"))
+            .first()[0]
+        )
+        bucket_g0 = groups_t.read_buckets(
+            spark, [pgb], _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
+        ).localCheckpoint(eager=True)
+        groups_t.commit_buckets(
+            bucket_g0.where(F.col("vh") != pvh).withColumn(
+                "_bucket", vh_bucket
+            ),
+            [pgb],
+            n_buckets=group_buckets,
+            extra={"pending_clear": ""},
+        )
+        report.append(
+            {"pending": pending, "action": "pending_clear_completed"}
+        )
     live = (
         members_t.read(spark)
         .groupBy("vh")
@@ -1229,7 +1312,6 @@ def audit_and_repair_semantic_index(
         .select("vh", "gid", "n_members", "live_n", vh_bucket.alias("_b"))
         .collect()  # bounded by crash damage, not by the table
     )
-    report = []
     if drift:
         by_bucket: dict[int, list] = defaultdict(list)
         for r in drift:

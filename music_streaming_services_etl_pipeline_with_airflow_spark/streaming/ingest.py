@@ -1820,6 +1820,24 @@ def make_minhash_index_applier(
             .collect()
         )
         stats["driver_collected_rows"] += len(th_rows)
+        # pending-clear guard (r13): if a last-member erase crashed
+        # mid-clear, its group row is still present but its signature
+        # surfaces are partially gone — a copy arriving NOW would take
+        # the member-append path and resurrect the group around the
+        # half-cleared signature (silently unpairable forever). Fail
+        # loudly instead; the erase retry or the fsck resolves. Free:
+        # the batch's hashes are already driver-side.
+        pending = groups_t.latest_manifest_field("pending_clear") or None
+        if pending:
+            pth = pending.split("@", 1)[1]
+            if any(r["th"] == pth for r in th_rows):
+                raise ValueError(
+                    f"batch {batch_id} contains text whose group has an "
+                    f"INCOMPLETE last-member erase (pending_clear "
+                    f"{pending!r}) — retry that erase or run "
+                    "audit_and_repair_minhash_index before ingesting "
+                    "copies of it"
+                )
         touched_g = sorted({r["_b"] for r in th_rows})
         groups_all = groups_t.read_buckets(
             spark_, touched_g, _MH_GROUPS_SCHEMA, n_buckets=group_buckets
@@ -2320,6 +2338,62 @@ def audit_and_repair_minhash_index(
     th_bucket = SnapshotTable.bucket_of(F.col("th"), group_buckets)
     if groups_t.latest_version() == 0:
         return []
+    report: list[dict] = []
+    # phase 0 (r13): a pending_clear marker means a last-member erase
+    # crashed mid-clear — complete it END-TO-END before auditing
+    # anything else (re-clear is idempotent; the victim's member row and
+    # the group row leave; the marker clears atomically with the drop),
+    # so the drift scan below sees the converged state.
+    pending = groups_t.latest_manifest_field("pending_clear") or None
+    if pending:
+        pgid = int(pending.split("@", 1)[0])
+        pth = pending.split("@", 1)[1]
+        _clear_minhash_signature(
+            spark, pgid, pairs_t, bands_t, shingles_t,
+            n_buckets, shingle_buckets,
+        )
+        member_buckets = (
+            members_t.latest_manifest_field("n_buckets") or n_buckets
+        )
+        mem_bucket = SnapshotTable.bucket_of(F.col("doc_id"), member_buckets)
+        if members_t.latest_version() > 0:
+            victims = (
+                members_t.read(spark)
+                .where(F.col("th") == pth)
+                .select("doc_id", mem_bucket.alias("_b"))
+                .collect()  # the interrupted group's sole member, if any
+            )
+            if victims:
+                vb = sorted({r["_b"] for r in victims})
+                bucket_mem = members_t.read_buckets(
+                    spark, vb, _MH_MEMBERS_SCHEMA, n_buckets=member_buckets
+                ).localCheckpoint(eager=True)
+                members_t.commit_buckets(
+                    bucket_mem.where(F.col("th") != pth).withColumn(
+                        "_bucket", mem_bucket
+                    ),
+                    vb,
+                    n_buckets=member_buckets,
+                )
+        pgb = (
+            spark.createDataFrame([(pth,)], "th string")
+            .select(th_bucket.alias("_b"))
+            .first()[0]
+        )
+        bucket_g0 = groups_t.read_buckets(
+            spark, [pgb], _MH_GROUPS_SCHEMA, n_buckets=group_buckets
+        ).localCheckpoint(eager=True)
+        groups_t.commit_buckets(
+            bucket_g0.where(F.col("th") != pth).withColumn(
+                "_bucket", th_bucket
+            ),
+            [pgb],
+            n_buckets=group_buckets,
+            extra={"pending_clear": ""},
+        )
+        report.append(
+            {"pending": pending, "action": "pending_clear_completed"}
+        )
     live = (
         members_t.read(spark).groupBy("th").agg(F.count("*").alias("live_n"))
     )
@@ -2331,7 +2405,6 @@ def audit_and_repair_minhash_index(
         .select("th", "gid", "n_members", "live_n", th_bucket.alias("_b"))
         .collect()  # bounded by crash damage, not by the table
     )
-    report = []
     if drift:
         by_bucket: dict[int, list] = defaultdict(list)
         for r in drift:
@@ -2588,6 +2661,33 @@ def erase_doc_from_minhash_index(
     # rows leave last. NOTE gid, not erase — pairs/bands/shingles are
     # keyed by the group's canonical id, which may differ from the erased
     # doc after earlier member erases.
+    #
+    # PENDING-CLEAR MARKER (r13): retry-convergence alone does not cover
+    # the stream RESUMING before the retry — an exact copy of the
+    # half-cleared text would take the collapse front's member-append
+    # path and resurrect the group around a signature whose pairs/bands
+    # are already gone (the survivor could never pair with future
+    # near-dups; serve silently diverges from the oracle). The marker
+    # commits into the GROUPS manifest BEFORE any clear damage and is
+    # removed ATOMICALLY with the group-row drop; the applier fails
+    # loudly on a marked th, and audit_and_repair_minhash_index
+    # completes a marked erase end-to-end. One marker field, so a new
+    # last-member erase refuses to start while a DIFFERENT group's clear
+    # is pending (same fail-loud economics as the BM25 erase guards).
+    token = f"{gid}@{th}"
+    pending = groups_t.latest_manifest_field("pending_clear") or None
+    if pending and pending != token:
+        raise ValueError(
+            f"a last-member erase is pending for another group "
+            f"({pending!r}) — retry it or run "
+            "audit_and_repair_minhash_index before starting this one"
+        )
+    if pending != token:
+        # metadata-only commit: the no-match predicate carries every dir
+        # and the bucket map by reference
+        groups_t.delete_where(
+            spark, "gid IS NULL", extra={"pending_clear": token}
+        )
     _clear_minhash_signature(
         spark, gid, pairs_t, bands_t, shingles_t, n_buckets, shingle_buckets
     )
@@ -2596,4 +2696,5 @@ def erase_doc_from_minhash_index(
         bucket_g.where(F.col("th") != th).withColumn("_bucket", th_bucket),
         [gb],
         n_buckets=group_buckets,
+        extra={"pending_clear": ""},  # cleared atomically with the drop
     )

@@ -2476,3 +2476,162 @@ def test_minhash_fsck_purges_pre_r13_orphan_band_rows(spark, tmp_path):
     assert audit_and_repair_minhash_index(
         spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
     ) == []
+
+
+def test_minhash_pending_clear_blocks_resurrection_until_resolved(
+    spark, tmp_path
+):
+    """The r13 pending-clear marker: a last-member erase that crashes
+    MID-CLEAR leaves the group row alive with its signature partially
+    gone — without the marker, an exact copy arriving before the retry
+    would member-append into the half-cleared group and serve would
+    silently lose its pairs forever. With it: (a) the applier fails
+    loudly on the marked text; (b) a different group's last-member erase
+    refuses to start; (c) the erase retry completes and clears the
+    marker; (d) the copy then ingests as a FRESH group, re-bands, and
+    re-pairs with its near-dup — serve matches the oracle-recompute
+    expectation exactly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        audit_and_repair_minhash_index,
+        erase_doc_from_minhash_index,
+        make_minhash_index_applier,
+        serve_minhash_pairs,
+    )
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
+    nb = 4
+    apply_batch = make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=nb
+    )
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    schema = "doc_id long, text string"
+    apply_batch(
+        spark.createDataFrame(
+            [(1, fam + "alpha beta"), (2, fam + "alpha gamma")], schema
+        ),
+        0,
+    )
+    pre = {
+        (r.da, r.db)
+        for r in serve_minhash_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert pre == {(1, 2)}
+    # tear the erase of doc 1 mid-clear (bands commit dies; the marker
+    # is already in the GROUPS manifest)
+    real_commit = bands_t.commit_buckets
+    try:
+        def crash(*a, **k):
+            raise RuntimeError("mid-clear crash")
+
+        bands_t.commit_buckets = crash
+        with _pytest.raises(RuntimeError, match="mid-clear"):
+            erase_doc_from_minhash_index(
+                spark, pairs_t, bands_t, shingles_t, groups_t, members_t,
+                nb, 1,
+            )
+    finally:
+        bands_t.commit_buckets = real_commit
+    assert (groups_t.latest_manifest_field("pending_clear") or "").startswith("1@")
+    # (a) a copy of the half-cleared text is REFUSED
+    with _pytest.raises(ValueError, match="INCOMPLETE last-member erase"):
+        apply_batch(
+            spark.createDataFrame([(3, fam + "alpha beta")], schema), 1
+        )
+    # (b) a different group's last-member erase refuses to start
+    with _pytest.raises(ValueError, match="pending for another group"):
+        erase_doc_from_minhash_index(
+            spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb, 2
+        )
+    # (c) the retry completes the marked erase and clears the marker
+    erase_doc_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb, 1
+    )
+    assert not groups_t.latest_manifest_field("pending_clear")
+    # (d) the copy now ingests as a fresh group and re-pairs with doc 2
+    apply_batch(spark.createDataFrame([(3, fam + "alpha beta")], schema), 1)
+    post = {
+        (r.da, r.db)
+        for r in serve_minhash_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert post == {(2, 3)}
+    assert audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    ) == []
+
+
+def test_minhash_fsck_completes_marked_erase(spark, tmp_path):
+    """fsck resolution path for a marked (crashed mid-clear) last-member
+    erase: phase 0 re-clears idempotently, drops the victim's member and
+    group rows, clears the marker — and the index then accepts copies of
+    the text as a fresh group."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        audit_and_repair_minhash_index,
+        erase_doc_from_minhash_index,
+        make_minhash_index_applier,
+        serve_minhash_pairs,
+    )
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
+    nb = 4
+    apply_batch = make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=nb
+    )
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    schema = "doc_id long, text string"
+    apply_batch(
+        spark.createDataFrame(
+            [(1, fam + "alpha beta"), (2, fam + "alpha gamma")], schema
+        ),
+        0,
+    )
+    real_commit = bands_t.commit_buckets
+    try:
+        def crash(*a, **k):
+            raise RuntimeError("mid-clear crash")
+
+        bands_t.commit_buckets = crash
+        with _pytest.raises(RuntimeError, match="mid-clear"):
+            erase_doc_from_minhash_index(
+                spark, pairs_t, bands_t, shingles_t, groups_t, members_t,
+                nb, 1,
+            )
+    finally:
+        bands_t.commit_buckets = real_commit
+    rep = audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    )
+    assert any(r.get("action") == "pending_clear_completed" for r in rep)
+    assert not groups_t.latest_manifest_field("pending_clear")
+    assert members_t.read(spark).where("doc_id = 1").count() == 0
+    assert shingles_t.read(spark).where("doc_id = 1").count() == 0
+    assert bands_t.read(spark).where("doc_id = 1").count() == 0
+    # re-ingest of the text works and re-pairs
+    apply_batch(spark.createDataFrame([(3, fam + "alpha beta")], schema), 1)
+    post = {
+        (r.da, r.db)
+        for r in serve_minhash_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert post == {(2, 3)}
+    assert audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    ) == []

@@ -846,3 +846,150 @@ def test_semantic_fsck_purges_pre_r13_orphan_band_rows(spark, tmp_path):
     assert audit_and_repair_semantic_index(
         spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
     ) == []
+
+
+def test_semantic_pending_clear_blocks_resurrection_until_resolved(
+    spark, tmp_path
+):
+    """Semantic twin of the minhash pending-clear drill: a mid-clear
+    crash leaves the marker; copies of the half-cleared vector are
+    refused, a different group's last-member erase refuses to start, the
+    retry completes and clears the marker, and the re-ingested copy
+    forms a fresh group that re-pairs with its near-dup."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        audit_and_repair_semantic_index,
+        erase_semantic_vec,
+        make_semantic_index_applier,
+        serve_semantic_pairs,
+    )
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    args = (
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    apply_batch = make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+    )
+    base = [0.0] * 62
+    va = [1.0, 0.0] + base
+    vb = [1.0, 0.1] + base  # near-dup of va (cos ~ 0.995)
+    apply_batch(
+        spark.createDataFrame(
+            [(1, va), (2, vb)], "vec_id long, embedding array<float>"
+        ),
+        0,
+    )
+    pre = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert pre == {(1, 2)}
+    real_commit = bands_t.commit_buckets
+    try:
+        def crash(*a, **k):
+            raise RuntimeError("mid-clear crash")
+
+        bands_t.commit_buckets = crash
+        with pytest.raises(RuntimeError, match="mid-clear"):
+            erase_semantic_vec(
+                spark, 1, pairs_t, bands_t, vecs_t, groups_t, members_t,
+                *args,
+            )
+    finally:
+        bands_t.commit_buckets = real_commit
+    assert (groups_t.latest_manifest_field("pending_clear") or "").startswith("1@")
+    # copies of the half-cleared vector are refused
+    with pytest.raises(ValueError, match="INCOMPLETE last-member erase"):
+        apply_batch(
+            spark.createDataFrame(
+                [(3, va)], "vec_id long, embedding array<float>"
+            ),
+            1,
+        )
+    # a different group's last-member erase refuses to start
+    with pytest.raises(ValueError, match="pending for another group"):
+        erase_semantic_vec(
+            spark, 2, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+        )
+    # retry completes and clears the marker; the copy then re-ingests
+    erase_semantic_vec(
+        spark, 1, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    )
+    assert not groups_t.latest_manifest_field("pending_clear")
+    apply_batch(
+        spark.createDataFrame(
+            [(3, va)], "vec_id long, embedding array<float>"
+        ),
+        1,
+    )
+    post = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert post == {(2, 3)}
+    assert audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    ) == []
+
+
+def test_semantic_fsck_completes_marked_erase(spark, tmp_path):
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        audit_and_repair_semantic_index,
+        erase_semantic_vec,
+        make_semantic_index_applier,
+        serve_semantic_pairs,
+    )
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    args = (
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    apply_batch = make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+    )
+    base = [0.0] * 62
+    va = [1.0, 0.0] + base
+    vb = [1.0, 0.1] + base
+    apply_batch(
+        spark.createDataFrame(
+            [(1, va), (2, vb)], "vec_id long, embedding array<float>"
+        ),
+        0,
+    )
+    real_commit = bands_t.commit_buckets
+    try:
+        def crash(*a, **k):
+            raise RuntimeError("mid-clear crash")
+
+        bands_t.commit_buckets = crash
+        with pytest.raises(RuntimeError, match="mid-clear"):
+            erase_semantic_vec(
+                spark, 1, pairs_t, bands_t, vecs_t, groups_t, members_t,
+                *args,
+            )
+    finally:
+        bands_t.commit_buckets = real_commit
+    rep = audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    )
+    assert any(r.get("action") == "pending_clear_completed" for r in rep)
+    assert not groups_t.latest_manifest_field("pending_clear")
+    assert members_t.read(spark).where("vec_id = 1").count() == 0
+    assert vecs_t.read(spark).where("vec_id = 1").count() == 0
+    assert bands_t.read(spark).where("vec_id = 1").count() == 0
+    apply_batch(
+        spark.createDataFrame(
+            [(3, va)], "vec_id long, embedding array<float>"
+        ),
+        1,
+    )
+    post = {
+        (r.va, r.vb)
+        for r in serve_semantic_pairs(spark, pairs_t, groups_t, members_t).collect()
+    }
+    assert post == {(2, 3)}
+    assert audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
+    ) == []
