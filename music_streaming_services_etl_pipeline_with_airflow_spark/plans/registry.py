@@ -89,6 +89,12 @@ ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     #     erased output row — completes the erase story across all five
     #     streaming indexes.
     "streaming_pack_index_delete",
+    # r13 (late): the near-dup resurrection window closed via the
+    # pending_clear GROUPS-manifest marker — the delete queries' erase
+    # paths and both APPLIERS (a per-batch marker guard) changed, so the
+    # two maintain-then-serve queries re-attest too.
+    "streaming_minhash_index",
+    "streaming_semantic_index",
 )
 
 # Banked in r12: all remaining r6 rows (50/50 green, 6th consecutive).
@@ -106,6 +112,8 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_ivf_requantize",  # new/changed
     "streaming_bm25_index_fsck_repair",  # new/changed
     "streaming_pack_index_delete",  # new/changed
+    "streaming_minhash_index",  # new/changed
+    "streaming_semantic_index",  # new/changed
     "streaming_cdc_apply",  # last row r7
     "streaming_dedup_ingest",  # last row r7
     "streaming_interval_join_full",  # last row r7
@@ -148,8 +156,6 @@ _PRIORITY: tuple[str, ...] = (
     "retrieval_bm25_cosine_rerank",  # last row r8
     "retrieval_maxsim_late_interaction",  # last row r8
     "retrieval_rrf_hybrid",  # last row r8
-    "sample_bernoulli_rng",  # last row r8
-    "similarity_ivf_kmeans",  # last row r8
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its
