@@ -168,6 +168,24 @@ def _attribute_hit_dirs(
         else:
             hit_dirs.add((_norm_authority(u.netloc, u.scheme), pdir))
     by_norm = {_norm_dir(d): d for d in dirs}
+    if len(by_norm) != len(dirs):
+        # two manifest spellings normalizing to one (authority, path)
+        # would make dict-build last-wins: a hit in the dropped spelling
+        # attributes to the kept one, delete_where rewrites the WRONG dir
+        # and leaves matching rows behind — a silent under-delete. A
+        # manifest never legally lists one dir twice, so fail loudly
+        # (r14, ADVICE).
+        seen: dict[tuple, str] = {}
+        for d in dirs:
+            n = _norm_dir(d)
+            if n in seen and seen[n] != d:
+                raise ValueError(
+                    f"{label}: manifest dirs {seen[n]!r} and {d!r} "
+                    "normalize to the same location — duplicate spellings "
+                    "of one dir would mis-attribute delete hits; repair "
+                    "the manifest before deleting"
+                )
+            seen[n] = d
     orphans = hit_dirs - set(by_norm)
     if orphans:
         raise ValueError(
@@ -946,6 +964,90 @@ class SnapshotTable:
             crowded,
             n_buckets=n_buckets,
             extra=extra,
+        )
+
+    def bucket_occupancy(self, spark: SparkSession, key_col: str) -> dict:
+        """Rows-per-bucket audit — the TRIGGER METRIC for :meth:`rebucket`
+        (r14, VERDICT r13 ask 2): bucketed index tables fix their bucket
+        count at creation from an expected-rows estimate, so a corpus
+        that grows far past the estimate silently turns every
+        whole-bucket read into O(corpus/constant). One scan, key column
+        only (column-pruned); the mean is over ALL buckets including
+        empty ones (the r14 skew-audit lesson), read from the recorded
+        bucket count."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version()
+        if v == 0:
+            return {"n_rows": 0, "n_buckets": 0, "max_bucket_rows": 0,
+                    "mean_bucket_rows": 0.0}
+        n_buckets = int(self._manifest(v)["n_buckets"])
+        occ = (
+            self.read(spark)
+            .groupBy(self.bucket_of(F.col(key_col), n_buckets).alias("_b"))
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum("n").alias("total"), F.max("n").alias("mx"))
+            .first()
+        )
+        total = int(occ["total"] or 0)
+        return {
+            "n_rows": total,
+            "n_buckets": n_buckets,
+            "max_bucket_rows": int(occ["mx"] or 0),
+            "mean_bucket_rows": round(total / n_buckets, 2),
+        }
+
+    def rebucket(
+        self,
+        spark: SparkSession,
+        key_col: str,
+        new_n_buckets: int,
+        extra: dict | None = None,
+        bucket_expr=None,
+    ) -> int:
+        """Bucket-count migration (r14, VERDICT r13 ask 2) — the
+        growth-lifecycle twin of the IVF requantize: bucketed tables
+        record their bucket count at creation (sized from an
+        expected-rows estimate), and `_check_n_buckets` then rightly
+        refuses any other count — so a corpus that grows 100× past the
+        estimate is stuck with O(corpus/constant) whole-bucket reads
+        until the table is REBUCKETED. This is that migration as ONE
+        bounded rewrite:
+
+        - read every stored row once (a migration is O(|table|) by
+          necessity — one pass, not per-bucket jobs);
+        - rehash each key under the new count (``bucket_expr`` overrides
+          for identity-bucketed lineages);
+        - commit atomically via ``commit_buckets(replace_all_buckets=
+          True)`` — the one commit shape under which the bucket count
+          may legally change, because nothing carries over by reference.
+          A crash mid-migration leaves the pre-migration version current
+          (manifest-swap atomicity): all-or-nothing.
+
+        CURSOR-PRESERVING: the parent's extras (``last_batch_id`` replay
+        cursor and all other caller metadata) carry forward through the
+        commit, so a stream resumes exactly where it left off — against
+        an applier built with the NEW count (the count travels with the
+        applier the way the IVF quantizer travels with its applier; read
+        it back via ``latest_manifest_field("n_buckets")``). Appended
+        dir chains fold as a side effect (each bucket lands ~1 dir).
+        Returns the new version."""
+        from pyspark.sql import functions as F
+
+        v = self.latest_version()
+        if v == 0:
+            raise ValueError(f"{self.path}: no committed versions")
+        self._bucket_map(v)  # fail fast on a non-bucketed lineage
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        if bucket_expr is None:
+            bucket_expr = self.bucket_of(F.col(key_col), new_n_buckets)
+        return self.commit_buckets(
+            self.read(spark).withColumn("_bucket", bucket_expr),
+            list(range(new_n_buckets)),
+            n_buckets=new_n_buckets,
+            extra=extra,
+            replace_all_buckets=True,
         )
 
     def delete_where(

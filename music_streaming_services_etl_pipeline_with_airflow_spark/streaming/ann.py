@@ -189,7 +189,16 @@ def ivf_list_skew_audit(spark: SparkSession, index_t: SnapshotTable) -> dict:
     hottest list costs k× the average probe, and erase/compaction
     rewrites concentrate on it. Run it on the same maintenance cadence as
     fsck; when skew crosses the deployment's threshold, retrain and
-    migrate via :func:`requantize_ivf_index`."""
+    migrate via :func:`requantize_ivf_index`.
+
+    ``skew`` = max / (total / n_lists), the ALL-lists mean (r14, ADVICE):
+    a groupBy over the stored rows yields no row for an EMPTY list, so a
+    nonempty-only mean would understate skew exactly when the quantizer
+    has drifted badly enough to empty lists — the condition the audit
+    exists to detect. The denominator's list count comes from the
+    table's recorded bucket count (lists are identity-bucketed by cid);
+    ``mean_nonempty``/``skew_nonempty`` are also reported for reading
+    occupancy of the lists that do hold vectors."""
     occ = (
         index_t.read(spark)
         .groupBy("cid")
@@ -203,14 +212,22 @@ def ivf_list_skew_audit(spark: SparkSession, index_t: SnapshotTable) -> dict:
         .first()
     )
     if occ["total"] is None:
-        return {"n_vectors": 0, "nonempty_lists": 0, "max_list": 0,
-                "mean_list": 0.0, "skew": 0.0}
+        return {"n_vectors": 0, "n_lists": 0, "nonempty_lists": 0,
+                "max_list": 0, "mean_list": 0.0, "mean_nonempty": 0.0,
+                "skew": 0.0, "skew_nonempty": 0.0}
+    n_lists = int(
+        index_t.latest_manifest_field("n_buckets") or occ["nonempty"]
+    )
+    mean_all = int(occ["total"]) / n_lists
     return {
         "n_vectors": int(occ["total"]),
+        "n_lists": n_lists,
         "nonempty_lists": int(occ["nonempty"]),
         "max_list": int(occ["mx"]),
-        "mean_list": round(float(occ["mean"]), 2),
-        "skew": round(int(occ["mx"]) / float(occ["mean"]), 2),
+        "mean_list": round(mean_all, 2),
+        "mean_nonempty": round(float(occ["mean"]), 2),
+        "skew": round(int(occ["mx"]) / mean_all, 2),
+        "skew_nonempty": round(int(occ["mx"]) / float(occ["mean"]), 2),
     }
 
 
@@ -1206,6 +1223,112 @@ def q_streaming_semantic_index_delete(
     return serve_semantic_pairs(spark, pairs_t, groups_t, members_t)
 
 
+def _resolve_pending_semantic_clear(
+    spark: SparkSession,
+    pairs_t,
+    bands_t,
+    vecs_t,
+    groups_t,
+    members_t,
+    band_buckets: int,
+    vec_buckets: int,
+    group_buckets: int,
+    member_buckets: int,
+    band_codes,
+    lsh_bits: int,
+    pending: str,
+) -> None:
+    """Complete a marked last-member erase END-TO-END (the semantic
+    fsck's phase 0, factored out in r14 for the batch erase entry
+    point): idempotent signature re-clear, then the victim's member row
+    and the group row leave, the marker clearing atomically with the
+    group-row drop."""
+    vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
+    pgid = int(pending.split("@", 1)[0])
+    pvh = int(pending.split("@", 1)[1])
+    _clear_semantic_signature(
+        spark, pgid, pairs_t, bands_t, vecs_t,
+        band_buckets, vec_buckets, band_codes, lsh_bits,
+    )
+    mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
+    if members_t.latest_version() > 0:
+        victims = (
+            members_t.read(spark)
+            .where(F.col("vh") == pvh)
+            .select("vec_id", mem_bucket.alias("_b"))
+            .collect()  # the interrupted group's sole member, if any
+        )
+        if victims:
+            vb = sorted({r["_b"] for r in victims})
+            bucket_mem = members_t.read_buckets(
+                spark, vb, _SEM_MEMBERS_SCHEMA, n_buckets=member_buckets
+            ).localCheckpoint(eager=True)
+            members_t.commit_buckets(
+                bucket_mem.where(F.col("vh") != pvh).withColumn(
+                    "_bucket", mem_bucket
+                ),
+                vb,
+                n_buckets=member_buckets,
+            )
+    pgb = (
+        spark.createDataFrame([(pvh,)], "vh long")
+        .select(vh_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_g0 = groups_t.read_buckets(
+        spark, [pgb], _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
+    ).localCheckpoint(eager=True)
+    groups_t.commit_buckets(
+        bucket_g0.where(F.col("vh") != pvh).withColumn(
+            "_bucket", vh_bucket
+        ),
+        [pgb],
+        n_buckets=group_buckets,
+        extra={"pending_clear": ""},
+    )
+
+
+def erase_semantic_vecs(
+    spark: SparkSession,
+    ids,
+    pairs_t,
+    bands_t,
+    vecs_t,
+    groups_t,
+    members_t,
+    band_buckets: int,
+    vec_buckets: int,
+    group_buckets: int,
+    member_buckets: int,
+) -> None:
+    """Batch GDPR erase for the semantic index (r14, VERDICT r13 ask 4
+    — the twin of streaming/ingest.py erase_docs_from_minhash_index):
+    walks the ids in sorted order and, before each erase, resolves any
+    pending last-member clear end-to-end, so a compliance sweep whose
+    list hits several last-member groups never trips the single-marker
+    refusal. Crash anywhere -> re-running the same call converges
+    (erased ids early-return, a torn clear resolves from its marker,
+    the walk continues)."""
+    from ..operators.dedup import LSH_BANDS, LSH_BITS_PER_BAND, _make_lsh_udfs
+
+    lsh_bands = bands_t.latest_manifest_field("lsh_bands") or LSH_BANDS
+    lsh_bits = bands_t.latest_manifest_field("lsh_bits") or LSH_BITS_PER_BAND
+    band_codes, _ = _make_lsh_udfs(bands=lsh_bands, bits=lsh_bits)
+    for erase in sorted(set(ids)):
+        pending = groups_t.latest_manifest_field("pending_clear") or None
+        if pending:
+            _resolve_pending_semantic_clear(
+                spark, pairs_t, bands_t, vecs_t, groups_t, members_t,
+                band_buckets, vec_buckets, group_buckets, member_buckets,
+                band_codes, lsh_bits, pending,
+            )
+        erase_semantic_vec(
+            spark, erase, pairs_t, bands_t, vecs_t, groups_t, members_t,
+            band_buckets, vec_buckets, group_buckets, member_buckets,
+            lsh_bands=lsh_bands, lsh_bits=lsh_bits,
+        )
+
+
 def audit_and_repair_semantic_index(
     spark: SparkSession,
     pairs_t,
@@ -1217,6 +1340,7 @@ def audit_and_repair_semantic_index(
     vec_buckets: int,
     group_buckets: int,
     member_buckets: int,
+    aggregate_only: bool = False,
 ) -> list[dict]:
     """fsck for the collapse front (the table-format answer to the one
     non-resumable erase window): recompute every group's live member
@@ -1238,10 +1362,17 @@ def audit_and_repair_semantic_index(
 
     Returns the repair report (one dict per repaired group); an empty
     list means the index is consistent. Run after any crashed erase, or
-    periodically the way real table formats schedule fsck/maintenance."""
+    periodically the way real table formats schedule fsck/maintenance.
+
+    Repair-report collects are capped at FSCK_REPORT_CAP with a
+    fail-loud overflow (r14); ``aggregate_only=True`` is the escape
+    hatch — a REPORT-ONLY census (per-bucket drift / orphan counts,
+    pending-marker state; nothing collected, nothing repaired) for
+    sizing systematic damage."""
     from collections import defaultdict
 
     from ..operators.dedup import LSH_BANDS, LSH_BITS_PER_BAND, _make_lsh_udfs
+    from .ingest import _bounded_fsck_collect
 
     lsh_bands = bands_t.latest_manifest_field("lsh_bands") or LSH_BANDS
     lsh_bits = bands_t.latest_manifest_field("lsh_bits") or LSH_BITS_PER_BAND
@@ -1250,51 +1381,62 @@ def audit_and_repair_semantic_index(
     if groups_t.latest_version() == 0:
         return []
     report = []
+    if aggregate_only:
+        pending = groups_t.latest_manifest_field("pending_clear") or None
+        if pending:
+            report.append({"kind": "pending_clear", "marker": pending})
+        live = (
+            members_t.read(spark)
+            .groupBy("vh")
+            .agg(F.count("*").alias("live_n"))
+        )
+        census = (
+            groups_t.read(spark)
+            .join(live, "vh", "left")
+            .withColumn("live_n", F.coalesce("live_n", F.lit(0)))
+            .where(F.col("n_members") != F.col("live_n"))
+            .groupBy(vh_bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_drifted"))
+            .orderBy("bucket")
+            .collect()  # <= group_buckets rows by construction
+        )
+        report.extend(
+            {
+                "kind": "group_drift_census",
+                "bucket": r["bucket"],
+                "n_drifted": r["n_drifted"],
+            }
+            for r in census
+        )
+        if bands_t.latest_version() > 0 and vecs_t.latest_version() > 0:
+            bk_bucket = SnapshotTable.bucket_of(F.col("bk"), band_buckets)
+            orphan_census = (
+                bands_t.read(spark)
+                .join(
+                    vecs_t.read(spark).select("vec_id"), "vec_id", "left_anti"
+                )
+                .groupBy(bk_bucket.alias("bucket"))
+                .agg(F.count_distinct("vec_id").alias("n_orphan_vecs"))
+                .orderBy("bucket")
+                .collect()  # <= band_buckets rows by construction
+            )
+            report.extend(
+                {
+                    "kind": "orphan_bands_census",
+                    "bucket": r["bucket"],
+                    "n_orphan_vecs": r["n_orphan_vecs"],
+                }
+                for r in orphan_census
+            )
+        return report
     # phase 0 (r13, mirrors the minhash fsck): complete a marked
     # last-member erase end-to-end before auditing anything else
     pending = groups_t.latest_manifest_field("pending_clear") or None
     if pending:
-        pgid = int(pending.split("@", 1)[0])
-        pvh = int(pending.split("@", 1)[1])
-        _clear_semantic_signature(
-            spark, pgid, pairs_t, bands_t, vecs_t,
-            band_buckets, vec_buckets, band_codes, lsh_bits,
-        )
-        mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
-        if members_t.latest_version() > 0:
-            victims = (
-                members_t.read(spark)
-                .where(F.col("vh") == pvh)
-                .select("vec_id", mem_bucket.alias("_b"))
-                .collect()  # the interrupted group's sole member, if any
-            )
-            if victims:
-                vb = sorted({r["_b"] for r in victims})
-                bucket_mem = members_t.read_buckets(
-                    spark, vb, _SEM_MEMBERS_SCHEMA, n_buckets=member_buckets
-                ).localCheckpoint(eager=True)
-                members_t.commit_buckets(
-                    bucket_mem.where(F.col("vh") != pvh).withColumn(
-                        "_bucket", mem_bucket
-                    ),
-                    vb,
-                    n_buckets=member_buckets,
-                )
-        pgb = (
-            spark.createDataFrame([(pvh,)], "vh long")
-            .select(vh_bucket.alias("_b"))
-            .first()[0]
-        )
-        bucket_g0 = groups_t.read_buckets(
-            spark, [pgb], _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
-        ).localCheckpoint(eager=True)
-        groups_t.commit_buckets(
-            bucket_g0.where(F.col("vh") != pvh).withColumn(
-                "_bucket", vh_bucket
-            ),
-            [pgb],
-            n_buckets=group_buckets,
-            extra={"pending_clear": ""},
+        _resolve_pending_semantic_clear(
+            spark, pairs_t, bands_t, vecs_t, groups_t, members_t,
+            band_buckets, vec_buckets, group_buckets, member_buckets,
+            band_codes, lsh_bits, pending,
         )
         report.append(
             {"pending": pending, "action": "pending_clear_completed"}
@@ -1304,13 +1446,13 @@ def audit_and_repair_semantic_index(
         .groupBy("vh")
         .agg(F.count("*").alias("live_n"))
     )
-    drift = (
+    drift = _bounded_fsck_collect(
         groups_t.read(spark)
         .join(live, "vh", "left")
         .withColumn("live_n", F.coalesce("live_n", F.lit(0)))
         .where(F.col("n_members") != F.col("live_n"))
-        .select("vh", "gid", "n_members", "live_n", vh_bucket.alias("_b"))
-        .collect()  # bounded by crash damage, not by the table
+        .select("vh", "gid", "n_members", "live_n", vh_bucket.alias("_b")),
+        "semantic group counters",
     )
     if drift:
         by_bucket: dict[int, list] = defaultdict(list)
@@ -1363,9 +1505,10 @@ def audit_and_repair_semantic_index(
         orphan_rows = bands_all.join(
             vecs_t.read(spark).select("vec_id"), "vec_id", "left_anti"
         )
-        orphans = orphan_rows.select(
-            "vec_id", bk_bucket.alias("_b")
-        ).distinct().collect()  # bounded by crash damage
+        orphans = _bounded_fsck_collect(
+            orphan_rows.select("vec_id", bk_bucket.alias("_b")).distinct(),
+            "semantic orphan band rows",
+        )
         if orphans:
             orphan_ids = sorted({r["vec_id"] for r in orphans})
             bb = sorted({r["_b"] for r in orphans})

@@ -922,10 +922,52 @@ def erase_doc_from_bm25_index(
             - int(dl),
         },
     )
+    # marker hygiene (r14, ADVICE): the marker's job ends the moment the
+    # postings delete commits — a retry of THIS erase early-returns on
+    # missing postings without ever consulting it, so clearing here is
+    # crash-safe (a crash between the delete and this clear just leaves
+    # a stale receipt the fsck removes). Left in place it becomes an
+    # operational landmine: re-ingesting the erased doc_id later makes
+    # the next erase's pending-probe see "marker's doc has postings
+    # again" and fail loudly on a COMPLETED erase. Metadata-only commit.
+    df_t.delete_where(spark, "term IS NULL", extra={"last_erase_marker": ""})
+
+
+# fsck drift-report collects were "bounded by crash damage" only by
+# assumption (r13 VERDICT): true for the torn-erase states the repairs
+# were built for, but a systematic corruption (or a future bug) would
+# make them O(|table|) driver rows. The cap makes the bound STRUCTURAL:
+# a report bigger than this fails loudly and points the operator at the
+# fsck's aggregate_only census mode, which reports drift counts per
+# bucket without collecting a single key.
+FSCK_REPORT_CAP = 100_000
+
+
+def _bounded_fsck_collect(df: DataFrame, what: str, cap: int | None = None):
+    """collect() with a fail-loud row cap for fsck repair reports — the
+    repair paths construct correction frames driver-side, which is right
+    for crash-window damage (a handful of rows) and catastrophically
+    wrong for systematic corruption. limit(cap+1) keeps even the
+    overflow probe bounded."""
+    cap = FSCK_REPORT_CAP if cap is None else cap
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"fsck drift report for {what} exceeds {cap} rows — this is "
+            "not the bounded crash-window damage the driver-side repair "
+            "path is sized for. Re-run the fsck with aggregate_only=True "
+            "for a per-bucket drift census, then repair bucket-by-bucket "
+            "or rebuild the index from source."
+        )
+    return rows
 
 
 def audit_and_repair_bm25_index(
-    spark: SparkSession, postings_t, df_t, df_buckets: int | None = None
+    spark: SparkSession,
+    postings_t,
+    df_t,
+    df_buckets: int | None = None,
+    aggregate_only: bool = False,
 ) -> list[dict]:
     """fsck for the BM25 index (r13) — recompute the ground truth from
     the postings (ONE full scan; an audit, not a serve path) and repair
@@ -942,7 +984,16 @@ def audit_and_repair_bm25_index(
       dir over by reference).
 
     Returns one dict per repair ({"kind": "df_drift"|"counter_drift",
-    ...}); [] means the index is consistent."""
+    ...}); [] means the index is consistent.
+
+    The repair path collects drifted terms driver-side (it builds the
+    correction frame there) — structurally capped at FSCK_REPORT_CAP
+    with a fail-loud overflow (r14). ``aggregate_only=True`` is the
+    overflow escape hatch: a REPORT-ONLY census that never collects a
+    term — per-vocabulary-bucket drift counts plus the counter check —
+    so an operator can size systematic damage and decide
+    bucket-by-bucket repair vs rebuild. No repair is performed in that
+    mode."""
     if postings_t.latest_version() == 0:
         return []
     df_buckets = (
@@ -958,7 +1009,9 @@ def audit_and_repair_bm25_index(
         if df_t.latest_version() > 0
         else spark.createDataFrame([], "term string, df long")
     )
-    drift = (
+    from ..snapshots import SnapshotTable as _ST
+
+    drift_df = (
         stored.join(true_df, "term", "full_outer")
         .select(
             "term",
@@ -966,8 +1019,47 @@ def audit_and_repair_bm25_index(
             F.coalesce("true_df", F.lit(0)).alias("true_df"),
         )
         .where(F.col("df") != F.col("true_df"))
-        .collect()  # bounded by crash damage (one doc's vocabulary), not |vocab|
     )
+    if aggregate_only:
+        # report-only census: per-bucket drift counts, no term collected,
+        # no repair — the overflow path for damage past FSCK_REPORT_CAP
+        census = (
+            drift_df.groupBy(
+                _ST.bucket_of(F.col("term"), df_buckets).alias("bucket")
+            )
+            .agg(F.count("*").alias("n_drifted"))
+            .orderBy("bucket")
+            .collect()  # <= df_buckets rows by construction
+        )
+        report.extend(
+            {
+                "kind": "df_drift_census",
+                "bucket": r["bucket"],
+                "n_drifted": r["n_drifted"],
+            }
+            for r in census
+        )
+        n_docs_true, sum_dl_true = (
+            post.select("doc_id", "dl")
+            .distinct()
+            .agg(F.count("*"), F.coalesce(F.sum("dl"), F.lit(0)))
+            .first()
+        )
+        n_docs_m = int(postings_t.latest_manifest_field("n_docs", 0))
+        sum_dl_m = int(postings_t.latest_manifest_field("sum_dl", 0))
+        if (n_docs_m, sum_dl_m) != (int(n_docs_true), int(sum_dl_true)):
+            report.append(
+                {
+                    "kind": "counter_drift",
+                    "stored": {"n_docs": n_docs_m, "sum_dl": sum_dl_m},
+                    "true": {
+                        "n_docs": int(n_docs_true),
+                        "sum_dl": int(sum_dl_true),
+                    },
+                }
+            )
+        return report
+    drift = _bounded_fsck_collect(drift_df, "BM25 per-term df")
     if drift:
         for r in drift:
             report.append(
@@ -1020,28 +1112,24 @@ def audit_and_repair_bm25_index(
                 "sum_dl": int(sum_dl_true),
             },
         )
-    # erase-marker hygiene (r13): with df restored to the postings ground
-    # truth, a stale marker is only a hazard when it points at a doc that
-    # STILL has postings (a torn erase this fsck just neutralized, or a
-    # re-ingested doc_id) or when this run repaired drift — in those
-    # cases clear it (metadata-only: the no-match predicate carries every
-    # dir and the bucket map by reference) so the guarded erase path can
-    # re-apply from scratch instead of failing loudly forever. A marker
-    # whose doc is gone and whose df is consistent is left in place: it
-    # is the completed-erase receipt the plain-retry path keys on.
+    # erase-marker hygiene (r13; simplified r14 after ADVICE): a
+    # successful erase now clears its own marker, and the plain-retry
+    # path never consults the marker once the doc's postings are gone
+    # (it early-returns on the missing postings) — so ANY surviving
+    # marker is stale: either a torn erase this fsck just neutralized by
+    # restoring df from the postings ground truth, or a completed
+    # erase's receipt orphaned by a crash between the postings delete
+    # and its hygiene commit. Clear it unconditionally (metadata-only:
+    # the no-match predicate carries every dir and the bucket map by
+    # reference) so the guarded erase path never fails loudly on ghosts.
     stored = df_t.latest_manifest_field("last_erase_marker") or None
     if stored and df_t.latest_version() > 0:
-        sdoc = int(stored.split("@", 1)[0])
-        pending = (
-            post.filter(F.col("doc_id") == sdoc).limit(1).count() > 0
+        df_t.delete_where(
+            spark, "term IS NULL", extra={"last_erase_marker": ""}
         )
-        if report or pending:
-            df_t.delete_where(
-                spark, "term IS NULL", extra={"last_erase_marker": ""}
-            )
-            report.append(
-                {"kind": "erase_marker_cleared", "marker": stored}
-            )
+        report.append(
+            {"kind": "erase_marker_cleared", "marker": stored}
+        )
     return report
 
 
@@ -1588,9 +1676,83 @@ def erase_doc_from_pack_index(spark: SparkSession, packs_t, erase: int) -> None:
     future batches must continue as if the doc had been packed (the
     ordering guard's monotonicity bound stays conservative and correct).
     The doc's CONTENT never lives in this index — only (doc_id, token
-    count, pack assignment) — so the one row is the full retention
-    surface."""
+    count, pack assignment) — so the PACKS row is the full CONTENT
+    retention surface. Retention caveat (r14, ADVICE): when the erased
+    doc was the most recently packed doc of a still-open shard, its bare
+    doc_id survives in that shard's TAILS row as ``last_doc_id`` — an
+    ordering WATERMARK (the monotonicity guard's lower bound for the
+    next batch), not content, and deliberately not nulled: replacing it
+    with the previous survivor's id would weaken the guard for exactly
+    the ids between them. Deployments whose erasure policy covers bare
+    identifiers should close the shard (a tail fold clears the
+    watermark) rather than mutate the recurrence state."""
     packs_t.delete_where(spark, f"doc_id = {erase}")
+
+
+def pack_fill_audit(spark: SparkSession, packs_t) -> dict:
+    """Utilization audit for the tombstone-erased pack index (r14,
+    VERDICT r13 ask 8) — the counterpart metric the IVF family got with
+    ivf_list_skew_audit: erases leave permanent holes BY DESIGN (see
+    :func:`erase_doc_from_pack_index` — no repack), so operators need
+    the number that says when an offline pack rebuild pays for itself.
+    One scan over PACKS, no serve-path change:
+
+    - per surviving pack: live tokens (sum of surviving rows' n_tokens)
+      vs the pack's historical budget watermark (max pack_used — the
+      high-water mark the greedy recurrence reached, which erases never
+      shrink); hole = watermark - live;
+    - ``fill_rate`` = total live / total watermark across surviving
+      packs — the headline utilization; ``holey_packs``, ``max_hole_
+      tokens``, ``mean_hole_tokens`` (over ALL surviving packs, so a
+      mostly-clean index reads near 0) size the hole distribution;
+    - ``vanished_packs``: packs whose EVERY row was tombstoned leave no
+      trace in PACKS (the same empty-bucket blind spot the IVF skew
+      audit fixed in r14), but pack ids are dense per (source, shard) by
+      construction, so max(pack_id)+1 - countDistinct(pack_id) counts
+      them exactly. Their hole SIZE is unknowable from PACKS alone
+      (their watermark died with their rows) and is deliberately NOT
+      estimated — vanished packs cost readers nothing at serve time
+      (nothing scans them), they only matter for shard-id densitometry.
+    """
+    if packs_t.latest_version() == 0:
+        return {
+            "n_packs": 0, "vanished_packs": 0, "live_tokens": 0,
+            "watermark_tokens": 0, "fill_rate": 1.0, "holey_packs": 0,
+            "max_hole_tokens": 0, "mean_hole_tokens": 0.0,
+        }
+    per_pack = (
+        packs_t.read(spark)
+        .groupBy("source", "shard", "pack_id")
+        .agg(
+            F.sum("n_tokens").alias("live"),
+            F.max("pack_used").alias("watermark"),
+        )
+        .withColumn("hole", F.col("watermark") - F.col("live"))
+    )
+    per_shard = per_pack.groupBy("source", "shard").agg(
+        (F.max("pack_id") + 1 - F.count_distinct("pack_id")).alias(
+            "vanished"
+        )
+    )
+    occ = per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("live").alias("live"),
+        F.sum("watermark").alias("wm"),
+        F.sum((F.col("hole") > 0).cast("long")).alias("holey"),
+        F.max("hole").alias("max_hole"),
+        F.avg("hole").alias("mean_hole"),
+    ).first()
+    vanished = per_shard.agg(F.sum("vanished")).first()[0] or 0
+    return {
+        "n_packs": int(occ["n_packs"]),
+        "vanished_packs": int(vanished),
+        "live_tokens": int(occ["live"]),
+        "watermark_tokens": int(occ["wm"]),
+        "fill_rate": round(int(occ["live"]) / max(1, int(occ["wm"])), 4),
+        "holey_packs": int(occ["holey"]),
+        "max_hole_tokens": int(occ["max_hole"]),
+        "mean_hole_tokens": round(float(occ["mean_hole"]), 2),
+    }
 
 
 @register(
@@ -2309,6 +2471,221 @@ def q_streaming_minhash_index_delete(
     return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
 
 
+def _resolve_pending_minhash_clear(
+    spark: SparkSession,
+    pairs_t,
+    bands_t,
+    shingles_t,
+    groups_t,
+    members_t,
+    n_buckets: int,
+    shingle_buckets: int,
+    group_buckets: int,
+    pending: str,
+) -> None:
+    """Complete a marked last-member erase END-TO-END (the fsck's phase
+    0, factored out in r14 so the batch erase entry point can serialize
+    group-clears without a full audit): idempotent signature re-clear,
+    then the victim's member row and the group row leave, the marker
+    clearing atomically with the group-row drop."""
+    from ..snapshots import SnapshotTable
+
+    th_bucket = SnapshotTable.bucket_of(F.col("th"), group_buckets)
+    pgid = int(pending.split("@", 1)[0])
+    pth = pending.split("@", 1)[1]
+    _clear_minhash_signature(
+        spark, pgid, pairs_t, bands_t, shingles_t,
+        n_buckets, shingle_buckets,
+    )
+    member_buckets = (
+        members_t.latest_manifest_field("n_buckets") or n_buckets
+    )
+    mem_bucket = SnapshotTable.bucket_of(F.col("doc_id"), member_buckets)
+    if members_t.latest_version() > 0:
+        victims = (
+            members_t.read(spark)
+            .where(F.col("th") == pth)
+            .select("doc_id", mem_bucket.alias("_b"))
+            .collect()  # the interrupted group's sole member, if any
+        )
+        if victims:
+            vb = sorted({r["_b"] for r in victims})
+            bucket_mem = members_t.read_buckets(
+                spark, vb, _MH_MEMBERS_SCHEMA, n_buckets=member_buckets
+            ).localCheckpoint(eager=True)
+            members_t.commit_buckets(
+                bucket_mem.where(F.col("th") != pth).withColumn(
+                    "_bucket", mem_bucket
+                ),
+                vb,
+                n_buckets=member_buckets,
+            )
+    pgb = (
+        spark.createDataFrame([(pth,)], "th string")
+        .select(th_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_g0 = groups_t.read_buckets(
+        spark, [pgb], _MH_GROUPS_SCHEMA, n_buckets=group_buckets
+    ).localCheckpoint(eager=True)
+    groups_t.commit_buckets(
+        bucket_g0.where(F.col("th") != pth).withColumn(
+            "_bucket", th_bucket
+        ),
+        [pgb],
+        n_buckets=group_buckets,
+        extra={"pending_clear": ""},
+    )
+
+
+def erase_docs_from_minhash_index(
+    spark: SparkSession,
+    pairs_t,
+    bands_t,
+    shingles_t,
+    groups_t,
+    members_t,
+    n_buckets: int,
+    ids,
+    shingle_buckets: int | None = None,
+    group_buckets: int | None = None,
+    member_buckets: int | None = None,
+) -> None:
+    """Batch GDPR erase (r14, VERDICT r13 ask 4) — the realistic 100-TB
+    compliance-sweep shape: thousands of erasures arrive as ONE list,
+    and several of them may be last members of their groups. The
+    single-field ``pending_clear`` marker deliberately serializes
+    last-member clears (two concurrent torn clears would need a marker
+    SET, and single-writer semantics make a second erase-before-
+    resolution a caller error worth surfacing) — so the batch entry
+    point orders the group-clears internally: it walks the ids in
+    sorted order (deterministic resume point after a crash) and, before
+    each erase, RESOLVES any pending clear left by a crash mid-batch
+    (or by an earlier crashed single erase) via the same end-to-end
+    completion the fsck runs. Crash anywhere -> re-running the SAME call
+    converges: already-erased ids early-return on their missing member
+    rows, a torn last-member clear resolves from its marker, and the
+    walk continues from where it died. No step ever scans a table; the
+    per-id cost is the single erase's bounded bucket rewrites."""
+    shingle_buckets = shingle_buckets or n_buckets
+    group_buckets = group_buckets or n_buckets
+    member_buckets = member_buckets or n_buckets
+    for erase in sorted(set(ids)):
+        pending = groups_t.latest_manifest_field("pending_clear") or None
+        if pending:
+            _resolve_pending_minhash_clear(
+                spark, pairs_t, bands_t, shingles_t, groups_t, members_t,
+                n_buckets, shingle_buckets, group_buckets, pending,
+            )
+        erase_doc_from_minhash_index(
+            spark,
+            pairs_t,
+            bands_t,
+            shingles_t,
+            groups_t,
+            members_t,
+            n_buckets,
+            erase,
+            shingle_buckets=shingle_buckets,
+            group_buckets=group_buckets,
+            member_buckets=member_buckets,
+        )
+
+
+@register(
+    "streaming_minhash_index_rebucket",
+    _mh_sql(),
+    doc="BUCKET-COUNT LIFECYCLE MIGRATION for the growing near-dup index "
+    "tables (r14, VERDICT r13 ask 2 — the growth twin of "
+    "streaming_ivf_requantize): bucket counts are fixed at creation from "
+    "an expected-rows estimate, so a corpus that grows 100x past the "
+    "estimate makes every whole-bucket read O(corpus/constant). Here the "
+    "index is DELIBERATELY created undersized (2 buckets per table), "
+    "ingests the first half of the document stream, then mid-stream — "
+    "with the replay cursors live in the manifests — every bucketed "
+    "table rebuckets to the properly-sized counts in one atomic "
+    "commit_buckets(replace_all_buckets=True) rewrite (all-or-nothing "
+    "under a crash, cursor-preserving), and the stream RESUMES from the "
+    "same checkpoint with a new applier built on the new counts "
+    "(batch ids continue, cursors skip nothing). The oracle is the "
+    "whole-corpus near-dup SQL VERBATIM, so the value hash proves the "
+    "migration was content-neutral AND the post-migration ingest under "
+    "the new hash-mod is consistent: maintained == recomputed.",
+)
+def q_streaming_minhash_index_rebucket(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..operators.dedup import N_BANDS
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    staged = stage_documents(sf_dir, "minhash_index")
+    parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    work = fresh_work_dir("streaming_minhash_index_rebucket")
+    drop = os.path.join(work, "drop")
+    os.makedirs(drop, exist_ok=True)
+    pairs_t = SnapshotTable(os.path.join(work, "pairs"))
+    bands_t = SnapshotTable(os.path.join(work, "bands"))
+    shingles_t = SnapshotTable(os.path.join(work, "shingles"))
+    groups_t = SnapshotTable(os.path.join(work, "groups"))
+    members_t = SnapshotTable(os.path.join(work, "members"))
+
+    def run_stream(counts: tuple[int, int, int, int]) -> None:
+        nb_, sb_, gb_, mb_ = counts
+        src = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = (
+            src.writeStream.foreachBatch(
+                make_minhash_index_applier(
+                    pairs_t, bands_t, shingles_t, groups_t, members_t,
+                    n_buckets=nb_, shingle_buckets=sb_,
+                    group_buckets=gb_, member_buckets=mb_,
+                )
+            )
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: first half of the stream into a deliberately UNDERSIZED
+    # index (2 buckets per table — the creation-time estimate was wrong)
+    half = max(1, len(parts) // 2)
+    for f in parts[:half]:
+        shutil.copy2(os.path.join(staged, f), os.path.join(drop, f))
+    run_stream((2, 2, 2, 2))
+    # growth trigger fired (bucket_occupancy is the metric, see
+    # tools/rebucket_measure.py): migrate to the properly-sized counts
+    docs_pq = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs_pq.count()
+    nb = minhash_index_buckets_for(n_docs * N_BANDS)
+    avg_sh = (
+        docs_pq.limit(1000)
+        .selectExpr("avg(size(split(text, ' '))) AS t")
+        .first()[0]
+        or 3.0
+    )
+    sb = minhash_index_buckets_for(int(n_docs * max(1.0, avg_sh - 2)))
+    gb = minhash_index_buckets_for(n_docs)
+    mb = minhash_index_buckets_for(n_docs)
+    bands_t.rebucket(spark, "bval", nb)
+    shingles_t.rebucket(spark, "doc_id", sb)
+    groups_t.rebucket(spark, "th", gb)
+    members_t.rebucket(spark, "doc_id", mb)
+    # phase 2: the rest of the stream resumes on the SAME checkpoint —
+    # a new applier carries the new counts; manifest cursors carried
+    # through the migration, so no batch replays and none is skipped
+    for f in parts[half:]:
+        shutil.copy2(os.path.join(staged, f), os.path.join(drop, f))
+    run_stream((nb, sb, gb, mb))
+    return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
+
+
 def audit_and_repair_minhash_index(
     spark: SparkSession,
     pairs_t,
@@ -2319,6 +2696,7 @@ def audit_and_repair_minhash_index(
     n_buckets: int,
     shingle_buckets: int | None = None,
     group_buckets: int | None = None,
+    aggregate_only: bool = False,
 ) -> list[dict]:
     """fsck for the minhash collapse front — the same repair the
     semantic index ships (streaming/ann.py
@@ -2328,7 +2706,13 @@ def audit_and_repair_minhash_index(
     (counter one high after a crash between the MEMBERS and GROUPS
     commits) plus orphaned 0-member groups (complete the interrupted
     last-member erase: clear the signature, drop the group row).
-    Returns one dict per repaired group; [] means consistent."""
+    Returns one dict per repaired group; [] means consistent.
+
+    Repair-report collects are capped at FSCK_REPORT_CAP with a
+    fail-loud overflow (r14); ``aggregate_only=True`` is the escape
+    hatch — a REPORT-ONLY census (per-bucket drift / orphan counts,
+    pending-marker state; nothing collected, nothing repaired) for
+    sizing systematic damage."""
     from collections import defaultdict
 
     from ..snapshots import SnapshotTable
@@ -2339,6 +2723,56 @@ def audit_and_repair_minhash_index(
     if groups_t.latest_version() == 0:
         return []
     report: list[dict] = []
+    if aggregate_only:
+        pending = groups_t.latest_manifest_field("pending_clear") or None
+        if pending:
+            report.append({"kind": "pending_clear", "marker": pending})
+        live = (
+            members_t.read(spark)
+            .groupBy("th")
+            .agg(F.count("*").alias("live_n"))
+        )
+        census = (
+            groups_t.read(spark)
+            .join(live, "th", "left")
+            .withColumn("live_n", F.coalesce("live_n", F.lit(0)))
+            .where(F.col("n_members") != F.col("live_n"))
+            .groupBy(th_bucket.alias("bucket"))
+            .agg(F.count("*").alias("n_drifted"))
+            .orderBy("bucket")
+            .collect()  # <= group_buckets rows by construction
+        )
+        report.extend(
+            {
+                "kind": "group_drift_census",
+                "bucket": r["bucket"],
+                "n_drifted": r["n_drifted"],
+            }
+            for r in census
+        )
+        if bands_t.latest_version() > 0 and shingles_t.latest_version() > 0:
+            bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
+            orphan_census = (
+                bands_t.read(spark)
+                .join(
+                    shingles_t.read(spark).select("doc_id").distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
+                .groupBy(bval_bucket.alias("bucket"))
+                .agg(F.count_distinct("doc_id").alias("n_orphan_docs"))
+                .orderBy("bucket")
+                .collect()  # <= n_buckets rows by construction
+            )
+            report.extend(
+                {
+                    "kind": "orphan_bands_census",
+                    "bucket": r["bucket"],
+                    "n_orphan_docs": r["n_orphan_docs"],
+                }
+                for r in orphan_census
+            )
+        return report
     # phase 0 (r13): a pending_clear marker means a last-member erase
     # crashed mid-clear — complete it END-TO-END before auditing
     # anything else (re-clear is idempotent; the victim's member row and
@@ -2346,50 +2780,9 @@ def audit_and_repair_minhash_index(
     # so the drift scan below sees the converged state.
     pending = groups_t.latest_manifest_field("pending_clear") or None
     if pending:
-        pgid = int(pending.split("@", 1)[0])
-        pth = pending.split("@", 1)[1]
-        _clear_minhash_signature(
-            spark, pgid, pairs_t, bands_t, shingles_t,
-            n_buckets, shingle_buckets,
-        )
-        member_buckets = (
-            members_t.latest_manifest_field("n_buckets") or n_buckets
-        )
-        mem_bucket = SnapshotTable.bucket_of(F.col("doc_id"), member_buckets)
-        if members_t.latest_version() > 0:
-            victims = (
-                members_t.read(spark)
-                .where(F.col("th") == pth)
-                .select("doc_id", mem_bucket.alias("_b"))
-                .collect()  # the interrupted group's sole member, if any
-            )
-            if victims:
-                vb = sorted({r["_b"] for r in victims})
-                bucket_mem = members_t.read_buckets(
-                    spark, vb, _MH_MEMBERS_SCHEMA, n_buckets=member_buckets
-                ).localCheckpoint(eager=True)
-                members_t.commit_buckets(
-                    bucket_mem.where(F.col("th") != pth).withColumn(
-                        "_bucket", mem_bucket
-                    ),
-                    vb,
-                    n_buckets=member_buckets,
-                )
-        pgb = (
-            spark.createDataFrame([(pth,)], "th string")
-            .select(th_bucket.alias("_b"))
-            .first()[0]
-        )
-        bucket_g0 = groups_t.read_buckets(
-            spark, [pgb], _MH_GROUPS_SCHEMA, n_buckets=group_buckets
-        ).localCheckpoint(eager=True)
-        groups_t.commit_buckets(
-            bucket_g0.where(F.col("th") != pth).withColumn(
-                "_bucket", th_bucket
-            ),
-            [pgb],
-            n_buckets=group_buckets,
-            extra={"pending_clear": ""},
+        _resolve_pending_minhash_clear(
+            spark, pairs_t, bands_t, shingles_t, groups_t, members_t,
+            n_buckets, shingle_buckets, group_buckets, pending,
         )
         report.append(
             {"pending": pending, "action": "pending_clear_completed"}
@@ -2397,13 +2790,13 @@ def audit_and_repair_minhash_index(
     live = (
         members_t.read(spark).groupBy("th").agg(F.count("*").alias("live_n"))
     )
-    drift = (
+    drift = _bounded_fsck_collect(
         groups_t.read(spark)
         .join(live, "th", "left")
         .withColumn("live_n", F.coalesce("live_n", F.lit(0)))
         .where(F.col("n_members") != F.col("live_n"))
-        .select("th", "gid", "n_members", "live_n", th_bucket.alias("_b"))
-        .collect()  # bounded by crash damage, not by the table
+        .select("th", "gid", "n_members", "live_n", th_bucket.alias("_b")),
+        "minhash group counters",
     )
     if drift:
         by_bucket: dict[int, list] = defaultdict(list)
@@ -2454,7 +2847,7 @@ def audit_and_repair_minhash_index(
     # buckets.
     if bands_t.latest_version() > 0 and shingles_t.latest_version() > 0:
         bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
-        orphans = (
+        orphans = _bounded_fsck_collect(
             bands_t.read(spark)
             .join(
                 shingles_t.read(spark).select("doc_id").distinct(),
@@ -2462,8 +2855,8 @@ def audit_and_repair_minhash_index(
                 "left_anti",
             )
             .select("doc_id", bval_bucket.alias("_b"))
-            .distinct()
-            .collect()  # bounded by crash damage
+            .distinct(),
+            "minhash orphan band rows",
         )
         if orphans:
             orphan_ids = sorted({r["doc_id"] for r in orphans})

@@ -2635,3 +2635,192 @@ def test_minhash_fsck_completes_marked_erase(spark, tmp_path):
     assert audit_and_repair_minhash_index(
         spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
     ) == []
+
+
+def test_delete_where_fails_loudly_on_duplicate_dir_spellings(
+    spark, tmp_path
+):
+    """r14 (ADVICE): two manifest dir spellings normalizing to one
+    (authority, path) would make the hit-attribution dict last-wins — a
+    hit in the dropped spelling silently attributes to the kept one, so
+    delete_where would rewrite the wrong dir and leave matching rows
+    behind. A manifest never legally lists one dir twice, so the
+    attribution now fails loudly on a normalization collision."""
+    import json
+
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit(spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string"))
+    m = t._manifest(1)
+    d = m["dirs"][0]
+    # forge v2 with a second spelling (trailing slash) of the same dir
+    forged = dict(m)
+    forged.update({"version": 2, "parent": 1, "dirs": [d, d + "/"]})
+    with open(f"{t._mdir}/v000002.json", "w") as fh:
+        json.dump(forged, fh)
+    with _pytest.raises(ValueError, match="normalize to the same location"):
+        t.delete_where(spark, "k = 1")
+    # and no delete committed: v2 (the forgery) is still current and
+    # the pre-forgery data still serves both rows
+    assert t.latest_version() == 2
+    assert t.read(spark, version=1).count() == 2
+
+
+def test_minhash_batch_erase_serializes_last_member_clears_with_crash(
+    spark, tmp_path
+):
+    """r14 (VERDICT r13 ask 4): a compliance sweep erases a LIST of docs,
+    several of which are last members of their groups — the single
+    pending_clear marker would make naive sequential single-erases fail
+    on the second one if the first ever tore. erase_docs_from_minhash_
+    index orders the clears internally (resolve-then-next). Drill: a
+    3-last-member batch crashes MID-CLEAR on the second id; re-running
+    the SAME call converges — the torn clear resolves from its marker,
+    erased ids early-return, the walk finishes — and serve matches the
+    survivors-only recompute with a clean fsck."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
+    nb = 4
+    apply_batch = ing.make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=nb
+    )
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    other = "completely different words about snapshot table manifests "
+    schema = "doc_id long, text string"
+    apply_batch(
+        spark.createDataFrame(
+            [
+                (1, fam + "alpha beta"),
+                (2, fam + "alpha gamma"),
+                (3, fam + "alpha delta"),
+                (4, other + "one two"),
+                (5, other + "one two"),  # exact copy of 4
+            ],
+            schema,
+        ),
+        0,
+    )
+    pre = {
+        (r.da, r.db)
+        for r in ing.serve_minhash_pairs(
+            spark, pairs_t, groups_t, members_t
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3), (4, 5)} <= pre
+    # crash on the SECOND last-member clear of the batch (id 2): its
+    # marker is already committed, its signature partially intact
+    real_clear = ing._clear_minhash_signature
+    calls = {"n": 0}
+
+    def flaky_clear(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("mid-batch crash")
+        return real_clear(*a, **k)
+
+    try:
+        ing._clear_minhash_signature = flaky_clear
+        with _pytest.raises(RuntimeError, match="mid-batch crash"):
+            ing.erase_docs_from_minhash_index(
+                spark, pairs_t, bands_t, shingles_t, groups_t, members_t,
+                nb, [1, 2, 3],
+            )
+    finally:
+        ing._clear_minhash_signature = real_clear
+    assert (groups_t.latest_manifest_field("pending_clear") or "").startswith(
+        "2@"
+    )
+    # re-running the SAME batch call converges end-to-end
+    ing.erase_docs_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t,
+        nb, [1, 2, 3],
+    )
+    assert not groups_t.latest_manifest_field("pending_clear")
+    post = {
+        (r.da, r.db)
+        for r in ing.serve_minhash_pairs(
+            spark, pairs_t, groups_t, members_t
+        ).collect()
+    }
+    assert post == {(4, 5)}
+    for t, col in ((members_t, "doc_id"), (shingles_t, "doc_id")):
+        assert t.read(spark).where(f"{col} in (1,2,3)").count() == 0
+    assert bands_t.read(spark).where("doc_id in (1,2,3)").count() == 0
+    assert ing.audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    ) == []
+
+
+def test_rebucket_migrates_count_preserves_content_and_cursors(
+    spark, tmp_path
+):
+    """r14 (VERDICT r13 ask 2): SnapshotTable.rebucket — content-neutral
+    bucket-count migration through commit_buckets(replace_all_buckets=
+    True). Content identical, replay cursor carried, the NEW count
+    recorded (old-count callers now fail the _check_n_buckets guard,
+    new-count bucket reads prune correctly), appended dir chains folded
+    to ~1 dir per bucket, and bucket_occupancy (the trigger metric)
+    reflects the migration."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    schema = "k long, s string"
+    bucket2 = SnapshotTable.bucket_of(F.col("k"), 2)
+    # two append commits -> multi-dir buckets under count 2
+    for lo in (0, 100):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("s")
+        )
+        t.commit_buckets(
+            df.withColumn("_bucket", bucket2),
+            [0, 1],
+            n_buckets=2,
+            append=True,
+            extra={"last_batch_id": lo},
+        )
+    before = {(r.k, r.s) for r in t.read(spark).collect()}
+    occ2 = t.bucket_occupancy(spark, "k")
+    assert occ2["n_buckets"] == 2 and occ2["n_rows"] == 200
+    assert occ2["mean_bucket_rows"] == 100.0
+    t.rebucket(spark, "k", 8)
+    # content identical, cursor preserved, count migrated
+    assert {(r.k, r.s) for r in t.read(spark).collect()} == before
+    assert t.latest_manifest_field("last_batch_id") == 100
+    assert t.latest_manifest_field("n_buckets") == 8
+    occ8 = t.bucket_occupancy(spark, "k")
+    assert occ8["n_buckets"] == 8 and occ8["n_rows"] == 200
+    assert occ8["mean_bucket_rows"] == 25.0
+    assert occ8["max_bucket_rows"] < occ2["max_bucket_rows"]
+    # every bucket folded to <= 1 dir by the rewrite
+    bm = t._bucket_map(t.latest_version())
+    assert all(len(ds) <= 1 for ds in bm.values())
+    # old-count access is now refused; new-count pruned reads are exact
+    with _pytest.raises(ValueError, match="bucketed with n_buckets=8"):
+        t.read_buckets(spark, [0], schema, n_buckets=2)
+    b8 = SnapshotTable.bucket_of(F.col("k"), 8)
+    want0 = {r.k for r in t.read(spark).where(b8 == 0).collect()}
+    got0 = {
+        r.k for r in t.read_buckets(spark, [0], schema, n_buckets=8).collect()
+    }
+    assert got0 == want0 and want0
+    # non-bucketed lineages are refused fast
+    flat = SnapshotTable(str(tmp_path / "flat"))
+    flat.commit(spark.createDataFrame([(1, "x")], schema))
+    with _pytest.raises(ValueError, match="not a bucketed commit"):
+        flat.rebucket(spark, "k", 4)

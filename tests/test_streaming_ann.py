@@ -993,3 +993,118 @@ def test_semantic_fsck_completes_marked_erase(spark, tmp_path):
     assert audit_and_repair_semantic_index(
         spark, pairs_t, bands_t, vecs_t, groups_t, members_t, *args
     ) == []
+
+
+def test_ivf_skew_audit_counts_empty_lists(spark, tmp_path):
+    """r14 (ADVICE): the skew denominator is the ALL-lists mean
+    (total / n_lists from the table's recorded bucket count), not the
+    nonempty-lists mean — a drifted quantizer that EMPTIES lists is
+    exactly the condition the audit exists to flag, and a groupBy over
+    stored rows yields no row for an empty list."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        ivf_list_skew_audit,
+    )
+
+    t = SnapshotTable(str(tmp_path / "idx"))
+    # 8 declared lists; all 6 vectors crammed into lists 0 and 1 (4 + 2)
+    rows = spark.createDataFrame(
+        [(i, 0 if i < 4 else 1, [float(i)]) for i in range(6)],
+        "vec_id long, cid long, v array<double>",
+    )
+    t.commit_buckets(
+        rows.withColumn("_bucket", F.col("cid").cast("int")),
+        list(range(8)),
+        n_buckets=8,
+    )
+    rep = ivf_list_skew_audit(spark, t)
+    assert rep["n_lists"] == 8 and rep["nonempty_lists"] == 2
+    assert rep["max_list"] == 4 and rep["n_vectors"] == 6
+    # all-lists mean = 6/8; nonempty mean = 3 — the honest skew is the
+    # larger one
+    assert rep["mean_list"] == 0.75 and rep["mean_nonempty"] == 3.0
+    assert abs(rep["skew"] - 4 / 0.75) < 0.02
+    assert abs(rep["skew_nonempty"] - 4 / 3.0) < 0.02
+    assert rep["skew"] > rep["skew_nonempty"]
+
+
+def test_semantic_batch_erase_serializes_last_member_clears_with_crash(
+    spark, tmp_path
+):
+    """r14 (VERDICT r13 ask 4, semantic twin of the minhash drill): a
+    3-last-member batch erase crashes MID-CLEAR on the second vector;
+    re-running the SAME erase_semantic_vecs call converges — the torn
+    clear resolves from its pending_clear marker, erased ids
+    early-return — and serve matches the survivors-only recompute with
+    a clean fsck."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ann as sa
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    apply_batch = sa.make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+    )
+    base = [0.0] * 62
+    rows = [
+        (1, [1.0, 0.0] + base),
+        (2, [1.0, 0.05] + base),   # near-dup of 1
+        (3, [1.0, 0.1] + base),    # near-dup of 1/2
+        (4, [0.0, 1.0] + base),
+        (5, [0.0, 1.0] + base),    # exact copy of 4
+    ]
+    apply_batch(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"), 0
+    )
+    pre = {
+        (r.va, r.vb)
+        for r in sa.serve_semantic_pairs(
+            spark, pairs_t, groups_t, members_t
+        ).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3), (4, 5)} <= pre
+    real_clear = sa._clear_semantic_signature
+    calls = {"n": 0}
+
+    def flaky_clear(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("mid-batch crash")
+        return real_clear(*a, **k)
+
+    try:
+        sa._clear_semantic_signature = flaky_clear
+        with _pytest.raises(RuntimeError, match="mid-batch crash"):
+            sa.erase_semantic_vecs(
+                spark, [1, 2, 3], pairs_t, bands_t, vecs_t, groups_t,
+                members_t, bk["band_buckets"], bk["vec_buckets"],
+                bk["group_buckets"], bk["member_buckets"],
+            )
+    finally:
+        sa._clear_semantic_signature = real_clear
+    assert (groups_t.latest_manifest_field("pending_clear") or "").startswith(
+        "2@"
+    )
+    sa.erase_semantic_vecs(
+        spark, [1, 2, 3], pairs_t, bands_t, vecs_t, groups_t, members_t,
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    assert not groups_t.latest_manifest_field("pending_clear")
+    post = {
+        (r.va, r.vb)
+        for r in sa.serve_semantic_pairs(
+            spark, pairs_t, groups_t, members_t
+        ).collect()
+    }
+    assert post == {(4, 5)}
+    assert vecs_t.read(spark).where("vec_id in (1,2,3)").count() == 0
+    assert bands_t.read(spark).where("vec_id in (1,2,3)").count() == 0
+    assert members_t.read(spark).where("vec_id in (1,2,3)").count() == 0
+    assert sa.audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t,
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    ) == []

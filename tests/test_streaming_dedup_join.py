@@ -1122,3 +1122,144 @@ def test_bm25_index_random_interleaved_batches_and_erases(spark, tmp_path):
         rep = audit_and_repair_bm25_index(spark, postings_t, df_t, 4)
         # only marker hygiene may remain; no data drift
         assert all(r["kind"] == "erase_marker_cleared" for r in rep)
+
+
+def test_bm25_erase_clears_marker_and_reingest_has_no_lockout(
+    spark, tmp_path
+):
+    """r14 (ADVICE): a COMPLETED erase must clear its own marker. Before
+    the fix the marker doubled as a completed-erase receipt forever; if
+    the erased doc_id was later legitimately re-ingested, the next erase
+    of ANY other doc saw "marker's doc has postings again", classified
+    the completed erase as torn, and failed loudly until an operator ran
+    the fsck — an avoidable operational lockout."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        _serve_bm25_from_index,
+        erase_doc_from_bm25_index,
+        make_bm25_index_applier,
+    )
+
+    postings_t = SnapshotTable(str(tmp_path / "postings"))
+    df_t = SnapshotTable(str(tmp_path / "df"))
+    apply_batch = make_bm25_index_applier(postings_t, df_t, n_buckets=4)
+    apply_batch(
+        spark.createDataFrame(
+            [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+        ),
+        0,
+    )
+    erase_doc_from_bm25_index(spark, postings_t, df_t, 1, 4)
+    # the completed erase left no receipt behind
+    assert not df_t.latest_manifest_field("last_erase_marker")
+    # doc_id 1 comes back (legitimate re-ingest of a recycled id)
+    apply_batch(
+        spark.createDataFrame([(1, "a b a")], "doc_id long, text string"), 1
+    )
+    # erasing doc 2 must NOT raise "incomplete" on the ghost of erase(1)
+    erase_doc_from_bm25_index(spark, postings_t, df_t, 2, 4)
+    assert not df_t.latest_manifest_field("last_erase_marker")
+    assert postings_t.read(spark).select("doc_id").distinct().count() == 1
+    assert _serve_bm25_from_index(spark, postings_t, df_t).count() > 0
+
+
+def test_bm25_fsck_collect_cap_and_aggregate_census(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (VERDICT r13 ask 6): the fsck's driver-side drift collect is
+    structurally capped — damage past FSCK_REPORT_CAP fails loudly and
+    points at aggregate_only=True, whose census reports per-bucket drift
+    COUNTS without collecting a single term and performs no repair."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    postings_t = SnapshotTable(str(tmp_path / "postings"))
+    df_t = SnapshotTable(str(tmp_path / "df"))
+    apply_batch = ing.make_bm25_index_applier(postings_t, df_t, n_buckets=4)
+    apply_batch(
+        spark.createDataFrame(
+            [(1, "a b c"), (2, "c d")], "doc_id long, text string"
+        ),
+        0,
+    )
+    # torn erase of doc 1: df decrements for 3 terms, postings survive
+    real = postings_t.delete_where
+    try:
+        def crash(*a, **k):
+            raise RuntimeError("torn")
+
+        postings_t.delete_where = crash
+        with _pytest.raises(RuntimeError, match="torn"):
+            ing.erase_doc_from_bm25_index(spark, postings_t, df_t, 1, 4)
+    finally:
+        postings_t.delete_where = real
+    # 3 drifted terms > cap of 2 -> fail-loud overflow naming the escape
+    monkeypatch.setattr(ing, "FSCK_REPORT_CAP", 2)
+    with _pytest.raises(RuntimeError, match="aggregate_only"):
+        ing.audit_and_repair_bm25_index(spark, postings_t, df_t, 4)
+    # the census mode: counts per vocabulary bucket, nothing repaired
+    rep = ing.audit_and_repair_bm25_index(
+        spark, postings_t, df_t, 4, aggregate_only=True
+    )
+    census = [r for r in rep if r["kind"] == "df_drift_census"]
+    assert sum(r["n_drifted"] for r in census) == 3
+    assert all(0 <= r["bucket"] < 4 for r in census)
+    # report-only: the drift is still there afterwards
+    rep2 = ing.audit_and_repair_bm25_index(
+        spark, postings_t, df_t, 4, aggregate_only=True
+    )
+    assert [r for r in rep2 if r["kind"] == "df_drift_census"] == census
+    # restore the cap; the real fsck repairs and converges
+    monkeypatch.setattr(ing, "FSCK_REPORT_CAP", 100_000)
+    rep3 = ing.audit_and_repair_bm25_index(spark, postings_t, df_t, 4)
+    assert any(r["kind"] == "df_drift" for r in rep3)
+    assert ing.audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
+
+
+def test_pack_fill_audit_reports_holes_and_vanished_packs(spark, tmp_path):
+    """r14 (VERDICT r13 ask 8): tombstone erases leave permanent holes by
+    design; pack_fill_audit is the offline metric that says when a pack
+    rebuild pays for itself. Exact-count checks on a hand-built corpus:
+    fill_rate/holey/max_hole after partial erases, vanished_packs when a
+    pack's every row is tombstoned (pack ids are dense per shard, so the
+    id gap counts them without their rows)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        erase_doc_from_pack_index,
+        make_pack_index_applier,
+        pack_fill_audit,
+    )
+
+    packs_t = SnapshotTable(str(tmp_path / "packs"))
+    tails_t = SnapshotTable(str(tmp_path / "tails"))
+    apply_batch = make_pack_index_applier(packs_t, tails_t, n_buckets=4)
+    # PACK_BUDGET=128 tokens: docs of 60 tokens -> ~2 per pack. 6 docs,
+    # one source, one shard -> packs 0,1,2 with 2 docs each (60+60=120).
+    word = lambda i: " ".join(["w"] * 60)  # noqa: E731
+    apply_batch(
+        spark.createDataFrame(
+            [(i, word(i), "web") for i in range(6)],
+            "doc_id long, text string, source string",
+        ),
+        0,
+    )
+    base = pack_fill_audit(spark, packs_t)
+    assert base["n_packs"] == 3 and base["vanished_packs"] == 0
+    assert base["fill_rate"] == 1.0 and base["holey_packs"] == 0
+    # partial erase: one 60-token doc out of pack 1
+    erase_doc_from_pack_index(spark, packs_t, 2)
+    rep = pack_fill_audit(spark, packs_t)
+    assert rep["n_packs"] == 3 and rep["holey_packs"] == 1
+    assert rep["max_hole_tokens"] == 60
+    assert rep["live_tokens"] == 300 and rep["watermark_tokens"] == 360
+    assert abs(rep["fill_rate"] - 300 / 360) < 1e-3
+    # full erase of pack 0 (docs 0 and 1): it vanishes from PACKS but
+    # the dense pack-id gap still counts it
+    erase_doc_from_pack_index(spark, packs_t, 0)
+    erase_doc_from_pack_index(spark, packs_t, 1)
+    rep2 = pack_fill_audit(spark, packs_t)
+    assert rep2["n_packs"] == 2 and rep2["vanished_packs"] == 1
+    # docs 3,4,5 survive (doc 2 left in the earlier partial erase)
+    assert rep2["live_tokens"] == 180
