@@ -53,109 +53,95 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # driver slot (all_specs() additionally hard-fails on phantom/oracle-less
 # names). Per round: bump HEAD_ROUND, refresh ROUND_NEW_OR_CHANGED, run
 # `python tools/next_head.py`, paste.
-HEAD_ROUND = 13
+HEAD_ROUND = 14
 
 # Queries whose Spark plan/behavior changed THIS round — no green driver
 # row exists for their current behavior (older rounds' rationales live in
 # git history of this block):
 ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
-    # r13: the three GDPR-erase queries whose erase commit ORDER changed
-    # (ADVICE r12 + VERDICT ask 2) — results are provably identical (the
-    # oracles are unchanged and check_parity re-verified all three at
-    # sf0.01 after the rework), but the executed path differs, so they
-    # re-attest first:
-    #   streaming_minhash_index_delete / streaming_semantic_index_delete
-    #     — the clear now deletes derived band rows BEFORE the recompute
-    #     source (shingles / VECS), making a torn clear retry-convergent;
-    #   streaming_bm25_index_delete — erase extracted to
-    #     erase_doc_from_bm25_index: marker-guarded df decrement first,
-    #     postings delete (atomically-shrunk counters) last.
-    "streaming_minhash_index_delete",
-    "streaming_semantic_index_delete",
+    # NEW (r14): lifecycle + compliance-sweep queries —
+    #   streaming_minhash_index_rebucket: mid-stream bucket-count
+    #     migration (SnapshotTable.rebucket, VERDICT r13 ask 2) — the
+    #     index is built undersized (2 buckets/table), rebuckets to the
+    #     properly-sized counts between stream phases on one checkpoint,
+    #     and must serve the unchanged whole-corpus oracle;
+    #   streaming_minhash_index_batch_delete /
+    #   streaming_semantic_index_batch_delete: batch GDPR erase entry
+    #     points (ask 4) — three last-member-capable erases in ONE call
+    #     that serializes group clears around the pending_clear marker;
+    #     oracles = whole-corpus recompute minus the three docs/vectors.
+    "streaming_minhash_index_rebucket",
+    "streaming_minhash_index_batch_delete",
+    "streaming_semantic_index_batch_delete",
+    # CHANGED (r14): the BM25 erase now clears its own marker after the
+    # postings delete commits (ADVICE r13 — removes the re-ingest
+    # lockout) and the fsck's marker hygiene/drift collects changed
+    # (unconditional stale-marker clear, FSCK_REPORT_CAP bounded
+    # collects, aggregate_only census) — results are oracle-identical
+    # (re-verified at sf0.001/sf0.01 locally) but the executed paths
+    # differ, so both re-attest first:
     "streaming_bm25_index_delete",
-    # NEW (r13): driver-checked lifecycle queries —
-    #   streaming_ivf_requantize: ingest under a drifted quantizer, then
-    #     requantize_ivf_index migrates to the canonical one; oracle =
-    #     whole-corpus similarity_ivf_persisted SQL verbatim (migrated ==
-    #     recomputed-from-scratch);
-    #   streaming_bm25_index_fsck_repair: a pre-r13 torn erase is
-    #     deliberately inflicted, audit_and_repair_bm25_index repairs,
-    #     the serve must match batch BM25 over documents minus the doc.
-    "streaming_ivf_requantize",
     "streaming_bm25_index_fsck_repair",
-    #   streaming_pack_index_delete: GDPR tombstone erase on the packing
-    #     index (one COW delete, survivors byte-identical, no repack);
-    #     oracle = the whole-corpus recursive-CTE pack MINUS exactly the
-    #     erased output row — completes the erase story across all five
-    #     streaming indexes.
-    "streaming_pack_index_delete",
-    # r13 (late): the near-dup resurrection window closed via the
-    # pending_clear GROUPS-manifest marker — the delete queries' erase
-    # paths and both APPLIERS (a per-batch marker guard) changed, so the
-    # two maintain-then-serve queries re-attest too.
-    "streaming_minhash_index",
-    "streaming_semantic_index",
 )
 
-# Banked in r12: all remaining r6 rows (50/50 green, 6th consecutive).
-# The r13 head leads with the three reworked erase queries, then banks
-# the ENTIRE r7 cohort (18 rows — VERDICT r12 ask 5: after
-# CORRECTNESS_r13 no latest row predates r8) and the oldest r8 rows.
-# Every entry below re-verified locally this round via
-# tools/check_parity.py (the FULL registry ran green at sf0.01 after the
-# erase rework landed — 232 OK + rows-only, 0 failures); the three
-# new/changed erase queries additionally at sf0.001.
+# Banked in r13: the entire r7 cohort (50/50 green, 6th consecutive).
+# r14 head: the five new/changed lifecycle + compliance queries lead,
+# then the ENTIRE r8 cohort banks (24 rows — VERDICT r13 ask 3: after
+# CORRECTNESS_r14 no latest row predates r9) and the oldest r9 rows fill
+# the remaining slots. Every entry re-verified locally this round via
+# tools/check_parity.py at sf0.01 (full sweep; new/changed additionally
+# at sf0.001).
 _PRIORITY: tuple[str, ...] = (
-    "streaming_minhash_index_delete",  # new/changed
-    "streaming_semantic_index_delete",  # new/changed
+    "streaming_minhash_index_rebucket",  # new/changed
+    "streaming_minhash_index_batch_delete",  # new/changed
+    "streaming_semantic_index_batch_delete",  # new/changed
     "streaming_bm25_index_delete",  # new/changed
-    "streaming_ivf_requantize",  # new/changed
     "streaming_bm25_index_fsck_repair",  # new/changed
-    "streaming_pack_index_delete",  # new/changed
-    "streaming_minhash_index",  # new/changed
-    "streaming_semantic_index",  # new/changed
-    "streaming_cdc_apply",  # last row r7
-    "streaming_dedup_ingest",  # last row r7
-    "streaming_interval_join_full",  # last row r7
-    "streaming_ohlc_window",  # last row r7
-    "streaming_static_enrich",  # last row r7
-    "text_bigram_logprob",  # last row r7
-    "tpch_q10_returned_items",  # last row r7
-    "tpch_q13_order_count_distribution",  # last row r7
-    "tpch_q14_promotion_effect",  # last row r7
-    "tpch_q15_top_supplier",  # last row r7
-    "tpch_q17_small_quantity_revenue",  # last row r7
-    "tpch_q18_large_volume_customers",  # last row r7
-    "tpch_q3_shipping_priority",  # last row r7
-    "tpch_q6_forecast_revenue",  # last row r7
-    "tpch_q7_volume_shipping",  # last row r7
-    "tpch_q8_national_market_share",  # last row r7
-    "w10_mad_outliers",  # last row r7
-    "w11_ohlc_resample",  # last row r7
-    "bpe_tokenize_corpus",  # last row r8
-    "corpus_curriculum_phases",  # last row r8
-    "corpus_mixture_sample",  # last row r8
-    "decontam_ngram_overlap",  # last row r8
-    "dedup_semantic_prune",  # last row r8
-    "dedup_simhash",  # last row r8
-    "dq_join_skew_report",  # last row r8
-    "entity_mask",  # last row r8
-    "er_resolve_customers",  # last row r8
-    "funnel_signup_click_purchase",  # last row r8
-    "graph_bfs_hops",  # last row r8
-    "graph_pagerank_parts",  # last row r8
-    "ivm_from_change_feed",  # last row r8
-    "ivm_incremental_join_enrich",  # last row r8
-    "kmeans_embeddings",  # last row r8
-    "ml_perceptron_quality_distill",  # last row r8
-    "multimodal_jpeg_entropy_roundtrip",  # last row r8
-    "multimodal_png_pixel_roundtrip",  # last row r8
-    "pack_sequences_greedy",  # last row r8
-    "privacy_dp_lang_counts",  # last row r8
-    "privacy_k_anonymity",  # last row r8
-    "retrieval_bm25_cosine_rerank",  # last row r8
-    "retrieval_maxsim_late_interaction",  # last row r8
-    "retrieval_rrf_hybrid",  # last row r8
+    "sample_bernoulli_rng",  # last row r8
+    "similarity_ivf_kmeans",  # last row r8
+    "similarity_ivf_persisted",  # last row r8
+    "similarity_ivf_persisted_delete",  # last row r8
+    "similarity_ivfpq_topk",  # last row r8
+    "similarity_pq_topk",  # last row r8
+    "sink_jsonl_sharded_roundtrip",  # last row r8
+    "sink_orc_partitioned_roundtrip",  # last row r8
+    "sketch_heavy_hitters_topk",  # last row r8
+    "sketch_theta_user_overlap",  # last row r8
+    "streaming_matview_join_enrich",  # last row r8
+    "streaming_model_scoring",  # last row r8
+    "streaming_pii_scrub",  # last row r8
+    "text_bm25_topk",  # last row r8
+    "text_chunk_overlap",  # last row r8
+    "text_pii_redact",  # last row r8
+    "warehouse_analyze_stats",  # last row r8
+    "warehouse_change_feed",  # last row r8
+    "warehouse_compact_small_files",  # last row r8
+    "warehouse_equidepth_histogram",  # last row r8
+    "warehouse_row_provenance",  # last row r8
+    "warehouse_schema_evolution",  # last row r8
+    "warehouse_vacuum_report",  # last row r8
+    "warehouse_zonemap_skipping",  # last row r8
+    "a11_median_mode",  # last row r9
+    "build_vocab",  # last row r9
+    "corpus_source_mix",  # last row r9
+    "dedup_components",  # last row r9
+    "dedup_embedding_cosine",  # last row r9
+    "dedup_exact",  # last row r9
+    "dedup_ngram_jaccard",  # last row r9
+    "dedup_simhash_banded",  # last row r9
+    "evt_transition_matrix",  # last row r9
+    "f1_pushdown_filtered_scan",  # last row r9
+    "gopher_repetition",  # last row r9
+    "graph_kcore_parts",  # last row r9
+    "ivm_incremental_daily_kpis",  # last row r9
+    "j10_basket_part_pairs",  # last row r9
+    "j11_lateral_topn",  # last row r9
+    "j12_salted_skew_join",  # last row r9
+    "j13_nullsafe_join",  # last row r9
+    "j7_range_join_binned",  # last row r9
+    "merge_upsert_relational",  # last row r9
+    "o3_global_topk",  # last row r9
+    "pack_sequences_hierarchical",  # last row r9
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its

@@ -1223,6 +1223,58 @@ def q_streaming_semantic_index_delete(
     return serve_semantic_pairs(spark, pairs_t, groups_t, members_t)
 
 
+_SEM_BATCH_DELETE_SQL = f"""WITH base AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE vec_id NOT IN
+        (SELECT vec_id FROM embeddings ORDER BY vec_id DESC LIMIT 3)
+),
+nrm AS (
+    SELECT vec_id, embedding, {V.norm_sql('embedding')} AS n FROM base
+),
+nv AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS v
+    FROM nrm
+)
+SELECT a.vec_id AS va, b.vec_id AS vb
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE {V.dot_sql('a.v', 'b.v')} >= {_SEM_COS_TAU}"""
+
+
+@register(
+    "streaming_semantic_index_batch_delete",
+    _SEM_BATCH_DELETE_SQL,
+    doc="BATCH GDPR erase-and-serve on the streaming semantic index "
+    "(r14, VERDICT r13 ask 4 — the twin of "
+    "streaming_minhash_index_batch_delete): the THREE highest vec_ids "
+    "are erased in ONE erase_semantic_vecs call, which orders the group "
+    "clears internally around the single pending_clear marker "
+    "(resolve-then-next; mid-batch crash recovery = re-running the same "
+    "call, drilled in pytest). The oracle recomputes "
+    "dedup_embedding_lsh's whole answer over embeddings MINUS the three "
+    "vectors — the hash proves each erased vector unreachable through "
+    "every serve path while every surviving pair survives.",
+)
+def q_streaming_semantic_index_batch_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    top3 = [
+        int(r[0])
+        for r in _corpus(spark, sf_dir)
+        .select("vec_id")
+        .orderBy(F.desc("vec_id"))
+        .limit(3)
+        .collect()
+    ]
+    pairs_t, bands_t, vecs_t, groups_t, members_t, bk = _build_semantic_index(
+        spark, sf_dir, "streaming_semantic_index_batch_delete"
+    )
+    erase_semantic_vecs(
+        spark, top3, pairs_t, bands_t, vecs_t, groups_t, members_t, *bk
+    )
+    return serve_semantic_pairs(spark, pairs_t, groups_t, members_t)
+
+
 def _resolve_pending_semantic_clear(
     spark: SparkSession,
     pairs_t,

@@ -2471,6 +2471,62 @@ def q_streaming_minhash_index_delete(
     return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
 
 
+@register(
+    "streaming_minhash_index_batch_delete",
+    f"""WITH kept AS (
+    SELECT * FROM documents
+    WHERE doc_id NOT IN
+        (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)
+), {_mh_ctes(src='kept')}
+SELECT da, db, jaccard FROM minhash_pairs""",
+    doc="BATCH GDPR erase-and-serve on the streaming near-dup index "
+    "(r14, VERDICT r13 ask 4 — the compliance-sweep shape): after the "
+    "stream builds the index, the THREE lowest doc_ids are erased in "
+    "ONE erase_docs_from_minhash_index call, which orders the group "
+    "clears internally (resolve-then-next around the single "
+    "pending_clear marker) so a list that hits several last-member "
+    "groups never trips the single-marker refusal; crash recovery is "
+    "re-running the same call (drilled in pytest with a mid-batch "
+    "crash). The oracle recomputes the whole-corpus near-dup pairs over "
+    "documents MINUS the three docs, so the hash proves every erased "
+    "doc unreachable through every surface while every surviving pair "
+    "survives.",
+)
+def q_streaming_minhash_index_batch_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs_t, bands_t, shingles_t, groups_t, members_t, buckets = (
+        _build_minhash_index(
+            spark, sf_dir, "streaming_minhash_index_batch_delete"
+        )
+    )
+    nb, sb, gb, mb = buckets
+    low3 = [
+        int(r[0])
+        for r in spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    ]
+    erase_docs_from_minhash_index(
+        spark,
+        pairs_t,
+        bands_t,
+        shingles_t,
+        groups_t,
+        members_t,
+        nb,
+        low3,
+        shingle_buckets=sb,
+        group_buckets=gb,
+        member_buckets=mb,
+    )
+    return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
+
+
 def _resolve_pending_minhash_clear(
     spark: SparkSession,
     pairs_t,

@@ -120,5 +120,93 @@ def main() -> int:
     return 0
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# r14 (VERDICT r13 ask 5): the CLUSTERED skew drill. SCALING.md's own
+# honesty note on the r13 run: the sin-vector corpus is near-uniform on
+# the sphere, so even a deliberately drifted quantizer cannot unbalance
+# the lists much (skew 1.27-1.44 before AND after) — the headline metric
+# the migration exists for (rebalancing) was never demonstrated. This
+# mode builds a mixture-of-Gaussians corpus (K = N_LISTS modes, equal
+# weights, small within-mode noise), ingests under a quantizer whose
+# centroids all sit in ONE mode's neighborhood (maximal drift: every
+# other mode's vectors pile onto whichever of the near-identical
+# centroids wins the tie), and requantizes to the TRUE mode centers —
+# skew (max/mean over ALL lists) must collapse toward ~1.
+# ---------------------------------------------------------------------------
+
+
+def synth_clustered(spark, lo: int, hi: int, centers):
+    """vec id -> mode (id % K) center + deterministic low-noise jitter;
+    generated driver-side via numpy (bounded: hi-lo rows x 64 dims) and
+    shipped through Arrow."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(centers)
+    ids = np.arange(lo, hi)
+    rng = np.random.RandomState(42 + lo)
+    vecs = centers[ids % k] + 0.05 * rng.standard_normal((len(ids), DIM))
+    pdf = pd.DataFrame(
+        {"vec_id": ids, "embedding": [r.astype("float32") for r in vecs]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def run_skew_drill(spark, n: int) -> dict:
+    import numpy as np
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        ivf_list_skew_audit,
+        make_ivf_index_applier,
+        requantize_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    # K well-separated unit mode centers
+    centers = rng.standard_normal((N_LISTS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    work = f"{ROOT}/skew_n{n}"
+    shutil.rmtree(work, ignore_errors=True)
+    t = SnapshotTable(f"{work}/index")
+    # drifted quantizer: all 64 centroids in mode 0's neighborhood
+    drifted = [
+        (i, list(centers[0] + 0.02 * rng.standard_normal(DIM)))
+        for i in range(N_LISTS)
+    ]
+    true_q = [(i, list(centers[i])) for i in range(N_LISTS)]
+    apply_batch = make_ivf_index_applier(t, drifted, n_lists=N_LISTS)
+    CHUNK = 10_000
+    bid = 0
+    for lo in range(0, n, CHUNK):
+        apply_batch(synth_clustered(spark, lo, min(lo + CHUNK, n), centers), bid)
+        bid += 1
+    before = ivf_list_skew_audit(spark, t)
+    rep = requantize_ivf_index(spark, t, true_q)
+    return {
+        "n_vectors": n,
+        "skew_before": before["skew"],
+        "nonempty_before": before["nonempty_lists"],
+        "skew_after": rep["after"]["skew"],
+        "nonempty_after": rep["after"]["nonempty_lists"],
+    }
+
+
+def main_skew() -> int:
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
+    spark = get_spark("ivf_requantize_skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(run_skew_drill(spark, n))
+    shutil.rmtree(ROOT, ignore_errors=True)
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        raise SystemExit(main_skew())
     raise SystemExit(main())
