@@ -1023,6 +1023,9 @@ def audit_and_repair_bm25_index(
     if aggregate_only:
         # report-only census: per-bucket drift counts, no term collected,
         # no repair — the overflow path for damage past FSCK_REPORT_CAP
+        marker = df_t.latest_manifest_field("last_erase_marker") or None
+        if marker:
+            report.append({"kind": "erase_marker", "marker": marker})
         census = (
             drift_df.groupBy(
                 _ST.bucket_of(F.col("term"), df_buckets).alias("bucket")

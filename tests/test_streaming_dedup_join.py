@@ -1263,3 +1263,49 @@ def test_pack_fill_audit_reports_holes_and_vanished_packs(spark, tmp_path):
     assert rep2["n_packs"] == 2 and rep2["vanished_packs"] == 1
     # docs 3,4,5 survive (doc 2 left in the earlier partial erase)
     assert rep2["live_tokens"] == 180
+
+
+def test_pack_index_tails_rebucket_mid_stream(spark, tmp_path):
+    """r14 (VERDICT r13 ask 2, pack twin of the minhash rebucket query):
+    the TAILS table's bucket count is fixed at creation from an
+    expected-docs estimate; rebucket migrates it mid-stream — cursors
+    carried, a new applier built on the new count continues the
+    recurrence — and the accumulated packs must equal the one-shot
+    packing of the full corpus."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
+        make_pack_index_applier,
+    )
+
+    docs = [
+        (i, " ".join(["w"] * (20 + 7 * (i % 9))), "web") for i in range(40)
+    ]
+    schema = "doc_id long, text string, source string"
+
+    def serve(pt):
+        return {
+            tuple(r)
+            for r in pt.read(spark)
+            .select("source", "shard", "doc_id", "n_tokens",
+                    "pack_id", "pack_used")
+            .collect()
+        }
+
+    # maintained: first half under 2 tails buckets, rebucket to 8, rest
+    packs_t = SnapshotTable(str(tmp_path / "packs"))
+    tails_t = SnapshotTable(str(tmp_path / "tails"))
+    apply_a = make_pack_index_applier(packs_t, tails_t, n_buckets=2)
+    apply_a(spark.createDataFrame(docs[:20], schema), 0)
+    assert tails_t.latest_manifest_field("n_buckets") == 2
+    tails_t.rebucket(spark, "pk", 8)
+    assert tails_t.latest_manifest_field("n_buckets") == 8
+    assert tails_t.latest_manifest_field("last_batch_id") == 0  # cursor
+    apply_b = make_pack_index_applier(packs_t, tails_t, n_buckets=8)
+    apply_b(spark.createDataFrame(docs[20:], schema), 1)
+    # recomputed: one-shot build over the whole corpus
+    p2 = SnapshotTable(str(tmp_path / "p2"))
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    make_pack_index_applier(p2, t2, n_buckets=8)(
+        spark.createDataFrame(docs, schema), 0
+    )
+    assert serve(packs_t) == serve(p2)

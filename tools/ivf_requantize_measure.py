@@ -176,10 +176,10 @@ def run_skew_drill(spark, n: int) -> dict:
     t = SnapshotTable(f"{work}/index")
     # drifted quantizer: all 64 centroids in mode 0's neighborhood
     drifted = [
-        (i, list(centers[0] + 0.02 * rng.standard_normal(DIM)))
+        (i, [float(x) for x in centers[0] + 0.02 * rng.standard_normal(DIM)])
         for i in range(N_LISTS)
     ]
-    true_q = [(i, list(centers[i])) for i in range(N_LISTS)]
+    true_q = [(i, [float(x) for x in centers[i]]) for i in range(N_LISTS)]
     apply_batch = make_ivf_index_applier(t, drifted, n_lists=N_LISTS)
     CHUNK = 10_000
     bid = 0
