@@ -382,6 +382,16 @@ def main() -> None:
                 )
             },
         }
+        # each drifter's RAW ratio rides along (r14): the adjudication
+        # table is then self-contained — a query flagged calibrated-slow
+        # whose raw wall is FLAT on a probe-faster host is the
+        # fixed-job-overhead artifact (small queries don't scale with
+        # probe speed), not a plan regression; the same-host A/B harness
+        # remains the ground truth either way
+        vs_prev["drifters_raw"] = {
+            n: round(headline_timings[n] / prev["queries"][n], 2)
+            for n in vs_prev["drifters_calibrated"]
+        }
     # Field order matters: the driver records only the TAIL of this line,
     # so the headline total and per-query medians print LAST (spread and
     # bookkeeping lead — they are the fields we can afford to lose).
