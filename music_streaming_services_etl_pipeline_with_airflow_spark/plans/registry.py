@@ -73,6 +73,10 @@ ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     "streaming_minhash_index_rebucket",
     "streaming_minhash_index_batch_delete",
     "streaming_semantic_index_batch_delete",
+    #   streaming_bm25_index_batch_delete: the BM25 member of the batch
+    #     erase family — entry-resolution of torn state instead of the
+    #     single-erase guards' refusal; oracle = batch BM25 minus 3 docs.
+    "streaming_bm25_index_batch_delete",
     # CHANGED (r14): the BM25 erase now clears its own marker after the
     # postings delete commits (ADVICE r13 — removes the re-ingest
     # lockout) and the fsck's marker hygiene/drift collects changed
@@ -95,6 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_minhash_index_rebucket",  # new/changed
     "streaming_minhash_index_batch_delete",  # new/changed
     "streaming_semantic_index_batch_delete",  # new/changed
+    "streaming_bm25_index_batch_delete",  # new/changed
     "streaming_bm25_index_delete",  # new/changed
     "streaming_bm25_index_fsck_repair",  # new/changed
     "sample_bernoulli_rng",  # last row r8
@@ -141,7 +146,6 @@ _PRIORITY: tuple[str, ...] = (
     "j7_range_join_binned",  # last row r9
     "merge_upsert_relational",  # last row r9
     "o3_global_topk",  # last row r9
-    "pack_sequences_hierarchical",  # last row r9
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its
