@@ -1050,6 +1050,34 @@ class SnapshotTable:
             replace_all_buckets=True,
         )
 
+    def maybe_rebucket(
+        self,
+        spark: SparkSession,
+        key_col: str,
+        rows_per_bucket_target: int,
+        extra: dict | None = None,
+    ) -> int | None:
+        """The trigger→migration loop closed in one operator call (r14):
+        audit rows-per-bucket and, ONLY if the all-buckets mean exceeds
+        ``rows_per_bucket_target``, rebucket to the next power-of-two
+        multiple of the current count that brings the mean back under
+        target. Returns the new version, or None when the table is
+        within bounds (the common case — one column-pruned scan, no
+        write). Deliberately NOT called from streaming appliers: a
+        migration is an O(|table|) rewrite an operator should schedule
+        (maintenance window), not a surprise a micro-batch springs —
+        run it on the same cadence as fsck, like the IVF family's
+        skew-audit → requantize pairing."""
+        occ = self.bucket_occupancy(spark, key_col)
+        if occ["n_buckets"] == 0 or occ["n_rows"] == 0:
+            return None
+        if occ["mean_bucket_rows"] <= rows_per_bucket_target:
+            return None
+        n = occ["n_buckets"]
+        while occ["n_rows"] > n * rows_per_bucket_target:
+            n *= 2
+        return self.rebucket(spark, key_col, n, extra=extra)
+
     def delete_where(
         self, spark: SparkSession, predicate: str, extra: dict | None = None
     ) -> int:

@@ -2824,3 +2824,34 @@ def test_rebucket_migrates_count_preserves_content_and_cursors(
     flat.commit(spark.createDataFrame([(1, "x")], schema))
     with _pytest.raises(ValueError, match="not a bucketed commit"):
         flat.rebucket(spark, "k", 4)
+
+
+def test_maybe_rebucket_triggers_only_past_target(spark, tmp_path):
+    """r14: the trigger->migration loop in one call — within bounds it
+    is a no-write audit (None); past the target it doubles to the first
+    power-of-two multiple that restores the bound, preserving content
+    and cursors through rebucket."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    b4 = SnapshotTable.bucket_of(F.col("k"), 4)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("s")
+    )
+    t.commit_buckets(
+        df.withColumn("_bucket", b4), [0, 1, 2, 3], n_buckets=4,
+        extra={"last_batch_id": 7},
+    )
+    # mean 250/bucket, target 300: within bounds -> no-op, same version
+    v = t.latest_version()
+    assert t.maybe_rebucket(spark, "k", 300) is None
+    assert t.latest_version() == v
+    # target 100: 1000 rows need 16 buckets (4->8 gives 125 > 100)
+    assert t.maybe_rebucket(spark, "k", 100) == v + 1
+    assert t.latest_manifest_field("n_buckets") == 16
+    assert t.latest_manifest_field("last_batch_id") == 7
+    assert t.read(spark).count() == 1000
+    # idempotent once within bounds again
+    assert t.maybe_rebucket(spark, "k", 100) is None
