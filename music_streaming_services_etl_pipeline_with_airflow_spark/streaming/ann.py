@@ -37,6 +37,7 @@ not reference parity.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -591,6 +592,20 @@ def make_semantic_index_applier(
                     f"batch {batch_id} contains a vector whose group has "
                     f"an INCOMPLETE last-member erase (pending_clear "
                     f"{pending!r}) — retry that erase or run "
+                    "audit_and_repair_semantic_index before ingesting "
+                    "copies of it"
+                )
+        # pending-group-sync guard (r15, twin of the minhash applier's):
+        # a torn batch erase's counter targets would overwrite a member
+        # appended now — fail loudly when the batch touches such a group
+        sync = members_t.latest_manifest_field("pending_group_sync") or None
+        if sync:
+            sync_vhs = {int(v) for v in json.loads(sync)}
+            if any(r["vh"] in sync_vhs for r in vh_rows):
+                raise ValueError(
+                    f"batch {batch_id} contains a vector whose group has "
+                    "an INCOMPLETE batch erase (pending_group_sync) — "
+                    "re-run the erase_semantic_vecs call or "
                     "audit_and_repair_semantic_index before ingesting "
                     "copies of it"
                 )
@@ -1340,6 +1355,124 @@ def _resolve_pending_semantic_clear(
     )
 
 
+def _apply_semantic_group_sync(
+    spark: SparkSession, groups_t, members_t, group_buckets: int
+) -> bool:
+    """Apply (idempotently) the ABSOLUTE group-counter targets a batch
+    erase recorded atomically with its MEMBERS bulk delete
+    (``pending_group_sync`` in the MEMBERS manifest), then clear the
+    marker — the semantic twin of ingest._apply_minhash_group_sync."""
+    sync = members_t.latest_manifest_field("pending_group_sync") or None
+    if not sync:
+        return False
+    targets = json.loads(sync)  # {str(vh): surviving n_members}
+    vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
+    corr = spark.createDataFrame(
+        [(int(v), int(n)) for v, n in sorted(targets.items())],
+        "vh long, _target long",
+    )
+    gb = sorted(
+        {r["_b"] for r in corr.select(vh_bucket.alias("_b")).distinct().collect()}
+    )
+    bucket_g = groups_t.read_buckets(
+        spark, gb, _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
+    ).localCheckpoint(eager=True)
+    groups_t.commit_buckets(
+        bucket_g.join(F.broadcast(corr), "vh", "left")
+        .select(
+            "vh",
+            "gid",
+            "selfdup",
+            F.coalesce("_target", "n_members").alias("n_members"),
+        )
+        .withColumn("_bucket", vh_bucket),
+        gb,
+        n_buckets=group_buckets,
+    )
+    members_t.delete_where(
+        spark, "vec_id IS NULL", extra={"pending_group_sync": ""}
+    )
+    return True
+
+
+def _clear_semantic_group(
+    spark: SparkSession,
+    gid: int,
+    vh: int,
+    vec_ids: list[int],
+    pairs_t,
+    bands_t,
+    vecs_t,
+    groups_t,
+    members_t,
+    band_buckets: int,
+    vec_buckets: int,
+    group_buckets: int,
+    member_buckets: int,
+    band_codes,
+    lsh_bits: int,
+) -> None:
+    """Erase a group the batch EMPTIES — the single erase's last-member
+    path generalized to several member rows leaving at once, marker-
+    guarded and retry-convergent exactly like the single path. Drops
+    ONLY the erased member rows (never vh-wide): a stale-high counter
+    must not take innocent members down — GDPR tooling erases what was
+    asked; orphans are the fsck's to adjudicate."""
+    mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
+    vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
+    token = f"{gid}@{vh}"
+    pending = groups_t.latest_manifest_field("pending_clear") or None
+    if pending and pending != token:
+        raise ValueError(
+            f"a last-member erase is pending for another group "
+            f"({pending!r}) — retry it or run "
+            "audit_and_repair_semantic_index before starting this one"
+        )
+    if pending != token:
+        groups_t.delete_where(
+            spark, "gid IS NULL", extra={"pending_clear": token}
+        )
+    _clear_semantic_signature(
+        spark, gid, pairs_t, bands_t, vecs_t,
+        band_buckets, vec_buckets, band_codes, lsh_bits,
+    )
+    mb = sorted(
+        {
+            r["_b"]
+            for r in spark.createDataFrame(
+                [(i,) for i in vec_ids], "vec_id long"
+            )
+            .select(mem_bucket.alias("_b"))
+            .distinct()
+            .collect()
+        }
+    )
+    bucket_mem = members_t.read_buckets(
+        spark, mb, _SEM_MEMBERS_SCHEMA, n_buckets=member_buckets
+    ).localCheckpoint(eager=True)
+    members_t.commit_buckets(
+        bucket_mem.where(~F.col("vec_id").isin(vec_ids)).withColumn(
+            "_bucket", mem_bucket
+        ),
+        mb,
+        n_buckets=member_buckets,
+    )
+    gb = (
+        spark.createDataFrame([(vh,)], "vh long")
+        .select(vh_bucket.alias("_b"))
+        .first()[0]
+    )
+    bucket_g = groups_t.read_buckets(
+        spark, [gb], _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
+    ).localCheckpoint(eager=True)
+    groups_t.commit_buckets(
+        bucket_g.where(F.col("vh") != vh).withColumn("_bucket", vh_bucket),
+        [gb],
+        n_buckets=group_buckets,
+        extra={"pending_clear": ""},  # cleared atomically with the drop
+    )
+
+
 def erase_semantic_vecs(
     spark: SparkSession,
     ids,
@@ -1353,32 +1486,114 @@ def erase_semantic_vecs(
     group_buckets: int,
     member_buckets: int,
 ) -> None:
-    """Batch GDPR erase for the semantic index (r14, VERDICT r13 ask 4
-    — the twin of streaming/ingest.py erase_docs_from_minhash_index):
-    walks the ids in sorted order and, before each erase, resolves any
-    pending last-member clear end-to-end, so a compliance sweep whose
-    list hits several last-member groups never trips the single-marker
-    refusal. Crash anywhere -> re-running the same call converges
-    (erased ids early-return, a torn clear resolves from its marker,
-    the walk continues)."""
+    """Batch GDPR erase for the semantic index — SET-ORIENTED (r15,
+    VERDICT r14 ask 1; the twin of
+    streaming/ingest.py erase_docs_from_minhash_index, same three-phase
+    shape and crash story):
+
+    1. PARTITION the id list once (bucket-pruned MEMBERS + GROUPS
+       reads, driver rows bounded by len(ids)) into groups the batch
+       EMPTIES vs groups that SURVIVE with a smaller count.
+    2. Emptied groups (rare) clear one at a time in gid order through
+       the single-field ``pending_clear`` marker protocol.
+    3. The survivor mass erases in THREE commits regardless of N: one
+       ``delete_where(vec_id IN ...)`` MEMBERS delete that atomically
+       records the groups' ABSOLUTE surviving counts in a
+       ``pending_group_sync`` marker, one bucket-set GROUPS rewrite
+       applying them, and the marker-clear metadata commit.
+
+    Crash anywhere -> re-running the SAME call converges: phase 0
+    resolves/applies both marker kinds, and already-erased ids no
+    longer match the re-partition."""
     from ..operators.dedup import LSH_BANDS, LSH_BITS_PER_BAND, _make_lsh_udfs
 
+    ids = sorted({int(i) for i in ids})
+    if not ids or members_t.latest_version() == 0:
+        return
     lsh_bands = bands_t.latest_manifest_field("lsh_bands") or LSH_BANDS
     lsh_bits = bands_t.latest_manifest_field("lsh_bits") or LSH_BITS_PER_BAND
     band_codes, _ = _make_lsh_udfs(bands=lsh_bands, bits=lsh_bits)
-    for erase in sorted(set(ids)):
-        pending = groups_t.latest_manifest_field("pending_clear") or None
-        if pending:
-            _resolve_pending_semantic_clear(
-                spark, pairs_t, bands_t, vecs_t, groups_t, members_t,
-                band_buckets, vec_buckets, group_buckets, member_buckets,
-                band_codes, lsh_bits, pending,
-            )
-        erase_semantic_vec(
-            spark, erase, pairs_t, bands_t, vecs_t, groups_t, members_t,
+    mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
+    vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
+    # phase 0: resolve leftovers of any crashed erase (single or batch)
+    pending = groups_t.latest_manifest_field("pending_clear") or None
+    if pending:
+        _resolve_pending_semantic_clear(
+            spark, pairs_t, bands_t, vecs_t, groups_t, members_t,
             band_buckets, vec_buckets, group_buckets, member_buckets,
-            lsh_bands=lsh_bands, lsh_bits=lsh_bits,
+            band_codes, lsh_bits, pending,
         )
+    _apply_semantic_group_sync(spark, groups_t, members_t, group_buckets)
+    # phase 1: partition
+    ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+    mb = sorted(
+        {
+            r["_b"]
+            for r in ids_df.select(mem_bucket.alias("_b")).distinct().collect()
+        }
+    )
+    mrows = (
+        members_t.read_buckets(
+            spark, mb, _SEM_MEMBERS_SCHEMA, n_buckets=member_buckets
+        )
+        .where(F.col("vec_id").isin(ids))
+        .select("vec_id", "gid", "vh")
+        .collect()  # <= len(ids) rows
+    )
+    if not mrows:
+        return
+    by_vh: dict[int, tuple[int, list[int]]] = {}
+    for r in mrows:
+        by_vh.setdefault(int(r["vh"]), (int(r["gid"]), []))[1].append(
+            int(r["vec_id"])
+        )
+    vhs = sorted(by_vh)
+    vh_df = spark.createDataFrame([(v,) for v in vhs], "vh long")
+    gb = sorted(
+        {
+            r["_b"]
+            for r in vh_df.select(vh_bucket.alias("_b")).distinct().collect()
+        }
+    )
+    gcount = {
+        int(r["vh"]): int(r["n_members"])
+        for r in groups_t.read_buckets(
+            spark, gb, _SEM_GROUPS_SCHEMA, n_buckets=group_buckets
+        )
+        .where(F.col("vh").isin(vhs))
+        .select("vh", "n_members")
+        .collect()  # <= len(ids) groups
+    }
+    empties: list[tuple[int, int, list[int]]] = []
+    survive_targets: dict[str, int] = {}
+    survive_ids: list[int] = []
+    for vh, (gid, vids) in by_vh.items():
+        n_mem = gcount.get(vh, 1)  # missing group row counts as 1
+        if len(vids) >= n_mem:
+            empties.append((gid, vh, sorted(vids)))
+        else:
+            survive_targets[str(vh)] = n_mem - len(vids)
+            survive_ids.extend(vids)
+    # phase 2: emptied groups, serialized via pending_clear
+    for gid, vh, vids in sorted(empties):
+        _clear_semantic_group(
+            spark, gid, vh, vids, pairs_t, bands_t, vecs_t, groups_t,
+            members_t, band_buckets, vec_buckets, group_buckets,
+            member_buckets, band_codes, lsh_bits,
+        )
+    # phase 3: the survivor mass — three commits regardless of N
+    if survive_ids:
+        in_list = ", ".join(str(i) for i in sorted(survive_ids))
+        members_t.delete_where(
+            spark,
+            f"vec_id IN ({in_list})",
+            extra={
+                "pending_group_sync": json.dumps(
+                    survive_targets, sort_keys=True
+                )
+            },
+        )
+        _apply_semantic_group_sync(spark, groups_t, members_t, group_buckets)
 
 
 def audit_and_repair_semantic_index(
@@ -1437,6 +1652,9 @@ def audit_and_repair_semantic_index(
         pending = groups_t.latest_manifest_field("pending_clear") or None
         if pending:
             report.append({"kind": "pending_clear", "marker": pending})
+        sync = members_t.latest_manifest_field("pending_group_sync") or None
+        if sync:
+            report.append({"kind": "pending_group_sync", "marker": sync})
         live = (
             members_t.read(spark)
             .groupBy("vh")
@@ -1492,6 +1710,14 @@ def audit_and_repair_semantic_index(
         )
         report.append(
             {"pending": pending, "action": "pending_clear_completed"}
+        )
+    # phase 0b (r15): a pending group-count sync from a torn BATCH erase
+    # — apply the recorded absolute targets (idempotent) + clear marker
+    sync = members_t.latest_manifest_field("pending_group_sync") or None
+    if sync:
+        _apply_semantic_group_sync(spark, groups_t, members_t, group_buckets)
+        report.append(
+            {"pending": sync, "action": "pending_group_sync_applied"}
         )
     live = (
         members_t.read(spark)

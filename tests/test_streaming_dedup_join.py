@@ -1311,12 +1311,73 @@ def test_pack_index_tails_rebucket_mid_stream(spark, tmp_path):
     assert serve(packs_t) == serve(p2)
 
 
+def test_bm25_batch_erase_does_not_erase_unrequested_ambiguous_doc(
+    spark, tmp_path
+):
+    """r15 (ADVICE r14, medium): a stale SINGLE-erase marker whose
+    postings version no longer matches (an ingest committed between the
+    torn erase's df half and this batch — same ambiguity as a recycled
+    re-ingested id) resolves through the fsck, which leaves the index
+    CONSISTENT WITH THE DOC PRESENT. The batch must then erase that doc
+    ONLY if the caller asked: before the fix it unconditionally
+    re-erased it — silent data loss in GDPR tooling."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    postings_t = SnapshotTable(str(tmp_path / "postings"))
+    df_t = SnapshotTable(str(tmp_path / "df"))
+    apply_batch = ing.make_bm25_index_applier(postings_t, df_t, n_buckets=4)
+    apply_batch(
+        spark.createDataFrame(
+            [(1, "a b"), (2, "b c")], "doc_id long, text string"
+        ),
+        0,
+    )
+    # tear a single erase of doc 1 (df half committed, postings survive)
+    real = postings_t.delete_where
+    try:
+        def crash(*a, **k):
+            raise RuntimeError("torn")
+        postings_t.delete_where = crash
+        with _pytest.raises(RuntimeError, match="torn"):
+            ing.erase_doc_from_bm25_index(spark, postings_t, df_t, 1, 4)
+    finally:
+        postings_t.delete_where = real
+    # an ingest commits mid-erase -> the marker's version is ambiguous
+    apply_batch(
+        spark.createDataFrame([(3, "c d")], "doc_id long, text string"), 1
+    )
+    assert (df_t.latest_manifest_field("last_erase_marker") or "").startswith(
+        "1@"
+    )
+    # batch-erase doc 2 ONLY: entry resolution must fsck the ambiguity
+    # and leave doc 1 PRESENT (it was never requested here)
+    ing.erase_docs_from_bm25_index(spark, postings_t, df_t, [2], 4)
+    assert postings_t.read(spark).filter("doc_id = 1").count() > 0
+    assert postings_t.read(spark).filter("doc_id = 2").count() == 0
+    assert not df_t.latest_manifest_field("last_erase_marker")
+    # df is ground-truth consistent: docs 1 and 3 remain
+    dfm = {r.term: r.df for r in df_t.read(spark).collect() if r.df > 0}
+    assert dfm == {"a": 1, "b": 1, "c": 1, "d": 1}
+    assert ing.audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
+    # and when the ambiguous doc IS in ids, it erases cleanly
+    ing.erase_docs_from_bm25_index(spark, postings_t, df_t, [1], 4)
+    assert postings_t.read(spark).filter("doc_id = 1").count() == 0
+    assert ing.audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
+
+
 def test_bm25_batch_erase_resolves_torn_state_with_crash(spark, tmp_path):
-    """r14 (VERDICT r13 ask 4, BM25 member of the batch-erase family):
-    a 3-doc batch erase crashes mid-way (the second erase tears before
-    its postings delete); re-running the SAME call resolves the torn
-    erase at entry (plain retry) and finishes the walk — the served
-    top-k equals a rebuild over the survivors and the fsck is clean."""
+    """r15 (VERDICT r14 ask 1, BM25 member of the set-oriented
+    batch-erase family): the 3-doc batch erase crashes in its ONE torn
+    window — the one-shot df decrement committed (batch marker riding
+    the same manifest), the bulk postings delete dies. Re-running the
+    SAME call resolves at entry (the batch marker routes through the
+    fsck, which restores df from the postings ground truth and clears
+    the marker) and re-applies from scratch — the served top-k equals a
+    rebuild over the survivors and the fsck is clean. Single erases
+    refuse loudly on the batch marker instead of guessing."""
     import pytest as _pytest
 
     from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
@@ -1335,14 +1396,14 @@ def test_bm25_batch_erase_resolves_torn_state_with_crash(spark, tmp_path):
     apply_batch(
         spark.createDataFrame(docs, "doc_id long, text string"), 0
     )
-    # crash DURING the second erase of the batch: df half committed,
-    # postings delete dies
+    # crash in the torn window: df decrement committed, postings delete
+    # (the batch's FIRST postings_t.delete_where) dies
     real = postings_t.delete_where
     calls = {"n": 0}
 
     def flaky(*a, **k):
         calls["n"] += 1
-        if calls["n"] == 2:
+        if calls["n"] == 1:
             raise RuntimeError("mid-batch crash")
         return real(*a, **k)
 
@@ -1354,11 +1415,14 @@ def test_bm25_batch_erase_resolves_torn_state_with_crash(spark, tmp_path):
             )
     finally:
         postings_t.delete_where = real
-    # doc 1 fully erased; doc 2 torn (marker set, postings survive)
+    # torn: batch marker set, every posting still present, df decremented
     assert (
         df_t.latest_manifest_field("last_erase_marker") or ""
-    ).startswith("2@")
-    assert postings_t.read(spark).filter("doc_id = 2").count() > 0
+    ).startswith("batch@")
+    assert postings_t.read(spark).filter("doc_id in (1,2,3)").count() > 0
+    # a single erase cannot adjudicate a torn batch: fail loud
+    with _pytest.raises(ValueError, match="batch erase is incomplete"):
+        ing.erase_doc_from_bm25_index(spark, postings_t, df_t, 4, 4)
     # re-running the SAME call converges end-to-end
     ing.erase_docs_from_bm25_index(spark, postings_t, df_t, [1, 2, 3], 4)
     assert not df_t.latest_manifest_field("last_erase_marker")

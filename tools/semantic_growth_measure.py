@@ -16,8 +16,16 @@ it member-append-only (no banding, no probe, no verify).
 Synthetic fixture: deterministic unit-spread vectors (sin((id+1)k) per
 dimension, 64 dims to match the LSH planes).
 
-Usage: python tools/semantic_growth_measure.py [seed_n] [lsh_bits]
-(defaults: seed_n=2000, the registry 4-bit layout)
+Usage: python tools/semantic_growth_measure.py [seed_n] [lsh_bits] [--single]
+(defaults: seed_n=2000, the registry 4-bit layout; without --single the
+tool runs two legs, seed_n and 4*seed_n, each seeded from scratch).
+
+``--single`` runs ONE leg at exactly seed_n — added for the r15 10^6
+leg, where seeding 10^6 vectors in the proven 2k chunks is ~500 applier
+batches (hours of wall) and the 4x sibling would double an already
+multi-hour run for a point past the ask. Seeding progress is printed
+every 25 chunks with a wall-derived ETA so an infeasible run can be
+detected and aborted early instead of silently eating the round.
 """
 
 from __future__ import annotations
@@ -78,9 +86,19 @@ def run(spark, seed_n: int, bits: int | None = None) -> dict:
     # explosion the batch operator would pay, layout-bound by design
     CHUNK = 2_000
     bid = 0
+    n_chunks = (seed_n + CHUNK - 1) // CHUNK
+    t_seed0 = time.monotonic()
     for lo in range(0, seed_n, CHUNK):
         apply_batch(synth(spark, lo, min(lo + CHUNK, seed_n)), bid)
         bid += 1
+        if bid % 25 == 0 or bid == n_chunks:
+            el = time.monotonic() - t_seed0
+            eta = el / bid * (n_chunks - bid)
+            print(
+                f"[seed n={seed_n}] chunk {bid}/{n_chunks} "
+                f"elapsed={el:.0f}s eta={eta:.0f}s",
+                flush=True,
+            )
     assert m.read(spark).count() == seed_n
 
     # measured op 1: a CONSTANT fresh-vector batch
@@ -121,12 +139,14 @@ def run(spark, seed_n: int, bits: int | None = None) -> dict:
 
 
 def main() -> int:
-    seed_n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000
-    bits = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    argv = [a for a in sys.argv[1:] if a != "--single"]
+    single = "--single" in sys.argv[1:]
+    seed_n = int(argv[0]) if len(argv) > 0 else 2_000
+    bits = int(argv[1]) if len(argv) > 1 else None
     spark = get_spark("semantic_growth")
     spark.sparkContext.setLogLevel("ERROR")
-    for n in (seed_n, seed_n * 4):
-        print(run(spark, n, bits))
+    for n in (seed_n,) if single else (seed_n, seed_n * 4):
+        print(run(spark, n, bits), flush=True)
     shutil.rmtree(ROOT, ignore_errors=True)
     return 0
 
