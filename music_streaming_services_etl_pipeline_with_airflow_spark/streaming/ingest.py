@@ -3111,12 +3111,16 @@ def erase_docs_from_minhash_index(
     "estimate makes every whole-bucket read O(corpus/constant). Here the "
     "index is DELIBERATELY created undersized (2 buckets per table), "
     "ingests the first half of the document stream, then mid-stream — "
-    "with the replay cursors live in the manifests — every bucketed "
-    "table rebuckets to the properly-sized counts in one atomic "
-    "commit_buckets(replace_all_buckets=True) rewrite (all-or-nothing "
-    "under a crash, cursor-preserving), and the stream RESUMES from the "
-    "same checkpoint with a new applier built on the new counts "
-    "(batch ids continue, cursors skip nothing). The oracle is the "
+    "with the replay cursors live in the manifests — a maintenance "
+    "sweep runs maybe_rebucket on every table (r15, the occupancy "
+    "TRIGGER drives the migration: tables whose all-buckets mean "
+    "exceeds the policy target rebucket to the first power-of-two "
+    "count restoring the bound, in one atomic commit_buckets("
+    "replace_all_buckets=True) rewrite — all-or-nothing under a crash, "
+    "cursor-preserving; in-bounds tables no-op), and the stream "
+    "RESUMES from the same checkpoint with a new applier built on the "
+    "manifest-recorded counts (batch ids continue, cursors skip "
+    "nothing). The oracle is the "
     "whole-corpus near-dup SQL VERBATIM, so the value hash proves the "
     "migration was content-neutral AND the post-migration ingest under "
     "the new hash-mod is consistent: maintained == recomputed.",
@@ -3126,7 +3130,6 @@ def q_streaming_minhash_index_rebucket(
 ) -> DataFrame:
     import shutil
 
-    from ..operators.dedup import N_BANDS
     from ..snapshots import SnapshotTable
     from ..workdirs import fresh_work_dir
 
@@ -3168,30 +3171,30 @@ def q_streaming_minhash_index_rebucket(
     for f in parts[:half]:
         shutil.copy2(os.path.join(staged, f), os.path.join(drop, f))
     run_stream((2, 2, 2, 2))
-    # growth trigger fired (bucket_occupancy is the metric, see
-    # tools/rebucket_measure.py): migrate to the properly-sized counts
-    docs_pq = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    n_docs = docs_pq.count()
-    nb = minhash_index_buckets_for(n_docs * N_BANDS)
-    avg_sh = (
-        docs_pq.limit(1000)
-        .selectExpr("avg(size(split(text, ' '))) AS t")
-        .first()[0]
-        or 3.0
-    )
-    sb = minhash_index_buckets_for(int(n_docs * max(1.0, avg_sh - 2)))
-    gb = minhash_index_buckets_for(n_docs)
-    mb = minhash_index_buckets_for(n_docs)
-    bands_t.rebucket(spark, "bval", nb)
-    shingles_t.rebucket(spark, "doc_id", sb)
-    groups_t.rebucket(spark, "th", gb)
-    members_t.rebucket(spark, "doc_id", mb)
+    # the migration is driven THROUGH maybe_rebucket's occupancy trigger
+    # (r15, VERDICT r14 ask 7) — the maintenance sweep an operator runs
+    # on the fsck cadence: audit rows-per-bucket, migrate ONLY the
+    # tables whose all-buckets mean exceeds the policy target (the
+    # test-scale analog of MH_IDX_ROWS_PER_BUCKET — production passes
+    # that constant). Tables within bounds no-op by design: the TRIGGER
+    # decides, not a hand-picked count (the r14 version's shape).
+    target = 64
+    bands_t.maybe_rebucket(spark, "bval", target)
+    shingles_t.maybe_rebucket(spark, "doc_id", target)
+    groups_t.maybe_rebucket(spark, "th", target)
+    members_t.maybe_rebucket(spark, "doc_id", target)
     # phase 2: the rest of the stream resumes on the SAME checkpoint —
-    # a new applier carries the new counts; manifest cursors carried
-    # through the migration, so no batch replays and none is skipped
+    # a new applier carries each table's CURRENT count, read back from
+    # the manifests (migrated or not, the manifest is the authority);
+    # cursors carried through the migration, so no batch replays and
+    # none is skipped
+    counts = tuple(
+        int(t.latest_manifest_field("n_buckets"))
+        for t in (bands_t, shingles_t, groups_t, members_t)
+    )
     for f in parts[half:]:
         shutil.copy2(os.path.join(staged, f), os.path.join(drop, f))
-    run_stream((nb, sb, gb, mb))
+    run_stream(counts)
     return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
 
 
