@@ -53,99 +53,101 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # driver slot (all_specs() additionally hard-fails on phantom/oracle-less
 # names). Per round: bump HEAD_ROUND, refresh ROUND_NEW_OR_CHANGED, run
 # `python tools/next_head.py`, paste.
-HEAD_ROUND = 14
+HEAD_ROUND = 15
 
 # Queries whose Spark plan/behavior changed THIS round — no green driver
 # row exists for their current behavior (older rounds' rationales live in
 # git history of this block):
 ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
-    # NEW (r14): lifecycle + compliance-sweep queries —
-    #   streaming_minhash_index_rebucket: mid-stream bucket-count
-    #     migration (SnapshotTable.rebucket, VERDICT r13 ask 2) — the
-    #     index is built undersized (2 buckets/table), rebuckets to the
-    #     properly-sized counts between stream phases on one checkpoint,
-    #     and must serve the unchanged whole-corpus oracle;
-    #   streaming_minhash_index_batch_delete /
-    #   streaming_semantic_index_batch_delete: batch GDPR erase entry
-    #     points (ask 4) — three last-member-capable erases in ONE call
-    #     that serializes group clears around the pending_clear marker;
-    #     oracles = whole-corpus recompute minus the three docs/vectors.
-    "streaming_minhash_index_rebucket",
+    # CHANGED (r15, VERDICT r14 ask 1): the batch GDPR erases are now
+    # SET-ORIENTED — the non-last-member mass erases in O(tables)
+    # commits (one IN-list COW delete + one counter rewrite behind an
+    # absolute-count pending_group_sync marker; BM25: one df merge
+    # behind a batch marker + one postings IN-delete) instead of the
+    # r14 per-id walk; emptied groups still serialize through
+    # pending_clear. Oracles unchanged (whole-corpus recompute minus
+    # the erased ids) — the executed paths are new, so they lead:
     "streaming_minhash_index_batch_delete",
     "streaming_semantic_index_batch_delete",
-    #   streaming_bm25_index_batch_delete: the BM25 member of the batch
-    #     erase family — entry-resolution of torn state instead of the
-    #     single-erase guards' refusal; oracle = batch BM25 minus 3 docs.
     "streaming_bm25_index_batch_delete",
-    # CHANGED (r14): the BM25 erase now clears its own marker after the
-    # postings delete commits (ADVICE r13 — removes the re-ingest
-    # lockout) and the fsck's marker hygiene/drift collects changed
-    # (unconditional stale-marker clear, FSCK_REPORT_CAP bounded
-    # collects, aggregate_only census) — results are oracle-identical
-    # (re-verified at sf0.001/sf0.01 locally) but the executed paths
-    # differ, so both re-attest first:
+    # CHANGED (r15, ask 7): the mid-stream migration is now driven
+    # THROUGH maybe_rebucket's occupancy trigger (policy target; the
+    # trigger picks which tables migrate and to what count) instead of
+    # hand-computed counts:
+    "streaming_minhash_index_rebucket",
+    # CHANGED (r15): the single BM25 erase fails loudly on a torn BATCH
+    # marker (new guard branch on its entry path) — and the fsck-repair
+    # query's drill drives that same erase:
     "streaming_bm25_index_delete",
     "streaming_bm25_index_fsck_repair",
+    # CHANGED (r15): the minhash/semantic index APPLIERS gained the
+    # pending_group_sync fail-loud guard (one manifest-field read per
+    # batch on every build), and the IVF applier records
+    # bucket_scheme=identity:cid in its manifests — re-attest one
+    # representative per family whose whole pipeline runs the new path:
+    "streaming_minhash_index",
+    "streaming_semantic_index",
+    "streaming_ivf_index_topk",
 )
 
-# Banked in r13: the entire r7 cohort (50/50 green, 6th consecutive).
-# r14 head: the five new/changed lifecycle + compliance queries lead,
-# then the ENTIRE r8 cohort banks (24 rows — VERDICT r13 ask 3: after
-# CORRECTNESS_r14 no latest row predates r9) and the oldest r9 rows fill
-# the remaining slots. Every entry re-verified locally this round via
-# tools/check_parity.py at sf0.01 (full sweep; new/changed additionally
-# at sf0.001).
+# Banked in r14: the entire r8 cohort (50/50 green, 7th consecutive).
+# r15 head: the nine new/changed set-oriented-erase + trigger-migration
+# + applier-guard queries lead, then the ENTIRE remaining r9 cohort
+# banks (25 rows — VERDICT r14 ask 2: after CORRECTNESS_r15 no latest
+# row predates r10) and the oldest r10 rows fill the remaining slots.
+# Every entry re-verified locally this round via tools/check_parity.py
+# at sf0.01.
 _PRIORITY: tuple[str, ...] = (
-    "streaming_minhash_index_rebucket",  # new/changed
     "streaming_minhash_index_batch_delete",  # new/changed
     "streaming_semantic_index_batch_delete",  # new/changed
     "streaming_bm25_index_batch_delete",  # new/changed
+    "streaming_minhash_index_rebucket",  # new/changed
     "streaming_bm25_index_delete",  # new/changed
     "streaming_bm25_index_fsck_repair",  # new/changed
-    "sample_bernoulli_rng",  # last row r8
-    "similarity_ivf_kmeans",  # last row r8
-    "similarity_ivf_persisted",  # last row r8
-    "similarity_ivf_persisted_delete",  # last row r8
-    "similarity_ivfpq_topk",  # last row r8
-    "similarity_pq_topk",  # last row r8
-    "sink_jsonl_sharded_roundtrip",  # last row r8
-    "sink_orc_partitioned_roundtrip",  # last row r8
-    "sketch_heavy_hitters_topk",  # last row r8
-    "sketch_theta_user_overlap",  # last row r8
-    "streaming_matview_join_enrich",  # last row r8
-    "streaming_model_scoring",  # last row r8
-    "streaming_pii_scrub",  # last row r8
-    "text_bm25_topk",  # last row r8
-    "text_chunk_overlap",  # last row r8
-    "text_pii_redact",  # last row r8
-    "warehouse_analyze_stats",  # last row r8
-    "warehouse_change_feed",  # last row r8
-    "warehouse_compact_small_files",  # last row r8
-    "warehouse_equidepth_histogram",  # last row r8
-    "warehouse_row_provenance",  # last row r8
-    "warehouse_schema_evolution",  # last row r8
-    "warehouse_vacuum_report",  # last row r8
-    "warehouse_zonemap_skipping",  # last row r8
-    "a11_median_mode",  # last row r9
-    "build_vocab",  # last row r9
-    "corpus_source_mix",  # last row r9
-    "dedup_components",  # last row r9
-    "dedup_embedding_cosine",  # last row r9
-    "dedup_exact",  # last row r9
-    "dedup_ngram_jaccard",  # last row r9
-    "dedup_simhash_banded",  # last row r9
-    "evt_transition_matrix",  # last row r9
-    "f1_pushdown_filtered_scan",  # last row r9
-    "gopher_repetition",  # last row r9
-    "graph_kcore_parts",  # last row r9
-    "ivm_incremental_daily_kpis",  # last row r9
-    "j10_basket_part_pairs",  # last row r9
-    "j11_lateral_topn",  # last row r9
-    "j12_salted_skew_join",  # last row r9
-    "j13_nullsafe_join",  # last row r9
-    "j7_range_join_binned",  # last row r9
-    "merge_upsert_relational",  # last row r9
-    "o3_global_topk",  # last row r9
+    "streaming_minhash_index",  # new/changed
+    "streaming_semantic_index",  # new/changed
+    "streaming_ivf_index_topk",  # new/changed
+    "pack_sequences_hierarchical",  # last row r9
+    "pandas_group_minmax_scale",  # last row r9
+    "retention_weekly_cohorts",  # last row r9
+    "retrieval_maxsim_two_stage",  # last row r9
+    "s5_recursive_cte_ancestors",  # last row r9
+    "sample_class_balanced",  # last row r9
+    "sample_hash_bucket",  # last row r9
+    "sample_train_val_test_split",  # last row r9
+    "scd2_priority_history",  # last row r9
+    "sessionize_events",  # last row r9
+    "similarity_ivf_multiprobe",  # last row r9
+    "similarity_ivf_topk",  # last row r9
+    "text_chunk_fixed",  # last row r9
+    "text_fingerprint",  # last row r9
+    "text_lang_confusion",  # last row r9
+    "udaf_geometric_mean",  # last row r9
+    "udtf_text_chunks",  # last row r9
+    "w3_gapfill_daily_by_type",  # last row r9
+    "w4_ntile_rank_quartiles",  # last row r9
+    "w4_quartiles_scale_safe",  # last row r9
+    "w5_first_last_per_user",  # last row r9
+    "w6_percent_rank_cume_dist",  # last row r9
+    "w7_ewma_per_user",  # last row r9
+    "w8_range_interval_frame",  # last row r9
+    "w9_running_distinct",  # last row r9
+    "a10_cube_returnflag_status",  # last row r10
+    "a12_pivot_multi_agg",  # last row r10
+    "a14_filtered_agg",  # last row r10
+    "a15_zscore_outliers",  # last row r10
+    "a16_value_histogram",  # last row r10
+    "a1_group_multi_agg",  # last row r10
+    "a2_argmax_per_group",  # last row r10
+    "a3_hourly_distinct_counts",  # last row r10
+    "a4_plays_per_artist_hour",  # last row r10
+    "corpus_mixture_sample_scale_safe",  # last row r10
+    "corpus_temperature_mixture_scale_safe",  # last row r10
+    "curate_training_corpus",  # last row r10
+    "dedup_containment",  # last row r10
+    "dedup_minhash_lsh",  # last row r10
+    "dedup_simhash_pairs",  # last row r10
+    "er_resolve_customers_capped",  # last row r10
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its
