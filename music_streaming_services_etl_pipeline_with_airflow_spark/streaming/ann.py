@@ -855,6 +855,185 @@ def make_semantic_index_applier(
     return apply_batch
 
 
+def bulk_seed_semantic_index(
+    spark: SparkSession,
+    pairs_t,
+    bands_t,
+    vecs_t,
+    groups_t,
+    members_t,
+    corpus,
+    band_buckets: int,
+    vec_buckets: int,
+    group_buckets: int,
+    member_buckets: int,
+    lsh_bands: int | None = None,
+    lsh_bits: int | None = None,
+    batch_id: int = 0,
+    with_pairs: bool = True,
+) -> None:
+    """BULK BOOTSTRAP for the streaming semantic index (r15) — how a
+    100-TB deployment actually stands the index up over an EXISTING
+    corpus: one batch build of the five-table state, after which the
+    stream takes over with :func:`make_semantic_index_applier` (the
+    cursors are seeded at ``batch_id``, so the stream continues at
+    ``batch_id + 1``). Replaying the corpus through the applier in
+    chunks — the only alternative — pays the probe's O(chunk × N/2^r)
+    candidate term per chunk, which integrates to O(N²/2^r): measured
+    ~23 h of single-host wall at 10⁶ vectors on the 16×10 layout
+    (SCALING.md round 15), where this build is a handful of shuffle-free
+    batch jobs.
+
+    Produces EXACTLY the state the applier reaches after ingesting the
+    corpus in ascending-id chunks (pinned by
+    test_semantic_bulk_seed_equals_incremental_build): same collapse
+    (vh = xxhash64 of the raw double array, canonical = first arrival =
+    min vec_id), same normalized canonicals, same band rows under the
+    same recorded layout, same group counters/selfdup flags, same
+    bucket counts and replay cursors.
+
+    ``with_pairs=False`` defers the PAIRS backlog: the stored-pair
+    discovery over N seed vectors is the batch dedup operator's
+    O(N²/2^r) candidate join — right on a cluster, out of budget for a
+    single-host bootstrap past ~10⁵ vectors. The applier NEVER READS
+    PAIRS (they are append-only; probes read BANDS, verification reads
+    VECS), so a deferred backlog changes nothing about ingest behavior
+    or cost — only :func:`serve_semantic_pairs` output, which then
+    covers post-bootstrap pairs only until the backlog is filled by one
+    cluster-scale batch run (dedup_embedding_lsh's plan verbatim).
+    Used with ``with_pairs=False`` by tools/semantic_growth_measure.py
+    --bulk to measure constant-batch ingest walls at 10⁶ stored
+    vectors."""
+    from ..operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        LSH_BANDS,
+        LSH_BITS_PER_BAND,
+        _make_lsh_udfs,
+    )
+
+    lsh_bands = lsh_bands or LSH_BANDS
+    lsh_bits = lsh_bits or LSH_BITS_PER_BAND
+    band_codes, pair_dot = _make_lsh_udfs(bands=lsh_bands, bits=lsh_bits)
+    vh_bucket = SnapshotTable.bucket_of(F.col("vh"), group_buckets)
+    id_bucket = SnapshotTable.bucket_of(F.col("vec_id"), vec_buckets)
+    bk_bucket = SnapshotTable.bucket_of(F.col("bk"), band_buckets)
+    mem_bucket = SnapshotTable.bucket_of(F.col("vec_id"), member_buckets)
+    for t in (pairs_t, bands_t, vecs_t, groups_t, members_t):
+        if t.latest_version() > 0:
+            raise ValueError(
+                f"{t.path}: bulk bootstrap requires FRESH tables — an "
+                "existing index grows through the applier (or rebuilds "
+                "from source after expire)"
+            )
+
+    hashed = corpus.select(
+        "vec_id", V.to_double_array("embedding").alias("dv")
+    ).withColumn("vh", F.xxhash64("dv"))
+    # collapse: canonical = min vec_id per distinct raw vector — the
+    # applier's first-arrival rule under ascending-id ingestion
+    assign = (
+        hashed.select("vec_id", "vh")
+        .join(
+            hashed.groupBy("vh").agg(F.min("vec_id").alias("gid")), "vh"
+        )
+        .select("vec_id", "vh", "gid")
+        .localCheckpoint(eager=True)
+    )
+    nv = (
+        hashed.join(
+            assign.where(F.col("vec_id") == F.col("gid")).select("vec_id"),
+            "vec_id",
+        )
+        .withColumn("nrm", V.norm(F.col("dv")))
+        .where(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.transform("dv", lambda x: x / F.col("nrm")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bands = (
+        nv.select(
+            "vec_id", F.posexplode(band_codes("v")).alias("band", "code")
+        )
+        .withColumn(
+            "bk",
+            F.col("band").cast("long") * (1 << lsh_bits) + F.col("code"),
+        )
+    )
+    if with_pairs:
+        within = (
+            bands.select(F.col("vec_id").alias("va"), "bk")
+            .join(bands.select(F.col("vec_id").alias("vb"), "bk"), "bk")
+            .filter(F.col("va") < F.col("vb"))
+            .select("va", "vb")
+            .distinct()
+        )
+        va_vec = nv.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
+        vb_vec = nv.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
+        verified = (
+            within.join(va_vec, "va")
+            .join(vb_vec, "vb")
+            .select(
+                "va",
+                "vb",
+                pair_dot(F.col("veca"), F.col("vecb")).alias("cos"),
+            )
+            .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+            .select("va", "vb")
+        )
+    else:
+        verified = spark.createDataFrame([], "va long, vb long")
+    pairs_t.commit(verified, extra={"last_batch_id": batch_id})
+    bands_t.commit_buckets(
+        bands.withColumn("_bucket", bk_bucket),
+        list(range(band_buckets)),
+        n_buckets=band_buckets,
+        extra={
+            "last_batch_id": batch_id,
+            "lsh_bands": lsh_bands,
+            "lsh_bits": lsh_bits,
+        },
+    )
+    vecs_t.commit_buckets(
+        nv.withColumn("_bucket", id_bucket),
+        list(range(vec_buckets)),
+        n_buckets=vec_buckets,
+        extra={"last_batch_id": batch_id},
+    )
+    selfdup = nv.select(
+        F.col("vec_id").alias("_sgid"),
+        (pair_dot(F.col("v"), F.col("v")) >= COSINE_DUP_THRESHOLD).alias(
+            "_sflag"
+        ),
+    )
+    groups = (
+        assign.groupBy("vh")
+        .agg(F.count("*").alias("n_members"), F.min("gid").alias("gid"))
+        .join(selfdup, F.col("gid") == F.col("_sgid"), "left")
+        .select(
+            "vh",
+            "gid",
+            F.coalesce("_sflag", F.lit(False)).alias("selfdup"),
+            "n_members",
+        )
+    )
+    groups_t.commit_buckets(
+        groups.withColumn("_bucket", vh_bucket),
+        list(range(group_buckets)),
+        n_buckets=group_buckets,
+        extra={"last_batch_id": batch_id},
+    )
+    members_t.commit_buckets(
+        assign.select("vec_id", "gid", "vh").withColumn(
+            "_bucket", mem_bucket
+        ),
+        list(range(member_buckets)),
+        n_buckets=member_buckets,
+        extra={"last_batch_id": batch_id},
+    )
+
+
 def serve_semantic_pairs(spark, pairs_t, groups_t, members_t):
     """The query half: expand stored CANONICAL pairs to member pairs.
     Cross-group pairs carry over to every member combination (identical
@@ -981,6 +1160,78 @@ def q_streaming_semantic_index(
     pairs_t, _, _, groups_t, members_t, _ = _build_semantic_index(
         spark, sf_dir, "streaming_semantic_index"
     )
+    return serve_semantic_pairs(spark, pairs_t, groups_t, members_t)
+
+
+@register(
+    "streaming_semantic_index_bulk_bootstrap",
+    _emb_lsh_sql,
+    doc="BULK BOOTSTRAP + STREAMING CONTINUATION for the semantic index "
+    "(r15): a 100-TB index over an EXISTING corpus is never built by "
+    "replaying the corpus through the applier in chunks — each chunk's "
+    "probe pays O(chunk x N/2^r) against everything already stored, "
+    "which integrates to the batch operator's O(N^2/2^r) spread over "
+    "thousands of sequential driver jobs (measured ~23 h at 10^6 "
+    "vectors single-host, SCALING.md r15). bulk_seed_semantic_index "
+    "stands the five-table state up in ONE batch build — pinned "
+    "content-identical to the chunked ingest by pytest — and the "
+    "stream takes over on the cursors it seeded. Here: the first half "
+    "of the staged corpus bootstraps (full pair backlog), the second "
+    "half streams through the applier, and the oracle is "
+    "dedup_embedding_lsh's whole-corpus SQL VERBATIM — the hash proves "
+    "bootstrap + continuation == recomputed-from-scratch.",
+)
+def q_streaming_semantic_index_bulk_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..operators.dedup import LSH_BANDS
+    from .ingest import minhash_index_buckets_for
+
+    d = stage_embeddings(sf_dir, "semantic_index")
+    parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    work = fresh_work_dir("streaming_semantic_index_bulk_bootstrap")
+    names = ("pairs", "bands", "vecs", "groups", "members")
+    pairs_t, bands_t, vecs_t, groups_t, members_t = (
+        SnapshotTable(os.path.join(work, n)) for n in names
+    )
+    n_vecs = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).count()
+    bk = dict(
+        band_buckets=minhash_index_buckets_for(n_vecs * LSH_BANDS),
+        vec_buckets=minhash_index_buckets_for(n_vecs),
+        group_buckets=minhash_index_buckets_for(n_vecs),
+        member_buckets=minhash_index_buckets_for(n_vecs),
+    )
+    half = max(1, len(parts) // 2)
+    bulk_seed_semantic_index(
+        spark, pairs_t, bands_t, vecs_t, groups_t, members_t,
+        spark.read.parquet(*[os.path.join(d, f) for f in parts[:half]]),
+        batch_id=-1,  # stream batch ids start at 0
+        **bk,
+    )
+    drop = os.path.join(work, "drop")
+    os.makedirs(drop, exist_ok=True)
+    for f in parts[half:]:
+        shutil.copy2(os.path.join(d, f), os.path.join(drop, f))
+    src = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            make_semantic_index_applier(
+                pairs_t, bands_t, vecs_t, groups_t, members_t, **bk
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return serve_semantic_pairs(spark, pairs_t, groups_t, members_t)
 
 

@@ -1030,6 +1030,89 @@ def test_ivf_skew_audit_counts_empty_lists(spark, tmp_path):
     assert rep["skew"] > rep["skew_nonempty"]
 
 
+def test_semantic_bulk_seed_equals_incremental_build(spark, tmp_path):
+    """r15: bulk_seed_semantic_index — the 100-TB bootstrap path (stand
+    the index up over an existing corpus in one batch build, then let
+    the stream take over). Pin: the bulk-seeded five-table state is
+    CONTENT-IDENTICAL to the applier ingesting the same corpus in
+    ascending-id chunks (pairs, bands incl. recorded layout, normalized
+    canonicals, group counters/selfdup, members), the cursors are live,
+    and a continuation batch applied to BOTH indexes leaves their
+    served pair sets identical."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ann as sa
+
+    base = [0.0] * 61
+    rows = [
+        (0, [0.0, 0.0, 0.0] + base),        # zero vector: member, no pair
+        (1, [1.0, 0.0, 0.0] + base),
+        (2, [1.0, 0.05, 0.0] + base),       # near-dup of 1
+        (3, [1.0, 0.0, 0.0] + base),        # exact copy of 1
+        (4, [0.0, 1.0, 0.0] + base),
+        (5, [0.0, 1.0, 0.0] + base),        # exact copy of 4
+        (6, [0.0, 0.0, 1.0] + base),
+        (7, [0.0, 0.0, 0.0] + base),        # exact copy of the zero vec
+        (8, [0.0, 0.96, 0.28] + base),      # near-dup of 4
+    ]
+    schema = "vec_id long, embedding array<float>"
+    extra = [(20, [0.0, 1.0, 0.0] + base), (21, [0.0, 0.0, 1.0] + base)]
+
+    (ip, ib, iv, ig, im), bk = _sem_tables(tmp_path / "incr")
+    apply_incr = sa.make_semantic_index_applier(ip, ib, iv, ig, im, **bk)
+    for i, chunk in enumerate((rows[:3], rows[3:6], rows[6:])):
+        apply_incr(spark.createDataFrame(chunk, schema), i)
+
+    (bp, bb, bv, bg, bm), _ = _sem_tables(tmp_path / "bulk")
+    sa.bulk_seed_semantic_index(
+        spark, bp, bb, bv, bg, bm, spark.createDataFrame(rows, schema),
+        bk["band_buckets"], bk["vec_buckets"], bk["group_buckets"],
+        bk["member_buckets"], batch_id=2,
+    )
+
+    def content(t, cols):
+        return sorted(tuple(r) for r in t.read(spark).select(*cols).collect())
+
+    assert content(bp, ["va", "vb"]) == content(ip, ["va", "vb"])
+    assert content(bb, ["vec_id", "band", "code", "bk"]) == content(
+        ib, ["vec_id", "band", "code", "bk"]
+    )
+    assert content(bv, ["vec_id", "v"]) == content(iv, ["vec_id", "v"])
+    assert content(bg, ["vh", "gid", "selfdup", "n_members"]) == content(
+        ig, ["vh", "gid", "selfdup", "n_members"]
+    )
+    assert content(bm, ["vec_id", "gid", "vh"]) == content(
+        im, ["vec_id", "gid", "vh"]
+    )
+    assert bb.latest_manifest_field("lsh_bands") == ib.latest_manifest_field(
+        "lsh_bands"
+    )
+    assert bb.latest_manifest_field("n_buckets") == ib.latest_manifest_field(
+        "n_buckets"
+    )
+    # fresh-tables guard: bootstrap refuses a non-empty lineage
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="FRESH tables"):
+        sa.bulk_seed_semantic_index(
+            spark, bp, bb, bv, bg, bm, spark.createDataFrame(rows, schema),
+            bk["band_buckets"], bk["vec_buckets"], bk["group_buckets"],
+            bk["member_buckets"],
+        )
+    # the stream continues on the bootstrapped index: one more batch on
+    # BOTH, served sets identical (copy of 4 collapses; 21 pairs with 6)
+    apply_bulk = sa.make_semantic_index_applier(bp, bb, bv, bg, bm, **bk)
+    batch = spark.createDataFrame(extra, schema)
+    apply_bulk(batch, 3)
+    apply_incr(batch, 3)
+    serve = lambda p, g, m: sorted(  # noqa: E731
+        (r.va, r.vb)
+        for r in sa.serve_semantic_pairs(spark, p, g, m).collect()
+    )
+    got = serve(bp, bg, bm)
+    assert got == serve(ip, ig, im)
+    assert (4, 20) in got and (6, 21) in got and (1, 3) in got
+    assert not any(0 in pr or 7 in pr for pr in got)  # zero vec never pairs
+
+
 def test_semantic_batch_erase_survivor_mass_is_set_oriented_with_crash(
     spark, tmp_path
 ):
