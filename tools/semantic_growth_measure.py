@@ -54,13 +54,14 @@ def synth(spark, lo: int, hi: int):
     )
 
 
-def run(spark, seed_n: int, bits: int | None = None) -> dict:
+def run(spark, seed_n: int, bits: int | None = None, bulk: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
         SnapshotTable,
     )
     from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ann import (
+        bulk_seed_semantic_index,
         make_semantic_index_applier,
     )
     from music_streaming_services_etl_pipeline_with_airflow_spark.streaming.ingest import (
@@ -80,25 +81,41 @@ def run(spark, seed_n: int, bits: int | None = None) -> dict:
     apply_batch = make_semantic_index_applier(
         p, b, v, g, m, record_stats=True, lsh_bits=bits, **bk
     )
-    # seed in 2k chunks — the realistic shape (indexes are BUILT
-    # incrementally) and the feasible one: a single 20k+ batch's
-    # within-batch candidate volume (O(chunk^2/2^r)) is the same
-    # explosion the batch operator would pay, layout-bound by design
-    CHUNK = 2_000
-    bid = 0
-    n_chunks = (seed_n + CHUNK - 1) // CHUNK
     t_seed0 = time.monotonic()
-    for lo in range(0, seed_n, CHUNK):
-        apply_batch(synth(spark, lo, min(lo + CHUNK, seed_n)), bid)
-        bid += 1
-        if bid % 25 == 0 or bid == n_chunks:
-            el = time.monotonic() - t_seed0
-            eta = el / bid * (n_chunks - bid)
-            print(
-                f"[seed n={seed_n}] chunk {bid}/{n_chunks} "
-                f"elapsed={el:.0f}s eta={eta:.0f}s",
-                flush=True,
-            )
+    if bulk:
+        # r15 bootstrap path: ONE batch build of the stored state
+        # (with_pairs=False — the applier never reads PAIRS, so the
+        # measured constant-batch walls are unaffected; verified by the
+        # 250k incremental-vs-bulk cross-check in SCALING.md r15). The
+        # chunked protocol's seeding wall is O(N^2/2^r) in total; this
+        # is what makes the 10^6 leg reachable on one host.
+        bulk_seed_semantic_index(
+            spark, p, b, v, g, m, synth(spark, 0, seed_n),
+            lsh_bits=bits, with_pairs=False, **bk,
+        )
+        bid = 1
+        print(
+            f"[bulk seed n={seed_n}] wall={time.monotonic() - t_seed0:.0f}s",
+            flush=True,
+        )
+    else:
+        # seed in 2k chunks — the incremental shape; feasible only to
+        # ~10^5 on one host (per-chunk cost grows linearly with stored N
+        # — the probe's O(chunk x N/2^r) term; measured ~23 h at 10^6)
+        CHUNK = 2_000
+        bid = 0
+        n_chunks = (seed_n + CHUNK - 1) // CHUNK
+        for lo in range(0, seed_n, CHUNK):
+            apply_batch(synth(spark, lo, min(lo + CHUNK, seed_n)), bid)
+            bid += 1
+            if bid % 25 == 0 or bid == n_chunks:
+                el = time.monotonic() - t_seed0
+                eta = el / bid * (n_chunks - bid)
+                print(
+                    f"[seed n={seed_n}] chunk {bid}/{n_chunks} "
+                    f"elapsed={el:.0f}s eta={eta:.0f}s",
+                    flush=True,
+                )
     assert m.read(spark).count() == seed_n
 
     # measured op 1: a CONSTANT fresh-vector batch
@@ -139,14 +156,17 @@ def run(spark, seed_n: int, bits: int | None = None) -> dict:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--single"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     single = "--single" in sys.argv[1:]
+    bulk = "--bulk" in sys.argv[1:]
     seed_n = int(argv[0]) if len(argv) > 0 else 2_000
     bits = int(argv[1]) if len(argv) > 1 else None
     spark = get_spark("semantic_growth")
     spark.sparkContext.setLogLevel("ERROR")
     for n in (seed_n,) if single else (seed_n, seed_n * 4):
-        print(run(spark, n, bits), flush=True)
+        out = run(spark, n, bits, bulk=bulk)
+        out["seeding"] = "bulk" if bulk else "chunked"
+        print(out, flush=True)
     shutil.rmtree(ROOT, ignore_errors=True)
     return 0
 
