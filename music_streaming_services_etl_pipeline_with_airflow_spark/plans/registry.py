@@ -91,8 +91,9 @@ ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     # NEW (r15): bulk bootstrap + streaming continuation — the 100-TB
     # index-creation path (one batch build of the five-table state,
     # pinned content-identical to chunked ingest, then the stream takes
-    # over); oracle = the whole-corpus embedding-LSH SQL verbatim:
+    # over); oracles = the whole-corpus SQL verbatim:
     "streaming_semantic_index_bulk_bootstrap",
+    "streaming_minhash_index_bulk_bootstrap",
 )
 
 # Banked in r14: the entire r8 cohort (50/50 green, 7th consecutive).
@@ -113,6 +114,7 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_semantic_index",  # new/changed
     "streaming_ivf_index_topk",  # new/changed
     "streaming_semantic_index_bulk_bootstrap",  # new/changed
+    "streaming_minhash_index_bulk_bootstrap",  # new/changed
     "pack_sequences_hierarchical",  # last row r9
     "pandas_group_minmax_scale",  # last row r9
     "retention_weekly_cohorts",  # last row r9
@@ -152,7 +154,6 @@ _PRIORITY: tuple[str, ...] = (
     "curate_training_corpus",  # last row r10
     "dedup_containment",  # last row r10
     "dedup_minhash_lsh",  # last row r10
-    "dedup_simhash_pairs",  # last row r10
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its

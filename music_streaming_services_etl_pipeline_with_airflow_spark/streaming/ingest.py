@@ -2593,6 +2593,81 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
 
 
+@register(
+    "streaming_minhash_index_bulk_bootstrap",
+    _mh_sql(),
+    doc="BULK BOOTSTRAP + STREAMING CONTINUATION for the near-dup index "
+    "(r15, lexical twin of streaming_semantic_index_bulk_bootstrap): a "
+    "100-TB index over an EXISTING corpus is stood up by ONE batch "
+    "build of the five-table state (bulk_seed_minhash_index — pinned "
+    "content-identical to chunked ingest by pytest), not by replaying "
+    "the corpus through the applier (whose per-chunk probe integrates "
+    "to O(N^2/2^r) across thousands of sequential driver jobs). Here "
+    "the first half of the staged corpus bootstraps with the full pair "
+    "backlog, the second half streams through the applier on the "
+    "seeded cursors, and the oracle is the whole-corpus minhash SQL "
+    "VERBATIM — the hash proves bootstrap + continuation == recomputed.",
+)
+def q_streaming_minhash_index_bulk_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..operators.dedup import N_BANDS
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    d = stage_documents(sf_dir, "minhash_index")
+    parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    work = fresh_work_dir("streaming_minhash_index_bulk_bootstrap")
+    names = ("pairs", "bands", "shingles", "groups", "members")
+    pairs_t, bands_t, shingles_t, groups_t, members_t = (
+        SnapshotTable(os.path.join(work, n)) for n in names
+    )
+    docs_pq = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs_pq.count()
+    nb = minhash_index_buckets_for(n_docs * N_BANDS)
+    avg_sh = (
+        docs_pq.limit(1000)
+        .selectExpr("avg(size(split(text, ' '))) AS t")
+        .first()[0]
+        or 3.0
+    )
+    sb = minhash_index_buckets_for(int(n_docs * max(1.0, avg_sh - 2)))
+    gb = minhash_index_buckets_for(n_docs)
+    mb = minhash_index_buckets_for(n_docs)
+    half = max(1, len(parts) // 2)
+    bulk_seed_minhash_index(
+        spark, pairs_t, bands_t, shingles_t, groups_t, members_t,
+        spark.read.parquet(*[os.path.join(d, f) for f in parts[:half]]),
+        nb, shingle_buckets=sb, group_buckets=gb, member_buckets=mb,
+        batch_id=-1,  # stream batch ids start at 0
+    )
+    drop = os.path.join(work, "drop")
+    os.makedirs(drop, exist_ok=True)
+    for f in parts[half:]:
+        shutil.copy2(os.path.join(d, f), os.path.join(drop, f))
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            make_minhash_index_applier(
+                pairs_t, bands_t, shingles_t, groups_t, members_t,
+                n_buckets=nb, shingle_buckets=sb,
+                group_buckets=gb, member_buckets=mb,
+            )
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
+
+
 def _build_minhash_index(spark: SparkSession, sf_dir: str, name: str):
     """Run the 4-batch document stream through the near-dup index applier
     into a fresh five-table state; returns (pairs_t, bands_t, shingles_t,
@@ -2771,6 +2846,156 @@ def q_streaming_minhash_index_batch_delete(
         member_buckets=mb,
     )
     return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
+
+
+def bulk_seed_minhash_index(
+    spark: SparkSession,
+    pairs_t,
+    bands_t,
+    shingles_t,
+    groups_t,
+    members_t,
+    corpus: DataFrame,
+    n_buckets: int,
+    shingle_buckets: int | None = None,
+    group_buckets: int | None = None,
+    member_buckets: int | None = None,
+    batch_id: int = 0,
+    with_pairs: bool = True,
+) -> None:
+    """BULK BOOTSTRAP for the streaming near-dup index (r15, lexical
+    twin of :func:`streaming.ann.bulk_seed_semantic_index`) — how a
+    100-TB deployment stands the index up over an EXISTING corpus: one
+    batch build of the five-table state, cursors seeded at ``batch_id``
+    so the stream takes over at ``batch_id + 1``. Replaying the corpus
+    through the applier in chunks pays the probe's O(chunk x N/2^r)
+    candidate term per chunk — O(N^2/2^r) total, spread over thousands
+    of sequential driver jobs — where this build is one batch-operator
+    pass. Produces EXACTLY the state the applier reaches after
+    ascending-id chunked ingest (pinned by
+    test_minhash_bulk_seed_equals_incremental_build): same collapse
+    (th = md5(text), canonical = first arrival = min doc_id), same
+    shingles/band rows, same group counters/shingled flags, same bucket
+    counts and cursors.
+
+    ``with_pairs=False`` defers the stored-pair backlog (the batch
+    operator's banded self-join + exact-Jaccard verify — right on a
+    cluster, out of single-host budget past ~10^5 docs). The applier
+    never READS pairs (probes read BANDS, verification reads SHINGLES),
+    so ingest behavior and cost are unchanged; only
+    :func:`serve_minhash_pairs` lacks pre-bootstrap pairs until one
+    cluster-scale batch run fills the backlog."""
+    from ..operators.dedup import (
+        JACCARD_THRESHOLD,
+        _pair_jaccard,
+        banded_signatures,
+        doc_shingles,
+        minhash_signatures,
+    )
+    from ..snapshots import SnapshotTable
+
+    shingle_buckets = shingle_buckets or n_buckets
+    group_buckets = group_buckets or n_buckets
+    member_buckets = member_buckets or n_buckets
+    for t in (pairs_t, bands_t, shingles_t, groups_t, members_t):
+        if t.latest_version() > 0:
+            raise ValueError(
+                f"{t.path}: bulk bootstrap requires FRESH tables — an "
+                "existing index grows through the applier (or rebuilds "
+                "from source after expire)"
+            )
+    th_bucket = SnapshotTable.bucket_of(F.col("th"), group_buckets)
+    bval_bucket = SnapshotTable.bucket_of(F.col("bval"), n_buckets)
+    sh_bucket = SnapshotTable.bucket_of(F.col("doc_id"), shingle_buckets)
+    mem_bucket = SnapshotTable.bucket_of(F.col("doc_id"), member_buckets)
+
+    hashed = corpus.select("doc_id", F.md5("text").alias("th"))
+    assign = (
+        hashed.join(
+            hashed.groupBy("th").agg(F.min("doc_id").alias("gid")), "th"
+        )
+        .select("doc_id", "th", "gid")
+        .localCheckpoint(eager=True)
+    )
+    canon_docs = corpus.join(
+        assign.where(F.col("doc_id") == F.col("gid")).select("doc_id"),
+        "doc_id",
+    )
+    sh = doc_shingles(canon_docs).localCheckpoint(eager=True)
+    bands = banded_signatures(minhash_signatures(sh)).localCheckpoint(
+        eager=True
+    )
+    if with_pairs:
+        # the batch operator's size-blocked banded self-join + exact
+        # verify, over canonicals only
+        a = bands.select(
+            F.col("doc_id").alias("da"),
+            "band",
+            "bval",
+            F.explode(F.array(F.col("g"), F.col("g") + 1)).alias("gk"),
+        )
+        b = bands.select(
+            F.col("doc_id").alias("db"), "band", "bval", F.col("g").alias("gk")
+        )
+        cand = (
+            a.join(b, ["band", "bval", "gk"])
+            .filter(F.col("da") != F.col("db"))
+            .select(
+                F.least("da", "db").alias("da"),
+                F.greatest("da", "db").alias("db"),
+            )
+            .distinct()
+        )
+        verified = _pair_jaccard(sh, cand).filter(
+            F.col("jaccard") >= JACCARD_THRESHOLD
+        )
+    else:
+        verified = spark.createDataFrame(
+            [], "da long, db long, jaccard double"
+        )
+    pairs_t.commit(verified, extra={"last_batch_id": batch_id})
+    bands_t.commit_buckets(
+        bands.withColumn("_bucket", bval_bucket),
+        list(range(n_buckets)),
+        n_buckets=n_buckets,
+        extra={"last_batch_id": batch_id},
+    )
+    shingles_t.commit_buckets(
+        sh.withColumn("_bucket", sh_bucket),
+        list(range(shingle_buckets)),
+        n_buckets=shingle_buckets,
+        extra={"last_batch_id": batch_id},
+    )
+    sh_flags = (
+        sh.select("doc_id")
+        .distinct()
+        .select(F.col("doc_id").alias("_sgid"), F.lit(True).alias("_sflag"))
+    )
+    groups = (
+        assign.groupBy("th")
+        .agg(F.count("*").alias("n_members"), F.min("gid").alias("gid"))
+        .join(sh_flags, F.col("gid") == F.col("_sgid"), "left")
+        .select(
+            "th",
+            "gid",
+            F.coalesce("_sflag", F.lit(False)).alias("shingled"),
+            "n_members",
+        )
+    )
+    groups_t.commit_buckets(
+        groups.withColumn("_bucket", th_bucket),
+        list(range(group_buckets)),
+        n_buckets=group_buckets,
+        extra={"last_batch_id": batch_id},
+    )
+    members_t.commit_buckets(
+        assign.select("doc_id", "gid", "th").withColumn(
+            "_bucket", mem_bucket
+        ),
+        list(range(member_buckets)),
+        n_buckets=member_buckets,
+        extra={"last_batch_id": batch_id},
+    )
 
 
 def _resolve_pending_minhash_clear(

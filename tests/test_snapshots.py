@@ -2764,6 +2764,84 @@ def test_minhash_batch_erase_serializes_last_member_clears_with_crash(
     ) == []
 
 
+def test_minhash_bulk_seed_equals_incremental_build(spark, tmp_path):
+    """r15: bulk_seed_minhash_index — the 100-TB bootstrap path for the
+    lexical near-dup index. Pin: the bulk-seeded five-table state is
+    CONTENT-IDENTICAL to the applier ingesting the same corpus in
+    ascending-id chunks (pairs incl. jaccard, bands, shingles, group
+    counters/shingled flags, members), cursors live, and a continuation
+    batch applied to BOTH indexes leaves their served pair sets
+    identical."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    other = "completely different words about snapshot table manifests "
+    rows = [
+        (1, fam + "alpha beta"),
+        (2, fam + "alpha gamma"),       # near-dup of 1
+        (3, fam + "alpha beta"),        # exact copy of 1
+        (4, other + "one two"),
+        (5, other + "one two"),         # exact copy of 4
+        (6, "xy"),                      # too short to shingle
+        (7, "xy"),                      # exact copy of the unshingleable
+        (8, other + "one three"),       # near-dup of 4
+    ]
+    schema = "doc_id long, text string"
+    extra = [(20, other + "one two"), (21, fam + "alpha delta")]
+    nb = 4
+
+    def tables(sub):
+        names = ("pairs", "bands", "shingles", "groups", "members")
+        return tuple(SnapshotTable(str(tmp_path / sub / n)) for n in names)
+
+    it = tables("incr")
+    apply_incr = ing.make_minhash_index_applier(*it, n_buckets=nb)
+    for i, chunk in enumerate((rows[:3], rows[3:6], rows[6:])):
+        apply_incr(spark.createDataFrame(chunk, schema), i)
+
+    bt = tables("bulk")
+    ing.bulk_seed_minhash_index(
+        spark, *bt, spark.createDataFrame(rows, schema), nb, batch_id=2
+    )
+
+    def content(t, cols):
+        return sorted(tuple(r) for r in t.read(spark).select(*cols).collect())
+
+    for i_t, b_t, cols in (
+        (it[0], bt[0], ["da", "db", "jaccard"]),
+        (it[1], bt[1], ["doc_id", "g", "band", "bval"]),
+        (it[2], bt[2], ["doc_id", "s"]),
+        (it[3], bt[3], ["th", "gid", "shingled", "n_members"]),
+        (it[4], bt[4], ["doc_id", "gid", "th"]),
+    ):
+        assert content(b_t, cols) == content(i_t, cols)
+    assert bt[1].latest_manifest_field("n_buckets") == it[
+        1
+    ].latest_manifest_field("n_buckets")
+    with _pytest.raises(ValueError, match="FRESH tables"):
+        ing.bulk_seed_minhash_index(
+            spark, *bt, spark.createDataFrame(rows, schema), nb
+        )
+    # the stream continues on the bootstrapped index: same served sets
+    apply_bulk = ing.make_minhash_index_applier(*bt, n_buckets=nb)
+    batch = spark.createDataFrame(extra, schema)
+    apply_bulk(batch, 3)
+    apply_incr(batch, 3)
+    serve = lambda t: sorted(  # noqa: E731
+        (r.da, r.db)
+        for r in ing.serve_minhash_pairs(spark, t[0], t[3], t[4]).collect()
+    )
+    got = serve(bt)
+    assert got == serve(it)
+    assert (4, 20) in got and (1, 3) in got and (1, 21) in got
+    assert not any(6 in pr or 7 in pr for pr in got)  # unshingleable
+
+
 def test_minhash_batch_erase_survivor_mass_is_set_oriented_with_crash(
     spark, tmp_path
 ):
