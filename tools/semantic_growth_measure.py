@@ -30,6 +30,7 @@ detected and aborted early instead of silently eating the round.
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import time
@@ -38,7 +39,9 @@ sys.path.insert(0, "/root/repo")
 
 from music_streaming_services_etl_pipeline_with_airflow_spark.session import get_spark
 
-ROOT = "/tmp/spark_engine_semantic_growth"
+# per-invocation root: a shared constant once let one invocation's exit
+# cleanup rmtree a CONCURRENT invocation's live state mid-seed (r15)
+ROOT = f"/tmp/spark_engine_semantic_growth_{os.getpid()}"
 DIM = 64
 BATCH_N = 200
 
