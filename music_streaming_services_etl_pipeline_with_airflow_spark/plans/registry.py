@@ -94,15 +94,26 @@ ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     # over); oracles = the whole-corpus SQL verbatim:
     "streaming_semantic_index_bulk_bootstrap",
     "streaming_minhash_index_bulk_bootstrap",
+    # NEW (r15, late round): the bootstrap family COMPLETED across all
+    # five streaming indexes — BM25 (one tokenize->tf pass, postings +
+    # vocabulary-bucketed df in one commit each), IVF (the applier's own
+    # broadcast argmax kernel via the shared _assign_to_lists), packing
+    # (the applier's seeded greedy kernel, fresh shards; open packs
+    # CONTINUE across the bootstrap/stream boundary). Each pinned
+    # content-identical to chunked ingest by pytest; oracles = the
+    # whole-corpus recompute verbatim:
+    "streaming_bm25_index_bulk_bootstrap",
+    "streaming_ivf_index_bulk_bootstrap",
+    "streaming_pack_index_bulk_bootstrap",
 )
 
 # Banked in r14: the entire r8 cohort (50/50 green, 7th consecutive).
-# r15 head: the nine new/changed set-oriented-erase + trigger-migration
-# + applier-guard queries lead, then the ENTIRE remaining r9 cohort
-# banks (25 rows — VERDICT r14 ask 2: after CORRECTNESS_r15 no latest
-# row predates r10) and the oldest r10 rows fill the remaining slots.
-# Every entry re-verified locally this round via tools/check_parity.py
-# at sf0.01.
+# r15 head: the fourteen new/changed queries lead (set-oriented erase,
+# trigger migration, applier guards, and the five-index bulk-bootstrap
+# family), then the ENTIRE remaining r9 cohort banks (25 rows — VERDICT
+# r14 ask 2: after CORRECTNESS_r15 no latest row predates r10) and the
+# oldest r10 rows fill the remaining slots. Every entry re-verified
+# locally this round via tools/check_parity.py at sf0.01.
 _PRIORITY: tuple[str, ...] = (
     "streaming_minhash_index_batch_delete",  # new/changed
     "streaming_semantic_index_batch_delete",  # new/changed
@@ -115,6 +126,9 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_ivf_index_topk",  # new/changed
     "streaming_semantic_index_bulk_bootstrap",  # new/changed
     "streaming_minhash_index_bulk_bootstrap",  # new/changed
+    "streaming_bm25_index_bulk_bootstrap",  # new/changed
+    "streaming_ivf_index_bulk_bootstrap",  # new/changed
+    "streaming_pack_index_bulk_bootstrap",  # new/changed
     "pack_sequences_hierarchical",  # last row r9
     "pandas_group_minmax_scale",  # last row r9
     "retention_weekly_cohorts",  # last row r9
@@ -151,9 +165,6 @@ _PRIORITY: tuple[str, ...] = (
     "a4_plays_per_artist_hour",  # last row r10
     "corpus_mixture_sample_scale_safe",  # last row r10
     "corpus_temperature_mixture_scale_safe",  # last row r10
-    "curate_training_corpus",  # last row r10
-    "dedup_containment",  # last row r10
-    "dedup_minhash_lsh",  # last row r10
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its

@@ -67,6 +67,75 @@ EMB_STREAM_SCHEMA = "vec_id long, embedding array<float>"
 IVF_IDX_MAX_DIRS = 16
 
 
+def _assign_to_lists(
+    spark: SparkSession,
+    batch: DataFrame,
+    centroid_rows: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """The ONE coarse-quantizer assignment kernel (shared by the
+    streaming applier and the bulk bootstrap so the two CANNOT diverge):
+    batch x broadcast centroids -> map-side ``max_by`` argmax over
+    (cosine, -cid) — a hash aggregate that folds map-side; a row_number
+    window would sort-shuffle the batch."""
+    centroids = spark.createDataFrame(
+        centroid_rows, "cid long, cv array<double>"
+    )
+    vecs = batch.select("vec_id", V.to_double_array("embedding").alias("v"))
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cos_c")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.max_by(
+                "cid", F.struct(F.col("cos_c"), -F.col("cid"))
+            ).alias("cid"),
+        )
+        .select("vec_id", "cid", "v")
+    )
+
+
+def bulk_seed_ivf_index(
+    spark: SparkSession,
+    index_t: SnapshotTable,
+    centroid_rows: list[tuple[int, list[float]]],
+    corpus: DataFrame,
+    n_lists: int = N_LIST,
+    batch_id: int = 0,
+) -> None:
+    """BULK BOOTSTRAP for the streaming IVF index (r15, completing the
+    bootstrap family alongside :func:`bulk_seed_semantic_index` and
+    ``ingest.bulk_seed_minhash_index``) — how a 100-TB deployment stands
+    the inverted lists up over an EXISTING corpus: ONE broadcast
+    assignment pass (the applier's own kernel via
+    :func:`_assign_to_lists`) and ONE ``commit_buckets`` of every
+    touched list, cursor seeded at ``batch_id`` so the stream takes over
+    at ``batch_id + 1``. Replaying the corpus through the applier costs
+    a Spark job cascade per chunk (append + LSM folds); assignment
+    depends only on the vector and the FIXED quantizer, so the bulk
+    build is content-identical to any chunked ingest by construction —
+    pinned by test_ivf_bulk_seed_equals_incremental_build."""
+    if index_t.latest_version() > 0:
+        raise ValueError(
+            f"{index_t.path}: bulk bootstrap requires FRESH tables — an "
+            "existing index grows through the applier (or rebuilds "
+            "from source after expire)"
+        )
+    assign = _assign_to_lists(spark, corpus, centroid_rows).localCheckpoint(
+        eager=True
+    )
+    touched = sorted(
+        int(r.cid) for r in assign.select("cid").distinct().collect()
+    )
+    index_t.commit_buckets(
+        assign.withColumn("_bucket", F.col("cid").cast("int")),
+        touched,
+        n_buckets=n_lists,
+        extra={"last_batch_id": batch_id, "bucket_scheme": "identity:cid"},
+    )
+
+
 def make_ivf_index_applier(
     index_t: SnapshotTable,
     centroid_rows: list[tuple[int, list[float]]],
@@ -91,27 +160,7 @@ def make_ivf_index_applier(
         last = index_t.latest_manifest_field("last_batch_id")
         if last is not None and batch_id <= last:
             return
-        centroids = spark_.createDataFrame(
-            centroid_rows, "cid long, cv array<double>"
-        )
-        vecs = batch.select(
-            "vec_id", V.to_double_array("embedding").alias("v")
-        )
-        scored = vecs.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "v", "cid", V.cosine(F.col("v"), F.col("cv")).alias("cos_c")
-        )
-        # argmax as a hash aggregate (max_by over (cos, -cid)) — folds
-        # map-side; a row_number window would sort-shuffle the batch
-        assign_frame = (
-            scored.groupBy("vec_id")
-            .agg(
-                F.first("v").alias("v"),
-                F.max_by(
-                    "cid", F.struct(F.col("cos_c"), -F.col("cid"))
-                ).alias("cid"),
-            )
-            .select("vec_id", "cid", "v")
-        )
+        assign_frame = _assign_to_lists(spark_, batch, centroid_rows)
         # capture the real broadcast-argmax plan, then pin one evaluation
         # to feed touched-list discovery AND the commit
         _capture_plan("streaming_ivf_index_topk.batch_assign", assign_frame)
@@ -346,6 +395,66 @@ def q_streaming_ivf_index_topk(
     t = build_streaming_ivf_index(spark, sf_dir, "streaming_ivf_index_topk")
     return _search_with_captured_plan(
         spark, sf_dir, t, "streaming_ivf_index_topk.pruned_search"
+    )
+
+
+@register(
+    "streaming_ivf_index_bulk_bootstrap",
+    IVF_PERSISTED_SQL,
+    doc="BULK BOOTSTRAP + STREAMING CONTINUATION for the IVF index "
+    "(r15, completing the bootstrap family across all five streaming "
+    "indexes): a 100-TB inverted-list index over an EXISTING corpus is "
+    "stood up by ONE broadcast assignment pass + ONE commit_buckets "
+    "(bulk_seed_ivf_index — the applier's own argmax kernel via the "
+    "shared _assign_to_lists, so bulk and chunked CANNOT diverge), not "
+    "by replaying the corpus through the applier's per-chunk append + "
+    "LSM-fold cascade. The first half of the staged embeddings "
+    "bootstraps, the second half streams through the applier on the "
+    "seeded cursor, and the oracle is the whole-corpus "
+    "similarity_ivf_persisted SQL VERBATIM — the hash proves bootstrap "
+    "+ continuation == recomputed.",
+)
+def q_streaming_ivf_index_bulk_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    d = stage_embeddings(sf_dir, "ivf_index")
+    parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    work = fresh_work_dir("streaming_ivf_index_bulk_bootstrap")
+    t = SnapshotTable(os.path.join(work, "index"))
+    centroid_rows = [
+        (int(r.vec_id), list(r.v))
+        for r in _corpus(spark, sf_dir)
+        .filter(F.col("vec_id") < N_LIST)
+        .collect()
+    ]
+    half = max(1, len(parts) // 2)
+    bulk_seed_ivf_index(
+        spark,
+        t,
+        centroid_rows,
+        spark.read.parquet(*[os.path.join(d, f) for f in parts[:half]]),
+        batch_id=-1,  # stream batch ids start at 0
+    )
+    drop = os.path.join(work, "drop")
+    os.makedirs(drop, exist_ok=True)
+    for f in parts[half:]:
+        shutil.copy2(os.path.join(d, f), os.path.join(drop, f))
+    src = (
+        spark.readStream.schema(EMB_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        src.writeStream.foreachBatch(make_ivf_index_applier(t, centroid_rows))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _search_with_captured_plan(
+        spark, sf_dir, t, "streaming_ivf_index_bulk_bootstrap.pruned_search"
     )
 
 

@@ -735,6 +735,70 @@ def make_bm25_index_applier(postings_t, df_t, n_buckets: int = BM25_IDX_BUCKETS)
     return apply_batch
 
 
+def bulk_seed_bm25_index(
+    spark: SparkSession,
+    postings_t,
+    df_t,
+    corpus: DataFrame,
+    n_buckets: int,
+    batch_id: int = 0,
+) -> None:
+    """BULK BOOTSTRAP for the streaming BM25 index (r15, completing the
+    bootstrap family alongside :func:`bulk_seed_minhash_index` and the
+    semantic/IVF twins) — how a 100-TB deployment stands the retrieval
+    index up over an EXISTING corpus: ONE tokenize→tf aggregate feeding
+    ONE postings commit (corpus counters riding the same manifest) and
+    ONE vocabulary-bucketed df commit, cursors seeded at ``batch_id`` so
+    the stream takes over at ``batch_id + 1``. Replaying the corpus
+    through the applier pays a df merge_bucketed rewrite per chunk —
+    O(chunks × touched-bucket bytes) of write amplification where this
+    build writes the vocabulary once. Produces EXACTLY the state the
+    applier reaches after chunked ingest (pinned by
+    test_bm25_bulk_seed_equals_incremental_build): same postings rows,
+    same per-term df totals under the same bucket layout, same
+    n_docs/sum_dl counters and cursors."""
+    from ..snapshots import SnapshotTable
+
+    for t in (postings_t, df_t):
+        if t.latest_version() > 0:
+            raise ValueError(
+                f"{t.path}: bulk bootstrap requires FRESH tables — an "
+                "existing index grows through the applier (or rebuilds "
+                "from source after expire)"
+            )
+    toks = corpus.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    tf = (
+        toks.groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        # one evaluation feeds the postings commit AND the df aggregate
+        .localCheckpoint(eager=True)
+    )
+    n_d, sum_dl = corpus.select(
+        F.count("*"), F.sum(F.size(F.split(F.col("text"), " ")))
+    ).first()
+    postings_t.commit(
+        tf,
+        extra={
+            "last_batch_id": batch_id,
+            "n_docs": int(n_d),
+            "sum_dl": int(sum_dl),
+        },
+    )
+    dfd = tf.groupBy("term").agg(F.count("*").alias("df"))
+    df_t.commit_buckets(
+        dfd.withColumn(
+            "_bucket", SnapshotTable.bucket_of(F.col("term"), n_buckets)
+        ),
+        list(range(n_buckets)),
+        n_buckets=n_buckets,
+        extra={"last_batch_id": batch_id},
+    )
+
+
 def _build_bm25_index(spark: SparkSession, sf_dir: str, name: str):
     """Run the 4-batch document stream through the index applier into a
     fresh pair of snapshot tables; returns (postings_t, df_t,
@@ -1373,6 +1437,67 @@ def q_streaming_bm25_index_fsck_repair(
     return _serve_bm25_from_index(spark, postings_t, df_t)
 
 
+@register(
+    "streaming_bm25_index_bulk_bootstrap",
+    None,  # bound below: the whole-corpus batch BM25 oracle verbatim
+    doc="",
+)
+def q_streaming_bm25_index_bulk_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BULK BOOTSTRAP + STREAMING CONTINUATION for the BM25 index (r15,
+    completing the bootstrap family): the first half of the staged
+    corpus stands the index up in ONE batch build
+    (bulk_seed_bm25_index — one tokenize→tf aggregate, one postings
+    commit with the corpus counters, one vocabulary-bucketed df commit;
+    pinned content-identical to chunked ingest by pytest), the second
+    half streams through the applier on the seeded cursors, and the
+    oracle is the whole-corpus batch BM25 recompute VERBATIM — the hash
+    proves bootstrap + continuation == recomputed."""
+    import shutil
+
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    d = stage_documents(sf_dir, "bm25_index")
+    parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    work = fresh_work_dir("streaming_bm25_index_bulk_bootstrap")
+    postings_t = SnapshotTable(os.path.join(work, "postings"))
+    df_t = SnapshotTable(os.path.join(work, "df"))
+    docs_pq = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df_buckets = bm25_index_buckets_for(
+        estimate_vocabulary(docs_pq, docs_pq.count())
+    )
+    half = max(1, len(parts) // 2)
+    bulk_seed_bm25_index(
+        spark,
+        postings_t,
+        df_t,
+        spark.read.parquet(*[os.path.join(d, f) for f in parts[:half]]),
+        df_buckets,
+        batch_id=-1,  # stream batch ids start at 0
+    )
+    drop = os.path.join(work, "drop")
+    os.makedirs(drop, exist_ok=True)
+    for f in parts[half:]:
+        shutil.copy2(os.path.join(d, f), os.path.join(drop, f))
+    src = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            make_bm25_index_applier(postings_t, df_t, n_buckets=df_buckets)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _serve_bm25_from_index(spark, postings_t, df_t)
+
+
 # Late-bind the oracle: it is the batch text_bm25_topk oracle verbatim —
 # one oracle string, two execution paths (whole-corpus recompute vs the
 # incrementally maintained index), which IS the maintenance contract.
@@ -1485,7 +1610,20 @@ def _bind_bm25_index_batch_delete_oracle() -> None:
     )
 
 
+def _bind_bm25_index_bulk_bootstrap_oracle() -> None:
+    from ..operators.retrieval import _bm25_oracle
+    from ..plans.registry import _REGISTRY
+
+    spec = _REGISTRY["streaming_bm25_index_bulk_bootstrap"]
+    _REGISTRY["streaming_bm25_index_bulk_bootstrap"] = type(spec)(
+        fn=spec.fn,
+        oracle=_bm25_oracle(),
+        doc=q_streaming_bm25_index_bulk_bootstrap.__doc__,
+    )
+
+
 _bind_bm25_index_oracle()
+_bind_bm25_index_bulk_bootstrap_oracle()
 _bind_bm25_index_delete_oracle()
 _bind_bm25_index_fsck_oracle()
 _bind_bm25_index_batch_delete_oracle()
@@ -1770,6 +1908,90 @@ def make_pack_index_applier(
     return apply_batch
 
 
+def bulk_seed_pack_index(
+    spark: SparkSession,
+    packs_t,
+    tails_t,
+    corpus: DataFrame,
+    n_buckets: int,
+    batch_id: int = 0,
+) -> None:
+    """BULK BOOTSTRAP for the streaming packing index (r15, completing
+    the bootstrap family) — how a 100-TB deployment stands the packed
+    corpus up over EXISTING documents: ONE greedy-pack pass (the
+    applier's own seeded kernel with every shard starting fresh — NULL
+    inits, exactly the applier's first-contact path) feeding ONE packs
+    commit and ONE bucketed tails commit, cursors seeded at ``batch_id``
+    so the stream takes over at ``batch_id + 1``. Replaying the corpus
+    through the applier pays a tails read + bucketed merge per chunk;
+    greedy packing is a per-shard recurrence, so one pass over the
+    doc_id-ordered corpus produces EXACTLY the state chunked ingest
+    reaches (the applier's own oracle property, pinned table-by-table by
+    test_pack_bulk_seed_equals_incremental_build): same pack
+    assignments, same open-pack tails incl. last_doc_id watermarks, same
+    bucket layout and cursors."""
+    from ..operators.packing import (
+        PACK_BUDGET,
+        SHARD_SPAN,
+        greedy_stream_kernel_seeded,
+    )
+    from ..snapshots import SnapshotTable
+
+    for t in (packs_t, tails_t):
+        if t.latest_version() > 0:
+            raise ValueError(
+                f"{t.path}: bulk bootstrap requires FRESH tables — an "
+                "existing index grows through the applier (or rebuilds "
+                "from source after expire)"
+            )
+    sized = corpus.select(
+        "source",
+        F.expr(f"doc_id div {SHARD_SPAN}").alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    kernel = greedy_stream_kernel_seeded(
+        ["source", "shard"],
+        "n_tokens",
+        PACK_BUDGET,
+        ["source", "shard", "doc_id", "n_tokens", "pack_id", "pack_used"],
+    )
+    packed = (
+        sized.withColumn("_init_pack_id", F.lit(None).cast("long"))
+        .withColumn("_init_used", F.lit(None).cast("long"))
+        .repartition("source", "shard")
+        .sortWithinPartitions("source", "shard", "doc_id")
+        .mapInPandas(kernel, schema=_PACK_OUT_SCHEMA)
+        # one evaluation feeds the packs commit AND the tails aggregate
+        .localCheckpoint(eager=True)
+    )
+    packs_t.commit(packed, extra={"last_batch_id": batch_id})
+    pk = F.concat_ws("|", F.col("source"), F.col("shard").cast("string"))
+    tails = (
+        packed.groupBy("source", "shard")
+        .agg(
+            F.max_by(F.struct("pack_id", "pack_used"), "doc_id").alias("_t"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .select(
+            pk.alias("pk"),
+            "source",
+            "shard",
+            F.col("_t.pack_id").alias("pack_id"),
+            F.col("_t.pack_used").alias("used"),
+            "last_doc_id",
+        )
+    )
+    tails_t.commit_buckets(
+        tails.withColumn(
+            "_bucket", SnapshotTable.bucket_of(F.col("pk"), n_buckets)
+        ),
+        list(range(n_buckets)),
+        n_buckets=n_buckets,
+        extra={"last_batch_id": batch_id},
+    )
+
+
 from ..operators.packing import PACK_BUDGET as _PACK_BUDGET  # noqa: E402
 from ..operators.packing import SHARD_SPAN as _SHARD_SPAN  # noqa: E402
 
@@ -1849,6 +2071,73 @@ def q_streaming_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(DOCS_SRC_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            make_pack_index_applier(packs_t, tails_t, n_buckets=n_buckets)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return packs_t.read(spark).select(
+        "source", "shard", "doc_id", "n_tokens", "pack_id", "pack_used"
+    )
+
+
+@register(
+    "streaming_pack_index_bulk_bootstrap",
+    _PACK_IDX_SQL,
+    doc="BULK BOOTSTRAP + STREAMING CONTINUATION for the packing index "
+    "(r15, completing the bootstrap family): a 100-TB packed corpus "
+    "over EXISTING documents is stood up by ONE greedy-pack pass "
+    "(bulk_seed_pack_index — the applier's own seeded kernel with "
+    "every shard starting fresh, one packs commit, one bucketed tails "
+    "commit; pinned content-identical to chunked ingest by pytest), "
+    "not by replaying the corpus through the applier's per-chunk tails "
+    "read + bucketed merge. The first half of the staged corpus "
+    "bootstraps, the second half streams through the applier on the "
+    "seeded cursors and tail state (open packs CONTINUE across the "
+    "bootstrap/stream boundary), and the oracle is the whole-corpus "
+    "level-1 recursive-CTE greedy pack VERBATIM — the hash proves "
+    "bootstrap + continuation == recomputed.",
+)
+def q_streaming_pack_index_bulk_bootstrap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from ..snapshots import SnapshotTable
+    from ..workdirs import fresh_work_dir
+
+    d = stage_documents(
+        sf_dir, "pack_index", columns=("doc_id", "text", "source")
+    )
+    parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    work = fresh_work_dir("streaming_pack_index_bulk_bootstrap")
+    packs_t = SnapshotTable(os.path.join(work, "packs"))
+    tails_t = SnapshotTable(os.path.join(work, "tails"))
+    n_buckets = pack_index_buckets_for(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    )
+    half = max(1, len(parts) // 2)
+    bulk_seed_pack_index(
+        spark,
+        packs_t,
+        tails_t,
+        spark.read.parquet(*[os.path.join(d, f) for f in parts[:half]]),
+        n_buckets,
+        batch_id=-1,  # stream batch ids start at 0
+    )
+    drop = os.path.join(work, "drop")
+    os.makedirs(drop, exist_ok=True)
+    for f in parts[half:]:
+        shutil.copy2(os.path.join(d, f), os.path.join(drop, f))
+    src = (
+        spark.readStream.schema(DOCS_SRC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
     )
     q = (
         src.writeStream.foreachBatch(

@@ -1259,3 +1259,80 @@ def test_semantic_batch_erase_serializes_last_member_clears_with_crash(
         bk["band_buckets"], bk["vec_buckets"],
         bk["group_buckets"], bk["member_buckets"],
     ) == []
+
+
+def test_ivf_bulk_seed_equals_incremental_build(spark, tmp_path):
+    """r15: bulk_seed_ivf_index — ONE broadcast assignment pass + ONE
+    commit_buckets stands the inverted lists up over an existing corpus;
+    assignment depends only on the vector and the FIXED quantizer, so
+    the bulk-seeded table is CONTENT-IDENTICAL to chunked ingest (rows,
+    identity bucket layout, bucket_scheme marker), the cursor is live,
+    and a continuation batch lands identically on both."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ann as sa
+
+    base = [0.0] * 62
+    centroid_rows = [
+        (0, [1.0, 0.0] + [0.0] * 62),
+        (1, [0.0, 1.0] + [0.0] * 62),
+    ]
+    rows = [
+        (10, [0.9, 0.1] + base),
+        (11, [0.1, 0.9] + base),
+        (12, [0.8, 0.3] + base),
+        (13, [0.2, 0.7] + base),
+        (14, [0.99, 0.0] + base),
+    ]
+    schema = "vec_id long, embedding array<float>"
+
+    it = SnapshotTable(str(tmp_path / "incr"))
+    apply_incr = sa.make_ivf_index_applier(it, centroid_rows, n_lists=2)
+    for i, chunk in enumerate((rows[:2], rows[2:4], rows[4:])):
+        apply_incr(spark.createDataFrame(chunk, schema), i)
+
+    bt = SnapshotTable(str(tmp_path / "bulk"))
+    sa.bulk_seed_ivf_index(
+        spark,
+        bt,
+        centroid_rows,
+        spark.createDataFrame(rows, schema),
+        n_lists=2,
+        batch_id=2,
+    )
+
+    def content(t):
+        return sorted(
+            (r.vec_id, r.cid, tuple(r.v)) for r in t.read(spark).collect()
+        )
+
+    assert content(bt) == content(it)
+    for key in ("last_batch_id", "n_buckets", "bucket_scheme"):
+        assert bt.latest_manifest_field(key) == it.latest_manifest_field(key)
+    # identity bucketing: each list readable by its own id alone
+    for cid in (0, 1):
+        got = {
+            r.vec_id
+            for r in bt.read_buckets(
+                spark, [cid], sa._IVF_INDEX_SCHEMA, n_buckets=2
+            ).collect()
+        }
+        want = {
+            r.vec_id
+            for r in it.read_buckets(
+                spark, [cid], sa._IVF_INDEX_SCHEMA, n_buckets=2
+            ).collect()
+        }
+        assert got == want
+    # fresh-tables guard
+    with _pytest.raises(ValueError, match="FRESH tables"):
+        sa.bulk_seed_ivf_index(
+            spark, bt, centroid_rows, spark.createDataFrame(rows, schema),
+            n_lists=2,
+        )
+    # the stream continues on the bootstrapped index
+    batch = spark.createDataFrame([(20, [0.0, 1.0] + base)], schema)
+    sa.make_ivf_index_applier(bt, centroid_rows, n_lists=2)(batch, 3)
+    apply_incr(batch, 3)
+    assert content(bt) == content(it)

@@ -1452,3 +1452,127 @@ def test_bm25_batch_erase_resolves_torn_state_with_crash(spark, tmp_path):
     }
     assert served == want
     assert ing.audit_and_repair_bm25_index(spark, postings_t, df_t, 4) == []
+
+
+def test_bm25_bulk_seed_equals_incremental_build(spark, tmp_path):
+    """r15: bulk_seed_bm25_index — the 100-TB bootstrap path (stand the
+    retrieval index up over an existing corpus in one batch build, then
+    let the stream take over). Pin: the bulk-seeded two-table state is
+    CONTENT-IDENTICAL to the applier ingesting the same corpus in
+    chunks (postings rows, per-term df totals, n_docs/sum_dl counters),
+    the cursors are live, and a continuation batch applied to BOTH
+    indexes leaves their served states identical."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    docs = [
+        (1, "a b a"),
+        (2, "b c"),
+        (3, "a d"),
+        (4, "d d e"),
+        (5, "c e a b"),
+        (6, "f"),
+    ]
+    schema = "doc_id long, text string"
+
+    ip = SnapshotTable(str(tmp_path / "incr_postings"))
+    idf = SnapshotTable(str(tmp_path / "incr_df"))
+    apply_incr = ing.make_bm25_index_applier(ip, idf, n_buckets=4)
+    for i, chunk in enumerate((docs[:2], docs[2:4], docs[4:])):
+        apply_incr(spark.createDataFrame(chunk, schema), i)
+
+    bp = SnapshotTable(str(tmp_path / "bulk_postings"))
+    bdf = SnapshotTable(str(tmp_path / "bulk_df"))
+    ing.bulk_seed_bm25_index(
+        spark, bp, bdf, spark.createDataFrame(docs, schema), 4, batch_id=2
+    )
+
+    def content(t, cols):
+        return sorted(tuple(r) for r in t.read(spark).select(*cols).collect())
+
+    assert content(bp, ["doc_id", "dl", "term", "tf"]) == content(
+        ip, ["doc_id", "dl", "term", "tf"]
+    )
+    assert content(bdf, ["term", "df"]) == content(idf, ["term", "df"])
+    for key in ("n_docs", "sum_dl", "last_batch_id"):
+        assert bp.latest_manifest_field(key) == ip.latest_manifest_field(key)
+    assert bdf.latest_manifest_field("last_batch_id") == idf.latest_manifest_field(
+        "last_batch_id"
+    )
+    assert bdf.latest_manifest_field("n_buckets") == idf.latest_manifest_field(
+        "n_buckets"
+    )
+    # fresh-tables guard: bootstrap refuses a non-empty lineage
+    with _pytest.raises(ValueError, match="FRESH tables"):
+        ing.bulk_seed_bm25_index(
+            spark, bp, bdf, spark.createDataFrame(docs, schema), 4
+        )
+    # the stream continues on the bootstrapped index
+    batch = spark.createDataFrame([(7, "a f g")], schema)
+    ing.make_bm25_index_applier(bp, bdf, n_buckets=4)(batch, 3)
+    apply_incr(batch, 3)
+    serve = lambda p, d: sorted(  # noqa: E731
+        tuple(r) for r in ing._serve_bm25_from_index(spark, p, d).collect()
+    )
+    assert serve(bp, bdf) == serve(ip, idf)
+    assert content(bdf, ["term", "df"]) == content(idf, ["term", "df"])
+
+
+def test_pack_bulk_seed_equals_incremental_build(spark, tmp_path):
+    """r15: bulk_seed_pack_index — one greedy-pack pass over the
+    doc_id-ordered corpus produces EXACTLY the state chunked ingest
+    reaches (packs, open-pack tails incl. last_doc_id watermarks,
+    cursors), the ordering guard stays armed across the
+    bootstrap/stream boundary, and a continuation batch CONTINUES the
+    bootstrapped open packs identically on both indexes."""
+    import pytest as _pytest
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    schema = "doc_id long, text string, source string"
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, "w " * (20 + i % 30), "s0") for i in range(lo, hi)], schema
+        )
+
+    ipk = SnapshotTable(str(tmp_path / "incr_packs"))
+    itl = SnapshotTable(str(tmp_path / "incr_tails"))
+    apply_incr = ing.make_pack_index_applier(ipk, itl, n_buckets=4)
+    for i, (lo, hi) in enumerate(((0, 60), (60, 200), (200, 300))):
+        apply_incr(docs(lo, hi), i)
+
+    bpk = SnapshotTable(str(tmp_path / "bulk_packs"))
+    btl = SnapshotTable(str(tmp_path / "bulk_tails"))
+    ing.bulk_seed_pack_index(spark, bpk, btl, docs(0, 300), 4, batch_id=2)
+
+    def content(t, cols):
+        return sorted(tuple(r) for r in t.read(spark).select(*cols).collect())
+
+    pack_cols = ["source", "shard", "doc_id", "n_tokens", "pack_id", "pack_used"]
+    tail_cols = ["pk", "source", "shard", "pack_id", "used", "last_doc_id"]
+    assert content(bpk, pack_cols) == content(ipk, pack_cols)
+    assert content(btl, tail_cols) == content(itl, tail_cols)
+    assert bpk.latest_manifest_field("last_batch_id") == ipk.latest_manifest_field(
+        "last_batch_id"
+    )
+    assert btl.latest_manifest_field("n_buckets") == itl.latest_manifest_field(
+        "n_buckets"
+    )
+    # fresh-tables guard
+    with _pytest.raises(ValueError, match="FRESH tables"):
+        ing.bulk_seed_pack_index(spark, bpk, btl, docs(0, 10), 4)
+    # ordering guard armed by the bootstrapped last_doc_id watermarks
+    apply_bulk = ing.make_pack_index_applier(bpk, btl, n_buckets=4)
+    with _pytest.raises(ValueError, match="ordering contract"):
+        apply_bulk(docs(250, 260), 3)
+    # continuation CONTINUES the open packs (doc 300 extends shard 2's
+    # bootstrapped tail, not a fresh pack 0 fill)
+    batch = docs(300, 340)
+    apply_bulk(batch, 3)
+    apply_incr(batch, 3)
+    assert content(bpk, pack_cols) == content(ipk, pack_cols)
+    assert content(btl, tail_cols) == content(itl, tail_cols)
