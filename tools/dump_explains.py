@@ -237,6 +237,9 @@ def main() -> None:
         # round 13: the post-migration pruned search (the plan must be
         # the same bucket-pruned shape as the un-migrated index's)
         "streaming_ivf_requantize",
+        # round 15: the post-bootstrap pruned search (bulk-seeded lists
+        # must serve through the same bucket-pruned plan as chunked ones)
+        "streaming_ivf_index_bulk_bootstrap",
     ):
         specs[name].fn(spark, sf_dir).collect()
     for key in sorted(_ingest.PLAN_CAPTURE):
