@@ -105,12 +105,21 @@ ROUND_NEW_OR_CHANGED: tuple[str, ...] = (
     "streaming_bm25_index_bulk_bootstrap",
     "streaming_ivf_index_bulk_bootstrap",
     "streaming_pack_index_bulk_bootstrap",
+    # NEW (r15, late round): the deferred-backlog bootstrap closed
+    # end-to-end — with_pairs=False bootstrap (the single-host 10^6
+    # mode) + streaming continuation + ONE backfill_*_pairs batch run
+    # (banded join + verify over STORED canonicals, anti-join what the
+    # stream already found, append only the deferred mass; idempotent,
+    # cursor-neutral). Oracles = the whole-corpus SQL verbatim:
+    "streaming_semantic_index_deferred_backfill",
+    "streaming_minhash_index_deferred_backfill",
 )
 
 # Banked in r14: the entire r8 cohort (50/50 green, 7th consecutive).
-# r15 head: the fourteen new/changed queries lead (set-oriented erase,
-# trigger migration, applier guards, and the five-index bulk-bootstrap
-# family), then the ENTIRE remaining r9 cohort banks (25 rows — VERDICT
+# r15 head: the sixteen new/changed queries lead (set-oriented erase,
+# trigger migration, applier guards, the five-index bulk-bootstrap
+# family, and the deferred-backlog backfill closures), then the ENTIRE
+# remaining r9 cohort banks (25 rows — VERDICT
 # r14 ask 2: after CORRECTNESS_r15 no latest row predates r10) and the
 # oldest r10 rows fill the remaining slots. Every entry re-verified
 # locally this round via tools/check_parity.py at sf0.01.
@@ -129,6 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_bm25_index_bulk_bootstrap",  # new/changed
     "streaming_ivf_index_bulk_bootstrap",  # new/changed
     "streaming_pack_index_bulk_bootstrap",  # new/changed
+    "streaming_semantic_index_deferred_backfill",  # new/changed
+    "streaming_minhash_index_deferred_backfill",  # new/changed
     "pack_sequences_hierarchical",  # last row r9
     "pandas_group_minmax_scale",  # last row r9
     "retention_weekly_cohorts",  # last row r9
@@ -163,8 +174,6 @@ _PRIORITY: tuple[str, ...] = (
     "a2_argmax_per_group",  # last row r10
     "a3_hourly_distinct_counts",  # last row r10
     "a4_plays_per_artist_hour",  # last row r10
-    "corpus_mixture_sample_scale_safe",  # last row r10
-    "corpus_temperature_mixture_scale_safe",  # last row r10
 )
 
 # The ROUND-11 head, kept for the audit trail (every entry below got its

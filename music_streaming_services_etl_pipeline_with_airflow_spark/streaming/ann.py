@@ -1143,6 +1143,64 @@ def bulk_seed_semantic_index(
     )
 
 
+def backfill_semantic_pairs(
+    spark: SparkSession, pairs_t, bands_t, vecs_t
+) -> int:
+    """PAIRS BACKLOG BACKFILL (r15) — the one cluster-scale batch run a
+    ``with_pairs=False`` bootstrap defers: recompute the banded
+    candidate join + exact-cosine verify over the STORED canonicals
+    (BANDS/VECS — ``dedup_embedding_lsh``'s plan over the index's own
+    state, under the layout recorded in the BANDS manifest), anti-join
+    the pairs already stored, and APPEND only the missing mass. Because
+    the applier's pair discovery is append-only and keyed (va, vb), the
+    anti-join makes this correct WHENEVER it runs — immediately after
+    the bootstrap or after any amount of streaming continuation (whose
+    post-bootstrap pairs survive untouched) — and IDEMPOTENT: a second
+    run appends nothing and commits nothing. Returns the number of
+    pairs appended. After it, serve_semantic_pairs output equals the
+    ``with_pairs=True`` build's exactly (pinned by
+    test_semantic_pairs_backfill_completes_deferred_bootstrap)."""
+    from ..operators.dedup import COSINE_DUP_THRESHOLD, _make_lsh_udfs
+
+    lsh_bands = bands_t.latest_manifest_field("lsh_bands")
+    lsh_bits = bands_t.latest_manifest_field("lsh_bits")
+    if lsh_bands is None or lsh_bits is None:
+        raise ValueError(
+            f"{bands_t.path}: no recorded LSH layout — backfill requires "
+            "a bands table written by the applier or the bulk bootstrap"
+        )
+    _, pair_dot = _make_lsh_udfs(bands=lsh_bands, bits=lsh_bits)
+    bands = bands_t.read(spark)
+    nv = vecs_t.read(spark)
+    within = (
+        bands.select(F.col("vec_id").alias("va"), "bk")
+        .join(bands.select(F.col("vec_id").alias("vb"), "bk"), "bk")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    va_vec = nv.select(F.col("vec_id").alias("va"), F.col("v").alias("veca"))
+    vb_vec = nv.select(F.col("vec_id").alias("vb"), F.col("v").alias("vecb"))
+    verified = (
+        within.join(va_vec, "va")
+        .join(vb_vec, "vb")
+        .select(
+            "va", "vb", pair_dot(F.col("veca"), F.col("vecb")).alias("cos")
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("va", "vb")
+    )
+    missing = verified.join(
+        pairs_t.read(spark), ["va", "vb"], "left_anti"
+    ).localCheckpoint(eager=True)
+    n = missing.count()
+    if n:
+        # append carries the parent's extra fields (the replay cursor)
+        # forward — the backfill is cursor-neutral by construction
+        pairs_t.commit(missing, mode="append")
+    return n
+
+
 def serve_semantic_pairs(spark, pairs_t, groups_t, members_t):
     """The query half: expand stored CANONICAL pairs to member pairs.
     Cross-group pairs carry over to every member combination (identical
@@ -1293,6 +1351,40 @@ def q_streaming_semantic_index(
 def q_streaming_semantic_index_bulk_bootstrap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _bootstrap_then_stream_semantic(
+        spark, sf_dir, "streaming_semantic_index_bulk_bootstrap", True
+    )
+
+
+@register(
+    "streaming_semantic_index_deferred_backfill",
+    _emb_lsh_sql,
+    doc="DEFERRED-BACKLOG BOOTSTRAP + BACKFILL for the semantic index "
+    "(r15): the single-host-scale bootstrap path end-to-end — "
+    "bulk_seed_semantic_index(with_pairs=False) stands the index up "
+    "WITHOUT the O(N^2/2^r) pair-discovery join (the mode "
+    "tools/semantic_growth_measure.py --bulk used for the measured "
+    "10^6-vector leg), the stream continues on the seeded cursors "
+    "discovering its own post-bootstrap pairs, and ONE "
+    "backfill_semantic_pairs batch run then recomputes the banded join "
+    "+ exact-cosine verify over the STORED canonicals, anti-joins the "
+    "pairs already found, and appends only the deferred mass "
+    "(idempotent, cursor-neutral). The oracle is dedup_embedding_lsh's "
+    "whole-corpus SQL VERBATIM — the hash proves deferred bootstrap + "
+    "continuation + backfill == recomputed-from-scratch, closing the "
+    "one gap the with_pairs=False mode leaves open.",
+)
+def q_streaming_semantic_index_deferred_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _bootstrap_then_stream_semantic(
+        spark, sf_dir, "streaming_semantic_index_deferred_backfill", False
+    )
+
+
+def _bootstrap_then_stream_semantic(
+    spark: SparkSession, sf_dir: str, name: str, with_pairs: bool
+) -> DataFrame:
     import shutil
 
     from ..operators.dedup import LSH_BANDS
@@ -1300,7 +1392,7 @@ def q_streaming_semantic_index_bulk_bootstrap(
 
     d = stage_embeddings(sf_dir, "semantic_index")
     parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
-    work = fresh_work_dir("streaming_semantic_index_bulk_bootstrap")
+    work = fresh_work_dir(name)
     names = ("pairs", "bands", "vecs", "groups", "members")
     pairs_t, bands_t, vecs_t, groups_t, members_t = (
         SnapshotTable(os.path.join(work, n)) for n in names
@@ -1319,6 +1411,7 @@ def q_streaming_semantic_index_bulk_bootstrap(
         spark, pairs_t, bands_t, vecs_t, groups_t, members_t,
         spark.read.parquet(*[os.path.join(d, f) for f in parts[:half]]),
         batch_id=-1,  # stream batch ids start at 0
+        with_pairs=with_pairs,
         **bk,
     )
     drop = os.path.join(work, "drop")
@@ -1341,6 +1434,8 @@ def q_streaming_semantic_index_bulk_bootstrap(
         .start()
     )
     q.awaitTermination()
+    if not with_pairs:
+        backfill_semantic_pairs(spark, pairs_t, bands_t, vecs_t)
     return serve_semantic_pairs(spark, pairs_t, groups_t, members_t)
 
 

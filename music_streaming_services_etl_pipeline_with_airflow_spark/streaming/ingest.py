@@ -2900,6 +2900,37 @@ def q_streaming_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_minhash_index_bulk_bootstrap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    return _bootstrap_then_stream_minhash(
+        spark, sf_dir, "streaming_minhash_index_bulk_bootstrap", True
+    )
+
+
+@register(
+    "streaming_minhash_index_deferred_backfill",
+    _mh_sql(),
+    doc="DEFERRED-BACKLOG BOOTSTRAP + BACKFILL for the near-dup index "
+    "(r15, lexical twin of streaming_semantic_index_deferred_backfill): "
+    "bulk_seed_minhash_index(with_pairs=False) stands the index up "
+    "WITHOUT the banded self-join + exact-Jaccard pair discovery, the "
+    "stream continues on the seeded cursors finding its own "
+    "post-bootstrap pairs, and ONE backfill_minhash_pairs batch run "
+    "recomputes the size-blocked candidate join + verify over the "
+    "STORED canonicals, anti-joins the pairs already found, and "
+    "appends only the deferred mass (idempotent, cursor-neutral). "
+    "Oracle = the whole-corpus minhash SQL VERBATIM — deferred "
+    "bootstrap + continuation + backfill == recomputed.",
+)
+def q_streaming_minhash_index_deferred_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _bootstrap_then_stream_minhash(
+        spark, sf_dir, "streaming_minhash_index_deferred_backfill", False
+    )
+
+
+def _bootstrap_then_stream_minhash(
+    spark: SparkSession, sf_dir: str, name: str, with_pairs: bool
+) -> DataFrame:
     import shutil
 
     from ..operators.dedup import N_BANDS
@@ -2908,7 +2939,7 @@ def q_streaming_minhash_index_bulk_bootstrap(
 
     d = stage_documents(sf_dir, "minhash_index")
     parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
-    work = fresh_work_dir("streaming_minhash_index_bulk_bootstrap")
+    work = fresh_work_dir(name)
     names = ("pairs", "bands", "shingles", "groups", "members")
     pairs_t, bands_t, shingles_t, groups_t, members_t = (
         SnapshotTable(os.path.join(work, n)) for n in names
@@ -2931,6 +2962,7 @@ def q_streaming_minhash_index_bulk_bootstrap(
         spark.read.parquet(*[os.path.join(d, f) for f in parts[:half]]),
         nb, shingle_buckets=sb, group_buckets=gb, member_buckets=mb,
         batch_id=-1,  # stream batch ids start at 0
+        with_pairs=with_pairs,
     )
     drop = os.path.join(work, "drop")
     os.makedirs(drop, exist_ok=True)
@@ -2954,6 +2986,8 @@ def q_streaming_minhash_index_bulk_bootstrap(
         .start()
     )
     q.awaitTermination()
+    if not with_pairs:
+        backfill_minhash_pairs(spark, pairs_t, bands_t, shingles_t)
     return serve_minhash_pairs(spark, pairs_t, groups_t, members_t)
 
 
@@ -3285,6 +3319,54 @@ def bulk_seed_minhash_index(
         n_buckets=member_buckets,
         extra={"last_batch_id": batch_id},
     )
+
+
+def backfill_minhash_pairs(
+    spark: SparkSession, pairs_t, bands_t, shingles_t
+) -> int:
+    """PAIRS BACKLOG BACKFILL (r15, lexical twin of
+    :func:`streaming.ann.backfill_semantic_pairs`) — the one
+    cluster-scale batch run a ``with_pairs=False`` bootstrap defers:
+    recompute the size-blocked banded candidate join + exact-Jaccard
+    verify over the STORED canonicals (BANDS/SHINGLES — the batch
+    ``dedup_minhash_lsh`` plan over the index's own state), anti-join
+    the pairs already stored, and APPEND only the missing mass. Correct
+    whenever it runs (before or after streaming continuation) and
+    idempotent — a second run appends nothing and commits nothing.
+    Returns the number of pairs appended."""
+    from ..operators.dedup import JACCARD_THRESHOLD, _pair_jaccard
+
+    bands = bands_t.read(spark)
+    a = bands.select(
+        F.col("doc_id").alias("da"),
+        "band",
+        "bval",
+        F.explode(F.array(F.col("g"), F.col("g") + 1)).alias("gk"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"), "band", "bval", F.col("g").alias("gk")
+    )
+    cand = (
+        a.join(b, ["band", "bval", "gk"])
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("da"),
+            F.greatest("da", "db").alias("db"),
+        )
+        .distinct()
+    )
+    verified = _pair_jaccard(shingles_t.read(spark), cand).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    missing = verified.join(
+        pairs_t.read(spark).select("da", "db"), ["da", "db"], "left_anti"
+    ).localCheckpoint(eager=True)
+    n = missing.count()
+    if n:
+        # append carries the parent's extra fields (the replay cursor)
+        # forward — the backfill is cursor-neutral by construction
+        pairs_t.commit(missing, mode="append")
+    return n
 
 
 def _resolve_pending_minhash_clear(

@@ -3095,3 +3095,56 @@ def test_maybe_rebucket_guards_identity_lineages_and_bad_target(
     nb.commit(spark.createDataFrame([(1,)], "k long"))
     with _pytest.raises(ValueError, match="not a bucketed commit"):
         nb.bucket_occupancy(spark, "k")
+
+
+def test_minhash_pairs_backfill_completes_deferred_bootstrap(spark, tmp_path):
+    """r15: backfill_minhash_pairs — the lexical twin of the semantic
+    backlog backfill. Pin: bootstrap(with_pairs=False) + streaming
+    continuation + backfill serves EXACTLY what a with_pairs=True
+    bootstrap + the same continuation serves, idempotent second run."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    other = "completely different words about snapshot table manifests "
+    rows = [
+        (1, fam + "alpha beta"),
+        (2, fam + "alpha gamma"),       # near-dup of 1
+        (3, fam + "alpha beta"),        # exact copy of 1
+        (4, other + "one two"),
+        (5, other + "one three"),       # near-dup of 4
+    ]
+    schema = "doc_id long, text string"
+    extra = [(20, other + "one two"), (21, fam + "alpha delta")]
+    nb = 4
+
+    def build(sub, with_pairs):
+        names = ("pairs", "bands", "shingles", "groups", "members")
+        ts = tuple(SnapshotTable(str(tmp_path / sub / n)) for n in names)
+        ing.bulk_seed_minhash_index(
+            spark, *ts, spark.createDataFrame(rows, schema), nb,
+            batch_id=0, with_pairs=with_pairs,
+        )
+        ing.make_minhash_index_applier(*ts, n_buckets=nb)(
+            spark.createDataFrame(extra, schema), 1
+        )
+        return ts
+
+    full = build("full", True)
+    lazy = build("lazy", False)
+    serve = lambda ts: sorted(  # noqa: E731
+        (r.da, r.db)
+        for r in ing.serve_minhash_pairs(spark, ts[0], ts[3], ts[4]).collect()
+    )
+    want = serve(full)
+    assert set(serve(lazy)) < set(want)
+    n = ing.backfill_minhash_pairs(spark, lazy[0], lazy[1], lazy[2])
+    assert n > 0
+    assert serve(lazy) == want
+    assert (1, 2) in want and (4, 5) in want and (1, 21) in want
+    assert lazy[0].latest_manifest_field("last_batch_id") == 1
+    v = lazy[0].latest_version()
+    assert ing.backfill_minhash_pairs(spark, lazy[0], lazy[1], lazy[2]) == 0
+    assert lazy[0].latest_version() == v

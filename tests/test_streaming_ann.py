@@ -1336,3 +1336,59 @@ def test_ivf_bulk_seed_equals_incremental_build(spark, tmp_path):
     sa.make_ivf_index_applier(bt, centroid_rows, n_lists=2)(batch, 3)
     apply_incr(batch, 3)
     assert content(bt) == content(it)
+
+
+def test_semantic_pairs_backfill_completes_deferred_bootstrap(
+    spark, tmp_path
+):
+    """r15: backfill_semantic_pairs — the cluster-scale batch run a
+    with_pairs=False bootstrap defers. Pin: bootstrap(with_pairs=False)
+    + streaming continuation + backfill serves EXACTLY what
+    bootstrap(with_pairs=True) + the same continuation serves (the
+    anti-join leaves the stream's own post-bootstrap pairs untouched),
+    and the backfill is idempotent — a second run appends 0 pairs and
+    publishes no new version."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ann as sa
+
+    base = [0.0] * 61
+    rows = [
+        (1, [1.0, 0.0, 0.0] + base),
+        (2, [1.0, 0.05, 0.0] + base),   # near-dup of 1
+        (3, [1.0, 0.0, 0.0] + base),    # exact copy of 1
+        (4, [0.0, 1.0, 0.0] + base),
+        (5, [0.0, 0.96, 0.28] + base),  # near-dup of 4
+        (6, [0.0, 0.0, 1.0] + base),
+    ]
+    schema = "vec_id long, embedding array<float>"
+    extra = [(20, [0.0, 1.0, 0.0] + base), (21, [0.0, 0.0, 1.0] + base)]
+
+    def build(sub, with_pairs):
+        ts, bk = _sem_tables(tmp_path / sub)
+        sa.bulk_seed_semantic_index(
+            spark, *ts, spark.createDataFrame(rows, schema),
+            bk["band_buckets"], bk["vec_buckets"], bk["group_buckets"],
+            bk["member_buckets"], batch_id=0, with_pairs=with_pairs,
+        )
+        sa.make_semantic_index_applier(*ts, **bk)(
+            spark.createDataFrame(extra, schema), 1
+        )
+        return ts
+
+    full = build("full", True)
+    lazy = build("lazy", False)
+    serve = lambda ts: sorted(  # noqa: E731
+        (r.va, r.vb)
+        for r in sa.serve_semantic_pairs(spark, ts[0], ts[3], ts[4]).collect()
+    )
+    want = serve(full)
+    # deferred: only the stream's own pairs are visible pre-backfill
+    assert set(serve(lazy)) < set(want)
+    n = sa.backfill_semantic_pairs(spark, lazy[0], lazy[1], lazy[2])
+    assert n > 0
+    assert serve(lazy) == want
+    assert (1, 2) in want and (4, 5) in want and (4, 20) in want
+    # cursor untouched, second run is a committed no-op
+    assert lazy[0].latest_manifest_field("last_batch_id") == 1
+    v = lazy[0].latest_version()
+    assert sa.backfill_semantic_pairs(spark, lazy[0], lazy[1], lazy[2]) == 0
+    assert lazy[0].latest_version() == v
