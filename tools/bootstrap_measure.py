@@ -211,6 +211,78 @@ def measure_ivf(spark, n_vecs: int, chunk: int) -> dict:
     }
 
 
+def measure_minhash(spark, n_docs: int, chunk: int) -> dict:
+    """The lexical-LSH leg (with_pairs=False on BOTH sides is not
+    possible — the applier always discovers pairs — so the bulk side
+    runs with_pairs=False + backfill_minhash_pairs to land on the SAME
+    final state, which is exactly the deployment recipe the deferred
+    bootstrap documents)."""
+    from pyspark.sql import functions as F
+
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    def synth_docs(spark_, lo, hi):
+        # distinct texts (prime modulus ≫ corpus: no accidental exact
+        # copies, sparse term overlap) — the signature/band path runs
+        # for EVERY doc instead of collapsing onto a few canonicals
+        return spark_.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(0, 39), "
+                "k -> concat('w', pmod(id * 41 + k * 7, 100003))), ' ')"
+            ).alias("text"),
+        )
+
+    nb = ing.minhash_index_buckets_for(n_docs)
+    ct = _tables(
+        "mh_chunked", ("pairs", "bands", "shingles", "groups", "members")
+    )
+    apply_batch = ing.make_minhash_index_applier(*ct, n_buckets=nb)
+    t0 = time.time()
+    n_chunks = 0
+    for i, lo in enumerate(range(0, n_docs, chunk)):
+        apply_batch(synth_docs(spark, lo, min(lo + chunk, n_docs)), i)
+        n_chunks += 1
+    chunked_s = time.time() - t0
+    bt = _tables("mh_bulk", ("pairs", "bands", "shingles", "groups", "members"))
+    t0 = time.time()
+    ing.bulk_seed_minhash_index(
+        spark,
+        *bt,
+        synth_docs(spark, 0, n_docs),
+        nb,
+        batch_id=n_chunks - 1,
+        with_pairs=False,
+    )
+    bulk_s = time.time() - t0
+    t0 = time.time()
+    n_backfilled = ing.backfill_minhash_pairs(spark, bt[0], bt[1], bt[2])
+    backfill_s = time.time() - t0
+
+    def sig(ts):
+        pairs = ts[0].read(spark).agg(
+            F.count("*"), F.sum(F.col("da") + F.col("db"))
+        ).first()
+        bands = ts[1].read(spark).count()
+        members = ts[4].read(spark).agg(
+            F.count("*"), F.sum("doc_id")
+        ).first()
+        return (tuple(pairs), bands, tuple(members))
+
+    assert sig(ct) == sig(bt), "minhash bulk+backfill != chunked"
+    return {
+        "index": "minhash",
+        "n_docs": n_docs,
+        "chunks": n_chunks,
+        "buckets": nb,
+        "chunked_s": round(chunked_s, 2),
+        "bulk_s": round(bulk_s, 2),
+        "backfill_s": round(backfill_s, 2),
+        "pairs_backfilled": n_backfilled,
+        "speedup": round(chunked_s / (bulk_s + backfill_s), 1),
+    }
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     nums = [a for a in args if a.isdigit()]
@@ -220,7 +292,12 @@ def main() -> int:
     spark = get_spark()
     try:
         for w in which:
-            fn = {"bm25": measure_bm25, "pack": measure_pack, "ivf": measure_ivf}[w]
+            fn = {
+                "bm25": measure_bm25,
+                "pack": measure_pack,
+                "ivf": measure_ivf,
+                "minhash": measure_minhash,
+            }[w]
             print(json.dumps(fn(spark, n, chunk)), flush=True)
     finally:
         shutil.rmtree(ROOT, ignore_errors=True)
