@@ -1576,3 +1576,48 @@ def test_pack_bulk_seed_equals_incremental_build(spark, tmp_path):
     apply_incr(batch, 3)
     assert content(bpk, pack_cols) == content(ipk, pack_cols)
     assert content(btl, tail_cols) == content(itl, tail_cols)
+
+
+def test_pack_bulk_seed_split_invariance_drill(spark, tmp_path):
+    """r15: the pack bootstrap's contract is split-point invariance of
+    the greedy recurrence — drill the bulk build against chunked ingest
+    under three adversarial chunkings: boundaries aligned EXACTLY on
+    shard edges (doc_id 128/256: the tail of the previous shard stays
+    open, the new chunk opens a fresh shard), boundaries mid-shard
+    (open-pack continuation), and single-doc trickle over a pack
+    boundary. All three must land on the bulk-seeded state exactly."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import SnapshotTable
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    schema = "doc_id long, text string, source string"
+    n = 300
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [(i, "w " * (20 + i % 30), "s0") for i in range(lo, hi)], schema
+        )
+
+    bpk = SnapshotTable(str(tmp_path / "bulk_packs"))
+    btl = SnapshotTable(str(tmp_path / "bulk_tails"))
+    ing.bulk_seed_pack_index(spark, bpk, btl, docs(0, n), 4, batch_id=0)
+
+    def content(t, cols):
+        return sorted(tuple(r) for r in t.read(spark).select(*cols).collect())
+
+    pack_cols = ["source", "shard", "doc_id", "n_tokens", "pack_id", "pack_used"]
+    tail_cols = ["pk", "source", "shard", "pack_id", "used", "last_doc_id"]
+    want_p, want_t = content(bpk, pack_cols), content(btl, tail_cols)
+
+    splits = [
+        (0, 128, 256, n),          # shard-edge aligned
+        (0, 50, 129, 255, n),      # mid-shard boundaries
+        (0, 140, 141, 142, n),     # single-doc trickle inside shard 1
+    ]
+    for si, bounds in enumerate(splits):
+        ipk = SnapshotTable(str(tmp_path / f"incr{si}_packs"))
+        itl = SnapshotTable(str(tmp_path / f"incr{si}_tails"))
+        apply_batch = ing.make_pack_index_applier(ipk, itl, n_buckets=4)
+        for b, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            apply_batch(docs(lo, hi), b)
+        assert content(ipk, pack_cols) == want_p, f"split {bounds}"
+        assert content(itl, tail_cols) == want_t, f"split {bounds}"
