@@ -3148,3 +3148,45 @@ def test_minhash_pairs_backfill_completes_deferred_bootstrap(spark, tmp_path):
     v = lazy[0].latest_version()
     assert ing.backfill_minhash_pairs(spark, lazy[0], lazy[1], lazy[2]) == 0
     assert lazy[0].latest_version() == v
+
+
+def test_bootstrapped_minhash_index_supports_erase_and_fsck(spark, tmp_path):
+    """r15 integration seam: the GDPR/maintenance tooling must work on a
+    BOOTSTRAPPED index exactly as on an applier-built one (the erase and
+    fsck paths read only manifest fields the bootstrap writes). Drill:
+    bulk-seed, batch-erase a whole group (last-member clear included),
+    serve == survivors, fsck clean."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.snapshots import (
+        SnapshotTable,
+    )
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ingest as ing
+
+    fam = "the quick brown fox jumps over the lazy dog again and again "
+    other = "completely different words about snapshot table manifests "
+    rows = [
+        (1, fam + "alpha beta"),
+        (2, fam + "alpha beta"),        # exact copy of 1
+        (3, fam + "alpha gamma"),       # near-dup of 1
+        (4, other + "one two"),
+        (5, other + "one three"),       # near-dup of 4
+    ]
+    nb = 4
+    names = ("pairs", "bands", "shingles", "groups", "members")
+    ts = tuple(SnapshotTable(str(tmp_path / n)) for n in names)
+    ing.bulk_seed_minhash_index(
+        spark, *ts, spark.createDataFrame(rows, "doc_id long, text string"),
+        nb, batch_id=0,
+    )
+    # erase docs 1 AND 2 — the whole group: exercises the last-member
+    # signature clear on bootstrap-written bands/shingles
+    ing.erase_docs_from_minhash_index(spark, *ts, nb, [1, 2])
+    served = {
+        (r.da, r.db)
+        for r in ing.serve_minhash_pairs(spark, ts[0], ts[3], ts[4]).collect()
+    }
+    assert served == {(4, 5)}
+    for t, col in ((ts[4], "doc_id"), (ts[2], "doc_id"), (ts[1], "doc_id")):
+        assert t.read(spark).where(f"{col} in (1,2)").count() == 0
+    assert (
+        ing.audit_and_repair_minhash_index(spark, *ts, nb) == []
+    )

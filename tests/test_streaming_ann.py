@@ -1392,3 +1392,44 @@ def test_semantic_pairs_backfill_completes_deferred_bootstrap(
     v = lazy[0].latest_version()
     assert sa.backfill_semantic_pairs(spark, lazy[0], lazy[1], lazy[2]) == 0
     assert lazy[0].latest_version() == v
+
+
+def test_bootstrapped_semantic_index_supports_erase_and_fsck(
+    spark, tmp_path
+):
+    """r15 integration seam, semantic twin: batch GDPR erase + fsck on a
+    BULK-SEEDED index (the erase reads the LSH layout and bucket counts
+    from manifest fields the bootstrap writes; the last-member clear
+    recomputes band keys from bootstrap-written VECS rows)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.streaming import ann as sa
+
+    base = [0.0] * 62
+    vec_a = [1.0, 0.0] + base
+    vec_b = [0.0, 1.0] + base
+    rows = [(1, vec_a), (2, vec_a), (3, [1.0, 0.05] + base), (4, vec_b),
+            (5, [0.0, 0.96] + [0.28] + base[:-1])]
+    ts, bk = _sem_tables(tmp_path)
+    sa.bulk_seed_semantic_index(
+        spark, *ts, spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        bk["band_buckets"], bk["vec_buckets"], bk["group_buckets"],
+        bk["member_buckets"], batch_id=0,
+    )
+    # whole-group erase of (1,2): last-member signature clear included
+    sa.erase_semantic_vecs(
+        spark, [1, 2], *ts, bk["band_buckets"], bk["vec_buckets"],
+        bk["group_buckets"], bk["member_buckets"],
+    )
+    served = {
+        (r.va, r.vb)
+        for r in sa.serve_semantic_pairs(spark, ts[0], ts[3], ts[4]).collect()
+    }
+    assert served == {(4, 5)}
+    for t in (ts[1], ts[2], ts[4]):
+        assert t.read(spark).where("vec_id in (1,2)").count() == 0
+    assert (
+        sa.audit_and_repair_semantic_index(
+            spark, *ts, bk["band_buckets"], bk["vec_buckets"],
+            bk["group_buckets"], bk["member_buckets"],
+        )
+        == []
+    )
