@@ -158,7 +158,13 @@ def _salted_topk(scored: DataFrame, k: int, *order, salt_on: str) -> DataFrame:
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(scored, qnames): BM25 scores per (query_id, doc_id) for the
-    deterministically drafted query set, plus the 3-row query-name frame."""
+    deterministically drafted query set, plus the 3-row query-name frame.
+
+    (r15 note: deriving n_docs/avgdl lazily inside the plan — a 1-row
+    broadcast built from a doc-keyed re-aggregate of tf — was tried and
+    MEASURED SLOWER than this eager scan: the broadcast build cannot share
+    the tokenize exchange with the main plan, so it re-runs the full tf
+    reduce as a blocking prelude. The eager stats scan stays.)"""
     docs = load_table(spark, sf_dir, "documents")
     n_docs, avgdl_num = docs.select(
         F.count("*"), F.sum(F.size(F.split(F.col("text"), " ")))
@@ -171,7 +177,18 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
         F.explode(F.split(F.col("text"), " ")).alias("term"),
     )
     tf = toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # r15 perf: the no-op filter (count(*) >= 1 always) stops Catalyst from
+    # PRUNING tf out of the df branch. Without it, the df subtree aggregates
+    # DISTINCT (doc_id, dl, term) while the scoring subtree aggregates
+    # count(*) over the same keys — two non-identical exchanges, so the
+    # corpus tokenize+explode map stage ran twice (three times with the
+    # qnames branch). With it, all branches hash-partition the IDENTICAL
+    # partial-count subtree and exchange reuse fires: ONE tokenize pass
+    # feeds tf, df, and the query draft. df values are unchanged (every
+    # group's count is >= 1 by construction).
+    df = tf.filter(F.col("tf") >= 1).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
     return _bm25_score_from_stats(tf, df, n_docs, avgdl)
 
 
@@ -645,6 +662,12 @@ def q_maxsim_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ONE _bm25_scored call serves both the pool and the query terms —
     # a second call would rescan the corpus for its n_docs/avgdl action)
     scored, qnames = _bm25_scored(spark, sf_dir)
+    # r15 perf: the checkpointed pool CARRIES q_terms (a broadcast join of
+    # the 3-row qnames onto the <= 150-row pool costs nothing) so stage 2
+    # can re-derive the query terms FROM THE POOL. Before, qv below pulled
+    # them from qnames — whose lineage is the full tokenize->tf->df chain —
+    # so the timed final plan re-ran a whole corpus aggregation just to
+    # rebuild 6 query terms it had already computed for the pool.
     lexpool = (
         _salted_topk(
             scored.select("query_id", "doc_id", "score_milli"),
@@ -655,6 +678,7 @@ def q_maxsim_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("rank", "lex_rank")
         .drop("score_milli")
+        .join(F.broadcast(qnames), "query_id")
         .localCheckpoint(eager=True)  # pool feeds the doc filter AND sims
     )
     # stage 2: vectorize ONLY pooled docs (broadcast semi-join before the
@@ -668,7 +692,7 @@ def q_maxsim_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dv = dterms.select("doc_id", "term", *_tokvec(F.col("term")))
 
-    qterms = qnames.select(
+    qterms = lexpool.select("query_id", "q_terms").distinct().select(
         "query_id", F.explode(F.split("q_terms", " ")).alias("term")
     )
     qv = qterms.select(
