@@ -199,7 +199,10 @@ FROM hourly h LEFT JOIN top t ON h.date = t.date AND h.hour = t.hour
     "kpis.genre_kpis_window_form, pinned row-identical in tests.",
 )
 def q_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kpis.genre_kpis(enriched_genre_direct(spark, sf_dir))
+    _, songs = streams_songs(spark, sf_dir)
+    return kpis.genre_kpis(
+        enriched_genre_direct(spark, sf_dir), kpis.song_rank_lookup(songs)
+    )
 
 
 @register(
@@ -213,7 +216,8 @@ def q_genre_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan.",
 )
 def q_genre_kpis_strparse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kpis.genre_kpis(enriched_genre(spark, sf_dir))
+    _, songs = streams_songs(spark, sf_dir)
+    return kpis.genre_kpis(enriched_genre(spark, sf_dir), kpis.song_rank_lookup(songs))
 
 
 @register(
@@ -236,7 +240,10 @@ def q_hourly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the window+join formulation.",
 )
 def q_genre_kpis_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kpis.genre_kpis_onepass(enriched_genre_direct(spark, sf_dir))
+    _, songs = streams_songs(spark, sf_dir)
+    return kpis.genre_kpis_onepass(
+        enriched_genre_direct(spark, sf_dir), kpis.song_rank_lookup(songs)
+    )
 
 
 @register(

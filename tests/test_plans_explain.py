@@ -50,12 +50,18 @@ def test_onepass_genre_kpis_single_shuffle(spark):
     one = _explain(q_genre_kpis_onepass(spark, SF), mode="simple")
     # exactly one shuffle (the groupBy) — broadcast exchange excluded
     assert one.count("Exchange hashpartitioning") == 1
-    assert "Window" not in one
+    # r15: the argmax tie-break is pre-encoded as _pop_rank on the songs
+    # DIM (a broadcast-sized single-partition window over part), so the
+    # fact-side aggregate is a pure numeric HashAggregate — no
+    # SortAggregate, and no window over the fact table (the only Window
+    # nodes sit on the dim subtree, which scans part, never lineitem)
+    assert "SortAggregate" not in one
+    assert one.count("Window") == one.count("row_number")
     # since round 2 the flagship genre_kpis query runs the same folded
     # single-aggregate plan (the two-pass shape was 2x slower even cached)
     flagship = _explain(q_genre_kpis(spark, SF), mode="simple")
     assert flagship.count("Exchange hashpartitioning") == 1
-    assert "Window" not in flagship
+    assert "SortAggregate" not in flagship
 
 
 def test_onepass_equals_window_form(spark):
