@@ -1116,6 +1116,8 @@ FROM scored GROUP BY doc_id""",
     "lookup joins that broadcast when bounded; no per-doc state.",
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     d = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
@@ -1134,12 +1136,22 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts per w1 == tokens-with-a-successor count; sum of unigram counts
     # == corpus token count) — two fewer full corpus explodes than the
     # direct formulation, and both identities are exact.
-    tot = uni.agg(F.sum("cu").alias("n"))
+    # r15 perf, two plan moves measured on the executed plan (5 corpus
+    # explodes -> 3):
+    #  - ctx rides INSIDE the bf broadcast as a vocab-sized window
+    #    (sum(cb) over w1) instead of a separate cx aggregate whose
+    #    broadcast build re-ran the whole corpus bigram explode; one fewer
+    #    broadcast join on the probe, too. The window input is the bigram
+    #    VOCABULARY (bounded), never the corpus.
+    #  - tot consumes uni with a no-op cu >= 1 filter so Catalyst cannot
+    #    prune cu out of its subtree; the token-keyed exchange then
+    #    canonicalizes identically to uni's and is reused instead of
+    #    re-exploding every token for the 1-row total.
+    tot = uni.filter(F.col("cu") >= 1).agg(F.sum("cu").alias("n"))
     bf = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    cx = bf.groupBy("w1").agg(F.sum("cb").alias("ctx"))
+    bfx = bf.withColumn("ctx", F.sum("cb").over(Window.partitionBy("w1")))
     scored = (
-        bg.join(bf, ["w1", "w2"])
-        .join(cx, "w1")
+        bg.join(bfx, ["w1", "w2"])
         .join(uni, bg["w2"] == uni["tok"])
         .crossJoin(F.broadcast(tot))
         .select(
