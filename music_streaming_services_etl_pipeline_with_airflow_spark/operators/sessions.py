@@ -115,51 +115,55 @@ def merge_session_states(
     late-partition ingest shape). Per user at most ONE boundary pair can
     merge: the base's last session with the delta's first, iff the gap is
     within the timeout — internal gaps on both sides already exceed it, so
-    no chaining is possible. Cost: two window shuffles on user_id + one
-    user-keyed join of the two boundary row sets; everything else passes
-    through untouched."""
+    no chaining is possible.
+
+    r15 perf: executed as ONE lag-gap pass over the UNION of the two
+    state relations — the same session-merge rule the event-level
+    sessionizer applies, run on session rows instead of events. Because
+    internal gaps on both sides exceed the timeout and every delta
+    session starts after every base session ends (strictly-later batch),
+    the only pair this pass can merge is exactly the (base-last,
+    delta-first) boundary pair the join formulation merged: identical
+    output. Cost: one user-keyed window + one hash aggregate over
+    state-sized input, replacing two windows + three user-keyed joins
+    (the previous shape re-derived each state subtree twice and ran
+    14 scans / 4 sort-merge joins in the executed plan).
+
+    ``types`` for an unmerged session round-trips unchanged
+    (array_distinct of a flatten of one already-distinct array preserves
+    order); a merged pair gets the distinct union, whose internal order
+    callers must not rely on (the registered query reads only its size)."""
     from pyspark.sql import Window
 
-    w_last = Window.partitionBy("user_id").orderBy(F.col("session_end_ts").desc())
-    w_first = Window.partitionBy("user_id").orderBy(F.col("session_start").asc())
-    b = base.withColumn("_rn", F.row_number().over(w_last))
-    d = delta.withColumn("_rn", F.row_number().over(w_first))
-
-    b_last = b.filter("_rn = 1").select(
-        "user_id",
-        F.col("session_start").alias("b_start"),
-        F.col("session_end_ts").alias("b_end"),
-        F.col("n_events").alias("b_n"),
-        F.col("types").alias("b_types"),
-    )
-    d_first = d.filter("_rn = 1").select(
-        "user_id",
-        F.col("session_start").alias("d_start"),
-        F.col("session_end_ts").alias("d_end"),
-        F.col("n_events").alias("d_n"),
-        F.col("types").alias("d_types"),
-    )
-    pair = b_last.join(d_first, "user_id", "inner").withColumn(
-        "_merge",
-        F.col("d_start")
-        <= F.col("b_end") + F.expr(f"interval {gap_minutes} minutes"),
-    )
-    merged = pair.filter("_merge").select(
-        "user_id",
-        F.col("b_start").alias("session_start"),
-        F.col("d_end").alias("session_end_ts"),
-        (F.col("b_n") + F.col("d_n")).alias("n_events"),
-        F.array_union("b_types", "d_types").alias("types"),
-    )
-    merged_users = pair.filter("_merge").select("user_id")
-    keep_b = b.join(
-        merged_users.withColumn("_m", F.lit(1)), "user_id", "left"
-    ).filter("_rn > 1 OR _m IS NULL")
-    keep_d = d.join(
-        merged_users.withColumn("_m", F.lit(1)), "user_id", "left"
-    ).filter("_rn > 1 OR _m IS NULL")
     cols = ["user_id", "session_start", "session_end_ts", "n_events", "types"]
-    return keep_b.select(*cols).unionAll(keep_d.select(*cols)).unionAll(merged)
+    states = base.select(*cols).unionAll(delta.select(*cols))
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    flagged = states.withColumn(
+        "_new",
+        (
+            F.col("session_start")
+            > F.lag("session_end_ts").over(w)
+            + F.expr(f"interval {gap_minutes} minutes")
+        )
+        .cast("int"),
+    ).withColumn(
+        "_sid",
+        F.sum(F.coalesce(F.col("_new"), F.lit(1))).over(
+            Window.partitionBy("user_id")
+            .orderBy("session_start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("user_id", "_sid")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end_ts").alias("session_end_ts"),
+            F.sum("n_events").alias("n_events"),
+            F.array_distinct(F.flatten(F.collect_list("types"))).alias("types"),
+        )
+        .select(*cols)
+    )
 
 
 @register(
