@@ -1017,6 +1017,15 @@ def q_gopher_repetition_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars_c"),
         t.alias("t"),
     ).filter(F.size("t") >= 3)
+    # r15 perf: partition by doc_id BEFORE the gram explode. Every
+    # aggregate below groups by a superset of doc_id, and hash
+    # partitioning on a subset of the grouping keys satisfies
+    # ClusteredDistribution — so this ONE doc-sized shuffle (raw token
+    # arrays) replaces BOTH gram-sized exchanges the planner otherwise
+    # inserts (the (doc, n, gram) count and the per-doc rollup), each of
+    # which carried one row per distinct gram, 2-3x the text bytes.
+    # sf0.1 noop: 1.35s -> 0.85s, identical rows.
+    d = d.repartition("doc_id")
     grams = F.expr(
         "concat("
         " transform(sequence(0, size(t) - 2),"
