@@ -137,14 +137,25 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def banded_signatures(sigs: DataFrame) -> DataFrame:
+def banded_signatures(sigs: DataFrame, compress=None) -> DataFrame:
     """(doc_id, g, band, bval) — the LSH band relation every banded plan
-    joins on: band value = concat of r minhashes, md5-compressed so the
-    shuffle key is fixed-width; ``g = floor(log2(n_sh))`` is the size
-    bucket the ±1 blocking guarantee quantifies over. ONE definition on
-    purpose: the two-sided self-join (lsh_candidate_pairs) and the
-    one-sided stored-index probe (q_dedup_minhash_incremental) inherit
-    their lossless-collision guarantees from this exact layout."""
+    joins on: band value = compressed concat of r minhashes so the shuffle
+    key is fixed-width; ``g = floor(log2(n_sh))`` is the size bucket the
+    ±1 blocking guarantee quantifies over. ONE definition on purpose: the
+    two-sided self-join (lsh_candidate_pairs) and the one-sided
+    stored-index probe (q_dedup_minhash_incremental) inherit their
+    lossless-collision guarantees from this exact layout.
+
+    ``compress`` is the band-value compression function (default
+    ``F.md5`` → 32-char hex string, the layout the STORED minhash index
+    persists — streaming/ingest snapshots and the incremental probe must
+    keep it). Transient self-join plans pass ``F.xxhash64`` (8-byte
+    bigint, r16 guide §2.3): band equality still holds iff the r-vector
+    concat is equal modulo hash collisions, and a collision can only ADD
+    a candidate pair, which the exact string-shingle verify discards —
+    same losslessness argument as md5, ~5× fewer key bytes per band row
+    in the candidate-join shuffle."""
+    fcomp = compress if compress is not None else F.md5
     r = N_HASHES // N_BANDS
     g = F.floor(F.log2("n_sh")).cast("int")
     return sigs.select(
@@ -155,7 +166,7 @@ def banded_signatures(sigs: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
+                        fcomp(
                             F.concat(*[F.col(f"h{b * r + i}") for i in range(r)])
                         ).alias("bval"),
                     )
@@ -170,7 +181,11 @@ def banded_signatures(sigs: DataFrame) -> DataFrame:
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Docs sharing ≥1 band bucket. Band value = concat of r minhashes,
-    md5-compressed so the shuffle key is fixed-width.
+    xxhash64-compressed to an 8-byte bigint (r16): this relation is
+    transient (never stored), so the self-join key doesn't need the md5
+    stored-index layout — a bigint shuffles ~5× fewer key bytes per band
+    row, and a 64-bit collision only ADDS a candidate pair that the exact
+    string-shingle verify removes.
 
     Size blocking (LOSSLESS at this threshold): Jaccard ≥ 0.5 forces
     min(|A|,|B|)/max(|A|,|B|) ≥ 0.5 (intersection ≤ min, union ≥ max), so a
@@ -180,7 +195,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     collides, but band buckets fragment by document size, pruning
     cross-size false candidates before the pair-dedup shuffle.
     """
-    bands = banded_signatures(sigs)
+    bands = banded_signatures(sigs, compress=F.xxhash64)
     a = bands.select(
         F.col("doc_id").alias("da"),
         "band",
@@ -420,16 +435,27 @@ def _containment_prefix_pairs(sh: DataFrame) -> DataFrame:
     lossless rarest-prefix probe — the shared kernel of both adaptive
     branches of ``dedup_containment_banded``."""
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # Global shingle frequency → rank each doc's shingles rarest-first.
-    # (freq, s) is a total order, so prefixes are deterministic.
-    freq = sh.groupBy("s").agg(F.count("*").alias("s_freq"))
+    # r16 (guide §2.3/§3): candidate GENERATION runs on xxhash64(s) — the
+    # frequency aggregate, the rarest-first ranking window and the
+    # prefix-probe join all shuffle 8-byte bigints instead of shingle
+    # text. Lossless twice over: (a) the prefix lemma holds for ANY
+    # ⌊(1-τ)·n⌋+1 of a doc's distinct shingles (at most (1-τ)·n of them
+    # can miss a ≥τ partner, whatever order picked the prefix), so
+    # ranking by hashed identity instead of raw text only changes WHICH
+    # lossless prefix is probed; (b) a 64-bit collision can only ADD a
+    # candidate pair, which the exact string-keyed verify below discards.
+    # (freq, hs) is a total order over distinct hashes, so prefixes stay
+    # deterministic; colliding duplicates (if any ever occur) are
+    # absorbed by the candidate .distinct().
+    shh = sh.select("doc_id", F.xxhash64("s").alias("hs"))
+    freq = shh.groupBy("hs").agg(F.count("*").alias("s_freq"))
     ranked = (
-        sh.join(freq, "s")
+        shh.join(freq, "hs")
         .join(counts, "doc_id")
         .withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("s_freq", "s")
+                Window.partitionBy("doc_id").orderBy("s_freq", "hs")
             ),
         )
     )
@@ -445,12 +471,12 @@ def _containment_prefix_pairs(sh: DataFrame) -> DataFrame:
             "int"
         )
         + 1
-    ).select("doc_id", "s")
+    ).select("doc_id", "hs")
     # Probe (prefix) × index (full): any pair with max-containment ≥ τ
     # collides on ≥1 prefix shingle of its smaller member.
     cand = (
-        prefix.select(F.col("doc_id").alias("pa"), "s")
-        .join(sh.select(F.col("doc_id").alias("pb"), "s"), "s")
+        prefix.select(F.col("doc_id").alias("pa"), "hs")
+        .join(shh.select(F.col("doc_id").alias("pb"), "hs"), "hs")
         .filter(F.col("pa") != F.col("pb"))
         .select(F.least("pa", "pb").alias("da"), F.greatest("pa", "pb").alias("db"))
         .distinct()
