@@ -200,7 +200,16 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # r16 (guide §2.4, the bm25 pattern): df derived FROM tf — a term's
+    # doc frequency is the number of its (doc_id, term) groups — instead
+    # of a second countDistinct aggregate over a second tokenize+explode
+    # pass. The no-op filter (count(*) >= 1 always) keeps tf's count in
+    # this subtree so Catalyst can't prune it into a distinct; both
+    # branches then hash-partition the IDENTICAL partial-count subtree
+    # and AQE exchange reuse fires: ONE tokenize pass feeds tf and df.
+    df = tf.filter(F.col("tf") >= 1).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
     n_docs = docs.count()
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
@@ -1223,21 +1232,31 @@ def q_corpus_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     d = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
-    tri = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 3),"
-                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-                )
-            ).alias("g"),
-        )
-        .distinct()
+    # r16 (guide §2.3/§2.4): per-doc trigram dedup happens MAP-SIDE via
+    # array_distinct (a doc's trigrams sit in one row before the explode),
+    # killing the corpus-wide (doc_id, g) distinct shuffle; the per-g doc
+    # count is a window over ONE g-keyed exchange instead of a groupBy +
+    # join-back, whose tri subtree twins can't share a stage in the same
+    # AQE round (r15 finding) and whose build side broadcast the whole
+    # distinct trigram relation — corpus-sized, a non-starter at 100 TB.
+    # One tokenize pass, one corpus-wide exchange (g), one bounded final
+    # aggregate (doc_id).
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+            )
+        ).alias("g"),
     )
-    df = tri.groupBy("g").agg(F.count("*").alias("n_docs_with"))
+    from pyspark.sql import Window
+
+    counted = tri.withColumn(
+        "n_docs_with", F.count("*").over(Window.partitionBy("g"))
+    )
     return (
-        tri.join(df, "g")
+        counted
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_trigrams_distinct"),
