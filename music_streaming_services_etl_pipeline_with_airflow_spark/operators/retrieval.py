@@ -156,20 +156,47 @@ def _salted_topk(scored: DataFrame, k: int, *order, salt_on: str) -> DataFrame:
     )
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str, stats_in_plan: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(scored, qnames): BM25 scores per (query_id, doc_id) for the
     deterministically drafted query set, plus the 3-row query-name frame.
 
-    (r15 note: deriving n_docs/avgdl lazily inside the plan — a 1-row
-    broadcast built from a doc-keyed re-aggregate of tf — was tried and
-    MEASURED SLOWER than this eager scan: the broadcast build cannot share
-    the tokenize exchange with the main plan, so it re-runs the full tf
-    reduce as a blocking prelude. The eager stats scan stays.)"""
+    ``stats_in_plan=True`` (r16, guide §2.4/§1.2): n_docs/avgdl become a
+    1-row aggregate STRAIGHT FROM THE DOCS SCAN (count + sum(size(split))
+    — no tokenize/explode) that rides the 6-row query draft into the
+    existing qterms broadcast, instead of an eager ``.first()`` scan that
+    costs a whole blocking Spark job before the plan can even be built.
+    Used by the two-stage MaxSim pool build, whose EAGER_FN timing pays
+    that job.
+    The arithmetic is bit-identical: Python float(sum)/n and Spark
+    cast(sum as double)/n are the same IEEE division, and every
+    downstream expression consumes the same double.
+
+    (r15 note, still honored: deriving the stats from a doc-keyed
+    re-aggregate of TF was tried and MEASURED SLOWER — a broadcast build
+    side cannot share the tokenize exchange, so it re-ran the full tf
+    reduce as a blocking prelude. The in-plan variant here aggregates the
+    raw docs scan instead, which shares nothing and blocks nothing.)
+
+    Default (eager scan) stays for the non-EAGER bm25-family queries:
+    their registered fn() builds the plan outside the bench timer, and
+    the r14/r15 rounds adjudicated their timings in that shape — moving
+    the stats job in- or out-of-plan for them would change what their
+    bench seconds measure, not how fast the engine is."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs, avgdl_num = docs.select(
-        F.count("*"), F.sum(F.size(F.split(F.col("text"), " ")))
-    ).first()
-    avgdl = float(avgdl_num) / n_docs  # exact-int division, both engines
+    dl_of_text = F.size(F.split(F.col("text"), " "))
+    if stats_in_plan:
+        stats = docs.agg(
+            F.count("*").alias("_bm25_n_docs"),
+            F.sum(dl_of_text).alias("_bm25_sum_dl"),
+        )
+        n_docs = F.col("_bm25_n_docs")
+        avgdl = F.col("_bm25_sum_dl").cast("double") / F.col("_bm25_n_docs")
+    else:
+        n_docs_v, avgdl_num = docs.select(F.count("*"), F.sum(dl_of_text)).first()
+        n_docs = n_docs_v
+        avgdl = float(avgdl_num) / n_docs_v  # exact-int division, both engines
 
     toks = docs.select(
         "doc_id",
@@ -189,11 +216,13 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     df = tf.filter(F.col("tf") >= 1).groupBy("term").agg(
         F.count("*").alias("df")
     )
-    return _bm25_score_from_stats(tf, df, n_docs, avgdl)
+    return _bm25_score_from_stats(
+        tf, df, n_docs, avgdl, stats=stats if stats_in_plan else None
+    )
 
 
 def _bm25_score_from_stats(
-    tf: DataFrame, df: DataFrame, n_docs: int, avgdl: float
+    tf: DataFrame, df: DataFrame, n_docs, avgdl, stats: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """The scoring half of BM25, decoupled from corpus derivation so a
     MAINTAINED index (streaming/ingest's incremental postings + df
@@ -207,11 +236,21 @@ def _bm25_score_from_stats(
     # that only ever sees 6 rows.
     draft = df.orderBy(F.desc("df"), F.asc("term")).limit(N_QUERY_TERMS)
     w6 = Window.orderBy(F.desc("df"), F.asc("term"))
+    if stats is not None:
+        # r16: the 1-row corpus stats ride the 6-row draft into the
+        # broadcast (a trivial nested-loop join on the BUILD side), so
+        # the corpus-sized tf relation sees the stats as plain columns of
+        # the existing qterms broadcast join — no extra join, no eager
+        # .first() job. (Cross-joining the stats onto tf itself was
+        # measured SLOWER: a BroadcastNestedLoopJoin lands on every
+        # corpus row and breaks the aggregate's codegen pipeline.)
+        draft = draft.crossJoin(F.broadcast(stats))
     qterms = draft.withColumn("rn", F.row_number().over(w6)).select(
         "term",
         "df",
         "rn",
         (((F.col("rn") - 1) % N_QUERIES) + 1).alias("query_id"),
+        *([stats.columns[0], stats.columns[1]] if stats is not None else []),
     )
     qnames = qterms.groupBy("query_id").agg(
         F.concat_ws(
@@ -660,8 +699,11 @@ WHERE rank <= {TOPK}"""
 def q_maxsim_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: the identical lexical pool the cosine reranker draws
     # (ONE _bm25_scored call serves both the pool and the query terms —
-    # a second call would rescan the corpus for its n_docs/avgdl action)
-    scored, qnames = _bm25_scored(spark, sf_dir)
+    # a second call would rescan the corpus for its n_docs/avgdl action).
+    # r16: stats_in_plan folds the eager n_docs/avgdl scan into the pool
+    # job itself (a 1-row broadcast off the docs scan) — one fewer
+    # blocking Spark job inside this query's EAGER_FN-timed region.
+    scored, qnames = _bm25_scored(spark, sf_dir, stats_in_plan=True)
     # r15 perf: the checkpointed pool CARRIES q_terms (a broadcast join of
     # the 3-row qnames onto the <= 150-row pool costs nothing) so stage 2
     # can re-derive the query terms FROM THE POOL. Before, qv below pulled
