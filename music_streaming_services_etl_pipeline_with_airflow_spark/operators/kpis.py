@@ -53,13 +53,21 @@ def _ranked_dim(songs: DataFrame) -> DataFrame:
     return dim.withColumn("_pop_rank", F.row_number().over(w))
 
 
-def song_rank_lookup(songs: DataFrame) -> DataFrame:
+def song_rank_lookup(songs: DataFrame) -> DataFrame | None:
     """(_pop_rank, most_popular_track): the broadcast join-back relation
     that turns the aggregated min(_pop_rank) into the argmax track name.
     MUST be built from the same songs frame as ``enrich_streams`` so both
     sides assign identical ranks (the window order is total up to rows
-    that agree on every key, which resolve to the same name)."""
-    return _ranked_dim(songs).select(
+    that agree on every key, which resolve to the same name).
+
+    Returns ``None`` for degenerate dim schemas (missing popularity/
+    track_name/track_id — _ranked_dim can't rank them): callers'
+    ``rank_lookup is not None`` guard then falls back to the min_by
+    path, instead of this select raising at plan time (r15 advice)."""
+    ranked = _ranked_dim(songs)
+    if "_pop_rank" not in ranked.columns:
+        return None
+    return ranked.select(
         "_pop_rank", F.col("track_name").alias("most_popular_track")
     )
 
