@@ -129,10 +129,12 @@ def merge_session_states(
     (the previous shape re-derived each state subtree twice and ran
     14 scans / 4 sort-merge joins in the executed plan).
 
-    ``types`` for an unmerged session round-trips unchanged
-    (array_distinct of a flatten of one already-distinct array preserves
-    order); a merged pair gets the distinct union, whose internal order
-    callers must not rely on (the registered query reads only its size)."""
+    ``types`` comes back SORTED (r16): collect_list's row order after a
+    groupBy is not guaranteed, so a merged pair's distinct-union order was
+    nondeterministic — harmless to the registered query (it reads only
+    the size) but flaky for any future consumer. array_sort pins it at
+    negligible cost (the array is per-session distinct event types,
+    bounded by the event-type vocabulary)."""
     from pyspark.sql import Window
 
     cols = ["user_id", "session_start", "session_end_ts", "n_events", "types"]
@@ -160,7 +162,9 @@ def merge_session_states(
             F.min("session_start").alias("session_start"),
             F.max("session_end_ts").alias("session_end_ts"),
             F.sum("n_events").alias("n_events"),
-            F.array_distinct(F.flatten(F.collect_list("types"))).alias("types"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("types")))
+            ).alias("types"),
         )
         .select(*cols)
     )
