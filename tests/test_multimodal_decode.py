@@ -568,8 +568,11 @@ def test_jpeg_codec_entropy_exact_and_psnr(spark):
 def test_spread_is_noop_when_already_partitioned(spark):
     """_spread only fires on under-partitioned scans: a frame with >=
     defaultParallelism partitions passes through IDENTICALLY (no extra
-    shuffle in any real-scale plan), a single-split frame is spread to
-    one partition per core."""
+    shuffle in any real-scale plan). Since r16 the target is sized from
+    the estimated input bytes (~16 KiB per task, capped at the core
+    count): a TINY single-split frame stays near-unsplit (no core-count
+    fan-out of Arrow worker spins for toy inputs), while a BULKY
+    single-split frame still spreads to one partition per core."""
     from music_streaming_services_etl_pipeline_with_airflow_spark.operators.multimodal import (
         _spread,
     )
@@ -579,5 +582,8 @@ def test_spread_is_noop_when_already_partitioned(spark):
         max(target, 2)
     )
     assert _spread(wide) is wide
-    narrow = spark.range(0, 10).withColumnRenamed("id", "doc_id").coalesce(1)
-    assert _spread(narrow).rdd.getNumPartitions() == target
+    tiny = spark.range(0, 10).withColumnRenamed("id", "doc_id").coalesce(1)
+    assert _spread(tiny).rdd.getNumPartitions() < target
+    # ~8 MB of longs in one split: byte rule saturates at the core cap
+    bulky = spark.range(0, 1_000_000).withColumnRenamed("id", "doc_id").coalesce(1)
+    assert _spread(bulky).rdd.getNumPartitions() == target
