@@ -344,11 +344,12 @@ def triangle_counts_from_baskets(li: DataFrame) -> DataFrame:
     )
     closer = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
     tri = wedges.join(closer, ["x", "y"])
-    v = (
-        tri.select(F.col("u").alias("part"))
-        .unionAll(tri.select(F.col("x").alias("part")))
-        .unionAll(tri.select(F.col("y").alias("part")))
-    )
+    # r16 (guide §2.4): each triangle credits its three vertices via ONE
+    # explode instead of a 3-way unionAll of the tri subtree — a UNION
+    # re-executes the closure JOIN per branch (AQE reuses exchanges, not
+    # join operators), so the old shape paid the wedge-closure probe three
+    # times. Row-identical by construction (u, x, y emitted once each).
+    v = tri.select(F.explode(F.array("u", "x", "y")).alias("part"))
     return v.groupBy(F.col("part").alias("l_partkey")).agg(
         F.count("*").alias("n_triangles")
     )
