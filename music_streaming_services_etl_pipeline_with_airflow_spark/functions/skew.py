@@ -18,6 +18,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_narrow(df: DataFrame, bytes_per_task: int = 16384) -> DataFrame:
+    """Round-robin repartition an UNDER-partitioned frame so a CPU-heavy
+    map stage (hashing, codecs, per-row array kernels) is not serialized
+    on a handful of scan splits. No-op whenever the input already has
+    enough partitions — a real-scale scan does, so no 100 TB plan pays
+    the extra shuffle; only toy/summary-sized inputs get spread.
+
+    The target is sized from the input (Catalyst's driver-side byte
+    estimate, ~``bytes_per_task`` per task) and capped at
+    defaultParallelism, mirroring multimodal._spread / the dedup-LSH
+    spread rule: tiny frames stay near-unsplit instead of paying a full
+    complement of task launches."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 0
+    target = par if est <= 0 else max(1, min(par, (est + bytes_per_task - 1) // bytes_per_task))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

@@ -549,24 +549,36 @@ WIN_W = 16  # tokens per window (the shingle the fingerprint hashes)
 WIN_K = 8  # winnowing window: one fingerprint selected per K consecutive
 
 
-def _window_hashes(docs: "DataFrame") -> "DataFrame":
-    """(doc_id, pos, h) — md5 of every WIN_W-token window at every
-    alignment. ONE definition on purpose: the span family's composition
-    ("winnowing detects, shared-spans delimit, strip removes") holds only
-    because all three operators fingerprint the identical window relation;
-    a drift in WIN_W handling or the hash expression at one site would
-    silently desynchronize them."""
+def _window_hash_arrays(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, hashes) — hashes[i] is the md5 of the WIN_W-token window
+    at position i, ONE array row per qualifying document. This is the
+    single definition of the window fingerprint on purpose: the span
+    family's composition ("winnowing detects, shared-spans delimit,
+    strip removes") holds only because all three operators fingerprint
+    the identical window relation; a drift in WIN_W handling or the hash
+    expression at one site would silently desynchronize them."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.size("toks") >= WIN_W
     )
+    # the sequence upper bound is clamped to >= 0 so the expression is
+    # TOTAL: the optimizer may reorder it before the size filter (e.g.
+    # into a merged Filter predicate), and sequence(0, negative) would
+    # DESCEND into i = -1 -> slice(start=0) runtime errors on short docs.
+    # Rows with size < WIN_W still carry no window (the filter drops
+    # them); the clamp only changes what a dropped row would have built.
     return toks.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - WIN_W),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, WIN_W))),
-            )
-        ).alias("pos", "h"),
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - WIN_W, F.lit(0))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, WIN_W))),
+        ).alias("hashes"),
+    )
+
+
+def _window_hashes(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, pos, h) — the exploded form of _window_hash_arrays."""
+    return _window_hash_arrays(docs).select(
+        "doc_id", F.posexplode("hashes").alias("pos", "h")
     )
 
 
@@ -637,23 +649,39 @@ HAVING COUNT(DISTINCT doc_id) >= 2""",
     "with integral-div unpack (exact above 2^53).",
 )
 def q_dedup_winnowed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..functions.skew import spread_narrow
 
-    docs = load_table(spark, sf_dir, "documents")
-    wins = _window_hashes(docs)
+    # r16 (guide §2.4): the whole winnowing selection happens INSIDE the
+    # per-doc hash array — every window hash of a doc lives in one row, so
+    # the min-of-next-K selection is an array slice, not a Window over the
+    # exploded relation, and the per-doc de-dup is array_distinct, not a
+    # DISTINCT. That deletes the two widest exchanges (the full window-hash
+    # relation shuffled for Window.partitionBy(doc_id), then shuffled again
+    # for the DISTINCT); the only remaining shuffle carries the selected
+    # fingerprints (expected density 2/(K+1) of positions, deduped). The
+    # md5 map work is CPU-bound, so spread_narrow unsplits toy scans first
+    # (no-op at real scale).
+    docs = spread_narrow(load_table(spark, sf_dir, "documents"))
+    wins = _window_hash_arrays(docs)
     # sortable key: hash, then complemented position so MIN picks the
     # RIGHTMOST position among equal hashes (classic winnowing tie rule)
-    key = F.concat(
-        F.col("h"),
-        F.lit("#"),
-        F.lpad((F.lit(999_999_999) - F.col("pos")).cast("string"), 9, "0"),
+    keys = F.transform(
+        F.col("hashes"),
+        lambda h, i: F.concat(
+            h,
+            F.lit("#"),
+            F.lpad((F.lit(999_999_999) - i).cast("string"), 9, "0"),
+        ),
     )
-    wk = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.currentRow, WIN_K - 1
+    # minkeys[i] = min key over positions i..i+K-1 (slice clamps at the
+    # array end exactly like ROWS BETWEEN CURRENT AND K-1 FOLLOWING)
+    minkeys = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_keys"))),
+        lambda i: F.array_min(F.slice(F.col("_keys"), i, WIN_K)),
     )
     sel = (
-        wins.select("doc_id", F.min(key).over(wk).alias("minkey"))
-        .distinct()
+        wins.select("doc_id", keys.alias("_keys"))
+        .select("doc_id", F.explode(F.array_distinct(minkeys)).alias("minkey"))
         .select(
             "doc_id",
             F.substring("minkey", 1, 32).alias("h"),
