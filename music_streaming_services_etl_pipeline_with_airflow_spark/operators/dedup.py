@@ -725,7 +725,15 @@ def q_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = bands.select(
         F.col("doc_id").alias("da"), F.col("simhash").alias("ha"), "band", "bval"
     )
-    b = bands.select(
+    # r16 (guide §2.6): the fingerprint aggregate collapses to a handful of
+    # partitions at small inputs (AQE coalesces the tiny exchange), so the
+    # candidate probe — O(sum bucket²) bit_count evaluations, the query's
+    # real work — would run near-serial. Spread the PROBE side only (the
+    # build side is broadcast anyway); no-op when the cached relation is
+    # already wide, so real-scale plans pay nothing.
+    par = bands.sparkSession.sparkContext.defaultParallelism
+    b_src = bands if bands.rdd.getNumPartitions() >= par else bands.repartition(par)
+    b = b_src.select(
         F.col("doc_id").alias("db"), F.col("simhash").alias("hb"), "band", "bval"
     )
     # Hamming-verify BEFORE the distinct: the band join emits O(sum bucket^2)
