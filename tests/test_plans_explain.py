@@ -345,6 +345,128 @@ def test_bloom_point_skipping_actually_skips(spark):
     assert pruned.filter(F.col("o_orderkey") == key).count() >= 1
 
 
+def _executed_nodes(spark, df) -> dict[str, int]:
+    """Unique physical node counts from the df's OWN QueryExecution after
+    an action — ReusedExchange / AQEShuffleRead only exist in the AQE-final
+    plan (a noop write plans a separate command execution, so collect)."""
+    import re
+
+    df.collect()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    nodes: dict[str, set[str]] = {}
+    for m in re.finditer(r"^\((\d+)\) (\w+)", plan, re.M):
+        nodes.setdefault(m.group(2), set()).add(m.group(1))
+    return {k: len(v) for k, v in nodes.items()}
+
+
+def _static_nodes(spark, df) -> dict[str, int]:
+    import re
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    nodes: dict[str, set[str]] = {}
+    for m in re.finditer(r"^\((\d+)\) (\w+)", plan, re.M):
+        nodes.setdefault(m.group(2), set()).add(m.group(1))
+    return {k: len(v) for k, v in nodes.items()}
+
+
+def test_bm25_family_reuses_corpus_tokenize(spark):
+    """r15's no-op `tf >= 1` filter keeps the term-frequency count in the
+    df subtree so Catalyst cannot prune it into a distinct — all tokenize
+    exchanges canonicalize equal and AQE runs ONE corpus tokenize pass.
+    Pinned because a Spark upgrade that folds the filter via constraint
+    inference would silently restore the duplicate corpus scans with no
+    other test failing (the perf win otherwise lives only in plans/r15)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import (
+        all_specs,
+    )
+
+    specs = all_specs()
+    floors = {
+        "text_bm25_topk": (2, 3),  # (min ReusedExchange, max unique scans)
+        "text_bigram_logprob": (1, 4),
+        "text_tfidf_top_terms": (1, 2),
+        "retrieval_rrf_hybrid": (1, 5),
+        "retrieval_bm25_cosine_rerank": (1, 5),
+    }
+    for name, (min_reuse, max_scans) in floors.items():
+        c = _executed_nodes(spark, specs[name].fn(spark, SF))
+        assert c.get("ReusedExchange", 0) >= min_reuse, (name, c)
+        assert c.get("Scan", 99) <= max_scans, (name, c)
+
+
+def test_ivm_session_merge_two_exchanges(spark):
+    """r15's union lag-gap rewrite of merge_session_states: the whole
+    incremental-sessions query plans exactly TWO exchanges (base+delta
+    session builds) and no join at all."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import (
+        all_specs,
+    )
+
+    c = _static_nodes(spark, all_specs()["ivm_incremental_sessions"].fn(spark, SF))
+    assert c.get("Exchange", 0) == 2, c
+    assert c.get("SortMergeJoin", 0) == 0 and c.get("BroadcastHashJoin", 0) == 0, c
+
+
+def test_gopher_full_single_doc_exchange(spark):
+    """r15: the doc_id pre-partition satisfies both gram aggregates'
+    ClusteredDistribution, so the ONLY exchange shuffles raw text by
+    doc_id — never the exploded gram relations."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import (
+        all_specs,
+    )
+
+    c = _static_nodes(spark, all_specs()["gopher_repetition_full"].fn(spark, SF))
+    assert c.get("Exchange", 0) == 1, c
+
+
+def test_winnowed_selection_stays_in_arrays(spark):
+    """r16: winnowing selection is per-doc array work — no Window over the
+    exploded window-hash relation, and at most 3 exchanges (narrow-input
+    spread + the two phases of the final distinct aggregate), all carrying
+    either raw docs or selected fingerprints."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import (
+        all_specs,
+    )
+
+    c = _static_nodes(spark, all_specs()["dedup_winnowed_shingles"].fn(spark, SF))
+    assert c.get("Window", 0) == 0, c
+    assert c.get("Exchange", 0) <= 3, c
+
+
+def test_trigram_novelty_two_exchanges_no_corpus_broadcast(spark):
+    """r16: per-doc trigram dedup moved into array_distinct and the
+    doc-count became a per-g window — two exchanges, and no broadcast of
+    the corpus-wide distinct trigram relation."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import (
+        all_specs,
+    )
+
+    c = _static_nodes(spark, all_specs()["corpus_trigram_novelty"].fn(spark, SF))
+    assert c.get("Exchange", 0) == 2, c
+    assert c.get("BroadcastExchange", 0) == 0, c
+
+
+def test_triangle_counts_single_tri_evaluation(spark):
+    """r16: per-vertex credit is explode(array(u,x,y)) off ONE evaluation
+    of the wedge-closure join — the 3-way unionAll shape re-executed the
+    most expensive join per branch (static plan: 66 scans/13 unions; now
+    22/4 with the explode Generate)."""
+    from music_streaming_services_etl_pipeline_with_airflow_spark.plans.registry import (
+        all_specs,
+    )
+
+    c = _static_nodes(spark, all_specs()["graph_triangle_counts"].fn(spark, SF))
+    assert c.get("Generate", 0) >= 1, c
+    assert c.get("Scan", 99) <= 30, c
+    assert c.get("Union", 99) <= 6, c
+
+
 def test_constant_rank_caps_push_map_side(spark):
     """A `row_number() <= CONSTANT` per-group filter must plan a PARTIAL
     WindowGroupLimit BEFORE the exchange (Spark's rank-limit pushdown):
