@@ -406,17 +406,24 @@ def main() -> None:
             for n, c in vs_prev["drifters_calibrated"].items()
             if c > 1.25 and vs_prev["drifters_raw"].get(n, 0) > 1.25
         }
-    # Field order matters: the driver records only the TAIL of this line,
-    # so the headline total and per-query medians print LAST (spread and
-    # bookkeeping lead — they are the fields we can afford to lose).
-    out = {
+    # r16 (VERDICT r15 "What's wrong" #4): the r14 comparison was LOST to
+    # tail truncation of this one-line JSON — the driver records only the
+    # tail of the line, and the vs_prev/spread bookkeeping had inflated it
+    # past the captured window, front-truncating into unparseable JSON.
+    # The printed line now carries ONLY the contract fields (queries, sf,
+    # metric, unit, value) plus the two short calibration probes; all
+    # diagnostics (spread, sample counts, baselines split, vs_prev with
+    # the two-signal drifter rule) go to bench_diagnostics.json next to
+    # the repo, printed as their own line FIRST so the contract line
+    # stays last and short.
+    diag = {
         "spread": spread,
         "runs": n_runs,
         "extra_rounds": extra_rounds,
         "n_samples": {n: len(v) for n, v in samples.items() if len(v) > n_runs},
         "stat": "median",
         # the exact-baseline split (r10): names always listed so every
-        # BENCH file records what the default total excludes; timings and
+        # run records what the default total excludes; timings and
         # their own total appear only under --baselines
         "baselines_excluded": [n for n in BASELINES if n in specs],
         **(
@@ -428,6 +435,16 @@ def main() -> None:
             else {}
         ),
         **({"vs_prev": vs_prev} if vs_prev else {}),
+    }
+    diag_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_diagnostics.json")
+    try:
+        with open(diag_path, "w") as fh:
+            json.dump(diag, fh, indent=1)
+        print(json.dumps({"diagnostics_file": diag_path}))
+    except OSError:
+        print(json.dumps({"diagnostics_inline": diag}))
+    out = {
         "calib_shuffle_sec": calib_shuffle,
         "calib_sec": calib,
         "queries": headline_timings,
